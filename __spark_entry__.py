@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(or a beyond-reference pipeline operator) against the driver's testdata
+tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL. Entries
+without an oracle (MinHash/SimHash/LSH — engine-specific hash functions)
+get the driver's rows-only check.
+
+Determinism conventions shared by both sides:
+- money sums go through DECIMAL(18,2) so float accumulation order can't
+  skew the hash; final cast to DOUBLE.
+- every ratio/avg/cosine is round(x, 6).
+- relative-time semantics use the fixed anchor NOW_MS (2025-01-01T00:00Z),
+  mirroring the reference's injectable-now requirement (SURVEY §7.4).
 """
 
 from __future__ import annotations
@@ -12,27 +19,695 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.core import postops
+from nnanalytics_spark.inode import bins
+from nnanalytics_spark.inode.engine import INodeEngine
+from nnanalytics_spark.pipeline import dedup, similarity, text
+
+NOW_MS = 1_735_689_600_000  # 2025-01-01T00:00:00Z, after every events.ts
+_DEC = "decimal(18,2)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    long (spark.sql.legacy.parquet.nanosAsLong). Expose ts_ms = exact
+    epoch milliseconds (integer div — double math would lose precision at
+    1e18 ns), matching DuckDB's epoch_ms(ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts_ms", F.expr("ts div 1000000"))
+
+
+def _dsum(col: str, alias: str) -> F.Column:
+    """Order-insensitive money sum: decimal accumulate, double out."""
+    return F.sum(F.col(col).cast(_DEC)).cast("double").alias(alias)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-shaped pricing summary over sf0.001 lineitem —
+    filter → two-level group → shared-scan multi-aggregate (the reference's
+    /histogram2+/histogram3 shape, SURVEY §2.3)."""
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.2 filters + §2.3 scalar aggregates
+# --------------------------------------------------------------------------
+
+
+def q_filter_sum(spark, sf):
+    """AND-chain numeric filter → multi-sum (combinedFilter + /filter&sum)."""
+    li = _t(spark, sf, "lineitem")
+    return li.filter((F.col("l_quantity") < 10) & (F.col("l_discount") > 0.05)).agg(
+        F.count(F.lit(1)).alias("cnt"), _dsum("l_extendedprice", "sum_price")
+    )
+
+
+def q_filter_string_ops(spark, sf):
+    """String predicate family: contains / startsWith / notEndsWith."""
+    p = _t(spark, sf, "part")
+    return p.filter(
+        F.col("p_name").contains("re")
+        & F.col("p_type").startswith("STANDARD")
+        & ~F.col("p_brand").endswith("#5")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.min("p_partkey").alias("min_key"))
+
+
+def q_filter_date_ops(spark, sf):
+    """Day-granularity date window (dateStart/dateEnd ops)."""
+    o = _t(spark, sf, "orders")
+    return o.filter(
+        (F.to_date("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.to_date("o_orderdate") <= F.lit("1996-12-31"))
+    ).agg(F.count(F.lit(1)).alias("cnt"), _dsum("o_totalprice", "sum_price"))
+
+
+def q_dump_keys(spark, sf):
+    """Path-dump analog: filtered keys, sorted, limited
+    (dumpINodePaths → orderBy + limit)."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+def q_find_max(spark, sf):
+    """Global arg-max row (findFilter max) — TakeOrdered, not a full sort."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .orderBy(F.col("price").desc(), "o_orderkey")
+        .limit(1)
+    )
+
+
+def q_find_min(spark, sf):
+    o = _t(spark, sf, "orders")
+    return (
+        o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+        .orderBy(F.col("price").asc(), "o_orderkey")
+        .limit(1)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.3/§2.4 histograms
+# --------------------------------------------------------------------------
+
+
+def q_histogram_sum(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty")
+    )
+
+
+def q_histogram_avg(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_price")
+    )
+
+
+def q_histogram_find_minmax(spark, sf):
+    """Grouped min/max (genericMinning/MaxxingHistogram)."""
+    o = _t(spark, sf, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.min("o_totalprice").alias("min_price"), F.max("o_totalprice").alias("max_price")
+    )
+
+
+def q_histogram2(spark, sf):
+    """Two-level histogram (genericTwoLevelHistogram)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(_dsum("l_extendedprice", "sum_price"))
+
+
+def q_histogram3_multiagg(spark, sf):
+    """K aggregates over one grouping in ONE scan (/histogram3 merge —
+    value order = sums then finds, NamenodeAnalyticsMethods.java:1890-1944)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+        _dsum("l_extendedprice", "sum_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+def q_histogram_having(spark, sf):
+    """Post-agg HAVING (removeKeysOnConditional, 'gte' op)."""
+    c = _t(spark, sf, "customer")
+    out = c.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return postops.having_filter(out, "cnt", "gte:5")
+
+
+def q_histogram_top(spark, sf):
+    """Top-k groups by value (sliceToTop) with deterministic tiebreak."""
+    e = _events(spark, sf)
+    out = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return out.orderBy(F.col("cnt").desc(), "user_id").limit(5)
+
+
+def q_histogram_bottom(spark, sf):
+    e = _events(spark, sf)
+    out = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return out.orderBy(F.col("cnt").asc(), "user_id").limit(5)
+
+
+def q_divide(spark, sf):
+    """/divide: ratio of two filtered sums."""
+    li = _t(spark, sf, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").agg(
+        F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("__a")
+    )
+    total = li.agg(F.sum(F.col("l_extendedprice").cast(_DEC)).cast("double").alias("__b"))
+    return returned.crossJoin(total).select(
+        F.round(F.col("__a") / F.col("__b"), 6).alias("ratio")
+    )
+
+
+def q_content_summary(spark, sf):
+    """Subtree-style prefix aggregate (/contentSummary analog): the
+    startsWith predicate pushes into the parquet scan."""
+    d = _t(spark, sf, "documents")
+    return d.filter(F.col("source").startswith("src1")).agg(
+        F.count(F.lit(1)).alias("doc_count"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+def q_transform_whatif(spark, sf):
+    """§2.6 transform: conditional column rewrite BEFORE aggregation
+    (Transforms.java — fileReplica→N analog: discounted rows count as 0)."""
+    li = _t(spark, sf, "lineitem")
+    rewritten = F.when(F.col("l_discount") > 0.05, F.lit(0)).otherwise(
+        F.col("l_quantity")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.sum(rewritten.cast(_DEC)).cast("double").alias("sum_qty_whatif")
+    )
+
+
+def q_time_histogram_monthly(spark, sf):
+    """Reference time-bucket histogram (TimeHistogram monthly bins, exact
+    labels, zero-filled canonical order) over events.ts vs fixed NOW."""
+    e = _events(spark, sf)
+    key = bins.time_bucket(F.col("ts_ms"), "monthly", NOW_MS)
+    out = e.groupBy(key.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    return postops.order_by_key_order(out, "bin", ["cnt"], bins.time_keys("monthly"))
+
+
+def q_space_histogram(spark, sf):
+    """Byte-size bucket histogram (SpaceSizeHistogram labels/edges)."""
+    li = _t(spark, sf, "lineitem")
+    key = bins.space_bucket(F.col("l_extendedprice").cast("long"))
+    return li.groupBy(key.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_parent_dir(spark, sf):
+    """parentDir-at-depth grouping (Helper.getDirectoryAtDepthFunction)
+    over synthetic paths built from p_type words."""
+    p = _t(spark, sf, "part")
+    path = F.concat(F.lit("/"), F.regexp_replace("p_type", " ", "/"))
+    key = INodeEngine.parent_dir_at_depth(path, 2)
+    return p.groupBy(key.alias("parent_dir")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# beyond-reference relational/windowed operators
+# --------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark, sf):
+    """Top-3 orders by price per priority (window + row_number)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.col("o_totalprice").alias("price"), "rn")
+    )
+
+
+def q_sessionization(spark, sf):
+    """Sessionize events per user with a 30-min inactivity gap (lag +
+    cumulative sum — the batch shape of session_window)."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf)
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    marked = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 30 * 60 * 1000), 1).otherwise(0)
+    )
+    return marked.groupBy("user_id").agg(F.sum("new_sess").alias("n_sessions"))
+
+
+def q_windowed_counts(spark, sf):
+    """Tumbling 5-minute window counts — the batch equivalence of the
+    Structured Streaming aggregation in streaming/jobs.py."""
+    e = _events(spark, sf)
+    win = F.expr("ts_ms div 300000").alias("win")
+    return e.groupBy(win, "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf):
+    return dedup.exact_dedup(_t(spark, sf, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """Top-20 most-similar doc pairs by exact 3-gram Jaccard."""
+    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.0)
+    return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
+
+
+def q_minhash_lsh_pairs(spark, sf):
+    """MinHash+LSH candidate pairs (xxhash64 signatures — engine-specific
+    hashing, rows-only check)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), k=32, bands=8)
+
+
+def q_simhash_blocks(spark, sf):
+    """SimHash near-dup pairs (xxhash64-based, rows-only check)."""
+    return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=10)
+
+
+def q_embedding_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup pairs (exact all-pairs at this scale)."""
+    return similarity.all_pairs_above(_t(spark, sf, "embeddings"), threshold=0.4)
+
+
+def q_ann_topk(spark, sf):
+    """Brute-force cosine top-10 against the vec_id=0 vector."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
+    )
+
+
+def q_ann_lsh_pairs(spark, sf):
+    """LSH-bucketed ANN pairs (deterministic hyperplanes; rows-only)."""
+    return similarity.lsh_bucketed_pairs(_t(spark, sf, "embeddings"), threshold=0.3, bits=8)
+
+
+def q_text_tokens(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        text.subword_count(F.col("text")).alias("n_subwords"),
+    )
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.round(text.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        text.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_text_langid(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.groupBy(text.lang_id(F.col("text")).alias("pred_lang")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_text_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "filter_sum": q_filter_sum,
+        "filter_string_ops": q_filter_string_ops,
+        "filter_date_ops": q_filter_date_ops,
+        "dump_keys": q_dump_keys,
+        "find_max": q_find_max,
+        "find_min": q_find_min,
+        "histogram_sum": q_histogram_sum,
+        "histogram_avg": q_histogram_avg,
+        "histogram_find_minmax": q_histogram_find_minmax,
+        "histogram2": q_histogram2,
+        "histogram3_multiagg": q_histogram3_multiagg,
+        "histogram_having": q_histogram_having,
+        "histogram_top": q_histogram_top,
+        "histogram_bottom": q_histogram_bottom,
+        "divide": q_divide,
+        "content_summary": q_content_summary,
+        "transform_whatif": q_transform_whatif,
+        "time_histogram_monthly": q_time_histogram_monthly,
+        "space_histogram": q_space_histogram,
+        "parent_dir": q_parent_dir,
+        "topk_per_group": q_topk_per_group,
+        "sessionization": q_sessionization,
+        "windowed_counts": q_windowed_counts,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash_blocks": q_simhash_blocks,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    now = NOW_MS
+    month_ms = 30 * 86_400_000
+    return {
+        "filter_sum": """
+            SELECT count(*) AS cnt,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem WHERE l_quantity < 10 AND l_discount > 0.05
+        """,
+        "filter_string_ops": """
+            SELECT count(*) AS cnt, min(p_partkey) AS min_key
+            FROM part
+            WHERE p_name LIKE '%re%' AND p_type LIKE 'STANDARD%'
+              AND p_brand NOT LIKE '%#5'
+        """,
+        "filter_date_ops": """
+            SELECT count(*) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders
+            WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(o_orderdate AS DATE) <= DATE '1996-12-31'
+        """,
+        "dump_keys": """
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+            ORDER BY o_orderkey LIMIT 100
+        """,
+        "find_max": """
+            SELECT o_orderkey, o_totalprice AS price FROM orders
+            ORDER BY price DESC, o_orderkey LIMIT 1
+        """,
+        "find_min": """
+            SELECT o_orderkey, o_totalprice AS price FROM orders
+            ORDER BY price ASC, o_orderkey LIMIT 1
+        """,
+        "histogram_sum": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "histogram_avg": """
+            SELECT l_linestatus,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*), 6) AS avg_price
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "histogram_find_minmax": """
+            SELECT o_orderpriority, min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "histogram2": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "histogram3_multiagg": """
+            SELECT l_returnflag, count(*) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                   min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "histogram_having": """
+            SELECT c_nationkey, count(*) AS cnt FROM customer
+            GROUP BY c_nationkey HAVING count(*) >= 5
+        """,
+        "histogram_top": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id ORDER BY cnt DESC, user_id LIMIT 5
+        """,
+        "histogram_bottom": """
+            SELECT user_id, count(*) AS cnt FROM events
+            GROUP BY user_id ORDER BY cnt ASC, user_id LIMIT 5
+        """,
+        "divide": """
+            SELECT round(
+              (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               FROM lineitem WHERE l_returnflag = 'R')
+              /
+              (SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               FROM lineitem), 6) AS ratio
+        """,
+        "content_summary": """
+            SELECT count(*) AS doc_count, SUM(n_chars) AS total_chars
+            FROM documents WHERE source LIKE 'src1%'
+        """,
+        "transform_whatif": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN 0 ELSE l_quantity END
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty_whatif
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "time_histogram_monthly": f"""
+            WITH bins AS (
+              SELECT CAST(i AS VARCHAR) || ' Months' AS bin, i AS ord
+              FROM range(1, 24) t(i)
+              UNION ALL SELECT '23 Months+', 24
+            ),
+            bucketed AS (
+              SELECT CASE
+                WHEN {now} - epoch_ms(ts) < 0 THEN 'NO_MAPPING'
+                WHEN GREATEST(1, CAST(CEIL(({now} - epoch_ms(ts)) / {month_ms}.0) AS BIGINT)) > 23
+                  THEN '23 Months+'
+                ELSE CAST(GREATEST(1, CAST(CEIL(({now} - epoch_ms(ts)) / {month_ms}.0) AS BIGINT))
+                     AS VARCHAR) || ' Months'
+              END AS bin, 1 AS one
+              FROM events
+            )
+            SELECT b.bin AS bin, COALESCE(SUM(one), 0) AS cnt
+            FROM bins b LEFT JOIN bucketed x ON b.bin = x.bin
+            GROUP BY b.bin
+        """,
+        "space_histogram": """
+            SELECT CASE
+              WHEN CAST(l_extendedprice AS BIGINT) < 0 THEN 'NO_MAPPING'
+              WHEN CAST(l_extendedprice AS BIGINT) = 0 THEN '0 B'
+              WHEN CAST(l_extendedprice AS BIGINT) <= 1024 THEN '1 KB'
+              WHEN CAST(l_extendedprice AS BIGINT) <= 1048576 THEN '1 MB'
+              WHEN CAST(l_extendedprice AS BIGINT) <= 16777216 THEN '16 MB'
+              WHEN CAST(l_extendedprice AS BIGINT) <= 67108864 THEN '64 MB'
+              WHEN CAST(l_extendedprice AS BIGINT) <= 134217728 THEN '128 MB'
+              WHEN CAST(l_extendedprice AS BIGINT) <= 268435456 THEN '256 MB'
+              WHEN CAST(l_extendedprice AS BIGINT) <= 536870912 THEN '512 MB'
+              WHEN CAST(l_extendedprice AS BIGINT) <= 1073741824 THEN '1 GB'
+              ELSE '1 GB+' END AS bin,
+              count(*) AS cnt
+            FROM lineitem GROUP BY 1
+        """,
+        "parent_dir": """
+            WITH paths AS (
+              SELECT regexp_split_to_array('/' || replace(p_type, ' ', '/'), '/') AS parts
+              FROM part
+            )
+            SELECT CASE WHEN len(parts) - 2 >= 2
+                        THEN array_to_string(parts[1:3], '/')
+                        ELSE 'NO_MAPPING' END AS parent_dir,
+                   count(*) AS cnt
+            FROM paths GROUP BY 1
+        """,
+        "topk_per_group": """
+            SELECT o_orderpriority, o_orderkey, price, rn FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice AS price,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "sessionization": """
+            SELECT user_id, SUM(new_sess) AS n_sessions FROM (
+              SELECT user_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
+        """,
+        "windowed_counts": """
+            SELECT CAST(FLOOR(epoch_ms(ts) / 300000) AS BIGINT) AS win, event_type,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "dedup_exact": r"""
+            SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
+                   min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])) AS shingle
+              FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+        """,
+        "embedding_dup_pairs": """
+            WITH v AS (
+              SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+              FROM embeddings
+            ),
+            n AS (
+              SELECT vec_id, e,
+                     sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                      (a, b) -> a + b)) AS nrm
+              FROM v
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_reduce(list_prepend(0.0,
+                           [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                           (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE round(list_reduce(list_prepend(0.0,
+                    [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                    (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.4
+        """,
+        "ann_topk": """
+            WITH v AS (
+              SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+              FROM embeddings
+            ),
+            n AS (
+              SELECT vec_id, e,
+                     sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                      (a, b) -> a + b)) AS nrm
+              FROM v
+            ),
+            q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_reduce(list_prepend(0.0,
+                           [e[i] * q.qe[i] for i in range(1, len(e) + 1)]),
+                           (x, y) -> x + y) / (nrm * q.qn), 6) AS cos_sim
+            FROM n, q WHERE vec_id != 0
+            ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "text_tokens": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                     AS n_subwords
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH f AS (
+              SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     len(regexp_extract_all(text, '[^\w\s]'))
+                       / GREATEST(length(text), 1) AS praw
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, praw,
+                     len(list_filter(list_transform(toks, t -> lower(t)),
+                         t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                    'for','on','with','as','at','by','from','that','this')))
+                       / GREATEST(len(toks), 1) AS sraw,
+                     list_reduce(list_prepend(0, [length(t) for t in toks]), (a,b) -> a + b)
+                       / GREATEST(len(toks), 1) AS mwl,
+                     LEAST(length(text) / 200.0, 1.0) AS length_ok
+              FROM f
+            )
+            SELECT doc_id, round(praw, 6) AS punct_ratio, round(sraw, 6) AS stopword_ratio,
+                   round((length_ok + (1.0 - LEAST(praw * 5.0, 1.0))
+                          + LEAST(sraw * 4.0, 1.0)
+                          + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6)
+                     AS quality
+            FROM g
+        """,
+        "text_langid": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    t -> lower(t)) AS t
+              FROM documents
+            ),
+            scores AS (
+              SELECT doc_id,
+                len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS c_de,
+                len(list_filter(t, x -> x IN ('the','and','is','of'))) AS c_en,
+                len(list_filter(t, x -> x IN ('el','la','que','es'))) AS c_es,
+                len(list_filter(t, x -> x IN ('le','la','et','est'))) AS c_fr,
+                len(list_filter(t, x -> x IN ('de','shi','le','zai'))) AS c_zh
+              FROM toks
+            )
+            SELECT CASE
+                WHEN GREATEST(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+                WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+                WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+                WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+                WHEN c_fr = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+                ELSE 'zh' END AS pred_lang,
+              count(*) AS cnt
+            FROM scores GROUP BY 1
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                         string_split_regex(
+                           lower(regexp_replace(text, '\s+', ' ', 'g')), ''),
+                         c -> CAST(ascii(c) AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 2147483647) AS fp
+            FROM documents
+        """,
+    }

@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion (collect) and timed wall-clock.
+A warmup pass on the smallest table absorbs JVM/codegen startup so the
+numbers measure the plans, not session bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from nnanalytics_spark.session import get_spark
+
+HEADLINE = [
+    "filter_sum",
+    "histogram_sum",
+    "histogram2",
+    "histogram3_multiagg",
+    "time_histogram_monthly",
+    "space_histogram",
+    "topk_per_group",
+    "sessionization",
+    "windowed_counts",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_blocks",
+    "embedding_dup_pairs",
+    "ann_topk",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    queries = entry_mod.queries()
+    # warmup: run the first headline query once to absorb codegen startup
+    queries[HEADLINE[0]](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        start = time.perf_counter()
+        queries[name](spark, sf_dir).collect()
+        elapsed = round(time.perf_counter() - start, 3)
+        timings[name] = elapsed
+        total += elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

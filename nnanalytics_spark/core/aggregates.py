@@ -1,0 +1,50 @@
+"""Aggregate compiler: sum / find specs → pyspark aggregate Columns.
+
+Mirrors the reference's aggregation surface (SURVEY §2.3):
+- scalar + grouped sums        AbstractQueryEngine.java:508-575, 956-963
+- grouped min/max/avg ("find") AbstractQueryEngine.java:993-1077
+- multi-aggregate histograms   NamenodeAnalyticsMethods.java:1890-1944 —
+  expressed here as ONE groupBy().agg(a1..aK): a single shared scan, the
+  optimization the reference hand-rolls with LongSummaryStatistics.
+
+All aggregates are built-in JVM expressions (no UDFs): partial aggregation
+(map-side combine) and whole-stage codegen apply automatically, so at
+cluster scale each aggregate shuffles only one partial row per
+(partition, group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FIND_FUNCS = {"min": F.min, "max": F.max, "avg": F.avg}
+
+
+def sum_aggregate(value_expr: Column, sum_name: str, alias: str | None = None) -> Column:
+    """One sum aggregate. ``count`` sums the constant 1 in the reference
+    (AbstractQueryEngine.java:389-460); here it is a real count(*)."""
+    agg = F.count(F.lit(1)) if sum_name == "count" else F.sum(value_expr)
+    return agg.alias(alias or sum_name)
+
+
+def find_aggregate(value_expr: Column, find_op: str, alias: str | None = None) -> Column:
+    """Grouped min/max/avg (genericMinning/Maxxing/AvgingHistogram,
+    AbstractQueryEngine.java:1029-1077)."""
+    if find_op not in FIND_FUNCS:
+        raise ValueError(f"unsupported find op: {find_op}")
+    return FIND_FUNCS[find_op](value_expr).alias(alias or find_op)
+
+
+def summary_aggregates(value_expr: Column, prefix: str = "") -> list[Column]:
+    """count+sum+min+max+avg in one pass — the reference's
+    genericSummarizingHistogram (AbstractQueryEngine.java:975-982). One scan,
+    five aggregates, identical partial-aggregation behavior."""
+    p = f"{prefix}_" if prefix else ""
+    return [
+        F.count(F.lit(1)).alias(f"{p}count"),
+        F.sum(value_expr).alias(f"{p}sum"),
+        F.min(value_expr).alias(f"{p}min"),
+        F.max(value_expr).alias(f"{p}max"),
+        F.avg(value_expr).alias(f"{p}avg"),
+    ]

