@@ -1,0 +1,109 @@
+"""Freshness tests — the testUpdateSeen shape (updates visible in the next
+query) for both the snapshot-refresh path and the change-log tailer."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.core.ir import Query
+from nnanalytics_spark.inode import fixture
+from nnanalytics_spark.inode.engine import INodeEngine
+from nnanalytics_spark.streaming import refresh
+
+NOW = fixture.NOW_MS
+
+
+def _count_files(df) -> int:
+    eng = INodeEngine(df)
+    return eng.filter_sum(Query(set="files", sums=["count"], now_ms=NOW)).collect()[0][0]
+
+
+def _new_files_pdf(start_id: int, n: int) -> pd.DataFrame:
+    base = fixture.generate_pandas(levels=1, dirs_per_level=1, files_per_dir=n)
+    newf = base[base.type == "file"].copy()
+    newf["id"] = range(start_id, start_id + len(newf))
+    newf["path"] = [f"/fresh/file{i}" for i in range(len(newf))]
+    newf["modTime"] = NOW
+    return newf
+
+
+def test_snapshot_refresh_sees_updates(spark, tmp_path):
+    table_dir = str(tmp_path / "inodes")
+    pdf = fixture.generate_pandas(levels=1, dirs_per_level=2, files_per_dir=10)
+    spark.createDataFrame(pdf, schema=fixture.SCHEMA).write.parquet(table_dir)
+
+    snap = refresh.SnapshotTable(spark, lambda s: s.read.parquet(table_dir))
+    before = _count_files(snap.df)
+
+    add = _new_files_pdf(start_id=100_000, n=7)
+    spark.createDataFrame(add, schema=fixture.SCHEMA).write.mode("append").parquet(table_dir)
+
+    assert _count_files(snap.df) == before  # stale until refresh: snapshot isolation
+    snap.refresh()
+    assert _count_files(snap.df) == before + 7
+    assert snap.version == 1
+
+
+def test_changelog_tailer_update_seen(spark, tmp_path):
+    """Port of testUpdateSeen (TestWithMiniClusterBase.java:207-228): write
+    a batch of new files to the change log; the same query returns a
+    strictly larger count afterwards."""
+    log_dir = str(tmp_path / "changelog")
+    base_pdf = fixture.generate_pandas(levels=1, dirs_per_level=2, files_per_dir=10)
+    base = spark.createDataFrame(base_pdf, schema=fixture.SCHEMA)
+
+    from pyspark.sql import types as T
+
+    log_schema = T.StructType(fixture.SCHEMA.fields + [T.StructField("op", T.StringType(), False)])
+    # seed an empty log dir so the stream starts cleanly
+    spark.createDataFrame([], log_schema).write.mode("overwrite").parquet(log_dir)
+
+    tailer = refresh.ChangeLogTailer(spark, base, log_dir, log_schema)
+    tailer.start()
+    try:
+        tailer.process_all()
+        before = _count_files(tailer.current)
+
+        add = _new_files_pdf(start_id=200_000, n=5)
+        add["op"] = "add"
+        spark.createDataFrame(add, schema=log_schema).write.mode("append").parquet(log_dir)
+        tailer.process_all()
+        assert _count_files(tailer.current) == before + 5
+
+        # delete two of them via the log
+        dele = add.head(2).copy()
+        dele["op"] = "delete"
+        spark.createDataFrame(dele, schema=log_schema).write.mode("append").parquet(log_dir)
+        tailer.process_all()
+        assert _count_files(tailer.current) == before + 3
+    finally:
+        tailer.stop()
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    """Windowed streaming agg over a parquet-backed stream reaches the same
+    totals as the batch query."""
+    src = str(tmp_path / "events")
+    rows = [(i, pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=i), "click", 1.0) for i in range(30)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "ts", "event_type", "value"])
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string, value double"
+    ).parquet(src)
+    agg = refresh.windowed_event_counts(stream, "5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT sum(cnt) FROM win_counts").collect()[0][0]
+        assert got == 30
+        n_windows = spark.sql("SELECT count(*) FROM win_counts").collect()[0][0]
+        assert n_windows == 6  # 30 minutes / 5-minute tumbling windows
+    finally:
+        q.stop()
