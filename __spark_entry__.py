@@ -296,6 +296,140 @@ def q_windowed_counts(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# relational layer beyond the reference (joins / rollup / windows / set ops)
+# — the reference is single-table (SURVEY §2.7); a complete engine is not.
+# --------------------------------------------------------------------------
+
+
+def q_join_revenue(spark, sf):
+    """Multi-way join with broadcast dims (TPC-H Q5 shape): revenue per
+    nation. Dim tables broadcast; only the fact join shuffles."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    # decimal × decimal keeps the product exact (4 decimal digits); a
+    # round(double) here would diverge from the oracle on half-way cases
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_join_anti(spark, sf):
+    """Anti join (NOT EXISTS): customers with no high-value orders.
+    (Every customer has SOME order in this data, so the right side is
+    filtered to keep the result non-trivial.)"""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_semi(spark, sf):
+    """Semi join (EXISTS): nations having suppliers, counted per region."""
+    n = _t(spark, sf, "nation")
+    s = _t(spark, sf, "supplier")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(s, n.n_nationkey == s.s_nationkey, "left_semi")
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+def q_distinct_count(spark, sf):
+    """Exact distinct aggregate (the reference's closest analog is a
+    driver-side toSet(), SuggestionsEngine.java:192-197)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+def q_rollup(spark, sf):
+    """GROUP BY ROLLUP — subtotal + grand-total rows."""
+    li = _t(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_pivot(spark, sf):
+    """Pivot linestatus into columns."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).cast("double"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+def q_window_running(spark, sf):
+    """Running revenue per customer over order dates (window frame)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("running_total"),
+    )
+
+
+def q_set_ops(spark, sf):
+    """INTERSECT: customers ordering in both 1995 and 1996."""
+    o = _t(spark, sf, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96).orderBy("o_custkey")
+
+
+def q_asof_last_click(spark, sf):
+    """As-of join shape: for each purchase event, the most recent prior
+    click by the same user (window max over a preceding frame — the
+    composition Spark uses where a native as-of join is missing)."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf).withColumn("ts_us", F.expr("ts div 1000"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts_ms"))
+    ).over(w)
+    return (
+        e.withColumn("last_click_ms", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "last_click_ms")
+    )
+
+
+def q_approx_distinct(spark, sf):
+    """HLL approximate distinct (rows-only: sketch internals are
+    engine-specific; the exact twin is q_distinct_count)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )
+
+
+# --------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text
 # --------------------------------------------------------------------------
 
@@ -396,6 +530,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "sessionization": q_sessionization,
         "windowed_counts": q_windowed_counts,
+        "join_revenue": q_join_revenue,
+        "join_anti": q_join_anti,
+        "join_semi": q_join_semi,
+        "distinct_count": q_distinct_count,
+        "rollup": q_rollup,
+        "pivot": q_pivot,
+        "window_running": q_window_running,
+        "set_ops": q_set_ops,
+        "asof_last_click": q_asof_last_click,
+        "approx_distinct": q_approx_distinct,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -571,6 +715,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(epoch_ms(ts) / 300000) AS BIGINT) AS win, event_type,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "join_revenue": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "join_anti": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+            ORDER BY c_custkey
+        """,
+        "join_semi": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            WHERE EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+            GROUP BY r_name
+        """,
+        "distinct_count": """
+            SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+                   count(DISTINCT l_suppkey) AS n_supps
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "rollup": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "pivot": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS qty_open,
+                   CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS qty_filled
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS running_total
+            FROM orders
+        """,
+        "set_ops": """
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            ORDER BY o_custkey
+        """,
+        "asof_last_click": """
+            SELECT event_id, user_id, last_click_ms FROM (
+              SELECT event_id, user_id, event_type,
+                     max(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS last_click_ms
+              FROM events
+            ) WHERE event_type = 'purchase'
         """,
         "dedup_exact": r"""
             SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,

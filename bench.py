@@ -30,6 +30,11 @@ HEADLINE = [
     "topk_per_group",
     "sessionization",
     "windowed_counts",
+    "join_revenue",
+    "distinct_count",
+    "rollup",
+    "window_running",
+    "asof_last_click",
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",

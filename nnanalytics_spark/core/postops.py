@@ -67,9 +67,16 @@ def order_by_key_order(
     HistogramInvoker.java:142-148). Implemented as a broadcast join against
     the tiny bin-dimension frame + coalesce(value, 0)."""
     spark = df.sparkSession
-    bins = spark.createDataFrame(
-        [(i, k) for i, k in enumerate(canonical_keys)], schema=f"__ord int, {key_col} string"
+    # build the bin dimension JVM-side (range + array literal): a
+    # createDataFrame(list) would route through a Python RDD and pay ~2 s
+    # of Python-worker startup for 24 rows
+    labels = F.array(*[F.lit(k) for k in canonical_keys])
+    bins = spark.range(len(canonical_keys)).select(
+        F.col("id").cast("int").alias("__ord"),
+        F.element_at(labels, F.col("id").cast("int") + 1).alias(key_col),
     )
-    out = F.broadcast(bins).join(df, key_col, "left")
+    # broadcast the aggregated (small) side: a left join can only build its
+    # right side, so hinting the bin dimension would be ignored
+    out = bins.join(F.broadcast(df), key_col, "left")
     filled = [F.coalesce(F.col(c), F.lit(0)).alias(c) for c in value_cols]
     return out.orderBy("__ord").select(key_col, *filled)
