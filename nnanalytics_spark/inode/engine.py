@@ -178,6 +178,18 @@ class INodeEngine:
     def content_summary(self, path: str) -> DataFrame:
         return subtree.content_summary(self.inodes, path)
 
+    def dump_inode(self, path: str) -> dict:
+        """/dump analog: every §1.3 attribute of one inode
+        (NamenodeAnalyticsMethods.java:747-770 → VersionContext.java:50-110).
+        Point lookup — the path predicate pushes into the scan."""
+        df = self.inodes.filter(F.col("path") == path)
+        projected = df.select(
+            *[spec.expr(df).alias(name) for name, spec in reg.COLUMNS.items()
+              if name not in reg.JOIN_PRODUCED]
+        )
+        rows = projected.collect()
+        return rows[0].asDict() if rows else {}
+
     # ------------------------------------------------------------ grouping
     def _group_key(self, df: DataFrame, type_name: str, query: Query) -> Column:
         """Histogram key expression (§2.4 dimension binning)."""

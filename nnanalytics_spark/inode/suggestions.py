@@ -169,6 +169,41 @@ def file_type_report(inodes: DataFrame) -> DataFrame:
     )
 
 
+def issue_ranking(per_user: DataFrame, metric: str, k: int = 10, top: bool = True) -> DataFrame:
+    """/top & /bottom analog: k most/least offending users for one cached
+    issue metric (SuggestionsEngine.java:1299-1374) — a sort+slice over the
+    per-user report."""
+    if metric not in per_user.columns:
+        raise ValueError(f"unknown issue metric {metric!r}")
+    order = F.col(metric).desc() if top else F.col(metric).asc()
+    return per_user.select("user", metric).orderBy(order, "user").limit(k)
+
+
+class CachedQueryRegistry:
+    """Custom cached queries (SuggestionsEngine.java:743-767, 892-991):
+    user-registered logical queries re-run on every sweep."""
+
+    def __init__(self) -> None:
+        self._queries: dict[str, tuple] = {}
+
+    def register(self, name: str, query, shape: str = "sum") -> None:
+        if shape not in ("sum", "histogram"):
+            raise ValueError(f"unsupported cached query shape {shape!r}")
+        self._queries[name] = (query, shape)
+
+    def unregister(self, name: str) -> None:
+        self._queries.pop(name, None)
+
+    def names(self) -> list[str]:
+        return sorted(self._queries)
+
+    def refresh(self, engine) -> dict[str, DataFrame]:
+        out = {}
+        for name, (query, shape) in self._queries.items():
+            out[name] = engine.histogram(query) if shape == "histogram" else engine.filter_sum(query)
+        return out
+
+
 def run_sweep(inodes: DataFrame, now_ms: int, output_dir: str | None = None) -> dict[str, DataFrame]:
     """The full periodic sweep: compute every cached report; optionally
     persist each as parquet (the MapDB/HSQL cache analog — a `history`
