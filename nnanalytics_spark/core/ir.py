@@ -40,3 +40,30 @@ class Query:
     def __post_init__(self) -> None:
         if self.now_ms is None:
             self.now_ms = int(time.time() * 1000)
+
+
+def parse_filters(filters: str, filter_ops: str) -> list[tuple[str, str, str]]:
+    """REST-style filter parsing: ``filters=f1,f2`` + ``filterOps=op:val,...``
+    → triplets (Helper.parseFilters/parseFilterOps, analytics/Helper.java:235-280)."""
+    if not filters:
+        return []
+    fields = filters.split(",")
+    ops = filter_ops.split(",") if filter_ops else []
+    if len(fields) != len(ops):
+        raise ValueError("filters and filterOps must have the same length")
+    out = []
+    for field_name, op_spec in zip(fields, ops):
+        op, _, value = op_spec.partition(":")
+        out.append((field_name.strip(), op.strip(), value))
+    return out
+
+
+def parse_filter_triplets(spec: str) -> list[tuple[str, str, str]]:
+    """``field:op:value,...`` triplet form used by the suggestions engine."""
+    if not spec:
+        return []
+    out = []
+    for part in spec.split(","):
+        field_name, op, value = part.split(":", 2)
+        out.append((field_name, op, value))
+    return out

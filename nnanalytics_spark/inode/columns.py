@@ -91,12 +91,17 @@ COLUMNS: dict[str, ColumnSpec] = {
         ColumnSpec(
             "nsQuotaRatioUsed",
             "long",
-            lambda df: (100 * F.col("nsQuotaUsed") / F.col("nsQuota")).cast("long"),
-        ),  # AbstractQueryEngine.java:438-447
+            lambda df: F.when(
+                F.col("nsQuota") > 0, (100 * F.col("nsQuotaUsed") / F.col("nsQuota")).cast("long")
+            ).otherwise(0),
+        ),  # AbstractQueryEngine.java:438-447; quota <= 0 (unset) → ratio 0,
+        #    guarded so ANSI mode can't divide by zero
         ColumnSpec(
             "dsQuotaRatioUsed",
             "long",
-            lambda df: (100 * F.col("dsQuotaUsed") / F.col("dsQuota")).cast("long"),
+            lambda df: F.when(
+                F.col("dsQuota") > 0, (100 * F.col("dsQuotaUsed") / F.col("dsQuota")).cast("long")
+            ).otherwise(0),
         ),
         # subtree aggregates are join-produced (see subtree.py); the registry
         # exposes them when the caller has materialized them onto the frame.

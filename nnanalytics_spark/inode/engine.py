@@ -205,7 +205,11 @@ class INodeEngine:
         if type_name == "memoryConsumed":
             return bins.memory_bucket(reg.COLUMNS["memoryConsumed"].expr(df))
         if type_name == "fileReplica":
-            return self._column(df, "fileReplica", query).cast("string")
+            # EC-policied files bin under the policy name instead of the
+            # replication factor (VersionContext.java:206-219); the default
+            # HDFS erasure-coding policy name is the public constant.
+            base = self._column(df, "fileReplica", query).cast("string")
+            return F.when(F.col("hasEcPolicy"), F.lit("RS-6-3-1024k")).otherwise(base)
         if type_name == "storageType":
             return bins.storage_type_bucket(F.col("storagePolicyId"))
         if type_name == "fileType":

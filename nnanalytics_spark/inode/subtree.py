@@ -94,6 +94,33 @@ def with_quota_flags(inodes: DataFrame) -> DataFrame:
     )
 
 
+def registered_directory_stats(inodes: DataFrame, directories: list[str]) -> DataFrame:
+    """Per-registered-directory count/diskspace in ONE scan — the
+    CachedDirectories.analyze analog (cache/CachedDirectories.java:103-141).
+
+    The reference prunes N per-directory scans down to
+    lowest-common-ancestor roots with a prefix tree
+    (util/VirtualINodeTree.java:127-156). Here the whole watch list is a
+    broadcast prefix join: every inode tests against the (tiny) directory
+    list in one pass, one shuffle for the final per-directory aggregate —
+    N never multiplies the scan count.
+    """
+    spark = inodes.sparkSession
+    dirs = spark.createDataFrame(
+        [(d.rstrip("/") or "/",) for d in directories], "directory string"
+    )
+    files = inodes.filter(F.col("type") == "file").select("path", "fileSize", "fileReplica")
+    joined = files.join(
+        F.broadcast(dirs),
+        F.col("path").startswith(F.concat(F.col("directory"), F.lit("/")))
+        | (F.col("directory") == "/"),
+    )
+    return joined.groupBy("directory").agg(
+        F.count(F.lit(1)).alias("count"),
+        F.sum(F.col("fileSize") * F.col("fileReplica")).alias("diskspaceConsumed"),
+    )
+
+
 def content_summary(inodes: DataFrame, path: str) -> DataFrame:
     """/contentSummary analog: file/dir/byte counts for one subtree
     (NamenodeAnalyticsMethods.java:2011-2059). A single filtered aggregate —

@@ -169,6 +169,12 @@ def file_type_report(inodes: DataFrame) -> DataFrame:
     )
 
 
+def users(inodes: DataFrame) -> list[str]:
+    """/users endpoint analog: the distinct owner set
+    (SuggestionsEngine.java:192-197 collects it driver-side too)."""
+    return sorted(r["user"] for r in inodes.select("user").distinct().collect())
+
+
 def issue_ranking(per_user: DataFrame, metric: str, k: int = 10, top: bool = True) -> DataFrame:
     """/top & /bottom analog: k most/least offending users for one cached
     issue metric (SuggestionsEngine.java:1299-1374) — a sort+slice over the

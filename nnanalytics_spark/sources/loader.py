@@ -52,6 +52,12 @@ def read_fsimage_csv(spark: SparkSession, path: str, sep: str = "\t") -> DataFra
     """Parse a delimited OIV export into the engine's stored inode schema."""
     raw = spark.read.option("header", True).option("sep", sep).csv(path)
     is_dir = F.col("Permission").startswith("d")
+    # OIV renders permissions symbolically ("-rw-r--r--"): position 1 is the
+    # type flag, then three rwx triplets → POSIX bits
+    perm_bits = None
+    for i, weight in enumerate([256, 128, 64, 32, 16, 8, 4, 2, 1]):
+        bit = F.when(F.substring("Permission", i + 2, 1) != "-", weight).otherwise(0)
+        perm_bits = bit if perm_bits is None else (perm_bits + bit)
     return raw.select(
         F.monotonically_increasing_id().alias("id"),
         F.when(is_dir, "dir").otherwise("file").alias("type"),
@@ -62,9 +68,7 @@ def read_fsimage_csv(spark: SparkSession, path: str, sep: str = "\t") -> DataFra
         ).alias("parent"),
         F.col("UserName").alias("user"),
         F.col("GroupName").alias("group"),
-        F.conv(F.regexp_replace("Permission", r"[^0-7]", ""), 8, 10)
-        .cast("int")
-        .alias("permission"),
+        perm_bits.cast("int").alias("permission"),
         F.unix_millis(F.to_timestamp("AccessTime")).alias("accessTime"),
         F.unix_millis(F.to_timestamp("ModificationTime")).alias("modTime"),
         F.col("FileSize").cast("long").alias("fileSize"),
