@@ -474,6 +474,17 @@ def q_ann_lsh_pairs(spark, sf):
     return similarity.lsh_bucketed_pairs(_t(spark, sf, "embeddings"), threshold=0.3, bits=8)
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF-probed approximate top-10 for the vec_id=0 vector (k-means
+    cells, nprobe=4 of 16 — the partition-pruned scale path; rows-only:
+    recall depends on cell layout)."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0), qvec, k=10, nlist=16, nprobe=4
+    )
+
+
 def q_text_tokens(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -547,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,

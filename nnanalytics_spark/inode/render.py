@@ -40,6 +40,15 @@ def two_level_to_csv(histogram2: DataFrame) -> str:
     return to_csv(histogram2)
 
 
+def two_level_to_json(histogram2: DataFrame) -> str:
+    """Nested {key1: {key2: value}} map — the reference's /histogram2
+    response shape."""
+    nested: dict[str, dict] = {}
+    for k1, k2, *vals in _rows(histogram2):
+        nested.setdefault(k1, {})[k2] = vals[0] if len(vals) == 1 else list(vals)
+    return json.dumps(nested)
+
+
 def to_chart_js_json(histogram: DataFrame, title: str = "") -> str:
     """Chart.js dataset payload (Histograms.toChartJsJson shape):
     labels + one data series per value column."""

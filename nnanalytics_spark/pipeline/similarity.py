@@ -141,6 +141,92 @@ def signature(vec_col: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample: int = 4096,
+    seed: int = 42,
+):
+    """Deterministic mini k-means for IVF cell centroids: train on a
+    driver-side sample (numpy Lloyd iterations, seeded init). At 100 TB
+    the sample stays this size — centroid quality needs representative
+    vectors, not all of them."""
+    import numpy as np
+
+    rows = df.select(F.col(vec_col).cast("array<double>")).limit(sample).collect()
+    mat = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(
+            (mat @ centroids.T)
+            / (np.linalg.norm(mat, axis=1)[:, None] * np.linalg.norm(centroids, axis=1)[None, :]),
+            axis=1,
+        )
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid cell (broadcast
+    centroids, Arrow-batched argmax — map-side only, no shuffle)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    b_cent = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = b_cent.value
+        cent_norms = np.linalg.norm(cents, axis=1)
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            sims = (mat @ cents.T) / (
+                np.linalg.norm(mat, axis=1)[:, None] * cent_norms[None, :]
+            )
+            yield pd.DataFrame({"id": pdf["id"], "cell": np.argmax(sims, axis=1), "v": pdf["v"]})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    return src.mapInPandas(assign, "id long, cell int, v array<double>")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe only the nprobe cells whose centroids
+    best match the query. The scan prunes to ~nprobe/nlist of the corpus
+    (a pushed-down `cell IN (...)` filter when the assignment table is
+    stored partitioned by cell); scoring within cells reuses the exact
+    cosine expression, so results within probed cells match brute force."""
+    import numpy as np
+
+    centroids = kmeans_centroids(df, nlist=nlist, vec_col=vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cent_sims = (centroids @ q) / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(q))
+    probe_cells = [int(c) for c in np.argsort(-cent_sims)[:nprobe]]
+
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    candidates = assigned.filter(F.col("cell").isin(probe_cells))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = candidates.select(
+        F.col("id").alias(id_col),
+        F.round(cosine(F.col("v"), qcol), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), id_col).limit(k)
+
+
 def lsh_bucketed_pairs(
     df: DataFrame,
     threshold: float,

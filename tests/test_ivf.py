@@ -1,0 +1,49 @@
+"""IVF ANN: recall vs brute force on clustered vectors."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from nnanalytics_spark.pipeline import similarity
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    random.seed(3)
+    rows = []
+    vid = 0
+    for c in range(8):
+        center = [random.gauss(0, 1) for _ in range(16)]
+        for _ in range(40):
+            rows.append((vid, [x + random.gauss(0, 0.05) for x in center]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+
+
+def test_ivf_assign_covers_all(clustered):
+    cents = similarity.kmeans_centroids(clustered, nlist=8)
+    assigned = similarity.ivf_assign(clustered, cents)
+    assert assigned.count() == 320
+    n_cells = assigned.select("cell").distinct().count()
+    assert n_cells >= 4  # clusters spread across cells
+
+
+def test_ivf_topk_recall_vs_brute_force(clustered):
+    query = clustered.filter("vec_id = 0").head()["embedding"]
+    exact = [r["vec_id"] for r in similarity.brute_force_topk(clustered, query, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in similarity.ivf_topk(clustered, list(query), k=10, nlist=8, nprobe=3).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.9  # tight clusters → the probed cells hold the answers
+
+
+def test_ivf_prunes_candidates(clustered):
+    cents = similarity.kmeans_centroids(clustered, nlist=8)
+    assigned = similarity.ivf_assign(clustered, cents).cache()
+    total = assigned.count()
+    one_cell = assigned.filter("cell = 0").count()
+    assert one_cell < total  # probing one cell scans a strict subset

@@ -45,6 +45,16 @@ def test_multiagg_json_render(engine):
     assert all(isinstance(v, list) and len(v) == 2 for v in payload.values())
 
 
+def test_two_level_json_nested_shape(engine):
+    h2 = engine.histogram2(
+        Query(set="files", type="user", type2="group", sums=["count"], now_ms=NOW)
+    )
+    payload = json.loads(render.two_level_to_json(h2))
+    assert all(isinstance(v, dict) for v in payload.values())
+    total = sum(sum(inner.values()) for inner in payload.values())
+    assert total > 0
+
+
 def test_dump_inode(engine, inodes_pdf):
     f = inodes_pdf[inodes_pdf.type == "file"].iloc[0]
     attrs = engine.dump_inode(f.path)
