@@ -485,6 +485,152 @@ def q_ann_ivf_topk(spark, sf):
     )
 
 
+def q_cube_agg(spark, sf):
+    """GROUP BY CUBE — all grouping-set combinations in one pass."""
+    li = _t(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("double").alias("sum_qty"),
+    )
+
+
+def q_median_by_group(spark, sf):
+    """Exact interpolated percentiles per group (p50/p90)."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
+
+
+def q_stats_by_group(spark, sf):
+    """Statistical aggregates: sample stddev + Pearson correlation."""
+    li = _t(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+    )
+
+
+def q_window_lead_lag(spark, sf):
+    """LAG window: price delta vs the customer's previous order."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") - prev, 2).alias("price_delta"),
+    )
+
+
+def q_range_join_bands(spark, sf):
+    """Non-equi (range) join: orders banded by a broadcast interval dim.
+    10 rows broadcast → BroadcastNestedLoopJoin; the fact side streams
+    through map-side with no shuffle (the oracle expresses the same
+    banding as floor division)."""
+    o = _t(spark, sf, "orders")
+    bands = spark.range(10).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 50000).cast("double").alias("lo"),
+        ((F.col("id") + 1) * 50000).cast("double").alias("hi"),
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum("o_totalprice", "sum_price"))
+    )
+
+
+def q_salted_join_agg(spark, sf):
+    """Skew-mitigated join: the fact side carries an 8-way salt
+    (l_linenumber % 8, deterministic); the dim side is exploded 8× so
+    (key, salt) co-partitions. Result is identical to the unsalted join —
+    the oracle runs the plain join — while a genuinely skewed orderkey
+    would now spread over 8 reducers."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    salted_li = li.withColumn("salt", (F.col("l_linenumber") % 8).cast("int"))
+    salted_o = o.select(
+        "o_orderkey", "o_orderpriority", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("salt")
+    ).withColumn("salt", F.col("salt").cast("int"))
+    rev = F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    return (
+        salted_li.join(
+            salted_o,
+            (salted_li.l_orderkey == salted_o.o_orderkey)
+            & (salted_li.salt == salted_o.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+_TPCH_Q3 = """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q_sql_tpch_q3(spark, sf):
+    """Native-SQL facade: tables registered as temp views, the query is
+    the SAME ANSI string the oracle runs (the engine's SQL surface is a
+    strict superset of the reference dialect, SURVEY §7.2-6)."""
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q3)
+
+
+def q_json_extract(spark, sf):
+    """Semi-structured: JSON path extraction from the events.props
+    payload column, aggregated per extracted key."""
+    e = _events(spark, sf)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+
+
+def q_multimodal_features(spark, sf):
+    """Multimodal plumbing end-to-end (rows-only: checksum/feature are
+    engine-defined): documents.text bytes stand in for an opaque media
+    payload; mapInPandas extracts per-payload features without ever
+    shuffling the binary column (pipeline/multimodal.py)."""
+    from nnanalytics_spark.pipeline import multimodal
+
+    d = _t(spark, sf, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = multimodal.extract_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "checksum",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
 def q_text_tokens(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -551,6 +697,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "asof_last_click": q_asof_last_click,
         "approx_distinct": q_approx_distinct,
+        "cube_agg": q_cube_agg,
+        "median_by_group": q_median_by_group,
+        "stats_by_group": q_stats_by_group,
+        "window_lead_lag": q_window_lead_lag,
+        "range_join_bands": q_range_join_bands,
+        "salted_join_agg": q_salted_join_agg,
+        "sql_tpch_q3": q_sql_tpch_q3,
+        "json_extract": q_json_extract,
+        "multimodal_features": q_multimodal_features,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -791,6 +946,51 @@ def oracle_sql() -> dict[str, str]:
                        AS last_click_ms
               FROM events
             ) WHERE event_type = 'purchase'
+        """,
+        "cube_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "median_by_group": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price,
+                   round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "stats_by_group": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "window_lead_lag": """
+            SELECT o_custkey, o_orderkey,
+                   round(o_totalprice - lag(o_totalprice)
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey), 2) AS price_delta
+            FROM orders
+        """,
+        "range_join_bands": """
+            SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS band,
+                   count(*) AS cnt,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders WHERE o_totalprice >= 0 AND o_totalprice < 500000
+            GROUP BY 1
+        """,
+        "salted_join_agg": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "sql_tpch_q3": _TPCH_Q3,
+        "json_extract": """
+            SELECT json_extract_string(props, '$.k')::BIGINT AS k,
+                   count(*) AS cnt, round(sum("value"), 6) AS sum_value
+            FROM events GROUP BY 1
         """,
         "dedup_exact": r"""
             SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,

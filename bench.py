@@ -33,6 +33,12 @@ HEADLINE = [
     "join_revenue",
     "distinct_count",
     "rollup",
+    "cube_agg",
+    "median_by_group",
+    "json_extract",
+    "range_join_bands",
+    "salted_join_agg",
+    "sql_tpch_q3",
     "window_running",
     "asof_last_click",
     "dedup_exact",

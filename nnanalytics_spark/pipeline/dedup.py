@@ -62,22 +62,29 @@ def ngram_jaccard_pairs(
     explode shingles → self-join on shingle → count common shingles →
     |A∩B| / (|A|+|B|-|A∩B|). The shingle equi-join hash-partitions on the
     shingle, so the pair space never materializes beyond co-occurring
-    candidates. Hot shingles should be stop-worded at real scale."""
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text), n)).alias("shingle")
+    candidates. Hot shingles should be stop-worded at real scale.
+
+    Physical notes: the index keys on xxhash64(shingle) — an 8-byte
+    shuffle key instead of the shingle string (same counts w.h.p. at
+    64 bits); |A| and |B| come straight off the shingle ARRAY
+    (F.size, no second explode+shuffle); and the tiny per-doc size
+    table is broadcast into the final enrichment joins."""
+    base = df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
+    sizes = base.select("id", F.size("sh").alias("n_shingles"))
+    sh = base.select("id", F.explode("sh").alias("shingle")).select(
+        "id", F.xxhash64("shingle").alias("sg")
     )
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("size_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("size_b"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -101,12 +108,16 @@ def minhash_signatures(
     and the shingle split/slice work happens exactly once per shingle —
     an array-expression formulation recomputes the tokenization k times
     because Catalyst's projection collapse re-inlines it (measured 70×
-    slower at sf0.1)."""
+    slower at sf0.1).
+
+    Permutation i hashes the 8-byte shingle fingerprint, not the string:
+    h0 = xxhash64(shingle) once, then xxhash64(h0, seed=i) — k fixed-width
+    hashes instead of k variable-length string hashes per shingle."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text), ngram)).alias("shingle")
-    )
+    ).select("id", F.xxhash64("shingle").alias("h0"))
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(k)]
+        *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(k)]
     )
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("signature"))
 

@@ -1,0 +1,70 @@
+"""Plan-quality + semantic checks for the driver-contract queries in
+__spark_entry__.py that encode explicit scale strategies (broadcast range
+join, salting, SQL-facade pushdown). Runs at sf0.001."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_range_join_broadcasts_band_dim(spark):
+    df = entry.q_range_join_bands(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the 10-row dim is the broadcast side; the fact scan never shuffles
+    # before the join
+    assert plan.index("BroadcastNestedLoopJoin") < plan.index("FileScan")
+
+
+def test_sql_q3_pushes_segment_filter_to_scan(spark):
+    df = entry.q_sql_tpch_q3(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+
+
+def test_join_revenue_broadcasts_dims(spark):
+    df = entry.q_join_revenue(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    got = {
+        r["o_orderpriority"]: (r["revenue"], r["n_items"])
+        for r in entry.q_salted_join_agg(spark, SF).collect()
+    }
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount")
+    ).cast("decimal(18,2)")
+    want = {
+        r["o_orderpriority"]: (r["revenue"], r["n_items"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_multimodal_payload_never_shuffles(spark):
+    df = entry.q_multimodal_features(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
