@@ -631,6 +631,115 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_memory_histogram(spark, sf):
+    """Memory-estimate bucket histogram (MemorySizeHistogram.java:42-90
+    labels/edges) over floor(l_extendedprice) as the byte stand-in."""
+    li = _t(spark, sf, "lineitem")
+    key = bins.memory_bucket(F.floor("l_extendedprice").cast("long"))
+    return li.groupBy(key.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_file_type_histogram(spark, sf):
+    """fileType classifier histogram (FileTypeHistogram.java:100-222).
+    Filenames are synthesized to exercise all three match stages — exact
+    name, length-guarded prefix, last-'.'/'_' suffix — and the oracle maps
+    the same construction rule straight to the expected category."""
+    p = _t(spark, sf, "part")
+    base = F.regexp_replace("p_name", " ", "_")
+    pk = F.col("p_partkey")
+    m = pk % 8
+    fname = (
+        F.when(m == 0, F.lit("_SUCCESS"))
+        .when(m == 1, F.concat(F.lit("part-0000"), pk.cast("string")))
+        .when(m == 2, F.concat(F.lit("summarylog-"), pk.cast("string")))
+        .when(m == 3, F.concat(base, F.lit(".csv")))
+        .when(m == 4, F.concat(base, F.lit(".parquet")))
+        .when(m == 5, F.concat(base, F.lit(".json.gz")))
+        .when(m == 6, F.concat(base, F.lit("_45454")))
+        .otherwise(base)
+    )
+    return p.groupBy(bins.file_type(fname).alias("file_type")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def q_storage_type_histogram(spark, sf):
+    """storageType histogram: policy id → policy name via the default HDFS
+    BlockStoragePolicySuite dictionary, unmapped ids → NO_MAPPING
+    (AbstractQueryEngine.java:268-277)."""
+    o = _t(spark, sf, "orders")
+    pid = (F.col("o_orderkey") % 16).cast("int")
+    return o.groupBy(bins.storage_type_bucket(pid).alias("policy")).agg(
+        F.count(F.lit(1)).alias("cnt"), _dsum("o_totalprice", "sum_price")
+    )
+
+
+def q_relative_time_filter(spark, sf):
+    """Relative-time filter ops (daysAgo:90 AND olderThan 30 days) against
+    the pinned NOW_MS anchor — the reference's now-relative family with an
+    injectable now (AbstractQueryEngine.java:721-740, SURVEY §7.4)."""
+    e = _events(spark, sf)
+    lo = NOW_MS - 90 * bins.DAY_MS
+    hi = NOW_MS - 30 * bins.DAY_MS
+    return e.filter((F.col("ts_ms") >= lo) & (F.col("ts_ms") <= hi)).agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value")
+    )
+
+
+def q_subtree_agg(spark, sf):
+    """Global subtree aggregates (dirSubTree*, VersionContext.java:125-175)
+    via ancestor-explode: every path emits its proper ancestors, one
+    shuffle aggregates per-directory rollups — the scale path for tree
+    recursion Spark can't do (SURVEY §7.4, inode/subtree.py)."""
+    from nnanalytics_spark.inode import subtree
+
+    p = _t(spark, sf, "part")
+    path = F.concat(
+        F.lit("/"),
+        F.col("p_type"),
+        F.lit("/"),
+        F.regexp_replace("p_name", " ", "/"),
+        F.lit("/part_"),
+        F.col("p_partkey").cast("string"),
+    )
+    rows = p.select(
+        F.explode(subtree.ancestors_expr(path)).alias("ancestor"),
+        F.col("p_retailprice").alias("sz"),
+    )
+    return rows.groupBy("ancestor").agg(
+        F.count(F.lit(1)).alias("n_files"), _dsum("sz", "total_size")
+    )
+
+
+def q_suggestions_buckets(spark, sf):
+    """SuggestionsEngine file-size bucket metrics (emptyFiles/tinyFiles/
+    smallFiles thresholds 0 / 1 KB / 1 MB, SuggestionsEngine.java:314-328)
+    as ONE shared-scan multi-aggregate over documents.n_chars."""
+    d = _t(spark, sf, "documents")
+    n = F.col("n_chars")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(n == 0, 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.when((n > 0) & (n <= 1024), 1).otherwise(0)).alias("n_tiny"),
+        F.sum(F.when((n > 1024) & (n <= 1024 * 1024), 1).otherwise(0)).alias("n_small"),
+    )
+
+
+def q_window_ntile(spark, sf):
+    """NTILE + PERCENT_RANK window functions: price quartiles within each
+    order priority."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
 def q_text_tokens(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -706,6 +815,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q3": q_sql_tpch_q3,
         "json_extract": q_json_extract,
         "multimodal_features": q_multimodal_features,
+        "memory_histogram": q_memory_histogram,
+        "file_type_histogram": q_file_type_histogram,
+        "storage_type_histogram": q_storage_type_histogram,
+        "relative_time_filter": q_relative_time_filter,
+        "subtree_agg": q_subtree_agg,
+        "suggestions_buckets": q_suggestions_buckets,
+        "window_ntile": q_window_ntile,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -835,16 +951,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "space_histogram": """
             SELECT CASE
-              WHEN CAST(l_extendedprice AS BIGINT) < 0 THEN 'NO_MAPPING'
-              WHEN CAST(l_extendedprice AS BIGINT) = 0 THEN '0 B'
-              WHEN CAST(l_extendedprice AS BIGINT) <= 1024 THEN '1 KB'
-              WHEN CAST(l_extendedprice AS BIGINT) <= 1048576 THEN '1 MB'
-              WHEN CAST(l_extendedprice AS BIGINT) <= 16777216 THEN '16 MB'
-              WHEN CAST(l_extendedprice AS BIGINT) <= 67108864 THEN '64 MB'
-              WHEN CAST(l_extendedprice AS BIGINT) <= 134217728 THEN '128 MB'
-              WHEN CAST(l_extendedprice AS BIGINT) <= 268435456 THEN '256 MB'
-              WHEN CAST(l_extendedprice AS BIGINT) <= 536870912 THEN '512 MB'
-              WHEN CAST(l_extendedprice AS BIGINT) <= 1073741824 THEN '1 GB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) < 0 THEN 'NO_MAPPING'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) = 0 THEN '0 B'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 1024 THEN '1 KB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 1048576 THEN '1 MB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 16777216 THEN '16 MB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 67108864 THEN '64 MB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 134217728 THEN '128 MB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 268435456 THEN '256 MB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 536870912 THEN '512 MB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 1073741824 THEN '1 GB'
               ELSE '1 GB+' END AS bin,
               count(*) AS cnt
             FROM lineitem GROUP BY 1
@@ -987,6 +1103,85 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "sql_tpch_q3": _TPCH_Q3,
+        "memory_histogram": """
+            SELECT CASE
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) < 1 THEN 'NO_MAPPING'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 256 THEN '256 B'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 512 THEN '512 B'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 768 THEN '768 B'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 1024 THEN '1 KB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 2048 THEN '2 KB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 4096 THEN '4 KB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 8192 THEN '8 KB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 16384 THEN '16 KB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 32768 THEN '32 KB'
+              WHEN CAST(floor(l_extendedprice) AS BIGINT) <= 65536 THEN '64 KB'
+              ELSE '64 KB+' END AS bin,
+              count(*) AS cnt
+            FROM lineitem GROUP BY 1
+        """,
+        "file_type_histogram": """
+            SELECT CASE p_partkey % 8
+              WHEN 0 THEN '_SUCCESS'
+              WHEN 1 THEN 'PART'
+              WHEN 2 THEN 'SUMMARY_LOG'
+              WHEN 3 THEN 'CSV'
+              WHEN 4 THEN 'PARQUET'
+              WHEN 5 THEN 'GZIP'
+              WHEN 6 THEN 'APP_LOG'
+              ELSE 'UNKNOWN' END AS file_type,
+              count(*) AS cnt
+            FROM part GROUP BY 1
+        """,
+        "storage_type_histogram": """
+            SELECT CASE o_orderkey % 16
+              WHEN 15 THEN 'LAZY_PERSIST'
+              WHEN 12 THEN 'ALL_SSD'
+              WHEN 10 THEN 'ONE_SSD'
+              WHEN 7 THEN 'HOT'
+              WHEN 5 THEN 'WARM'
+              WHEN 2 THEN 'COLD'
+              WHEN 1 THEN 'PROVIDED'
+              ELSE 'NO_MAPPING' END AS policy,
+              count(*) AS cnt,
+              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY 1
+        """,
+        "relative_time_filter": f"""
+            SELECT count(*) AS cnt, round(sum("value"), 6) AS sum_value
+            FROM events
+            WHERE epoch_ms(ts) >= {NOW_MS - 90 * 86_400_000}
+              AND epoch_ms(ts) <= {NOW_MS - 30 * 86_400_000}
+        """,
+        "subtree_agg": """
+            WITH f AS (
+              SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')
+                     || '/part_' || p_partkey AS path,
+                     p_retailprice AS sz
+              FROM part
+            ),
+            e AS (SELECT string_split(path, '/') AS parts, sz FROM f)
+            SELECT CASE WHEN i = 1 THEN '/'
+                        ELSE array_to_string(parts[1:i], '/') END AS ancestor,
+                   count(*) AS n_files,
+                   CAST(SUM(CAST(sz AS DECIMAL(18,2))) AS DOUBLE) AS total_size
+            FROM e, unnest(generate_series(1, len(parts) - 1)) AS t(i)
+            GROUP BY 1
+        """,
+        "suggestions_buckets": """
+            SELECT count(*) AS n_total,
+                   SUM(CASE WHEN n_chars = 0 THEN 1 ELSE 0 END) AS n_empty,
+                   SUM(CASE WHEN n_chars > 0 AND n_chars <= 1024 THEN 1 ELSE 0 END) AS n_tiny,
+                   SUM(CASE WHEN n_chars > 1024 AND n_chars <= 1048576 THEN 1 ELSE 0 END) AS n_small
+            FROM documents
+        """,
+        "window_ntile": """
+            SELECT o_orderpriority, o_orderkey,
+                   ntile(4) OVER w AS quartile,
+                   round(percent_rank() OVER w, 6) AS pr
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        """,
         "json_extract": """
             SELECT json_extract_string(props, '$.k')::BIGINT AS k,
                    count(*) AS cnt, round(sum("value"), 6) AS sum_value
