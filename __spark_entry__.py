@@ -725,6 +725,124 @@ def q_suggestions_buckets(spark, sf):
     )
 
 
+def _inodes(spark, sf):
+    """Deterministic inode namespace derived from part (full stored schema
+    of inode/fixture.py): one file per part row under a 3-level dir tree
+    built from p_type/p_name words, plus the distinct ancestor dirs.
+    Every attribute is a pure expression of p_partkey/p_retailprice so the
+    DuckDB oracles can reproduce it exactly."""
+    from nnanalytics_spark.inode import subtree
+
+    p = _t(spark, sf, "part")
+    pk = F.col("p_partkey")
+    path = F.concat(
+        F.lit("/"),
+        F.col("p_type"),
+        F.lit("/"),
+        F.regexp_replace("p_name", " ", "/"),
+        F.lit("/part_"),
+        pk.cast("string"),
+    )
+    files = p.select(
+        (pk + 1_000_000).alias("id"),
+        F.lit("file").alias("type"),
+        path.alias("path"),
+        F.concat(F.lit("part_"), pk.cast("string")).alias("name"),
+        F.regexp_replace(path, "/[^/]+$", "").alias("parent"),
+        F.concat(F.lit("u"), (pk % 5).cast("string")).alias("user"),
+        F.concat(F.lit("g"), (pk % 3).cast("string")).alias("group"),
+        F.lit(0o755).alias("permission"),
+        (F.lit(NOW_MS) - (pk % 400) * F.lit(bins.DAY_MS)).alias("accessTime"),
+        (F.lit(NOW_MS) - (pk % 200) * F.lit(bins.DAY_MS)).alias("modTime"),
+        F.floor("p_retailprice").alias("fileSize"),
+        F.lit(134_217_728).alias("blockSize"),
+        (pk % 4).cast("int").alias("numBlocks"),
+        (1 + pk % 3).cast("int").alias("fileReplica"),
+        (pk % 16).cast("int").alias("storagePolicyId"),
+        F.lit(None).cast("long").alias("nsQuota"),
+        F.lit(None).cast("long").alias("dsQuota"),
+        F.lit(None).cast("long").alias("nsQuotaUsed"),
+        F.lit(None).cast("long").alias("dsQuotaUsed"),
+        F.lit(False).alias("isUnderConstruction"),
+        F.lit(False).alias("isWithSnapshot"),
+        F.lit(False).alias("hasAcl"),
+        F.lit(False).alias("hasEcPolicy"),
+        F.lit(None).cast("int").alias("dirNumChildren"),
+    )
+    dpath = F.col("dpath")
+    dirs = (
+        p.select(F.explode(subtree.ancestors_expr(path)).alias("dpath"))
+        .distinct()
+        .select(
+            F.xxhash64("dpath").alias("id"),
+            F.lit("dir").alias("type"),
+            dpath.alias("path"),
+            F.when(dpath == "/", F.lit("")).otherwise(
+                F.substring_index(dpath, "/", -1)
+            ).alias("name"),
+            F.when(dpath == "/", F.lit("")).otherwise(
+                F.regexp_replace(dpath, "/[^/]+$", "")
+            ).alias("parent"),
+            F.lit("hdfs").alias("user"),
+            F.lit("hdfs").alias("group"),
+            F.lit(0o755).alias("permission"),
+            F.lit(NOW_MS - 10 * bins.DAY_MS).alias("accessTime"),
+            F.lit(NOW_MS - 10 * bins.DAY_MS).alias("modTime"),
+            F.lit(None).cast("long").alias("fileSize"),
+            F.lit(None).cast("long").alias("blockSize"),
+            F.lit(None).cast("int").alias("numBlocks"),
+            F.lit(None).cast("int").alias("fileReplica"),
+            F.lit(0).alias("storagePolicyId"),
+            F.when(F.length(dpath) % 3 == 0, F.lit(9000)).cast("long").alias("nsQuota"),
+            F.when(F.length(dpath) % 4 == 0, F.lit(9_999_999_999)).cast("long").alias("dsQuota"),
+            F.when(F.length(dpath) % 3 == 0, F.lit(100)).cast("long").alias("nsQuotaUsed"),
+            F.when(F.length(dpath) % 4 == 0, F.lit(1000)).cast("long").alias("dsQuotaUsed"),
+            F.lit(None).cast("boolean").alias("isUnderConstruction"),
+            F.lit(False).alias("isWithSnapshot"),
+            F.lit(False).alias("hasAcl"),
+            F.lit(False).alias("hasEcPolicy"),
+            F.lit(0).alias("dirNumChildren"),
+        )
+    )
+    return files.unionByName(dirs)
+
+
+def q_nna_sql_histogram(spark, sf):
+    """The reference SQL dialect end-to-end (SURVEY §3.3): dialect parse →
+    logical Query tuple → INodeEngine histogram plan, over the synthesized
+    inode namespace. The oracle runs the semantically-identical ANSI SQL
+    against the same construction."""
+    from nnanalytics_spark.sql import dialect
+
+    eng = INodeEngine(_inodes(spark, sf))
+    return dialect.execute(
+        "SELECT user, COUNT(*) FROM files WHERE fileSize > 500 GROUP BY user", eng
+    )
+
+
+def q_quota_flags(spark, sf):
+    """Ancestor-walk quota booleans (isUnderNsQuota/isUnderDsQuota,
+    AbstractQueryEngine.java:350-375): ancestor-explode semi-join against
+    the quota-dir set (SURVEY §7.4 hard part #2), aggregated by flag."""
+    from nnanalytics_spark.inode import subtree
+
+    flagged = subtree.with_quota_flags(_inodes(spark, sf))
+    return (
+        flagged.filter(F.col("type") == "file")
+        .groupBy("isUnderNsQuota", "isUnderDsQuota")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("fileSize").alias("sum_size"))
+    )
+
+
+def q_registered_dir_stats(spark, sf):
+    """Per-registered-directory stats in ONE scan (CachedDirectories.analyze
+    → broadcast prefix join, SURVEY §2.9 / inode/subtree.py)."""
+    from nnanalytics_spark.inode import subtree
+
+    ino = _inodes(spark, sf)
+    return subtree.registered_directory_stats(ino, ["/ECONOMY", "/PROMO", "/STANDARD"])
+
+
 def q_window_ntile(spark, sf):
     """NTILE + PERCENT_RANK window functions: price quartiles within each
     order priority."""
@@ -822,6 +940,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtree_agg": q_subtree_agg,
         "suggestions_buckets": q_suggestions_buckets,
         "window_ntile": q_window_ntile,
+        "nna_sql_histogram": q_nna_sql_histogram,
+        "quota_flags": q_quota_flags,
+        "registered_dir_stats": q_registered_dir_stats,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1181,6 +1302,49 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER w, 6) AS pr
             FROM orders
             WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        """,
+        "nna_sql_histogram": """
+            SELECT 'u' || CAST(p_partkey % 5 AS VARCHAR) AS "user",
+                   count(*) AS "count"
+            FROM part
+            WHERE CAST(floor(p_retailprice) AS BIGINT) > 500
+            GROUP BY 1
+        """,
+        "quota_flags": """
+            WITH f AS (
+              SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')
+                     || '/part_' || p_partkey AS path,
+                     CAST(floor(p_retailprice) AS BIGINT) AS sz
+              FROM part
+            ),
+            e AS (SELECT string_split(path, '/') AS parts, path, sz FROM f),
+            anc AS (
+              SELECT path, sz, array_to_string(parts[1:i], '/') AS a
+              FROM e, unnest(generate_series(2, len(parts) - 1)) AS t(i)
+            ),
+            flags AS (
+              SELECT path, any_value(sz) AS sz,
+                     bool_or(length(a) % 3 = 0) AS isUnderNsQuota,
+                     bool_or(length(a) % 4 = 0) AS isUnderDsQuota
+              FROM anc GROUP BY path
+            )
+            SELECT isUnderNsQuota, isUnderDsQuota,
+                   count(*) AS cnt, SUM(sz) AS sum_size
+            FROM flags GROUP BY 1, 2
+        """,
+        "registered_dir_stats": """
+            WITH f AS (
+              SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')
+                     || '/part_' || p_partkey AS path,
+                     CAST(floor(p_retailprice) AS BIGINT) AS sz,
+                     (1 + p_partkey % 3) AS repl
+              FROM part
+            )
+            SELECT d AS directory, count(*) AS count,
+                   SUM(sz * repl) AS diskspaceConsumed
+            FROM f, (VALUES ('/ECONOMY'), ('/PROMO'), ('/STANDARD')) AS v(d)
+            WHERE starts_with(path, d || '/')
+            GROUP BY 1
         """,
         "json_extract": """
             SELECT json_extract_string(props, '$.k')::BIGINT AS k,
