@@ -68,3 +68,37 @@ def test_multimodal_payload_never_shuffles(spark):
     df = entry.q_multimodal_features(spark, SF)
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
+
+
+def test_subtree_agg_is_single_shuffle(spark):
+    """Ancestor-explode subtree rollup: one exchange total (partial agg
+    before the shuffle, final agg after) — no join, no second pass."""
+    df = entry.q_subtree_agg(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_registered_dir_stats_broadcasts_watchlist(spark):
+    """The watch list must be the broadcast side of a prefix join — the
+    inode scan happens once regardless of how many dirs are watched."""
+    df = entry.q_registered_dir_stats(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_quota_flags_joins_broadcast(spark):
+    """Both quota-flag joins (ancestor→quota-dir semi, flags→inodes
+    enrich) should be broadcast — the quota-dir set is tiny at any scale."""
+    df = entry.q_quota_flags(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_file_type_histogram_stays_codegen(spark):
+    """The 65-category classifier is one CASE chain: single shuffle, no
+    python UDF anywhere in the plan."""
+    df = entry.q_file_type_histogram(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
