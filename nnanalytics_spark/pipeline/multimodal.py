@@ -90,6 +90,79 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int"
+)
+
+
+def resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize images to width×height — Arrow-batched, map-side only.
+
+    The decode/resample kernel is stubbed (no PIL in this container) with a
+    deterministic byte downsample: the payload is re-sampled to exactly
+    width*height bytes by striding the source. Swapping in
+    `PIL.Image.resize` changes only the inner function; the Spark plumbing
+    (binary in → binary out, no shuffle, typed size metadata) is the real
+    operator."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+
+        def kernel(payload: bytes | None) -> bytes:
+            if not payload:
+                return b"\x00" * target
+            n = len(payload)
+            return bytes(payload[(i * n) // target] for i in range(target))
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": [kernel(p) for p in pdf["payload"]],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms int, payload binary"
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Sample frames from video payloads every `every_ms` — a one-to-many
+    mapInPandas (each video row yields duration/every_ms frame rows).
+
+    Stub kernel: frame k is a fixed-width byte slice at the proportional
+    offset; a real deployment swaps in pyav/ffmpeg seek+decode. Output rows
+    are narrow (frame payloads only), so the explode happens AFTER decode
+    on the map side — full videos never shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
+            for mid, payload, duration in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                if payload is None or not duration:
+                    continue
+                n_frames = max(int(duration) // every_ms, 1)
+                step = max(len(payload) // n_frames, 1)
+                for k in range(n_frames):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(k)
+                    out["ts_ms"].append(k * every_ms)
+                    out["payload"].append(payload[k * step : k * step + min(step, 64)])
+            yield pd.DataFrame(out)
+
+    src = df.filter(F.col("kind") == "video").select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return src.mapInPandas(run, FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (payload = seeded bytes)."""
     rows = []

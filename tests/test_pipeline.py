@@ -114,3 +114,29 @@ def test_multimodal_feature_extraction(spark):
     # deterministic: same payload → same checksum
     again = {r["media_id"]: r["checksum"] for r in multimodal.extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["checksum"] for r in out)
+
+
+def test_multimodal_resize_fixes_payload_size(spark):
+    media = multimodal.synthetic_media(spark, n=9)
+    out = multimodal.resize(media, 16, 16).collect()
+    assert len(out) == 9
+    for r in out:
+        assert len(r["payload"]) == 256
+        assert r["width"] == 16 and r["height"] == 16
+    # deterministic
+    again = {r["media_id"]: r["payload"] for r in multimodal.resize(media, 16, 16).collect()}
+    assert all(again[r["media_id"]] == r["payload"] for r in out)
+
+
+def test_multimodal_frame_sampling(spark):
+    media = multimodal.synthetic_media(spark, n=12)  # kinds cycle i%3; duration 1000ms
+    out = multimodal.sample_frames(media, every_ms=500).collect()
+    videos = {r["media_id"] for r in out}
+    assert videos == {2, 5, 8, 11}  # only kind == video
+    per_video = {}
+    for r in out:
+        per_video.setdefault(r["media_id"], []).append(r)
+    for mid, frames in per_video.items():
+        assert [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_idx"])] == [0, 1]
+        assert all(f["ts_ms"] == f["frame_idx"] * 500 for f in frames)
+        assert all(len(f["payload"]) > 0 for f in frames)
