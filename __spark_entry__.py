@@ -843,6 +843,50 @@ def q_registered_dir_stats(spark, sf):
     return subtree.registered_directory_stats(ino, ["/ECONOMY", "/PROMO", "/STANDARD"])
 
 
+def q_suggestions_per_user(spark, sf):
+    """The SuggestionsEngine per-user sweep (SURVEY §2.9): the whole
+    ~36-metric battery as ONE groupBy(user) over one scan — where the
+    reference iterates the namespace once per metric
+    (SuggestionsEngine.java:409-493)."""
+    from nnanalytics_spark.inode import suggestions
+
+    return suggestions.per_user_report(_inodes(spark, sf), NOW_MS)
+
+
+def _suggestions_oracle() -> str:
+    """DuckDB twin of suggestions._battery over the _inodes construction."""
+    classes = {
+        "emptyFiles": "size = 0",
+        "tinyFiles": "size > 0 AND size <= 1024",
+        "smallFiles": "size > 1024 AND size <= 1048576",
+        "mediumFiles": "size > 1048576 AND size <= 134217728",
+        "largeFiles": "size > 134217728",
+    }
+    cols = ['count(*) AS "numFiles"']
+    for name, cond in classes.items():
+        for suffix, extra in (("", None), ("24h", "mod24h"), ("1yr", "acc1yr")):
+            full = cond if extra is None else f"({cond}) AND {extra}"
+            cols.append(f'SUM(CASE WHEN {full} THEN 1 ELSE 0 END) AS "{name}{suffix}"')
+            cols.append(f'SUM(CASE WHEN {full} THEN dsc ELSE 0 END) AS "{name}{suffix}Mem"')
+    for name, cond in (("oldFiles1yr", "acc1yr"), ("oldFiles2yr", "acc2yr")):
+        cols.append(f'SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS "{name}"')
+        cols.append(f'SUM(CASE WHEN {cond} THEN dsc ELSE 0 END) AS "{name}Ds"')
+    cols.append('SUM(dsc) AS "totalDiskspace"')
+    return f"""
+        WITH f AS (
+          SELECT CAST(floor(p_retailprice) AS BIGINT) AS size,
+                 CAST(floor(p_retailprice) AS BIGINT) * (1 + p_partkey % 3) AS dsc,
+                 (p_partkey % 200) <= 1 AS mod24h,
+                 (p_partkey % 400) >= 365 AS acc1yr,
+                 (p_partkey % 400) >= 730 AS acc2yr,
+                 'u' || CAST(p_partkey % 5 AS VARCHAR) AS u
+          FROM part
+        )
+        SELECT u AS "user", {", ".join(cols)}
+        FROM f GROUP BY 1
+    """
+
+
 def q_window_ntile(spark, sf):
     """NTILE + PERCENT_RANK window functions: price quartiles within each
     order priority."""
@@ -943,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nna_sql_histogram": q_nna_sql_histogram,
         "quota_flags": q_quota_flags,
         "registered_dir_stats": q_registered_dir_stats,
+        "suggestions_per_user": q_suggestions_per_user,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1332,6 +1377,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt, SUM(sz) AS sum_size
             FROM flags GROUP BY 1, 2
         """,
+        "suggestions_per_user": _suggestions_oracle(),
         "registered_dir_stats": """
             WITH f AS (
               SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')

@@ -39,6 +39,10 @@ HEADLINE = [
     "range_join_bands",
     "salted_join_agg",
     "sql_tpch_q3",
+    "file_type_histogram",
+    "subtree_agg",
+    "quota_flags",
+    "suggestions_per_user",
     "window_running",
     "asof_last_click",
     "dedup_exact",

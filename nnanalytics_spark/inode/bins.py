@@ -213,33 +213,43 @@ FILETYPE_KEYS = sorted({"UNKNOWN", *FILETYPE_EQUALS.values(), *FILETYPE_STARTSWI
                         *FILETYPE_SUFFIX.values()})
 
 
+def _literal_map(pairs: dict[str, str]) -> Column:
+    return F.create_map(*[F.lit(x) for kv in pairs.items() for x in kv])
+
+
 def file_type(name_col: Column) -> Column:
     """Classify a filename exactly like FileTypeHistogram.determineType:
     equals → prefix (len>6 / len>10 guards) → suffix from last '.' then
-    last '_'. One CASE chain; whole-stage codegen keeps it JVM-side."""
-    expr: Column | None = None
+    last '_'.
 
-    def add(cond: Column, label: str) -> None:
-        nonlocal expr
-        expr = F.when(cond, F.lit(label)) if expr is None else expr.when(cond, F.lit(label))
-
-    for literal, label in FILETYPE_EQUALS.items():
-        add(name_col == literal, label)
+    The equals and suffix stages are literal-MAP lookups (element_at
+    returns null on miss, coalesce chains the stages), so `name_col` is
+    evaluated a handful of times instead of once per category — with a
+    computed name expression the old ~130-branch CASE chain re-evaluated
+    the input per branch and blew past the codegen method-size limit."""
+    prefix_expr: Column | None = None
     for prefix, label in FILETYPE_STARTSWITH.items():
         guard = 6 if len(prefix) <= 6 else 10
-        add((F.length(name_col) > guard) & name_col.startswith(prefix), label)
+        cond = (F.length(name_col) > guard) & name_col.startswith(prefix)
+        prefix_expr = (
+            F.when(cond, F.lit(label)) if prefix_expr is None else prefix_expr.when(cond, F.lit(label))
+        )
 
-    # Suffix from the last '.' first; if that misses, the reference re-probes
-    # with the suffix from the last '_' (only "_45454" can match it). CASE
-    # order gives the same fallthrough.
-    has_dot = name_col.contains(".")
-    dot_suffix = F.substring_index(name_col, ".", -1)
-    for suffix, label in FILETYPE_SUFFIX.items():
-        if suffix.startswith("."):
-            add(has_dot & (dot_suffix == suffix[1:]), label)
-    has_under = name_col.contains("_")
-    under_suffix = F.substring_index(name_col, "_", -1)
-    for suffix, label in FILETYPE_SUFFIX.items():
-        if suffix.startswith("_"):
-            add(has_under & (under_suffix == suffix[1:]), label)
-    return expr.otherwise(F.lit("UNKNOWN"))
+    dot_labels = {k[1:]: v for k, v in FILETYPE_SUFFIX.items() if k.startswith(".")}
+    under_labels = {k[1:]: v for k, v in FILETYPE_SUFFIX.items() if k.startswith("_")}
+    # Suffix from the last '.' first; on a miss the reference re-probes with
+    # the suffix from the last '_' (only "_45454" can match it). coalesce
+    # gives the same fallthrough: element_at is null on miss.
+    return F.coalesce(
+        F.element_at(_literal_map(FILETYPE_EQUALS), name_col),
+        prefix_expr,
+        F.when(
+            name_col.contains("."),
+            F.element_at(_literal_map(dot_labels), F.substring_index(name_col, ".", -1)),
+        ),
+        F.when(
+            name_col.contains("_"),
+            F.element_at(_literal_map(under_labels), F.substring_index(name_col, "_", -1)),
+        ),
+        F.lit("UNKNOWN"),
+    )
