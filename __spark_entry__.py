@@ -902,6 +902,64 @@ def q_window_ntile(spark, sf):
     )
 
 
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified sampling (pipeline/sampling.py): keep
+    ~rate/1000 per source via a multiplicative id-hash — no rand(), so
+    the oracle replays the exact row set. Aggregated per stratum with an
+    id-sum witness proving identical membership."""
+    from nnanalytics_spark.pipeline import sampling
+
+    d = _t(spark, sf, "documents")
+    kept = sampling.stratified_sample(
+        d, {"src0": 100, "src1": 500, "src2": 1000}, default_permille=250
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+def q_shard_histogram(spark, sf):
+    """Deterministic corpus sharding: shard = knuth-hash(id) % 16 — the
+    write-side partition key. Histogram proves balance + membership."""
+    from nnanalytics_spark.pipeline import sampling
+
+    d = _t(spark, sf, "documents")
+    return (
+        sampling.shard_assign(d, 16)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("doc_id").alias("id_sum"))
+    )
+
+
+def q_corpus_curation(spark, sf):
+    """End-to-end curation pipeline composition: exact-dedup keeper ∧
+    quality ≥ 0.5 ∧ predicted-language = 'en' → per-source survivor count
+    and mean quality. One dedup shuffle + map-side filters."""
+    d = _t(spark, sf, "documents")
+    keepers = dedup.exact_dedup(d).select(F.col("keep_id").alias("doc_id"))
+    scored = d.select(
+        "doc_id",
+        "source",
+        text.quality_score(F.col("text")).alias("quality"),
+        text.lang_id(F.col("text")).alias("pred_lang"),
+    )
+    return (
+        scored.join(keepers, "doc_id")
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # decimal-exact numerator → order-insensitive mean (same as the
+            # money-sum convention; bare avg() hit a round(…,6) boundary)
+            F.round(
+                F.sum(F.col("quality").cast("decimal(16,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+        )
+    )
+
+
 def q_text_tokens(spark, sf):
     d = _t(spark, sf, "documents")
     return d.select(
@@ -1000,6 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "stratified_sample": q_stratified_sample,
+        "shard_histogram": q_shard_histogram,
+        "corpus_curation": q_corpus_curation,
     }
 
 
@@ -1471,6 +1532,76 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
                      AS n_subwords
             FROM documents
+        """,
+        "stratified_sample": """
+            SELECT source, count(*) AS n_kept, SUM(doc_id) AS id_sum
+            FROM documents
+            WHERE (doc_id * 2654435761) % 1000 <
+                  CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 500
+                              WHEN 'src2' THEN 1000 ELSE 250 END
+            GROUP BY 1
+        """,
+        "shard_histogram": """
+            SELECT CAST((doc_id * 2654435761) % 16 AS INT) AS shard,
+                   count(*) AS cnt, SUM(doc_id) AS id_sum
+            FROM documents GROUP BY 1
+        """,
+        "corpus_curation": r"""
+            WITH f AS (
+              SELECT doc_id, source, text,
+                     regexp_split_to_array(trim(text), '\s+') AS toks,
+                     len(regexp_extract_all(text, '[^\w\s]'))
+                       / GREATEST(length(text), 1) AS praw
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, source, toks, praw,
+                     len(list_filter(list_transform(toks, t -> lower(t)),
+                         t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                    'for','on','with','as','at','by','from','that','this')))
+                       / GREATEST(len(toks), 1) AS sraw,
+                     list_reduce(list_prepend(0, [length(t) for t in toks]), (a,b) -> a + b)
+                       / GREATEST(len(toks), 1) AS mwl,
+                     LEAST(length(text) / 200.0, 1.0) AS length_ok
+              FROM f
+            ),
+            q AS (
+              SELECT doc_id, source, toks,
+                     round((length_ok + (1.0 - LEAST(praw * 5.0, 1.0))
+                            + LEAST(sraw * 4.0, 1.0)
+                            + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6)
+                       AS quality
+              FROM g
+            ),
+            lang AS (
+              SELECT doc_id,
+                CASE WHEN GREATEST(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+                     WHEN c_de = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'de'
+                     WHEN c_en = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'en'
+                     WHEN c_es = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'es'
+                     WHEN c_fr = GREATEST(c_de, c_en, c_es, c_fr, c_zh) THEN 'fr'
+                     ELSE 'zh' END AS pred_lang
+              FROM (
+                SELECT doc_id,
+                  len(list_filter(t, x -> x IN ('der','die','und','ist'))) AS c_de,
+                  len(list_filter(t, x -> x IN ('the','and','is','of'))) AS c_en,
+                  len(list_filter(t, x -> x IN ('el','la','que','es'))) AS c_es,
+                  len(list_filter(t, x -> x IN ('le','la','et','est'))) AS c_fr,
+                  len(list_filter(t, x -> x IN ('de','shi','le','zai'))) AS c_zh
+                FROM (SELECT doc_id, list_transform(toks, t -> lower(t)) AS t FROM f)
+              )
+            ),
+            keepers AS (
+              SELECT min(doc_id) AS doc_id
+              FROM documents
+              GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+            )
+            SELECT source, count(*) AS n_docs,
+                   round(CAST(SUM(CAST(quality AS DECIMAL(16,6))) AS DOUBLE)
+                         / count(*), 6) AS avg_quality
+            FROM q JOIN lang USING (doc_id) JOIN keepers USING (doc_id)
+            WHERE quality >= 0.5 AND pred_lang = 'en'
+            GROUP BY 1
         """,
         "text_quality": r"""
             WITH f AS (

@@ -1,0 +1,63 @@
+"""Deterministic sampling / splitting / sharding for training-data curation.
+
+Every operator keys on a multiplicative hash of the id column —
+``(id * 2654435761) % 1000`` (Knuth's 2^32/phi constant) — instead of
+rand(): the decision for a row never changes across runs, retries, or
+cluster sizes, which is what a reproducible corpus build needs, and the
+whole predicate is a codegen'd integer expression reproducible in ANSI SQL
+(so DuckDB oracles can replay it bit-for-bit).
+
+Scale shape: sampling and splitting are pure map-side filters (no shuffle,
+pushed to the scan when the id is a stored column); shard assignment adds
+one projection and lets the writer's partitionBy("shard") do the single
+shuffle a sharded corpus write needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # floor(2^32 / golden ratio), fits products of 1e9 ids in int64
+
+
+def _bucket(id_col: Column, modulus: int = 1000) -> Column:
+    return (id_col.cast("long") * F.lit(KNUTH)) % modulus
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 1000,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Keep ~rate/1000 of each stratum, chosen deterministically by id.
+
+    The per-stratum rate rides a constant-folded literal map; the filter is
+    one integer comparison per row — sampleBy() semantics without rand()'s
+    run-to-run drift."""
+    rate_map = F.create_map(*[F.lit(x) for kv in rates_permille.items() for x in kv])
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(strata_col)), F.lit(default_permille)
+    )
+    return df.filter(_bucket(F.col(id_col)) < rate)
+
+
+def train_test_split(
+    df: DataFrame, test_permille: int = 100, id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach a deterministic 'split' column ('test' for ~test_permille/1000
+    of rows, else 'train'). Stable under reruns and data reordering."""
+    return df.withColumn(
+        "split",
+        F.when(_bucket(F.col(id_col)) < test_permille, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def shard_assign(df: DataFrame, n_shards: int, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic 'shard' in [0, n_shards): the write-side
+    partition key for a sharded corpus (df.write.partitionBy('shard'))."""
+    return df.withColumn("shard", (_bucket(F.col(id_col), n_shards)).cast("int"))

@@ -140,3 +140,34 @@ def test_multimodal_frame_sampling(spark):
         assert [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_idx"])] == [0, 1]
         assert all(f["ts_ms"] == f["frame_idx"] * 500 for f in frames)
         assert all(len(f["payload"]) > 0 for f in frames)
+
+
+def test_stratified_sample_deterministic_and_rated(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    rows = [(i, f"src{i % 4}", f"text {i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = sampling.stratified_sample(df, {"src0": 0, "src1": 1000}, default_permille=500)
+    by_src = {r["source"]: r["cnt"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert "src0" not in by_src                     # rate 0 -> nothing
+    assert by_src["src1"] == 500                    # rate 1000 -> everything
+    assert 150 < by_src["src2"] < 350               # ~50% of 500
+    # deterministic: same rows every run
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(r["doc_id"] for r in kept.collect())
+    assert ids1 == ids2
+
+
+def test_train_test_split_and_shards(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    split = sampling.train_test_split(df, test_permille=200)
+    counts = {r["split"]: r["cnt"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert counts["test"] + counts["train"] == 1000
+    assert 100 < counts["test"] < 300
+    sharded = sampling.shard_assign(df, 8)
+    shards = {r["shard"] for r in sharded.select("shard").distinct().collect()}
+    assert shards == set(range(8))
+    # disjoint + stable
+    assert sharded.groupBy("doc_id").agg(F.countDistinct("shard").alias("n")).filter(F.col("n") > 1).count() == 0
