@@ -902,6 +902,36 @@ def q_window_ntile(spark, sf):
     )
 
 
+def q_window_range_frame(spark, sf):
+    """RANGE-frame window: trailing-90-day spend per customer (value-based
+    frame over a day ordinal, vs the row-based frames elsewhere)."""
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf, "orders")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01"))
+    w = W.partitionBy("o_custkey").orderBy(day.asc()).rangeBetween(-90, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(_DEC)).over(w).cast("double").alias("trailing_90d"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_grouping_sets(spark, sf):
+    """Explicit GROUPING SETS (complements cube/rollup): per-flag,
+    per-status, and grand-total rows in one pass."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
 def q_stratified_sample(spark, sf):
     """Deterministic stratified sampling (pipeline/sampling.py): keep
     ~rate/1000 per source via a multiplicative id-hash — no rand(), so
@@ -1061,6 +1091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "shard_histogram": q_shard_histogram,
         "corpus_curation": q_corpus_curation,
+        "window_range_frame": q_window_range_frame,
+        "grouping_sets": q_grouping_sets,
     }
 
 
@@ -1533,6 +1565,16 @@ def oracle_sql() -> dict[str, str]:
                      AS n_subwords
             FROM documents
         """,
+        "window_range_frame": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                     RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS trailing_90d
+            FROM orders
+        """,
+        "grouping_sets": _GROUPING_SETS_SQL,
         "stratified_sample": """
             SELECT source, count(*) AS n_kept, SUM(doc_id) AS id_sum
             FROM documents
