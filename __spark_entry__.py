@@ -239,6 +239,15 @@ def q_time_histogram_monthly(spark, sf):
     return postops.order_by_key_order(out, "bin", ["cnt"], bins.time_keys("monthly"))
 
 
+def q_time_histogram_weekly(spark, sf):
+    """Weekly TimeHistogram variant (49 labeled bins + '49 Weeks+',
+    7-day unit, zero-filled canonical order)."""
+    e = _events(spark, sf)
+    key = bins.time_bucket(F.col("ts_ms"), "weekly", NOW_MS)
+    out = e.groupBy(key.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    return postops.order_by_key_order(out, "bin", ["cnt"], bins.time_keys("weekly"))
+
+
 def q_space_histogram(spark, sf):
     """Byte-size bucket histogram (SpaceSizeHistogram labels/edges)."""
     li = _t(spark, sf, "lineitem")
@@ -1041,6 +1050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_summary": q_content_summary,
         "transform_whatif": q_transform_whatif,
         "time_histogram_monthly": q_time_histogram_monthly,
+        "time_histogram_weekly": q_time_histogram_weekly,
         "space_histogram": q_space_histogram,
         "parent_dir": q_parent_dir,
         "topk_per_group": q_topk_per_group,
@@ -1201,6 +1211,26 @@ def oracle_sql() -> dict[str, str]:
                   THEN '23 Months+'
                 ELSE CAST(GREATEST(1, CAST(CEIL(({now} - epoch_ms(ts)) / {month_ms}.0) AS BIGINT))
                      AS VARCHAR) || ' Months'
+              END AS bin, 1 AS one
+              FROM events
+            )
+            SELECT b.bin AS bin, COALESCE(SUM(one), 0) AS cnt
+            FROM bins b LEFT JOIN bucketed x ON b.bin = x.bin
+            GROUP BY b.bin
+        """,
+        "time_histogram_weekly": f"""
+            WITH bins AS (
+              SELECT CAST(i AS VARCHAR) || ' Weeks' AS bin, i AS ord
+              FROM range(1, 50) t(i)
+              UNION ALL SELECT '49 Weeks+', 50
+            ),
+            bucketed AS (
+              SELECT CASE
+                WHEN {now} - epoch_ms(ts) < 0 THEN 'NO_MAPPING'
+                WHEN GREATEST(1, CAST(CEIL(({now} - epoch_ms(ts)) / {7 * 86_400_000}.0) AS BIGINT)) > 49
+                  THEN '49 Weeks+'
+                ELSE CAST(GREATEST(1, CAST(CEIL(({now} - epoch_ms(ts)) / {7 * 86_400_000}.0) AS BIGINT))
+                     AS VARCHAR) || ' Weeks'
               END AS bin, 1 AS one
               FROM events
             )
