@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis): the bin/filter expressions must
+agree with straight-line Python models of the reference semantics
+(TimeHistogram/SpaceSizeHistogram/MemorySizeHistogram/FileTypeHistogram)
+on arbitrary inputs — catching edge cases the example tests miss
+(negative elapsed, exact bucket edges, empty names, unicode).
+
+Each example batch becomes ONE DataFrame → one Spark job per example;
+max_examples is kept small because executor round-trips dominate.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from nnanalytics_spark.inode import bins
+
+NOW = 1_755_000_000_000
+
+
+def py_time_bucket(ts: int, unit_ms: int, n: int, suffix: str) -> str:
+    elapsed = NOW - ts
+    if elapsed < 0:
+        return "NO_MAPPING"
+    k = max(1, math.ceil(elapsed / unit_ms))
+    return f"{n} {suffix}+" if k > n else f"{k} {suffix}"
+
+
+def py_space_bucket(size: int) -> str:
+    if size < 0:
+        return "NO_MAPPING"
+    if size == 0:
+        return "0 B"
+    for label, edge in bins.SPACE_EDGES[1:]:
+        if size <= edge:
+            return label
+    return "1 GB+"
+
+
+def py_memory_bucket(size: int) -> str:
+    if size < 1:
+        return "NO_MAPPING"
+    for label, edge in bins.MEMORY_EDGES:
+        if size <= edge:
+            return label
+    return "64 KB+"
+
+
+def py_file_type(name: str) -> str:
+    """Reference determineType (FileTypeHistogram.java:203-222) in plain
+    Python: equals → guarded prefixes → last-'.' suffix → last-'_' suffix."""
+    if name in bins.FILETYPE_EQUALS:
+        return bins.FILETYPE_EQUALS[name]
+    for prefix, label in bins.FILETYPE_STARTSWITH.items():
+        guard = 6 if len(prefix) <= 6 else 10
+        if len(name) > guard and name.startswith(prefix):
+            return label
+    if "." in name:
+        suffix = "." + name.rsplit(".", 1)[-1]
+        if suffix in bins.FILETYPE_SUFFIX:
+            return bins.FILETYPE_SUFFIX[suffix]
+    if "_" in name:
+        suffix = "_" + name.rsplit("_", 1)[-1]
+        if suffix in bins.FILETYPE_SUFFIX:
+            return bins.FILETYPE_SUFFIX[suffix]
+    return "UNKNOWN"
+
+
+def run_batch(spark, values, schema, expr):
+    df = spark.createDataFrame([(v,) for v in values], schema)
+    return [r["out"] for r in df.select(expr(F.col("v")).alias("out")).collect()]
+
+
+timestamps = st.integers(min_value=NOW - 5 * 365 * 86_400_000, max_value=NOW + 86_400_000)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(timestamps, min_size=1, max_size=60))
+def test_time_bucket_matches_model(spark, ts_list):
+    for rng, (unit_ms, n, suffix) in bins.TIME_RANGES.items():
+        got = run_batch(spark, ts_list, "v long", lambda c, r=rng: bins.time_bucket(c, r, NOW))
+        want = [py_time_bucket(t, unit_ms, n, suffix) for t in ts_list]
+        assert got == want, rng
+
+
+sizes = st.one_of(
+    st.integers(min_value=-5, max_value=5),
+    st.integers(min_value=0, max_value=2 * bins.GB),
+    # exact edges and off-by-one neighbours
+    st.sampled_from(
+        [e for _, e in bins.SPACE_EDGES] + [e + 1 for _, e in bins.SPACE_EDGES]
+        + [e for _, e in bins.MEMORY_EDGES] + [e - 1 for _, e in bins.MEMORY_EDGES]
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(sizes, min_size=1, max_size=80))
+def test_size_buckets_match_model(spark, size_list):
+    got_space = run_batch(spark, size_list, "v long", bins.space_bucket)
+    assert got_space == [py_space_bucket(s) for s in size_list]
+    got_mem = run_batch(spark, size_list, "v long", bins.memory_bucket)
+    assert got_mem == [py_memory_bucket(s) for s in size_list]
+
+
+names = st.one_of(
+    st.sampled_from(
+        list(bins.FILETYPE_EQUALS)
+        + [p + "x" * 9 for p in bins.FILETYPE_STARTSWITH]
+        + [p for p in bins.FILETYPE_STARTSWITH]  # too short for the guard
+        + ["data" + s for s in bins.FILETYPE_SUFFIX]
+        + ["a.tar.gz", "x_45454", "noext", "", ".", "_", "a..csv", "a._index"]
+    ),
+    st.text(
+        alphabet=st.sampled_from(list("abz019._-")), min_size=0, max_size=16
+    ),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(names, min_size=1, max_size=80))
+def test_file_type_matches_reference_model(spark, name_list):
+    got = run_batch(spark, name_list, "v string", bins.file_type)
+    assert got == [py_file_type(n) for n in name_list]
