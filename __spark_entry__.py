@@ -852,6 +852,31 @@ def q_registered_dir_stats(spark, sf):
     return subtree.registered_directory_stats(ino, ["/ECONOMY", "/PROMO", "/STANDARD"])
 
 
+def q_inode_columns(spark, sf):
+    """Every §1.3 derived-column expression verified row-by-row through the
+    registry (inode/columns.py): depth ('/'-count), permission rendered
+    octal-as-decimal (AbstractQueryEngine.java:192-193), numReplicas,
+    diskspaceConsumed, the 150-byte memoryConsumed model constant,
+    quota ratio guard, MM/dd/yyyy date rendering, fileType. Timezone is
+    pinned so date rendering is environment-independent."""
+    from nnanalytics_spark.inode import columns as reg
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _inodes(spark, sf).filter(F.col("type") == "file")
+    names = [
+        "id",
+        "depth",
+        "permission",
+        "numReplicas",
+        "diskspaceConsumed",
+        "memoryConsumed",
+        "nsQuotaRatioUsed",
+        "modDate",
+        "fileType",
+    ]
+    return df.select(*[reg.COLUMNS[n].expr(df).alias(n) for n in names])
+
+
 def q_suggestions_per_user(spark, sf):
     """The SuggestionsEngine per-user sweep (SURVEY §2.9): the whole
     ~36-metric battery as ONE groupBy(user) over one scan — where the
@@ -1086,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_flags": q_quota_flags,
         "registered_dir_stats": q_registered_dir_stats,
         "suggestions_per_user": q_suggestions_per_user,
+        "inode_columns": q_inode_columns,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1501,6 +1527,26 @@ def oracle_sql() -> dict[str, str]:
             FROM flags GROUP BY 1, 2
         """,
         "suggestions_per_user": _suggestions_oracle(),
+        "inode_columns": f"""
+            WITH f AS (
+              SELECT p_partkey AS pk,
+                     '/' || p_type || '/' || replace(p_name, ' ', '/')
+                     || '/part_' || p_partkey AS path,
+                     CAST(floor(p_retailprice) AS BIGINT) AS size
+              FROM part
+            )
+            SELECT pk + 1000000 AS id,
+                   length(path) - length(replace(path, '/', '')) AS depth,
+                   755 AS permission,
+                   (pk % 4) * (1 + pk % 3) AS "numReplicas",
+                   size * (1 + pk % 3) AS "diskspaceConsumed",
+                   150 + 150 * (pk % 4) AS "memoryConsumed",
+                   0 AS "nsQuotaRatioUsed",
+                   strftime(make_timestamp(({NOW_MS}::BIGINT - (pk % 200) * 86400000) * 1000),
+                            '%m/%d/%Y') AS "modDate",
+                   CASE WHEN pk = 45454 THEN 'APP_LOG' ELSE 'UNKNOWN' END AS "fileType"
+            FROM f
+        """,
         "registered_dir_stats": """
             WITH f AS (
               SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')
