@@ -48,6 +48,76 @@ def plan_operation(engine, query: Query, op: Operation) -> DataFrame:
     ).orderBy("path")
 
 
+class OperationRegistry:
+    """/submitOperation + /listOperations + /abortOperation analog
+    (NamenodeAnalyticsMethods.java:2065-2434).
+
+    The reference queues per-inode actions and throttles with a sleep
+    between inodes; here the plan is a path-ordered DataFrame and the
+    executor paces itself by drawing fixed-size batches (`next_batch`) —
+    the same backpressure contract without a thread sleeping per row.
+    Abort simply stops further batches; everything already drawn stands,
+    matching the reference's cooperative abort."""
+
+    def __init__(self) -> None:
+        self._ops: dict[int, dict] = {}
+        self._next_id = 1
+
+    def submit(self, engine, query: Query, op: Operation, batch_size: int = 1000) -> int:
+        plan = plan_operation(engine, query, op)
+        op_id = self._next_id
+        self._next_id += 1
+        self._ops[op_id] = {
+            "plan": plan,
+            "operation": op.kind,
+            "argument": op.argument,
+            "batch_size": batch_size,
+            "cursor": 0,
+            "total": plan.count(),
+            "status": "running",
+        }
+        return op_id
+
+    def list_operations(self) -> list[dict]:
+        return [
+            {
+                "id": op_id,
+                "operation": st["operation"],
+                "argument": st["argument"],
+                "total": st["total"],
+                "processed": st["cursor"],
+                "status": st["status"],
+            }
+            for op_id, st in sorted(self._ops.items())
+        ]
+
+    def next_batch(self, op_id: int) -> DataFrame | None:
+        """The next batch of targets, or None when done/aborted. Batching
+        keys on a row_number over the deterministic path order, so retries
+        of the same batch see the same rows."""
+        from pyspark.sql import Window as W
+
+        st = self._ops[op_id]
+        if st["status"] != "running":
+            return None
+        if st["cursor"] >= st["total"]:
+            st["status"] = "done"
+            return None
+        rn = F.row_number().over(W.orderBy("path"))
+        lo, hi = st["cursor"], st["cursor"] + st["batch_size"]
+        batch = (
+            st["plan"].withColumn("__rn", rn).filter((F.col("__rn") > lo) & (F.col("__rn") <= hi)).drop("__rn")
+        )
+        st["cursor"] = min(hi, st["total"])
+        if st["cursor"] >= st["total"]:
+            st["status"] = "done"
+        return batch
+
+    def abort(self, op_id: int) -> None:
+        if self._ops[op_id]["status"] == "running":
+            self._ops[op_id]["status"] = "aborted"
+
+
 def apply_operation_whatif(inodes: DataFrame, plan: DataFrame) -> DataFrame:
     """The namespace as it WOULD look after the operation — delete removes
     rows, setReplication rewrites fileReplica. One hash join on id."""
