@@ -47,3 +47,30 @@ def test_ivf_prunes_candidates(clustered):
     total = assigned.count()
     one_cell = assigned.filter("cell = 0").count()
     assert one_cell < total  # probing one cell scans a strict subset
+
+
+def test_ivf_recall_against_brute_force(spark):
+    """Recall invariants on the real embedding table: probing EVERY cell
+    must reproduce brute force exactly (IVF is partition pruning, not
+    re-scoring), and a 4-of-16 probe must still find a meaningful share of
+    the true top-10 (these embeddings are near-random, so partial-probe
+    recall is structurally modest — the bound guards against total
+    breakage, e.g. scoring the wrong vectors)."""
+    from pyspark.sql import functions as F
+
+    from nnanalytics_spark.pipeline import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    truth = {r["vec_id"] for r in similarity.brute_force_topk(rest, qvec, k=10).collect()}
+    full = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(rest, qvec, k=10, nlist=16, nprobe=16).collect()
+    }
+    assert full == truth, (truth, full)
+    partial = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(rest, qvec, k=10, nlist=16, nprobe=4).collect()
+    }
+    assert len(truth & partial) >= 3, (truth, partial)
