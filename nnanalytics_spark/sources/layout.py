@@ -40,3 +40,31 @@ def write_inode_table(inodes: DataFrame, path: str, path_partitions: int = 32) -
 
 def read_inode_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join key.
+
+    Bucketing is the co-located-join lever at 100 TB: two tables bucketed
+    on the same key with the same bucket count join with NO shuffle on
+    either side (and no sort when both are sorted) — the exchange that
+    dominates a fact-fact join simply disappears from the plan.
+    ``tests/test_sources.py`` asserts the shuffle-free plan."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)  # external table — no warehouse needed
+    writer.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    """Catalog read — required (vs. path read) for bucket metadata."""
+    return spark.table(table)

@@ -62,3 +62,33 @@ def test_parse_filter_triplets():
     assert got == [("fileSize", "lte", "1024"), ("fileSize", "gt", "0")]
     # values containing ':' survive (path filters)
     assert ir.parse_filter_triplets("path:startsWith:/a:b")[0][2] == "/a:b"
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the same key must join without an Exchange
+    on either input — the co-located fact-fact join path at scale."""
+    from nnanalytics_spark.sources import layout
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    layout.write_bucketed(
+        orders, "b_orders", "o_orderkey", 8, sort_col="o_orderkey", path=str(tmp_path / "o")
+    )
+    layout.write_bucketed(
+        lineitem, "b_lineitem", "l_orderkey", 8, sort_col="l_orderkey", path=str(tmp_path / "li")
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale Spark would rather broadcast the tiny table; force
+        # the shuffle-join path the bucketing exists to serve at real scale
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = layout.read_table(spark, "b_orders")
+        li = layout.read_table(spark, "b_lineitem")
+        joined = li.join(o, li.l_orderkey == o.o_orderkey).select("o_orderkey", "l_quantity")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
