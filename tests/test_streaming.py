@@ -107,3 +107,57 @@ def test_streaming_windowed_counts(spark, tmp_path):
         assert n_windows == 6  # 30 minutes / 5-minute tumbling windows
     finally:
         q.stop()
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """Append mode + watermark end-to-end across four microbatches:
+    on-time rows, two watermark-advancing events (the second triggers
+    eviction/emission of the first window), then a late row inside the
+    already-finalized window. The window must emit exactly once with the
+    on-time count — the late arrival is dropped, never re-emitted.
+    (A late row landing in the SAME batch as the eviction may still merge
+    — Spark's watermark is a best-effort bound — which is why the late
+    row here arrives only after finalization.)"""
+    import time as _time
+
+    src = tmp_path / "late_events"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    cols = ["event_id", "ts", "event_type", "value"]
+    batches = [
+        pd.DataFrame(
+            [(i, base + pd.Timedelta(minutes=i), "click", 1.0) for i in range(5)],
+            columns=cols,
+        ),
+        pd.DataFrame([(99, base + pd.Timedelta(minutes=20), "click", 1.0)], columns=cols),
+        pd.DataFrame([(98, base + pd.Timedelta(minutes=25), "click", 1.0)], columns=cols),
+        pd.DataFrame([(100, base + pd.Timedelta(minutes=1), "click", 1.0)], columns=cols),
+    ]
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b).coalesce(1).write.parquet(str(src / f"b{i}"))
+        _time.sleep(1.1)  # file-source batch order is by mod time
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    agg = refresh.windowed_event_counts(stream, "5 minutes")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_win")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = {
+            (r["window"].start.minute, r["cnt"])
+            for r in spark.sql("SELECT window, cnt FROM late_win").collect()
+        }
+        # window 10:00-10:05 finalized once with the 5 on-time rows; the
+        # late row neither bumps the count nor re-emits, and the still-open
+        # 10:20/10:25 windows are absent
+        assert rows == {(0, 5)}, rows
+    finally:
+        q.stop()
