@@ -459,6 +459,15 @@ def q_minhash_lsh_pairs(spark, sf):
     return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), k=32, bands=8)
 
 
+def q_lsh_verified_pairs(spark, sf):
+    """LSH-proposed candidates verified by exact n-gram Jaccard — the
+    scale path for exact near-dup pairs (precision exact, recall = LSH
+    recall; engine-specific hashing so rows-only check)."""
+    return dedup.lsh_verified_pairs(
+        _t(spark, sf, "documents"), threshold=0.3, k=32, bands=16
+    )
+
+
 def q_simhash_blocks(spark, sf):
     """SimHash near-dup pairs (xxhash64-based, rows-only check)."""
     return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=10)
@@ -1115,6 +1124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_verified_pairs": q_lsh_verified_pairs,
         "simhash_blocks": q_simhash_blocks,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,

@@ -166,6 +166,41 @@ def minhash_lsh_pairs(
     )
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """The scale path for EXACT near-dup pairs: MinHash+LSH proposes
+    candidates, exact n-gram Jaccard verifies only those.
+
+    ngram_jaccard_pairs alone is exact but materializes every co-occurring
+    pair — measured quadratic on the synthetic corpus (73M pairs / 95 s at
+    40 K docs, local[32]). Here the pair space is |candidates| (LSH
+    collisions only): two broadcast-joins attach the (distinct) shingle
+    arrays to each candidate side and the Jaccard is a per-pair
+    array_intersect — no inverted-index self-join at all. Precision is
+    exact (every emitted pair's Jaccard is true and ≥ threshold); recall
+    is the LSH recall at (k, bands)."""
+    candidates = minhash_lsh_pairs(df, text, id_col, k, bands, ngram)
+    sets_ = df.select(F.col(id_col).alias("id"), shingles(F.col(text), ngram).alias("sh"))
+    a = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(text_col: Column, bits: int = 64) -> Column:
     """SimHash: per token, xxhash64 supplies the bit pattern; each bit
     position accumulates +1/-1 by token; the sign vector re-packs into a

@@ -171,3 +171,17 @@ def test_train_test_split_and_shards(spark):
     assert shards == set(range(8))
     # disjoint + stable
     assert sharded.groupBy("doc_id").agg(F.countDistinct("shard").alias("n")).filter(F.col("n") > 1).count() == 0
+
+
+def test_lsh_verified_pairs_exact_precision(spark, docs):
+    """Every emitted pair must carry its TRUE Jaccard and clear the
+    threshold; the known near-dup pair (1,3) must be recalled; and
+    results must be a subset of the exhaustive exact computation."""
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.lsh_verified_pairs(docs, threshold=0.3, k=32, bands=16).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 3) in got          # fox/dog vs fox/cat near-dup
+    assert set(got) <= set(exact)
+    for pair, j in got.items():
+        assert j == exact[pair] and j >= 0.3
