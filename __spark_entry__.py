@@ -930,6 +930,74 @@ def _suggestions_oracle() -> str:
     """
 
 
+def q_file_age_histogram(spark, sf):
+    """SuggestionsEngine file-age report (SuggestionsEngine.java:162-189):
+    modTime monthly buckets → count + diskspace in one summarizing pass
+    over the synthesized inode namespace."""
+    from nnanalytics_spark.inode import suggestions
+
+    return suggestions.file_age_histogram(_inodes(spark, sf), NOW_MS)
+
+
+def q_top_directories(spark, sf):
+    """Top-k directories at depth by file count & diskspace
+    (SuggestionsEngine.java:287-310): parentDir(depth=2) grouping →
+    orderBy(count desc) slice."""
+    from nnanalytics_spark.inode import suggestions
+
+    return suggestions.top_directories(_inodes(spark, sf), depth=2, k=10)
+
+
+def q_quota_report(spark, sf):
+    """Per-user per-quota-dir report (cache/CachedQuotas.java:76-171):
+    assigned/used/ratio for ns+ds plus the ≥85% nearLimit flag. Ratio is
+    the reference's integer truncation of 100·used/assigned."""
+    from nnanalytics_spark.inode import suggestions
+
+    return suggestions.quota_report(_inodes(spark, sf))
+
+
+def q_issue_ranking(spark, sf):
+    """/top endpoint analog (SuggestionsEngine.java:1299-1374): k most
+    offending users for one cached issue metric — sort+slice over the
+    per-user sweep report."""
+    from nnanalytics_spark.inode import suggestions
+
+    per_user = suggestions.per_user_report(_inodes(spark, sf), NOW_MS)
+    return suggestions.issue_ranking(per_user, "tinyFiles", k=3, top=True)
+
+
+def q_file_type_report(spark, sf):
+    """Per-user × fileType two-level report (cache/CachedFileTypes.java:
+    57-84): count & diskspace per owner per classified file type. Names
+    are synthesized (same rule as file_type_histogram) so all three
+    classifier stages appear under the user dimension."""
+    from nnanalytics_spark.inode import suggestions
+
+    p = _t(spark, sf, "part")
+    base = F.regexp_replace("p_name", " ", "_")
+    pk = F.col("p_partkey")
+    m = pk % 8
+    fname = (
+        F.when(m == 0, F.lit("_SUCCESS"))
+        .when(m == 1, F.concat(F.lit("part-0000"), pk.cast("string")))
+        .when(m == 2, F.concat(F.lit("summarylog-"), pk.cast("string")))
+        .when(m == 3, F.concat(base, F.lit(".csv")))
+        .when(m == 4, F.concat(base, F.lit(".parquet")))
+        .when(m == 5, F.concat(base, F.lit(".json.gz")))
+        .when(m == 6, F.concat(base, F.lit("_45454")))
+        .otherwise(base)
+    )
+    ino = p.select(
+        F.lit("file").alias("type"),
+        F.concat(F.lit("u"), (pk % 5).cast("string")).alias("user"),
+        fname.alias("name"),
+        F.floor("p_retailprice").alias("fileSize"),
+        (1 + pk % 3).alias("fileReplica"),
+    )
+    return suggestions.file_type_report(ino)
+
+
 def q_window_ntile(spark, sf):
     """NTILE + PERCENT_RANK window functions: price quartiles within each
     order priority."""
@@ -1120,6 +1188,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_flags": q_quota_flags,
         "registered_dir_stats": q_registered_dir_stats,
         "suggestions_per_user": q_suggestions_per_user,
+        "file_age_histogram": q_file_age_histogram,
+        "top_directories": q_top_directories,
+        "quota_report": q_quota_report,
+        "issue_ranking": q_issue_ranking,
+        "file_type_report": q_file_type_report,
         "inode_columns": q_inode_columns,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1537,6 +1610,89 @@ def oracle_sql() -> dict[str, str]:
             FROM flags GROUP BY 1, 2
         """,
         "suggestions_per_user": _suggestions_oracle(),
+        "file_age_histogram": """
+            WITH f AS (
+              SELECT p_partkey % 200 AS d,
+                     CAST(floor(p_retailprice) AS BIGINT) * (1 + p_partkey % 3) AS dsc
+              FROM part
+            )
+            SELECT CAST(greatest(1, CAST(ceil(d / 30.0) AS BIGINT)) AS VARCHAR)
+                     || ' Months' AS age,
+                   count(*) AS "count", SUM(dsc) AS "diskspaceConsumed"
+            FROM f GROUP BY 1
+        """,
+        "top_directories": """
+            WITH f AS (
+              SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')
+                     || '/part_' || p_partkey AS path,
+                     CAST(floor(p_retailprice) AS BIGINT) * (1 + p_partkey % 3) AS dsc
+              FROM part
+            ),
+            p AS (SELECT string_split(path, '/') AS parts, dsc FROM f),
+            g AS (
+              SELECT array_to_string(parts[1:3], '/') AS directory,
+                     count(*) AS "count", SUM(dsc) AS "diskspaceConsumed"
+              FROM p GROUP BY 1
+            )
+            SELECT * FROM g ORDER BY "count" DESC, directory LIMIT 10
+        """,
+        "quota_report": """
+            WITH f AS (
+              SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')
+                     || '/part_' || p_partkey AS path
+              FROM part
+            ),
+            e AS (SELECT string_split(path, '/') AS parts FROM f),
+            anc AS (
+              SELECT DISTINCT CASE WHEN i = 1 THEN '/'
+                                   ELSE array_to_string(parts[1:i], '/') END AS d
+              FROM e, unnest(generate_series(1, len(parts) - 1)) AS t(i)
+            ),
+            q AS (
+              SELECT d,
+                     CASE WHEN length(d) % 3 = 0 THEN CAST(9000 AS BIGINT) END AS nsq,
+                     CASE WHEN length(d) % 3 = 0 THEN CAST(100 AS BIGINT) END AS nsu,
+                     CASE WHEN length(d) % 4 = 0 THEN CAST(9999999999 AS BIGINT) END AS dsq,
+                     CASE WHEN length(d) % 4 = 0 THEN CAST(1000 AS BIGINT) END AS dsu
+              FROM anc
+            ),
+            r AS (
+              SELECT *,
+                     CASE WHEN nsq > 0
+                          THEN CAST(floor(100.0 * nsu / nsq) AS BIGINT) END AS nsr,
+                     CASE WHEN dsq > 0
+                          THEN CAST(floor(100.0 * dsu / dsq) AS BIGINT) END AS dsr
+              FROM q WHERE nsq IS NOT NULL OR dsq IS NOT NULL
+            )
+            SELECT 'hdfs' AS "user", d AS directory,
+                   nsq AS "nsQuota", nsu AS "nsQuotaUsed", nsr AS "nsQuotaRatioUsed",
+                   dsq AS "dsQuota", dsu AS "dsQuotaUsed", dsr AS "dsQuotaRatioUsed",
+                   (nsr >= 85 OR dsr >= 85) AS "nearLimit"
+            FROM r
+        """,
+        "issue_ranking": f"""
+            SELECT "user", "tinyFiles" FROM ({_suggestions_oracle()})
+            ORDER BY "tinyFiles" DESC, "user" LIMIT 3
+        """,
+        "file_type_report": """
+            WITH f AS (
+              SELECT 'u' || CAST(p_partkey % 5 AS VARCHAR) AS "user",
+                     CASE p_partkey % 8
+                       WHEN 0 THEN '_SUCCESS'
+                       WHEN 1 THEN 'PART'
+                       WHEN 2 THEN 'SUMMARY_LOG'
+                       WHEN 3 THEN 'CSV'
+                       WHEN 4 THEN 'PARQUET'
+                       WHEN 5 THEN 'GZIP'
+                       WHEN 6 THEN 'APP_LOG'
+                       ELSE 'UNKNOWN' END AS "fileType",
+                     CAST(floor(p_retailprice) AS BIGINT) * (1 + p_partkey % 3) AS dsc
+              FROM part
+            )
+            SELECT "user", "fileType", count(*) AS "count",
+                   SUM(dsc) AS "diskspaceConsumed"
+            FROM f GROUP BY 1, 2
+        """,
         "inode_columns": f"""
             WITH f AS (
               SELECT p_partkey AS pk,
