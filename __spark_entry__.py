@@ -998,6 +998,22 @@ def q_file_type_report(spark, sf):
     return suggestions.file_type_report(ino)
 
 
+def q_dir_scalars(spark, sf):
+    """SuggestionsEngine dir-scalar battery (emptyDirs + 24h/1yr variants,
+    SuggestionsEngine.java:316-363) — one conditional-aggregate scan over
+    the dirs partition."""
+    from nnanalytics_spark.inode import suggestions
+
+    return suggestions.dir_scalars(_inodes(spark, sf), NOW_MS)
+
+
+def q_term_stats(spark, sf):
+    """Corpus vocabulary: top-100 terms by collection frequency with doc
+    frequency and smoothed IDF — one explode + one groupBy(term) pass,
+    corpus size broadcast in (pipeline/text.py:term_stats)."""
+    return text.term_stats(_t(spark, sf, "documents"), k=100)
+
+
 def q_window_ntile(spark, sf):
     """NTILE + PERCENT_RANK window functions: price quartiles within each
     order priority."""
@@ -1193,6 +1209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_report": q_quota_report,
         "issue_ranking": q_issue_ranking,
         "file_type_report": q_file_type_report,
+        "dir_scalars": q_dir_scalars,
+        "term_stats": q_term_stats,
         "inode_columns": q_inode_columns,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1669,6 +1687,37 @@ def oracle_sql() -> dict[str, str]:
                    dsq AS "dsQuota", dsu AS "dsQuotaUsed", dsr AS "dsQuotaRatioUsed",
                    (nsr >= 85 OR dsr >= 85) AS "nearLimit"
             FROM r
+        """,
+        "dir_scalars": """
+            WITH f AS (
+              SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')
+                     || '/part_' || p_partkey AS path
+              FROM part
+            ),
+            e AS (SELECT string_split(path, '/') AS parts FROM f),
+            anc AS (
+              SELECT DISTINCT CASE WHEN i = 1 THEN '/'
+                                   ELSE array_to_string(parts[1:i], '/') END AS d
+              FROM e, unnest(generate_series(1, len(parts) - 1)) AS t(i)
+            )
+            SELECT count(*) AS "numDirs", count(*) AS "emptyDirs",
+                   CAST(0 AS BIGINT) AS "emptyDirs24h",
+                   CAST(0 AS BIGINT) AS "emptyDirs1yr"
+            FROM anc
+        """,
+        "term_stats": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            s AS (
+              SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+              FROM toks GROUP BY 1
+            ),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+            SELECT term, tf, df, round(ln((n_docs + 1.0) / (df + 1.0)), 6) AS idf
+            FROM s, n
+            ORDER BY tf DESC, term LIMIT 100
         """,
         "issue_ranking": f"""
             SELECT "user", "tinyFiles" FROM ({_suggestions_oracle()})

@@ -114,6 +114,38 @@ def fingerprint(text_col: Column) -> Column:
     )
 
 
+def term_stats(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary statistics: top-k terms by collection frequency
+    with document frequency and smoothed IDF.
+
+    One explode → one groupBy(term) shuffle; `count_distinct(id)` inside
+    the same aggregate keeps it a single pass. The corpus size joins in
+    as a broadcast scalar (no driver-side collect), so the plan stays
+    fully distributed at 100 TB: partial aggregation collapses the
+    heavy-hitter terms map-side before the exchange, and the top-k is a
+    TakeOrdered, not a global sort.
+
+    idf = round(ln((N + 1) / (df + 1)), 6) — the standard smoothed form.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(F.col(text))).alias("term")
+    )
+    stats = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("_id").alias("df"),
+    )
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .withColumn("idf", F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6))
+        .drop("n_docs")
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(k)
+    )
+
+
 def with_text_features(df: DataFrame, text: str = "text") -> DataFrame:
     col = F.col(text)
     return (

@@ -185,3 +185,19 @@ def test_lsh_verified_pairs_exact_precision(spark, docs):
     assert set(got) <= set(exact)
     for pair, j in got.items():
         assert j == exact[pair] and j >= 0.3
+
+
+def test_term_stats_tf_df_idf(docs):
+    """'the' appears 2× in docs 1 and 3, 1× in doc 2 (capitalized 'The'
+    is a distinct term) → tf=5, df=3; idf uses the smoothed formula over
+    the 6-doc corpus; empty doc contributes no terms."""
+    import math
+
+    out = {r["term"]: r for r in text.term_stats(docs, k=1000).collect()}
+    assert out["the"]["tf"] == 5 and out["the"]["df"] == 3
+    assert out["The"]["tf"] == 1 and out["The"]["df"] == 1
+    assert out["the"]["idf"] == round(math.log(7 / 4), 6)
+    assert "" not in out
+    # top-1 by collection frequency is 'the'
+    top = text.term_stats(docs, k=1).collect()
+    assert top[0]["term"] == "the"
