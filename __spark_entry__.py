@@ -468,6 +468,16 @@ def q_lsh_verified_pairs(spark, sf):
     )
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over the exact near-dup pair graph: every doc
+    → its canonical keeper id (min reachable doc_id). Iterative min-label
+    propagation in Spark; the oracle is a recursive transitive-closure CTE
+    over the same exact-Jaccard pairs."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    return dedup.dup_clusters(docs, pairs)
+
+
 def q_simhash_blocks(spark, sf):
     """SimHash near-dup pairs (xxhash64-based, rows-only check)."""
     return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=10)
@@ -1216,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_verified_pairs": q_lsh_verified_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_blocks": q_simhash_blocks,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
@@ -1809,6 +1820,43 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])) AS shingle
+              FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT d.doc_id AS node,
+                   least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+            FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+            GROUP BY d.doc_id
         """,
         "embedding_dup_pairs": """
             WITH v AS (

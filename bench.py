@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_exact",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "dedup_clusters",
     "simhash_blocks",
     "embedding_dup_pairs",
     "ann_topk",

@@ -280,3 +280,43 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
     )
+
+
+def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets cluster = min(doc id reachable through pairs), so each dup group
+    collapses to one canonical keeper (the training-pipeline step after
+    pair generation — pairs alone can't answer "which rows do I drop").
+
+    Iterative min-label propagation: each round joins labels to the
+    (symmetrized) edge list, takes the per-node min of self + neighbor
+    labels, and stops when no label changed. Rounds = graph diameter in
+    the worst case — near-dup graphs are overwhelmingly tiny cliques, so
+    2-3 rounds in practice. Each round is ONE shuffle (join keyed on the
+    8-byte node id + partial-agg min), and localCheckpoint() cuts the
+    lineage so plan size stays constant; at cluster scale swap in
+    checkpoint() on durable storage. This is the
+    label-propagation half of large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster"))
+    while True:
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "cluster")
+        )
+        merged = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("cluster").alias("cluster"))
+        ).localCheckpoint()
+        changed = (
+            merged.join(labels.withColumnRenamed("cluster", "old"), "node")
+            .filter(F.col("cluster") < F.col("old"))
+            .count()
+        )
+        labels = merged
+        if changed == 0:
+            return labels

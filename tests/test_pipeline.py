@@ -201,3 +201,20 @@ def test_term_stats_tf_df_idf(docs):
     # top-1 by collection frequency is 'the'
     top = text.term_stats(docs, k=1).collect()
     assert top[0]["term"] == "the"
+
+
+def test_dup_clusters_connected_components(docs):
+    """Docs 1,2 are exact dups (case/ws) and 1,3 near-dups → one cluster
+    {1,2,3} labeled by its min id; everything else is a singleton."""
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    out = {r["node"]: r["cluster"] for r in dedup.dup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6}
+
+
+def test_dup_clusters_transitive_chain(spark):
+    """A—B and B—C but no A—C pair: transitivity must still collapse all
+    three into one cluster (the thing a pairs-only view cannot express)."""
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    out = {r["node"]: r["cluster"] for r in dedup.dup_clusters(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
