@@ -102,3 +102,28 @@ def test_file_type_histogram_stays_codegen(spark):
     plan = plan_of(df)
     assert plan.count("Exchange") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_term_stats_broadcasts_corpus_size(spark):
+    """The corpus-size scalar must join in as a broadcast (no shuffle of
+    the term table against a 1-row frame) and the term aggregate must
+    partial-aggregate map-side before its exchange."""
+    df = entry.q_term_stats(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-k, not a global sort
+
+
+def test_dedup_clusters_converges_and_edges_cached(spark):
+    """The label-propagation loop must return one row per doc and its
+    per-round plan must stay bounded (localCheckpoint cuts lineage, so
+    the final plan contains no recursive join tower)."""
+    docs = entry._t(spark, SF, "documents")
+    from nnanalytics_spark.pipeline import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    out = dedup.dup_clusters(docs, pairs)
+    assert out.count() == docs.count()
+    # the returned frame's plan is a checkpoint scan, not the loop lineage
+    assert "Scan ExistingRDD" in plan_of(out), plan_of(out)
