@@ -125,3 +125,26 @@ def windowed_event_counts(events_stream: DataFrame, window: str = "5 minutes") -
         .groupBy(F.window("ts", window), "event_type")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
     )
+
+
+def streaming_dedup(
+    docs_stream: DataFrame,
+    key: str = "fingerprint",
+    event_time: str = "ts",
+    horizon: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup for continuously-ingested training data:
+    emit each content key's first arrival, drop re-arrivals within the
+    watermark horizon.
+
+    dropDuplicatesWithinWatermark keeps per-key state only until the
+    watermark passes key_seen_time + horizon, so state is bounded by the
+    duplicate-arrival window instead of growing with the corpus — the
+    property that makes streaming dedup viable at 100 TB/day. Exactness
+    holds for duplicates arriving within `horizon` of each other; the
+    batch backstop (exact_dedup over the accumulated table) catches the
+    stragglers in the periodic sweep.
+    """
+    return docs_stream.withWatermark(event_time, horizon).dropDuplicatesWithinWatermark(
+        [key]
+    )

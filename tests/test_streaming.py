@@ -161,3 +161,45 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
         assert rows == {(0, 5)}, rows
     finally:
         q.stop()
+
+
+def test_streaming_dedup_drops_rearrivals(spark, tmp_path):
+    """Two micro-batches: batch 2 re-sends fingerprint 'a' within the
+    horizon → only the first arrival survives; a genuinely new key in
+    batch 2 passes through."""
+    import json
+
+    from nnanalytics_spark.streaming.refresh import streaming_dedup
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    schema = "fingerprint string, ts timestamp, text string"
+
+    def write_batch(name, rows):
+        p = src / name
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+    write_batch("b1.json", [
+        {"fingerprint": "a", "ts": "2025-01-01 00:00:00", "text": "first a"},
+        {"fingerprint": "b", "ts": "2025-01-01 00:00:10", "text": "first b"},
+    ])
+    stream = spark.readStream.schema(schema).json(str(src))
+    out_rows = []
+    q = (
+        streaming_dedup(stream, key="fingerprint")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _e: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("b2.json", [
+            {"fingerprint": "a", "ts": "2025-01-01 00:01:00", "text": "dup a"},
+            {"fingerprint": "c", "ts": "2025-01-01 00:01:10", "text": "first c"},
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["fingerprint"]: r["text"] for r in out_rows}
+    assert got == {"a": "first a", "b": "first b", "c": "first c"}
