@@ -659,6 +659,17 @@ def q_multimodal_features(spark, sf):
     )
 
 
+def q_ann_batch_topk(spark, sf):
+    """Exact cosine top-5 for a batch of query vectors (vec_id < 5) in
+    one corpus pass: broadcast query matrix, per-partition BLAS matmul +
+    local top-k, one small window for the global ranks
+    (pipeline/similarity.py:batch_topk)."""
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return similarity.batch_topk(corpus, queries, k=5)
+
+
 def q_memory_histogram(spark, sf):
     """Memory-estimate bucket histogram (MemorySizeHistogram.java:42-90
     labels/edges) over floor(l_extendedprice) as the byte stand-in."""
@@ -1230,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_blocks": q_simhash_blocks,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
+        "ann_batch_topk": q_ann_batch_topk,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_tokens": q_text_tokens,
@@ -1896,6 +1908,30 @@ def oracle_sql() -> dict[str, str]:
                            (x, y) -> x + y) / (nrm * q.qn), 6) AS cos_sim
             FROM n, q WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "ann_batch_topk": """
+            WITH v AS (
+              SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+              FROM embeddings
+            ),
+            n AS (
+              SELECT vec_id, e,
+                     sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                      (a, b) -> a + b)) AS nrm
+              FROM v
+            ),
+            scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id,
+                     round(list_reduce(list_prepend(0.0,
+                             [c.e[i] * q.e[i] for i in range(1, len(c.e) + 1)]),
+                             (x, y) -> x + y) / (c.nrm * q.nrm), 6) AS cos_sim
+              FROM n q, n c WHERE q.vec_id < 5 AND c.vec_id >= 5
+            )
+            SELECT query_id, vec_id, cos_sim, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "text_tokens": r"""
             SELECT doc_id,

@@ -255,3 +255,70 @@ def lsh_bucketed_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cos_sim")
     )
+
+
+def batch_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for a SET of query vectors in one corpus pass.
+
+    The query matrix (small by definition — it's the probe set) broadcasts
+    to every task; each corpus partition scores its rows against all
+    queries with one BLAS matmul and keeps only its LOCAL top-k per query,
+    so the shuffle carries ≤ k·partitions·|queries| candidate rows instead
+    of |corpus|·|queries| scores. A row_number window over that small
+    candidate set yields the global top-k. At 100 TB this is the fan-in
+    pattern: per-partition reduction first, one tiny exchange after.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    qrows = (
+        queries.select(
+            F.col(query_id).alias("qid"), F.col(query_vec).cast("array<double>").alias("qv")
+        )
+        .orderBy("qid")
+        .collect()
+    )
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    qnorms = np.sqrt((qmat * qmat).sum(axis=1))
+    spark = df.sparkSession
+    b_q = spark.sparkContext.broadcast((qids, qmat, qnorms))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_q, mat_q, norms_q = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_ids = pdf["id"].to_numpy()
+            a_mat = np.array(list(pdf["v"]), dtype=np.float64)
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = np.round((a_mat @ mat_q.T) / np.outer(a_norms, norms_q), 6)
+            take = min(k, len(a_ids))
+            out_q, out_id, out_sim = [], [], []
+            for j in range(len(ids_q)):
+                col = sims[:, j]
+                top = np.argpartition(-col, take - 1)[:take]
+                out_q.extend([ids_q[j]] * take)
+                out_id.extend(a_ids[top])
+                out_sim.extend(col[top])
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_id, "cos_sim": out_sim})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    cands = src.mapInPandas(score, "query_id long, vec_id long, cos_sim double")
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

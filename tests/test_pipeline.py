@@ -218,3 +218,24 @@ def test_dup_clusters_transitive_chain(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
     out = {r["node"]: r["cluster"] for r in dedup.dup_clusters(docs, pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_batch_topk_matches_brute_force(spark):
+    """batch_topk over 3 query vectors must agree with per-query
+    brute_force_topk on both membership and scores."""
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    got = similarity.batch_topk(corpus, queries, k=5)
+    for qid in range(3):
+        qvec = [float(x) for x in rows[qid][1]]
+        expect = [(r["vec_id"], r["cos_sim"])
+                  for r in similarity.brute_force_topk(corpus, qvec, k=5).collect()]
+        mine = [(r["vec_id"], r["cos_sim"])
+                for r in got.filter(F.col("query_id") == qid)
+                          .orderBy("rank").collect()]
+        assert mine == expect
