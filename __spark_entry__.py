@@ -1035,6 +1035,18 @@ def q_term_stats(spark, sf):
     return text.term_stats(_t(spark, sf, "documents"), k=100)
 
 
+def q_pack_sequences(spark, sf):
+    """Sequence packing for training: shard the corpus, then one window
+    prefix-sum per shard assigns each doc its pack (fixed 2048-token
+    chunks of the concatenated stream) and start offset
+    (pipeline/sampling.py:pack_sequences)."""
+    from nnanalytics_spark.pipeline import sampling
+
+    d = sampling.shard_assign(_t(spark, sf, "documents"), 4)
+    out = sampling.pack_sequences(d, budget=2048, shard_col="shard")
+    return out.select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
+
+
 def q_window_ntile(spark, sf):
     """NTILE + PERCENT_RANK window functions: price quartiles within each
     order priority."""
@@ -1250,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "stratified_sample": q_stratified_sample,
         "shard_histogram": q_shard_histogram,
+        "pack_sequences": q_pack_sequences,
         "corpus_curation": q_corpus_curation,
         "window_range_frame": q_window_range_frame,
         "grouping_sets": q_grouping_sets,
@@ -1962,6 +1975,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((doc_id * 2654435761) % 16 AS INT) AS shard,
                    count(*) AS cnt, SUM(doc_id) AS id_sum
             FROM documents GROUP BY 1
+        """,
+        "pack_sequences": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     CAST((doc_id * 2654435761) % 4 AS INT) AS shard,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n_tokens
+              FROM documents
+            ),
+            o AS (
+              SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     CAST(coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS start_offset
+              FROM f
+            )
+            SELECT doc_id, shard, n_tokens, start_offset,
+                   CAST(floor(start_offset / 2048.0) AS BIGINT) AS pack_id
+            FROM o
         """,
         "corpus_curation": r"""
             WITH f AS (

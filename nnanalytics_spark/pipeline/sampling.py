@@ -61,3 +61,45 @@ def shard_assign(df: DataFrame, n_shards: int, id_col: str = "doc_id") -> DataFr
     """Attach a deterministic 'shard' in [0, n_shards): the write-side
     partition key for a sharded corpus (df.write.partitionBy('shard'))."""
     return df.withColumn("shard", (_bucket(F.col(id_col), n_shards)).cast("int"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing for training: concatenate documents in id order
+    (per shard) and chunk the token stream every `budget` tokens; each
+    doc is assigned to the pack where its FIRST token lands, with its
+    start offset inside the stream.
+
+    These are "offset packing" semantics — a pure prefix-sum, so the
+    whole assignment is ONE window aggregation (running token total),
+    no iteration and no driver loop. Per shard the window sort is the
+    only cost; sharding first (shard_assign) bounds each window's
+    partition, which is what keeps the sort in-memory at 100 TB.
+    First-fit-decreasing packs ~token_count/budget tighter but needs
+    sequential state; the streaming-concat semantics here are the ones
+    large training pipelines actually use (docs are separator-joined
+    into a flat token stream, then split into fixed windows).
+    """
+    from nnanalytics_spark.pipeline.text import token_count
+
+    from pyspark.sql import Window as W
+
+    part = F.col(shard_col) if shard_col else F.lit(0)
+    w = (
+        W.partitionBy(part)
+        .orderBy(F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    n_tok = token_count(F.col(text))
+    start = F.coalesce(F.sum(n_tok).over(w), F.lit(0).cast("long"))
+    out = df.withColumn("n_tokens", n_tok.cast("long")).withColumn(
+        "start_offset", start.cast("long")
+    )
+    return out.withColumn(
+        "pack_id", F.floor(F.col("start_offset") / F.lit(budget)).cast("long")
+    )

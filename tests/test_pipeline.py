@@ -239,3 +239,20 @@ def test_batch_topk_matches_brute_force(spark):
                 for r in got.filter(F.col("query_id") == qid)
                           .orderBy("rank").collect()]
         assert mine == expect
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    """Token stream: 5, 4, 8, 2 tokens with budget 8 → starts 0,5,9,17 →
+    packs 0,0,1,2; offsets are exact prefix sums in doc_id order."""
+    rows = [
+        (1, "a b c d e"),
+        (2, "f g h i"),
+        (3, "j k l m n o p q"),
+        (4, "r s"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from nnanalytics_spark.pipeline import sampling
+
+    out = {r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"])
+           for r in sampling.pack_sequences(df, budget=8).collect()}
+    assert out == {1: (5, 0, 0), 2: (4, 5, 0), 3: (8, 9, 1), 4: (2, 17, 2)}
