@@ -190,6 +190,35 @@ class INodeEngine:
         rows = projected.collect()
         return rows[0].asDict() if rows else {}
 
+    def info(self) -> dict:
+        """/info + /loadingStatus analog (Constants.java:298-362 admin
+        surface): namespace shape + engine facts in one shared scan —
+        where the reference reports NameNode loader state, we report the
+        loaded table and the Spark session serving it."""
+        by = {
+            r["type"]: r["count"]
+            for r in self.inodes.groupBy("type").count().collect()
+        }
+        spark = self.inodes.sparkSession
+        return {
+            "sparkVersion": spark.version,
+            "numFiles": int(by.get("file", 0)),
+            "numDirs": int(by.get("dir", 0)),
+            "numTotal": int(sum(by.values())),
+            "columns": sorted(reg.COLUMNS),
+        }
+
+    def metrics(self) -> dict:
+        """/metrics + /threads analog: scheduler/executor counters from the
+        Spark status tracker instead of JVM thread dumps."""
+        sc = self.inodes.sparkSession.sparkContext
+        tracker = sc.statusTracker()
+        return {
+            "activeJobs": len(tracker.getActiveJobsIds()),
+            "activeStages": len(tracker.getActiveStageIds()),
+            "defaultParallelism": int(sc.defaultParallelism),
+        }
+
     # ------------------------------------------------------------ grouping
     def _group_key(self, df: DataFrame, type_name: str, query: Query) -> Column:
         """Histogram key expression (§2.4 dimension binning)."""

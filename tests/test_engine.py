@@ -149,3 +149,16 @@ def test_memory_consumed_model_constant(engine, inodes_pdf):
         (150 + 150 * pdf.numBlocks.where(pdf.type == "file", 0)).sum()
     )
     assert got == expect
+
+
+def test_info_and_metrics_admin_surface(engine, inodes_pdf):
+    """/info + /metrics analogs: set sizes must agree with the fixture and
+    the registry column list; metrics reports live scheduler facts."""
+    info = engine.info()
+    assert info["numFiles"] == (inodes_pdf["type"] == "file").sum()
+    assert info["numDirs"] == (inodes_pdf["type"] == "dir").sum()
+    assert info["numTotal"] == info["numFiles"] + info["numDirs"]
+    assert "fileSize" in info["columns"] and info["sparkVersion"]
+    m = engine.metrics()
+    assert m["defaultParallelism"] >= 1
+    assert set(m) == {"activeJobs", "activeStages", "defaultParallelism"}
