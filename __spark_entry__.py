@@ -624,6 +624,36 @@ def q_sql_tpch_q3(spark, sf):
     return spark.sql(_TPCH_Q3)
 
 
+_TPCH_Q5 = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+def q_sql_tpch_q5(spark, sf):
+    """Six-table join (TPC-H Q5 shape): the SAME ANSI string runs on both
+    engines. Catalyst reorders the join graph and broadcasts every dim
+    (region/nation/supplier/customer) so only the orders⋈lineitem fact
+    join shuffles — the plan shape that survives a 1000-executor 100 TB
+    run."""
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q5)
+
+
 def q_json_extract(spark, sf):
     """Semi-structured: JSON path extraction from the events.props
     payload column, aggregated per extracted key."""
@@ -1224,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_bands": q_range_join_bands,
         "salted_join_agg": q_salted_join_agg,
         "sql_tpch_q3": q_sql_tpch_q3,
+        "sql_tpch_q5": q_sql_tpch_q5,
         "json_extract": q_json_extract,
         "multimodal_features": q_multimodal_features,
         "memory_histogram": q_memory_histogram,
@@ -1555,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "sql_tpch_q3": _TPCH_Q3,
+        "sql_tpch_q5": _TPCH_Q5,
         "memory_histogram": """
             SELECT CASE
               WHEN CAST(floor(l_extendedprice) AS BIGINT) < 1 THEN 'NO_MAPPING'

@@ -39,6 +39,7 @@ HEADLINE = [
     "range_join_bands",
     "salted_join_agg",
     "sql_tpch_q3",
+    "sql_tpch_q5",
     "file_type_histogram",
     "subtree_agg",
     "quota_flags",

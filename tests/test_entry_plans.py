@@ -127,3 +127,15 @@ def test_dedup_clusters_converges_and_edges_cached(spark):
     assert out.count() == docs.count()
     # the returned frame's plan is a checkpoint scan, not the loop lineage
     assert "Scan ExistingRDD" in plan_of(out), plan_of(out)
+
+
+def test_sql_q5_broadcasts_all_dims_one_fact_shuffle(spark):
+    """TPC-H Q5: every dim join must be a BroadcastHashJoin; the only
+    SortMergeJoin (if any) is the orders⋈lineitem fact join, so at most
+    two fact-table exchanges feed the join tree."""
+    df = entry.q_sql_tpch_q5(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "PushedFilters" in plan
+    rows = df.collect()
+    assert len(rows) >= 1 and all(r["revenue"] > 0 for r in rows)
