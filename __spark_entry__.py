@@ -1049,6 +1049,26 @@ def q_file_type_report(spark, sf):
     return suggestions.file_type_report(ino)
 
 
+def q_pii_scrub(spark, sf):
+    """PII redaction pass (pipeline/text.py:scrub_pii): per-category match
+    counts + the scrubbed text. A deterministic email/phone tail is
+    appended per doc so the redaction is observable; patterns are written
+    RE2-compatible so the oracle applies the identical regexes in the
+    identical order."""
+    d = _t(spark, sf, "documents")
+    salted = d.withColumn(
+        "t",
+        F.concat(
+            "text",
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ),
+    )
+    out = text.with_pii_scrubbed(salted, "t")
+    return out.select("doc_id", "n_email", "n_phone", "n_ssn", "n_ipv4", "scrubbed")
+
+
 def q_dir_scalars(spark, sf):
     """SuggestionsEngine dir-scalar battery (emptyDirs + 24h/1yr variants,
     SuggestionsEngine.java:316-363) — one conditional-aggregate scan over
@@ -1275,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "file_type_report": q_file_type_report,
         "dir_scalars": q_dir_scalars,
         "term_stats": q_term_stats,
+        "pii_scrub": q_pii_scrub,
         "inode_columns": q_inode_columns,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -1773,6 +1794,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS "emptyDirs1yr"
             FROM anc
         """,
+        "pii_scrub": '''
+            WITH f AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-123-4567' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t, '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS n_phone,
+                   len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+                   len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                          '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g'),
+                          '\+?[0-9][0-9 ()-]{7,}[0-9]', '[PHONE]', 'g'),
+                          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IPV4]', 'g') AS scrubbed
+            FROM f
+        ''',
         "term_stats": r"""
             WITH toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term

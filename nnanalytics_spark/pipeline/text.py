@@ -157,3 +157,38 @@ def with_text_features(df: DataFrame, text: str = "text") -> DataFrame:
         .withColumn("pred_lang", lang_id(col))
         .withColumn("fingerprint", fingerprint(col))
     )
+
+
+# PII patterns kept RE2-compatible (no backrefs/lookbehind) so the same
+# regex runs in Spark (java.util.regex) and the DuckDB oracle (RE2).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9 ()-]{7,}[0-9]",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_counts(text_col: Column) -> dict[str, Column]:
+    """Per-category PII match counts (regexp_count is JVM-side)."""
+    return {k: F.regexp_count(text_col, F.lit(p)) for k, p in PII_PATTERNS.items()}
+
+
+def scrub_pii(text_col: Column) -> Column:
+    """Redact PII in match-category order: each category's matches are
+    replaced by its [CATEGORY] token. SSN runs before phone so the more
+    specific pattern wins; the scan order is part of the contract."""
+    out = text_col
+    for key in ("email", "ssn", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[key], f"[{key.upper()}]")
+    return out
+
+
+def with_pii_scrubbed(df: DataFrame, text: str = "text") -> DataFrame:
+    """Attach per-category counts + the scrubbed text — the standard
+    pre-training redaction pass; one projection, no shuffle."""
+    col = F.col(text)
+    out = df
+    for key, cnt in pii_counts(col).items():
+        out = out.withColumn(f"n_{key}", cnt)
+    return out.withColumn("scrubbed", scrub_pii(col))

@@ -256,3 +256,20 @@ def test_pack_sequences_offsets_and_chunks(spark):
     out = {r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"])
            for r in sampling.pack_sequences(df, budget=8).collect()}
     assert out == {1: (5, 0, 0), 2: (4, 5, 0), 3: (8, 9, 1), 4: (2, 17, 2)}
+
+
+def test_pii_scrub_and_counts(spark):
+    rows = [
+        (1, "mail me at a.b@example.com or call +1 (555) 123-4567 now"),
+        (2, "ssn 123-45-6789 from host 10.0.0.1"),
+        (3, "clean text with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.with_pii_scrubbed(df).collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "[EMAIL]" in out[1]["scrubbed"] and "[PHONE]" in out[1]["scrubbed"]
+    assert "example.com" not in out[1]["scrubbed"]
+    # ssn redacts as SSN (not PHONE) because it scrubs first
+    assert out[2]["n_ssn"] == 1 and "[SSN]" in out[2]["scrubbed"]
+    assert "[IPV4]" in out[2]["scrubbed"]
+    assert out[3]["scrubbed"] == rows[2][1]
