@@ -1097,6 +1097,24 @@ def q_pack_sequences(spark, sf):
     return out.select("doc_id", "shard", "n_tokens", "start_offset", "pack_id")
 
 
+def q_time_histogram_yearly(spark, sf):
+    """Yearly TimeHistogram variant (4 labeled bins + '4 Years+', 365-day
+    unit, zero-filled canonical order) — completes the four timeRange
+    grains (daily/weekly/monthly/yearly) on the driver gate."""
+    e = _events(spark, sf)
+    key = bins.time_bucket(F.col("ts_ms"), "yearly", NOW_MS)
+    out = e.groupBy(key.alias("bin")).agg(F.count(F.lit(1)).alias("cnt"))
+    return postops.order_by_key_order(out, "bin", ["cnt"], bins.time_keys("yearly"))
+
+
+def q_users(spark, sf):
+    """/users endpoint analog (SuggestionsEngine.java:192-197): the
+    distinct owner set with per-owner inode counts, over the synthesized
+    namespace."""
+    ino = _inodes(spark, sf)
+    return ino.groupBy("user").agg(F.count(F.lit(1)).alias("cnt")).orderBy("user")
+
+
 def q_window_ntile(spark, sf):
     """NTILE + PERCENT_RANK window functions: price quartiles within each
     order priority."""
@@ -1252,6 +1270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_whatif": q_transform_whatif,
         "time_histogram_monthly": q_time_histogram_monthly,
         "time_histogram_weekly": q_time_histogram_weekly,
+        "time_histogram_yearly": q_time_histogram_yearly,
+        "users": q_users,
         "space_histogram": q_space_histogram,
         "parent_dir": q_parent_dir,
         "topk_per_group": q_topk_per_group,
@@ -1412,6 +1432,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN 0 ELSE l_quantity END
                                  AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty_whatif
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "time_histogram_yearly": f"""
+            WITH bins AS (
+              SELECT CAST(i AS VARCHAR) || ' Years' AS bin, i AS ord
+              FROM range(1, 5) t(i)
+              UNION ALL SELECT '4 Years+', 5
+            ),
+            bucketed AS (
+              SELECT CASE
+                WHEN {now} - epoch_ms(ts) < 0 THEN 'NO_MAPPING'
+                WHEN GREATEST(1, CAST(CEIL(({now} - epoch_ms(ts)) / 31536000000.0) AS BIGINT)) > 4
+                  THEN '4 Years+'
+                ELSE CAST(GREATEST(1, CAST(CEIL(({now} - epoch_ms(ts)) / 31536000000.0) AS BIGINT))
+                     AS VARCHAR) || ' Years'
+              END AS bin, 1 AS one
+              FROM events
+            )
+            SELECT b.bin AS bin, COALESCE(SUM(one), 0) AS cnt
+            FROM bins b LEFT JOIN bucketed x ON b.bin = x.bin
+            GROUP BY b.bin
+        """,
+        "users": """
+            WITH u AS (
+              SELECT 'u' || CAST(p_partkey % 5 AS VARCHAR) AS "user" FROM part
+              UNION ALL
+              SELECT 'hdfs' AS "user"
+              FROM (
+                SELECT DISTINCT CASE WHEN i = 1 THEN '/'
+                                     ELSE array_to_string(parts[1:i], '/') END AS d
+                FROM (SELECT string_split('/' || p_type || '/'
+                         || replace(p_name, ' ', '/') || '/part_' || p_partkey, '/')
+                         AS parts FROM part) e,
+                     unnest(generate_series(1, len(parts) - 1)) AS t(i)
+              )
+            )
+            SELECT "user", count(*) AS cnt FROM u GROUP BY 1 ORDER BY 1
         """,
         "time_histogram_monthly": f"""
             WITH bins AS (
