@@ -55,6 +55,10 @@ HEADLINE = [
     "ann_topk",
     "text_quality",
     "text_fingerprint",
+    "term_stats",
+    "pii_scrub",
+    "ann_batch_topk",
+    "pack_sequences",
 ]
 
 

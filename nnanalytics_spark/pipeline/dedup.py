@@ -304,19 +304,19 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Dat
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster"))
+    prev_sum = None
     while True:
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "cluster")
         )
-        merged = (
+        labels = (
             labels.unionByName(prop).groupBy("node").agg(F.min("cluster").alias("cluster"))
         ).localCheckpoint()
-        changed = (
-            merged.join(labels.withColumnRenamed("cluster", "old"), "node")
-            .filter(F.col("cluster") < F.col("old"))
-            .count()
-        )
-        labels = merged
-        if changed == 0:
+        # labels only ever decrease, so the label sum strictly drops while
+        # anything is still propagating — one scalar agg per round instead
+        # of a join against the previous labels.
+        cur_sum = labels.agg(F.sum("cluster")).first()[0]
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
