@@ -478,6 +478,17 @@ def q_dedup_clusters(spark, sf):
     return dedup.dup_clusters(docs, pairs)
 
 
+def q_contamination(spark, sf):
+    """Benchmark-contamination scan (pipeline/dedup.py:contamination_pairs):
+    every 50th doc plays the eval set; pairs where ≥5% of the eval doc's
+    trigram shingles appear in a train doc are flagged — asymmetric
+    containment, the leakage metric Jaccard understates."""
+    d = _t(spark, sf, "documents")
+    evals = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    return dedup.contamination_pairs(train, evals, min_overlap_frac=0.05)
+
+
 def q_simhash_blocks(spark, sf):
     """SimHash near-dup pairs (xxhash64-based, rows-only check)."""
     return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=10)
@@ -1322,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "contamination": q_contamination,
         "simhash_blocks": q_simhash_blocks,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
@@ -1973,6 +1985,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = id_a
             JOIN sizes sb ON sb.doc_id = id_b
             ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+        """,
+        "contamination": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])) AS shingle
+              FROM toks
+            ),
+            ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+            evn AS (SELECT doc_id, count(*) AS n_eval FROM ev GROUP BY 1),
+            tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+            hits AS (
+              SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_common
+              FROM tr JOIN ev ON tr.shingle = ev.shingle
+              GROUP BY 1, 2
+            )
+            SELECT train_id, eval_id, n_common,
+                   round(n_common / evn.n_eval, 6) AS overlap_frac
+            FROM hits JOIN evn ON evn.doc_id = eval_id
+            WHERE round(n_common / evn.n_eval, 6) >= 0.05
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE toks AS (

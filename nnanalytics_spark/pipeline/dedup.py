@@ -320,3 +320,46 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Dat
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum
+
+
+def contamination_pairs(
+    train: DataFrame,
+    evals: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap_frac: float = 0.5,
+) -> DataFrame:
+    """Benchmark-contamination scan: for each (train doc, eval doc) pair,
+    the fraction of the EVAL doc's n-gram shingles that appear in the
+    train doc — asymmetric containment, not Jaccard, because a long train
+    document that swallows a short eval item whole is exactly the case to
+    catch.
+
+    Same inverted-index shape as ngram_jaccard_pairs (explode → equi-join
+    on the 8-byte shingle hash → pair-count aggregate), so the pair space
+    only materializes where shingles actually collide; the eval side is
+    the small side by construction and its per-doc shingle count rides
+    the postings, so no extra joins. Emits pairs with
+    overlap_frac ≥ min_overlap_frac.
+    """
+    tr = (
+        train.select(F.col(id_col).alias("train_id"), shingles(F.col(text), n).alias("sh"))
+        .select("train_id", F.explode("sh").alias("shingle"))
+        .select("train_id", F.xxhash64("shingle").alias("sg"))
+    )
+    ev = (
+        evals.select(F.col(id_col).alias("eval_id"), shingles(F.col(text), n).alias("sh"))
+        .select("eval_id", F.size("sh").alias("n_eval"), F.explode("sh").alias("shingle"))
+        .select("eval_id", "n_eval", F.xxhash64("shingle").alias("sg"))
+    )
+    hits = (
+        tr.join(ev, "sg")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"), F.first("n_eval").alias("n_eval"))
+    )
+    return (
+        hits.withColumn("overlap_frac", F.round(F.col("n_common") / F.col("n_eval"), 6))
+        .filter(F.col("overlap_frac") >= min_overlap_frac)
+        .select("train_id", "eval_id", "n_common", "overlap_frac")
+    )

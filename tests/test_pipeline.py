@@ -273,3 +273,20 @@ def test_pii_scrub_and_counts(spark):
     assert out[2]["n_ssn"] == 1 and "[SSN]" in out[2]["scrubbed"]
     assert "[IPV4]" in out[2]["scrubbed"]
     assert out[3]["scrubbed"] == rows[2][1]
+
+
+def test_contamination_pairs_containment(spark):
+    """Eval doc fully contained in a train doc → overlap 1.0 even though
+    Jaccard would be small; unrelated eval doc emits nothing."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "gamma delta epsilon zeta"), (101, "totally unrelated words here")],
+        "doc_id long, text string",
+    )
+    out = dedup.contamination_pairs(train, evals, min_overlap_frac=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["train_id"], r["eval_id"], r["overlap_frac"]) == (1, 100, 1.0)
