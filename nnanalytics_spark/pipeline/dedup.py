@@ -1,7 +1,7 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, ordered by cost/recall tradeoff. All are shuffle-shaped
-for 100 TB: exact dedup is one hash-aggregate; the near-dup family avoids
+Strategies ordered by cost/recall tradeoff. All are shuffle-shaped for
+100 TB: exact dedup is one hash-aggregate; the near-dup family avoids
 the O(n²) pair space by LSH banding (candidate pairs only materialize when
 two docs collide in a band bucket), and every hash is a deterministic
 expression (xxhash64 / crc32) so results are reproducible and partial
@@ -12,9 +12,14 @@ aggregation applies.
                        exact Jaccard (for bounded candidate sets)
 - minhash_signatures / minhash_lsh_pairs: k permutations via seeded
   xxhash64, banded into b bands × r rows
+- lsh_verified_pairs: LSH candidates verified by exact Jaccard — the
+                      scale path for exact near-dup pairs
 - simhash:            64-bit sign-sum over token hashes (Hamming near-dup)
-- embedding_dup_pairs: cosine near-dup over an embedding column (see
-                       similarity.py for the ANN machinery)
+- dup_clusters:       connected components over any pair list (min-label
+                      propagation) → canonical keeper per dup group
+- contamination_pairs: asymmetric eval-in-train shingle containment
+                       (benchmark-leakage scan)
+- embedding cosine near-dup lives in similarity.py (ANN machinery)
 """
 
 from __future__ import annotations
