@@ -711,6 +711,13 @@ def q_ann_batch_topk(spark, sf):
     return similarity.batch_topk(corpus, queries, k=5)
 
 
+def q_centroid_eval(spark, sf):
+    """Embedding-quality report over the labeled embeddings table:
+    per-label mean centroids, nearest-centroid assignment by cosine,
+    per-label accuracy (pipeline/similarity.py:centroid_eval)."""
+    return similarity.centroid_eval(_t(spark, sf, "embeddings")).orderBy("label")
+
+
 def q_memory_histogram(spark, sf):
     """Memory-estimate bucket histogram (MemorySizeHistogram.java:42-90
     labels/edges) over floor(l_extendedprice) as the byte stand-in."""
@@ -1338,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
         "ann_batch_topk": q_ann_batch_topk,
+        "centroid_eval": q_centroid_eval,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_tokens": q_text_tokens,
@@ -2085,6 +2093,41 @@ def oracle_sql() -> dict[str, str]:
                            (x, y) -> x + y) / (nrm * q.qn), 6) AS cos_sim
             FROM n, q WHERE vec_id != 0
             ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "centroid_eval": """
+            WITH v AS (
+              SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS e
+              FROM embeddings
+            ),
+            dims AS (
+              SELECT label, i, avg(e[i]) AS c
+              FROM v, unnest(generate_series(1, len(e))) AS t(i)
+              GROUP BY 1, 2
+            ),
+            cents AS (SELECT label AS cand, list(c ORDER BY i) AS ce FROM dims GROUP BY 1),
+            scored AS (
+              SELECT v.vec_id, v.label AS true_label, cand,
+                     round(list_reduce(list_prepend(0.0,
+                             [v.e[i] * ce[i] for i in range(1, len(ce) + 1)]),
+                             (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_prepend(0.0, [x * x for x in v.e]),
+                               (a, b) -> a + b))
+                        * sqrt(list_reduce(list_prepend(0.0, [x * x for x in ce]),
+                               (a, b) -> a + b))), 6) AS cos_sim
+              FROM v, cents
+            ),
+            best AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, cand) AS rn
+                FROM scored
+              ) WHERE rn = 1
+            )
+            SELECT true_label AS label, count(*) AS n,
+                   SUM(CASE WHEN cand = true_label THEN 1 ELSE 0 END) AS n_correct,
+                   round(SUM(CASE WHEN cand = true_label THEN 1 ELSE 0 END)
+                         / count(*), 6) AS accuracy
+            FROM best GROUP BY 1 ORDER BY 1
         """,
         "ann_batch_topk": """
             WITH v AS (

@@ -322,3 +322,64 @@ def batch_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector: posexplode → one (label, dim) aggregate →
+    re-pack sorted by dim. Two small shuffles, both keyed on
+    (label, dim) / label — cardinality = |labels|·dim, trivially tiny
+    next to the corpus at any scale."""
+    pos = df.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    per_dim = pos.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def centroid_eval(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-quality report: assign every vector to its
+    nearest-by-cosine label centroid and score per-label accuracy
+    (n, n_correct, accuracy).
+
+    The centroid table broadcasts (|labels| rows); the cross join scores
+    |corpus|·|labels| cosines as codegen'd expressions — no shuffle until
+    the final per-label aggregate. Ties break toward the lower label id
+    so results are deterministic under round(…, 6)."""
+    from pyspark.sql import Window as W
+
+    cents = label_centroids(df, label_col, vec_col)
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("true_label"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    scored = v.crossJoin(F.broadcast(cents.withColumnRenamed("label", "cand"))).select(
+        "id",
+        "true_label",
+        "cand",
+        F.round(cosine(F.col("v"), F.col("centroid")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("id").orderBy(F.col("cos_sim").desc(), "cand")
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("cand") == F.col("true_label"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n"), 6))
+    )

@@ -290,3 +290,14 @@ def test_contamination_pairs_containment(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["train_id"], r["eval_id"], r["overlap_frac"]) == (1, 100, 1.0)
+
+
+def test_centroid_eval_separable_labels(spark):
+    """Two well-separated label clusters → centroids recover them and
+    accuracy is 1.0 for both labels."""
+    rows = [(i, 0, [10.0 + (i % 3), 0.0, 1.0]) for i in range(6)]
+    rows += [(10 + i, 1, [0.0, 10.0 + (i % 3), 1.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: (r["n"], r["n_correct"], r["accuracy"])
+           for r in similarity.centroid_eval(df).collect()}
+    assert out == {0: (6, 6, 1.0), 1: (6, 6, 1.0)}
