@@ -955,6 +955,20 @@ def q_inode_columns(spark, sf):
     return df.select(*[reg.COLUMNS[n].expr(df).alias(n) for n in names])
 
 
+def q_dump_inode(spark, sf):
+    """/dump analog (NamenodeAnalyticsMethods.java:747-770): every stored +
+    derived attribute of one inode, located by name — a point lookup whose
+    predicate pushes into the scan."""
+    from nnanalytics_spark.inode import columns as reg
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _inodes(spark, sf).filter(F.col("name") == "part_42")
+    names = ["id", "path", "name", "user", "group", "fileSize", "fileReplica",
+             "depth", "permission", "numReplicas", "diskspaceConsumed",
+             "memoryConsumed", "modDate", "accessDate"]
+    return df.select(*[reg.COLUMNS[n].expr(df).alias(n) for n in names])
+
+
 def q_suggestions_per_user(spark, sf):
     """The SuggestionsEngine per-user sweep (SURVEY §2.9): the whole
     ~36-metric battery as ONE groupBy(user) over one scan — where the
@@ -1335,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_stats": q_term_stats,
         "pii_scrub": q_pii_scrub,
         "inode_columns": q_inode_columns,
+        "dump_inode": q_dump_inode,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -1925,6 +1940,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT "user", "fileType", count(*) AS "count",
                    SUM(dsc) AS "diskspaceConsumed"
             FROM f GROUP BY 1, 2
+        """,
+        "dump_inode": f"""
+            WITH f AS (
+              SELECT p_partkey AS pk,
+                     '/' || p_type || '/' || replace(p_name, ' ', '/')
+                     || '/part_' || p_partkey AS path,
+                     CAST(floor(p_retailprice) AS BIGINT) AS size
+              FROM part WHERE p_partkey = 42
+            )
+            SELECT pk + 1000000 AS id, path, 'part_' || pk AS name,
+                   'u' || CAST(pk % 5 AS VARCHAR) AS "user",
+                   'g' || CAST(pk % 3 AS VARCHAR) AS "group",
+                   size AS "fileSize", CAST(1 + pk % 3 AS INT) AS "fileReplica",
+                   length(path) - length(replace(path, '/', '')) AS depth,
+                   755 AS permission,
+                   (pk % 4) * (1 + pk % 3) AS "numReplicas",
+                   size * (1 + pk % 3) AS "diskspaceConsumed",
+                   150 + 150 * (pk % 4) AS "memoryConsumed",
+                   strftime(make_timestamp(({NOW_MS}::BIGINT - (pk % 200) * 86400000) * 1000),
+                            '%m/%d/%Y') AS "modDate",
+                   strftime(make_timestamp(({NOW_MS}::BIGINT - (pk % 400) * 86400000) * 1000),
+                            '%m/%d/%Y') AS "accessDate"
+            FROM f
         """,
         "inode_columns": f"""
             WITH f AS (
