@@ -64,16 +64,32 @@ class OperationRegistry:
         self._next_id = 1
 
     def submit(self, engine, query: Query, op: Operation, batch_size: int = 1000) -> int:
+        from pyspark.sql.types import LongType, StructField, StructType
+
         plan = plan_operation(engine, query, op)
+        # Materialize the ordered plan ONCE with a stable row index:
+        # zipWithIndex keeps the sort's range-partitioned global order and
+        # never funnels through one partition the way a row_number() over
+        # an unpartitioned window would; localCheckpoint pins the result so
+        # each batch is a cheap index-range scan, not a full recompute.
+        schema = StructType(
+            list(plan.schema.fields) + [StructField("__idx", LongType(), False)]
+        )
+        indexed = (
+            plan.rdd.zipWithIndex()
+            .map(lambda t: tuple(t[0]) + (t[1],))
+            .toDF(schema)
+            .localCheckpoint()
+        )
         op_id = self._next_id
         self._next_id += 1
         self._ops[op_id] = {
-            "plan": plan,
+            "plan": indexed,
             "operation": op.kind,
             "argument": op.argument,
             "batch_size": batch_size,
             "cursor": 0,
-            "total": plan.count(),
+            "total": indexed.count(),
             "status": "running",
         }
         return op_id
@@ -92,21 +108,21 @@ class OperationRegistry:
         ]
 
     def next_batch(self, op_id: int) -> DataFrame | None:
-        """The next batch of targets, or None when done/aborted. Batching
-        keys on a row_number over the deterministic path order, so retries
-        of the same batch see the same rows."""
-        from pyspark.sql import Window as W
-
+        """The next batch of targets, or None when done/aborted. Batches
+        filter on the index precomputed at submit time, so a retry of the
+        same batch sees the same rows and each draw costs one scan of the
+        checkpointed plan — not a re-sort of the whole target list."""
         st = self._ops[op_id]
         if st["status"] != "running":
             return None
         if st["cursor"] >= st["total"]:
             st["status"] = "done"
             return None
-        rn = F.row_number().over(W.orderBy("path"))
         lo, hi = st["cursor"], st["cursor"] + st["batch_size"]
         batch = (
-            st["plan"].withColumn("__rn", rn).filter((F.col("__rn") > lo) & (F.col("__rn") <= hi)).drop("__rn")
+            st["plan"]
+            .filter((F.col("__idx") >= lo) & (F.col("__idx") < hi))
+            .drop("__idx")
         )
         st["cursor"] = min(hi, st["total"])
         if st["cursor"] >= st["total"]:

@@ -320,8 +320,12 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Dat
         ).localCheckpoint()
         # labels only ever decrease, so the label sum strictly drops while
         # anything is still propagating — one scalar agg per round instead
-        # of a join against the previous labels.
-        cur_sum = labels.agg(F.sum("cluster")).first()[0]
+        # of a join against the previous labels. Summed as decimal(38,0):
+        # a long sum over xxhash64-sized labels overflows int64 (and throws
+        # under ANSI mode) long before the corpus is large.
+        cur_sum = labels.agg(
+            F.sum(F.col("cluster").cast("decimal(38,0)"))
+        ).first()[0]
         if cur_sum == prev_sum:
             return labels
         prev_sum = cur_sum

@@ -18,11 +18,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-KNUTH = 2654435761  # floor(2^32 / golden ratio), fits products of 1e9 ids in int64
+KNUTH = 2654435761  # floor(2^32 / golden ratio)
 
 
 def _bucket(id_col: Column, modulus: int = 1000) -> Column:
-    return (id_col.cast("long") * F.lit(KNUTH)) % modulus
+    """Non-negative bucket in [0, modulus) == pmod(id * KNUTH, modulus).
+
+    Computed as pmod(pmod(id, m) * (KNUTH % m), m) — modular arithmetic
+    makes this identical to hashing the full product, but both factors stay
+    below the modulus so the multiply can never overflow int64 (a bare
+    ``id * KNUTH`` throws ARITHMETIC_OVERFLOW under ANSI mode once
+    |id| >= 2^63/KNUTH ≈ 3.47e9, i.e. for half of all xxhash64-derived
+    ids), and pmod keeps negative ids inside the contract range where
+    Spark's sign-preserving ``%`` would leak negative buckets."""
+    m = F.lit(modulus)
+    return F.pmod(F.pmod(id_col.cast("long"), m) * F.lit(KNUTH % modulus), m)
 
 
 def stratified_sample(
@@ -89,9 +99,15 @@ def pack_sequences(
 
     from pyspark.sql import Window as W
 
-    part = F.col(shard_col) if shard_col else F.lit(0)
+    if shard_col is None:
+        # A global stream would be a single-reducer window sort — the one
+        # plan shape this module promises never to produce. Auto-shard by
+        # id so the window stays bounded; callers who shard explicitly
+        # (shard_assign) keep full control of stream boundaries.
+        df = shard_assign(df, n_shards=256, id_col=id_col)
+        shard_col = "shard"
     w = (
-        W.partitionBy(part)
+        W.partitionBy(F.col(shard_col))
         .orderBy(F.col(id_col))
         .rowsBetween(W.unboundedPreceding, -1)
     )

@@ -58,19 +58,20 @@ def all_pairs_above(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_limit: int = 100_000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs — the exact baseline.
+    """Embedding-cosine near-duplicate pairs — the exact computation, with
+    a size dispatch (VERDICT r1 #3):
 
-    Shape: broadcast the (id, unit-vector) matrix to every task, then each
-    partition scores its rows against all higher-id rows with one BLAS
-    matmul inside mapInPandas. The O(n²) pair space exists only as float
-    scores inside a numpy block, never as shuffled rows; the output is
-    just the surviving pairs. ~15× faster than the expression-fold
-    formulation (which interprets the 64-dim dot per pair, boxed).
-
-    At 100 TB the broadcast side outgrows memory — swap it for block
-    iteration (cross-join of partition-level matrix chunks, same matmul
-    kernel) or use lsh_bucketed_pairs; the per-block kernel is identical.
+    - corpus ≤ broadcast_limit rows: broadcast the (id, vector) matrix to
+      every task; each partition scores its rows against all higher-id
+      rows with one BLAS matmul inside mapInPandas. The O(n²) pair space
+      exists only as float scores inside a numpy block, never as shuffled
+      rows.
+    - larger: block iteration (all_pairs_above_blocked) — no driver-side
+      collect anywhere, shuffle O(n·√pairs-of-blocks), same per-block
+      matmul kernel. The exact answer at any corpus size; for
+      approximate-is-fine workloads prefer lsh_bucketed_pairs.
 
     Per-pair math: dot / (||a||·||b||) in float64, matching the SQL-oracle
     formula; numpy's pairwise-summation order can differ from a sequential
@@ -80,6 +81,10 @@ def all_pairs_above(
 
     import numpy as np
     import pandas as pd
+
+    n = df.count()
+    if n > broadcast_limit:
+        return all_pairs_above_blocked(df, threshold, id_col=id_col, vec_col=vec_col)
 
     rows = (
         df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
@@ -113,6 +118,89 @@ def all_pairs_above(
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     return src.mapInPandas(score, "id_a long, id_b long, cos_sim double")
+
+
+def all_pairs_above_blocked(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Exact all-pairs cosine WITHOUT collecting the corpus to the driver —
+    the 100 TB shape for the exact baseline.
+
+    Block decomposition: rows hash into B ≈ n/rows_per_block blocks; every
+    unordered block pair (bl ≤ br) becomes one applyInPandas group holding
+    the two blocks' rows, and the kernel runs the identical BLAS matmul
+    the broadcast path uses, emitting each surviving pair once with
+    id_a < id_b. Each row is replicated to B+1 groups, so shuffle volume
+    is O(n·B) rows of (id, vector) — bounded and spillable — while the
+    O(n²) score space still only ever exists as floats inside one numpy
+    block per task (~rows_per_block² · 8 bytes ≈ 0.5 GB at the default,
+    sized for executor memory). Nothing touches the driver but the block
+    count.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    n = src.count()
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+    blocked = src.withColumn(
+        "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    bp = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
+    )
+    left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
+        "bl", "br", F.lit(0).alias("side"), "id", "v"
+    )
+    right = (
+        blocked.join(F.broadcast(bp), F.col("block") == F.col("br"))
+        .filter(F.col("bl") != F.col("br"))
+        .select("bl", "br", F.lit(1).alias("side"), "id", "v")
+    )
+    both = left.unionByName(right)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bl, br = key
+        if bl == br:
+            a = b = pdf
+        else:
+            a = pdf[pdf["side"] == 0]
+            b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        a_ids = a["id"].to_numpy()
+        b_ids = b["id"].to_numpy()
+        a_mat = np.array(list(a["v"]), dtype=np.float64)
+        b_mat = np.array(list(b["v"]), dtype=np.float64)
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 6)
+        # each unordered pair exists in exactly one group; normalize the
+        # orientation here (id_a < id_b) rather than dropping pairs whose
+        # block order disagrees with their id order.
+        ka, kb = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+        ia, ib, s = a_ids[ka], b_ids[kb], sims[ka, kb]
+        if bl != br:
+            kb2, ka2 = np.nonzero(
+                (sims.T >= threshold) & (b_ids[:, None] < a_ids[None, :])
+            )
+            ia = np.concatenate([ia, b_ids[kb2]])
+            ib = np.concatenate([ib, a_ids[ka2]])
+            s = np.concatenate([s, sims.T[kb2, ka2]])
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": s})
+
+    return both.groupBy("bl", "br").applyInPandas(
+        kernel, "id_a long, id_b long, cos_sim double"
+    )
 
 
 def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
@@ -308,7 +396,11 @@ def batch_topk(
             out_q, out_id, out_sim = [], [], []
             for j in range(len(ids_q)):
                 col = sims[:, j]
-                top = np.argpartition(-col, take - 1)[:take]
+                # Deterministic local cut: (-score, vec_id) lexsort, so a
+                # tie spanning the local top-k boundary keeps exactly the
+                # rows the global (cos_sim desc, vec_id asc) window would —
+                # argpartition's arbitrary tie order could drop them.
+                top = np.lexsort((a_ids, -col))[:take]
                 out_q.extend([ids_q[j]] * take)
                 out_id.extend(a_ids[top])
                 out_sim.extend(col[top])

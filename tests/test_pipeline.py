@@ -62,6 +62,33 @@ def test_cosine_identity(spark):
     assert [(r["id_a"], r["id_b"], r["cos_sim"]) for r in pairs] == [(1, 2, 1.0)]
 
 
+def test_all_pairs_blocked_matches_broadcast(spark):
+    """The no-driver-collect block path must produce exactly the broadcast
+    baseline's pairs (VERDICT r1 #3) — same ids, same rounded cosines —
+    across multiple blocks including cross-block pairs."""
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    rows += [(1000 + i, [x * 2.0 for x in rows[i][1]]) for i in range(5)]  # dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.all_pairs_above(df, threshold=0.5).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.all_pairs_above_blocked(
+            df, threshold=0.5, rows_per_block=16
+        ).collect()
+    }
+    assert blocked == base
+    assert (0, 1000) in blocked  # scaled copy → cosine 1.0 cross-block
+    # dispatch: a corpus above the broadcast limit takes the blocked plan
+    plan = similarity.all_pairs_above(df, 0.5, broadcast_limit=10)._jdf.queryExecution()
+    assert "FlatMapGroupsInPandas" in plan.executedPlan().toString()
+
+
 def test_brute_force_topk(spark):
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(1, 6)], "vec_id long, embedding array<double>"
@@ -158,6 +185,30 @@ def test_stratified_sample_deterministic_and_rated(spark):
     assert ids1 == ids2
 
 
+def test_bucket_negative_and_huge_ids(spark):
+    """ADVICE r1: xxhash64-derived ids are negative half the time and can
+    exceed 2^63/KNUTH; the bucket must stay in [0, modulus) for all of
+    them (no ANSI overflow, no sign-preserving % leak), equal to
+    pmod(id * KNUTH, m) computed in unbounded integers."""
+    from nnanalytics_spark.pipeline import sampling
+
+    ids = [-(2**62), -4_000_000_000, -17, -1, 0, 1, 17,
+           3_470_000_000, 4_000_000_000, 2**62]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    for m in (16, 1000):
+        got = {
+            r["doc_id"]: r["b"]
+            for r in df.select(
+                "doc_id", sampling._bucket(F.col("doc_id"), m).alias("b")
+            ).collect()
+        }
+        for i in ids:
+            assert got[i] == (i * sampling.KNUTH) % m, (i, m)
+    # sharded ids land strictly inside the documented contract range
+    sharded = sampling.shard_assign(df, 8)
+    assert all(0 <= r["shard"] < 8 for r in sharded.collect())
+
+
 def test_train_test_split_and_shards(spark):
     from nnanalytics_spark.pipeline import sampling
 
@@ -250,12 +301,39 @@ def test_pack_sequences_offsets_and_chunks(spark):
         (3, "j k l m n o p q"),
         (4, "r s"),
     ]
-    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "stream", F.lit(0)
+    )
     from nnanalytics_spark.pipeline import sampling
 
     out = {r["doc_id"]: (r["n_tokens"], r["start_offset"], r["pack_id"])
-           for r in sampling.pack_sequences(df, budget=8).collect()}
+           for r in sampling.pack_sequences(df, budget=8, shard_col="stream").collect()}
     assert out == {1: (5, 0, 0), 2: (4, 5, 0), 3: (8, 9, 1), 4: (2, 17, 2)}
+
+
+def test_pack_sequences_default_auto_shards(spark):
+    """Omitting shard_col must NOT build a single global window
+    (VERDICT r1 #5): the default auto-shards by id, so the plan has no
+    partitionBy(lit(0)) and every offset is a per-shard prefix sum."""
+    rows = [(i, "w " * (i % 7 + 1)) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from nnanalytics_spark.pipeline import sampling
+
+    out = sampling.pack_sequences(df, budget=8)
+    assert "shard" in out.columns
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy(0)" not in plan and "Window [" in plan
+    # per-shard offsets: within each shard, offsets are the prefix sums
+    rows_out = out.select("doc_id", "shard", "n_tokens", "start_offset").collect()
+    by_shard: dict[int, list] = {}
+    for r in rows_out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for members in by_shard.values():
+        members.sort(key=lambda r: r["doc_id"])
+        run = 0
+        for r in members:
+            assert r["start_offset"] == run
+            run += r["n_tokens"]
 
 
 def test_pii_scrub_and_counts(spark):
