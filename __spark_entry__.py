@@ -449,8 +449,12 @@ def q_dedup_exact(spark, sf):
 
 
 def q_ngram_jaccard_pairs(spark, sf):
-    """Top-20 most-similar doc pairs by exact 3-gram Jaccard."""
-    pairs = dedup.ngram_jaccard_pairs(_t(spark, sf, "documents"), threshold=0.0)
+    """Top-20 most-similar doc pairs by exact 3-gram Jaccard, with the
+    hot-shingle skew bound (df>100 shingles excluded from candidate
+    generation, survivors verified on full sets — dedup.py)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), threshold=0.0, max_shingle_df=100
+    )
     return pairs.orderBy(F.col("jaccard").desc(), "id_a", "id_b").limit(20)
 
 
@@ -475,7 +479,7 @@ def q_dedup_clusters(spark, sf):
     propagation in Spark; the oracle is a recursive transitive-closure CTE
     over the same exact-Jaccard pairs."""
     docs = _t(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
     return dedup.dup_clusters(docs, pairs)
 
 
@@ -2128,9 +2132,21 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+            rare AS (
+              SELECT sh.doc_id, sh.shingle FROM sh
+              JOIN dfc USING (shingle) WHERE dfc.df <= 100
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rare a JOIN rare b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
             common AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              SELECT c.id_a, c.id_b, count(*) AS c
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,
@@ -2176,9 +2192,21 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             ),
             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+            rare AS (
+              SELECT sh.doc_id, sh.shingle FROM sh
+              JOIN dfc USING (shingle) WHERE dfc.df <= 100
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rare a JOIN rare b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
             common AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              SELECT c.id_a, c.id_b, count(*) AS c
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
               GROUP BY 1, 2
             ),
             pairs AS (

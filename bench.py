@@ -47,6 +47,7 @@ HEADLINE = [
     "window_running",
     "asof_last_click",
     "dedup_exact",
+    "lsh_verified_pairs",  # the dedup headline: bucketed, not all-pairs
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "dedup_clusters",

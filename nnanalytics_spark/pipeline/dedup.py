@@ -64,12 +64,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     explode shingles → self-join on shingle → count common shingles →
     |A∩B| / (|A|+|B|-|A∩B|). The shingle equi-join hash-partitions on the
     shingle, so the pair space never materializes beyond co-occurring
-    candidates. Hot shingles should be stop-worded at real scale.
+    candidates.
+
+    ``max_shingle_df`` is the skew bound (hot-shingle stop-wording): when
+    set, shingles appearing in more than that many documents are dropped
+    from CANDIDATE GENERATION — a shingle with document frequency d
+    contributes d² candidate pairs, so the unbounded index is quadratic in
+    the hottest shingle (measured: 73M pairs / 95 s at 40 K synthetic
+    docs) while the bounded one is ≤ max_df · |postings|. Surviving
+    candidates are then verified against the FULL shingle sets
+    (array_intersect per pair), so every emitted Jaccard is the true
+    value; the only loss is pairs whose shared shingles are ALL hot —
+    which at any realistic threshold are not near-dups. This is the knob
+    that lets the exact path survive a skewed corpus; the orthogonal
+    scale path is lsh_verified_pairs.
 
     Physical notes: the index keys on xxhash64(shingle) — an 8-byte
     shuffle key instead of the shingle string (same counts w.h.p. at
@@ -82,6 +96,34 @@ def ngram_jaccard_pairs(
     ).select("id", F.size("sh").alias("ns"), F.explode("sh").alias("shingle")).select(
         "id", "ns", F.xxhash64("shingle").alias("sg")
     )
+    if max_shingle_df is not None:
+        # shingles are per-doc distinct, so count(*) per sg == document
+        # frequency; the df-filter join re-uses the sg hash partitioning.
+        rare = (
+            sh.groupBy("sg")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sg")
+        )
+        postings = sh.join(rare, "sg")
+        a, b = postings.alias("a"), postings.alias("b")
+        cand = (
+            a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        sets_ = df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
+        sa = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     a, b = sh.alias("a"), sh.alias("b")
     common = (
         a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
@@ -338,6 +380,7 @@ def contamination_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_overlap_frac: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Benchmark-contamination scan: for each (train doc, eval doc) pair,
     the fraction of the EVAL doc's n-gram shingles that appear in the
@@ -351,17 +394,50 @@ def contamination_pairs(
     the small side by construction and its per-doc shingle count rides
     the postings, so no extra joins. Emits pairs with
     overlap_frac ≥ min_overlap_frac.
+
+    ``max_shingle_df`` (skew bound, same rationale as ngram_jaccard_pairs):
+    when set, shingles whose TRAIN-side document frequency exceeds the
+    cutoff are dropped from candidate generation, and surviving
+    (train, eval) candidates are re-scored against the full shingle sets
+    — exact overlap values, pair space bounded by max_df · |postings|.
     """
-    tr = (
-        train.select(F.col(id_col).alias("train_id"), shingles(F.col(text), n).alias("sh"))
-        .select("train_id", F.explode("sh").alias("shingle"))
-        .select("train_id", F.xxhash64("shingle").alias("sg"))
+    tr_sets = train.select(
+        F.col(id_col).alias("train_id"), shingles(F.col(text), n).alias("sh")
+    )
+    ev_sets = evals.select(
+        F.col(id_col).alias("eval_id"), shingles(F.col(text), n).alias("sh")
+    )
+    tr = tr_sets.select("train_id", F.explode("sh").alias("shingle")).select(
+        "train_id", F.xxhash64("shingle").alias("sg")
     )
     ev = (
-        evals.select(F.col(id_col).alias("eval_id"), shingles(F.col(text), n).alias("sh"))
-        .select("eval_id", F.size("sh").alias("n_eval"), F.explode("sh").alias("shingle"))
+        ev_sets.select("eval_id", F.size("sh").alias("n_eval"), F.explode("sh").alias("shingle"))
         .select("eval_id", "n_eval", F.xxhash64("shingle").alias("sg"))
     )
+    if max_shingle_df is not None:
+        rare = (
+            tr.groupBy("sg")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("sg")
+        )
+        cand = (
+            tr.join(rare, "sg")
+            .join(ev.select("eval_id", "sg"), "sg")
+            .select("train_id", "eval_id")
+            .distinct()
+        )
+        inter = F.size(F.array_intersect("sh_t", "sh_e"))
+        return (
+            cand.join(tr_sets.select("train_id", F.col("sh").alias("sh_t")), "train_id")
+            .join(ev_sets.select("eval_id", F.col("sh").alias("sh_e")), "eval_id")
+            .withColumn("n_common", inter)
+            .withColumn(
+                "overlap_frac", F.round(F.col("n_common") / F.size("sh_e"), 6)
+            )
+            .filter(F.col("overlap_frac") >= min_overlap_frac)
+            .select("train_id", "eval_id", "n_common", "overlap_frac")
+        )
     hits = (
         tr.join(ev, "sg")
         .groupBy("train_id", "eval_id")
