@@ -683,18 +683,17 @@ def q_json_extract(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal plumbing end-to-end (rows-only: checksum/feature are
-    engine-defined): documents.text bytes stand in for an opaque media
-    payload; mapInPandas extracts per-payload features without ever
-    shuffling the binary column (pipeline/multimodal.py)."""
+    """Multimodal feature extraction end-to-end with REAL codecs
+    (rows-only: checksum/feature are engine-defined): documents.text
+    bytes are wrapped as real PNG/WAV containers, then mapInPandas
+    decodes each payload (CRC-verified PNG inflate+unfilter / RIFF
+    struct-parse) and extracts intensity-histogram / RMS features —
+    without ever shuffling the binary column (pipeline/multimodal.py,
+    pipeline/codecs.py)."""
     from nnanalytics_spark.pipeline import multimodal
 
     d = _t(spark, sf, "documents")
-    media = d.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode("text", "utf-8").alias("payload"),
-    )
+    media = multimodal.media_from_documents(d)
     out = multimodal.extract_features(media)
     return out.select(
         "media_id",
@@ -703,6 +702,25 @@ def q_multimodal_features(spark, sf):
         "checksum",
         F.round(F.element_at("feature", 1), 6).alias("f0"),
     )
+
+
+def q_multimodal_decode(spark, sf):
+    """Real-codec decode round-trip on the gate: documents.text bytes
+    become real containers (even doc_id → 8-bit grayscale PNG at width
+    64; odd doc_id → 8-bit mono 8 kHz WAV), then decode_media
+    struct-parses them back (PNG: chunk CRCs verified, IDAT inflated,
+    scanlines unfiltered; WAV: RIFF chunk walk). Every output column is
+    arithmetic in the text's UTF-8 byte length, so the DuckDB oracle
+    verifies the full encode→decode loop cell-for-cell
+    (pipeline/codecs.py, pipeline/multimodal.py)."""
+    from nnanalytics_spark.pipeline import multimodal
+
+    d = _t(spark, sf, "documents")
+    out = multimodal.decode_media(multimodal.media_from_documents(d))
+    return out.select(
+        "media_id", "kind", "width", "height",
+        "sample_rate", "n_channels", "duration_ms", "n_data",
+    ).orderBy("media_id")
 
 
 def q_ann_batch_topk(spark, sf):
@@ -1435,8 +1453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram2_nested": q_histogram2_nested,
         "having_indexed": q_having_indexed,
         "url_histogram": q_url_histogram,
-        "url_filter": q_url_filter,
+        "multimodal_decode": q_multimodal_decode,
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
+        "url_filter": q_url_filter,
         # --- r1-green tail (stable) ---
         "filter_sum": q_filter_sum,
         "filter_string_ops": q_filter_string_ops,
@@ -2542,4 +2561,29 @@ def oracle_sql() -> dict[str, str]:
             FROM f WHERE sz > 100 AND u <> 'u3'
         """,
         "oiv_xml_roundtrip": _oivgen.oracle_sql(n_dirs=4, files_per_dir=25),
+        # Decode round-trip: the engine wraps text bytes as real PNG/WAV
+        # containers and struct-parses them back; the oracle predicts every
+        # decoded dimension arithmetically from the UTF-8 byte length
+        # (PNG: width 64, zero-padded last row; WAV: 8-bit mono 8 kHz PCM,
+        # 44-byte header). A codec bug on either side breaks the hash.
+        "multimodal_decode": """
+            WITH b AS (
+              SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+            )
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                   CASE WHEN doc_id % 2 = 0 THEN CAST(64 AS INT) ELSE CAST(NULL AS INT) END AS width,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN CAST(greatest((n + 63) // 64, 1) AS INT)
+                        ELSE CAST(NULL AS INT) END AS height,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST(8000 AS INT) ELSE CAST(NULL AS INT) END AS sample_rate,
+                   CASE WHEN doc_id % 2 = 1 THEN CAST(1 AS INT) ELSE CAST(NULL AS INT) END AS n_channels,
+                   CASE WHEN doc_id % 2 = 1
+                        THEN CAST(n * 1000 // 8000 AS INT)
+                        ELSE CAST(NULL AS INT) END AS duration_ms,
+                   CAST(CASE WHEN doc_id % 2 = 0
+                             THEN 64 * greatest((n + 63) // 64, 1)
+                             ELSE n END AS INT) AS n_data
+            FROM b ORDER BY media_id
+        """,
     }

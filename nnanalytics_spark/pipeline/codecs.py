@@ -1,0 +1,247 @@
+"""Pure-Python media codecs for the multimodal pipeline.
+
+Real (not stubbed) encode/decode for two modalities that need only the
+standard library + numpy, so the container's lack of PIL/ffmpeg doesn't
+force fake kernels:
+
+- **WAV audio**: RIFF container, 8-bit unsigned mono PCM. The decoder
+  struct-parses the chunk stream (it does NOT reuse the `wave` module the
+  encoder uses, so round-trip tests actually cross two implementations).
+- **PNG image**: 8-bit grayscale. The decoder parses the chunk stream,
+  verifies every chunk CRC, inflates the IDAT stream with zlib and undoes
+  all five scanline filters (None/Sub/Up/Average/Paeth per the PNG spec,
+  RFC 2083 §6). The encoder can emit any filter type per row, so tests
+  exercise every unfilter branch.
+
+Video remains a documented stub in multimodal.py (no container-parsing
+stdlib exists for any video format).
+
+These kernels run inside Arrow-batched mapInPandas workers
+(multimodal.py): payload bytes never shuffle, outputs are narrow typed
+columns — the 100 TB shape is unchanged, only the kernel is now real.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF / PCM)
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+
+
+def encode_wav(data: bytes, sample_rate: int = WAV_RATE) -> bytes:
+    """Wrap raw bytes as 8-bit unsigned mono PCM WAV (stdlib `wave`)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(sample_rate)
+        w.writeframes(data)
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Struct-parse a RIFF/WAVE chunk stream.
+
+    Returns sample_rate, n_channels, bits_per_sample, n_samples,
+    duration_ms and the raw PCM bytes. Raises ValueError on a malformed
+    container (wrong magic, truncated chunk, missing fmt/data)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk %r" % cid)
+        if cid == b"fmt ":
+            audio_format, n_channels, sample_rate, _byte_rate, block_align, bits = (
+                struct.unpack_from("<HHIIHH", body, 0)
+            )
+            if audio_format != 1:  # PCM
+                raise ValueError("unsupported WAV format %d" % audio_format)
+            fmt = (n_channels, sample_rate, block_align, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n_channels, sample_rate, block_align, bits = fmt
+    n_samples = len(data) // max(block_align, 1)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "bits_per_sample": bits,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sample_rate,
+        "pcm": data,
+    }
+
+
+def wav_features(payload: bytes, n_segments: int = 8) -> list[float]:
+    """Real audio features: per-segment RMS of the decoded PCM signal
+    (centered 8-bit samples), vectorized with numpy."""
+    meta = decode_wav(payload)
+    pcm = np.frombuffer(meta["pcm"], dtype=np.uint8).astype(np.float64) - 128.0
+    if pcm.size == 0:
+        return [0.0] * n_segments
+    out = []
+    for seg in np.array_split(pcm, n_segments):
+        out.append(float(np.sqrt(np.mean(seg * seg)) / 128.0) if seg.size else 0.0)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit grayscale)
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+PNG_WIDTH = 64
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(data: bytes, width: int = PNG_WIDTH, filters: tuple[int, ...] = (0, 1, 2, 3, 4)) -> bytes:
+    """Encode raw bytes as an 8-bit grayscale PNG, one byte per pixel,
+    zero-padded to a full last row. Rows cycle through `filters` so a
+    decoder must implement every filter type to round-trip."""
+    if width <= 0:
+        raise ValueError("width must be positive")
+    height = max((len(data) + width - 1) // width, 1)
+    px = np.zeros((height, width), dtype=np.uint8)
+    flat = np.frombuffer(data, dtype=np.uint8)
+    px.reshape(-1)[: flat.size] = flat
+    raw = bytearray()
+    prev = np.zeros(width, dtype=np.uint8)
+    for y in range(height):
+        row = px[y]
+        f = filters[y % len(filters)]
+        left = np.concatenate(([0], row[:-1])).astype(np.int32)
+        up = prev.astype(np.int32)
+        ul = np.concatenate(([0], prev[:-1])).astype(np.int32)
+        cur = row.astype(np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - up
+        elif f == 3:
+            enc = cur - (left + up) // 2
+        elif f == 4:
+            pred = np.array(
+                [_paeth(int(a), int(b), int(c)) for a, b, c in zip(left, up, ul)],
+                dtype=np.int32,
+            )
+            enc = cur - pred
+        else:
+            raise ValueError("unknown filter %d" % f)
+        raw.append(f)
+        raw.extend((enc % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)  # gray, 8-bit
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> dict:
+    """Parse + inflate + unfilter an 8-bit grayscale PNG.
+
+    Verifies every chunk CRC; supports all five scanline filters. Returns
+    width, height, bit_depth and the reconstructed pixel array
+    (np.uint8, shape (height, width)). Raises ValueError on corruption."""
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(PNG_SIG), None, bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("truncated chunk %r" % ctype)
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ValueError("CRC mismatch in %r" % ctype)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or color_type != 0 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced grayscale supported")
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1
+    if len(raw) != stride * height:
+        raise ValueError("scanline stream size mismatch")
+    px = np.zeros((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.int32)
+    for y in range(height):
+        f = raw[y * stride]
+        line = np.frombuffer(raw, dtype=np.uint8, count=width, offset=y * stride + 1).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prev) % 256
+        elif f in (1, 3, 4):
+            rec = np.zeros(width, dtype=np.int32)
+            for x in range(width):
+                a = rec[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                rec[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError("unknown filter %d" % f)
+        px[y] = rec.astype(np.uint8)
+        prev = rec
+    return {"width": width, "height": height, "bit_depth": bit_depth, "pixels": px}
+
+
+def png_features(payload: bytes, n_buckets: int = 8) -> list[float]:
+    """Real image features: normalized `n_buckets`-bin intensity histogram
+    of the decoded pixels."""
+    px = decode_png(payload)["pixels"].reshape(-1)
+    if px.size == 0:
+        return [0.0] * n_buckets
+    hist = np.bincount(px >> 5, minlength=n_buckets)[:n_buckets]
+    return (hist / px.size).astype(np.float64).tolist()

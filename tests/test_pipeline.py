@@ -134,25 +134,100 @@ def test_multimodal_feature_extraction(spark):
     media = multimodal.synthetic_media(spark, n=12)
     out = multimodal.extract_features(media).collect()
     assert len(out) == 12
+    kinds = {r["media_id"]: r["kind"] for r in out}
     for r in out:
         assert r["n_bytes"] > 0
         assert len(r["feature"]) == 8
-        assert abs(sum(r["feature"]) - 1.0) < 1e-6
+        if r["kind"] in ("image", "video"):
+            # normalized intensity/byte histogram sums to 1
+            assert abs(sum(r["feature"]) - 1.0) < 1e-6
+        else:
+            # audio: per-segment RMS of centered PCM, each in [0, 1]
+            assert all(0.0 <= f <= 1.0 for f in r["feature"])
+    assert set(kinds.values()) == {"image", "audio", "video"}
     # deterministic: same payload → same checksum
     again = {r["media_id"]: r["checksum"] for r in multimodal.extract_features(media).collect()}
     assert all(again[r["media_id"]] == r["checksum"] for r in out)
 
 
 def test_multimodal_resize_fixes_payload_size(spark):
+    from nnanalytics_spark.pipeline import codecs
+
     media = multimodal.synthetic_media(spark, n=9)
     out = multimodal.resize(media, 16, 16).collect()
     assert len(out) == 9
     for r in out:
-        assert len(r["payload"]) == 256
         assert r["width"] == 16 and r["height"] == 16
+        if r["kind"] == "image":
+            # real path: output is a valid PNG of the target geometry
+            d = codecs.decode_png(bytes(r["payload"]))
+            assert (d["width"], d["height"]) == (16, 16)
+        else:
+            assert len(r["payload"]) == 256
     # deterministic
     again = {r["media_id"]: r["payload"] for r in multimodal.resize(media, 16, 16).collect()}
     assert all(again[r["media_id"]] == r["payload"] for r in out)
+
+
+def test_codecs_wav_roundtrip():
+    from nnanalytics_spark.pipeline import codecs
+
+    data = bytes(range(256)) * 3 + b"tail"
+    meta = codecs.decode_wav(codecs.encode_wav(data))
+    assert meta["pcm"] == data
+    assert meta["sample_rate"] == codecs.WAV_RATE and meta["n_channels"] == 1
+    assert meta["n_samples"] == len(data)
+    assert meta["duration_ms"] == len(data) * 1000 // codecs.WAV_RATE
+    assert codecs.decode_wav(codecs.encode_wav(b""))["n_samples"] == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"RIFFxxxxWAVE")  # no fmt/data chunks
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"not a wav at all")
+
+
+def test_codecs_png_roundtrip_all_filters():
+    from nnanalytics_spark.pipeline import codecs
+
+    data = bytes((i * 37 + 11) % 256 for i in range(1000))
+    # encoder cycles filters (0,1,2,3,4) per row, so a 16-row image
+    # exercises every unfilter branch including Paeth
+    png = codecs.encode_png(data, width=64)
+    d = codecs.decode_png(png)
+    n, h = len(data), (len(data) + 63) // 64
+    assert (d["width"], d["height"], d["bit_depth"]) == (64, h, 8)
+    flat = d["pixels"].reshape(-1)
+    assert bytes(flat[:n]) == data  # exact pixel recovery
+    assert (flat[n:] == 0).all()  # zero-padded last row
+    import pytest
+
+    bad = bytearray(png)
+    bad[30] ^= 0xFF
+    with pytest.raises(ValueError):  # chunk CRC verified
+        codecs.decode_png(bytes(bad))
+
+
+def test_decode_media_matches_arithmetic_contract(spark):
+    from nnanalytics_spark.pipeline import codecs
+
+    docs = spark.createDataFrame(
+        [(i, "doc text %d " % i * (i + 1)) for i in range(20)], "doc_id long, text string"
+    )
+    out = {r["media_id"]: r for r in multimodal.decode_media(
+        multimodal.media_from_documents(docs)).collect()}
+    for i in range(20):
+        n = len(("doc text %d " % i * (i + 1)).encode("utf-8"))
+        r = out[i]
+        if i % 2 == 0:
+            h = max((n + 63) // 64, 1)
+            assert (r["kind"], r["width"], r["height"], r["n_data"]) == ("image", 64, h, 64 * h)
+            assert r["sample_rate"] is None
+        else:
+            assert (r["kind"], r["sample_rate"], r["n_channels"]) == ("audio", codecs.WAV_RATE, 1)
+            assert r["duration_ms"] == n * 1000 // codecs.WAV_RATE
+            assert r["n_data"] == n
+            assert r["width"] is None
 
 
 def test_multimodal_frame_sampling(spark):
