@@ -45,6 +45,59 @@ def test_snapshot_refresh_sees_updates(spark, tmp_path):
     assert snap.version == 1
 
 
+def test_concurrent_refresh_query_isolation(spark, tmp_path):
+    """Refresh-while-querying (the reference serializes queries against
+    edit-log application with a lock, NamenodeAnalyticsMethods.java:
+    1591-1613; testUpdateSeen is the sequential shape). Our snapshot
+    model gives strictly stronger semantics: a query whose plan was
+    acquired BEFORE refresh() keeps old-snapshot results even when it
+    EXECUTES after the refresh completed, and a plan acquired after the
+    refresh sees the new counts. Thread interleaving is forced with
+    barriers — no sleeps, fully deterministic."""
+    import threading
+
+    table_dir = str(tmp_path / "inodes")
+    pdf = fixture.generate_pandas(levels=1, dirs_per_level=2, files_per_dir=10)
+    spark.createDataFrame(pdf, schema=fixture.SCHEMA).write.parquet(table_dir)
+
+    snap = refresh.SnapshotTable(spark, lambda s: s.read.parquet(table_dir))
+    before = _count_files(snap.df)
+
+    n_readers = 4
+    acquired = threading.Barrier(n_readers + 1)  # all plans grabbed pre-refresh
+    refreshed = threading.Barrier(n_readers + 1)  # refresh finished
+    results: list[int] = []
+    errors: list[Exception] = []
+
+    def reader() -> None:
+        try:
+            plan = snap.df  # acquire plan BEFORE the refresh
+            acquired.wait()
+            refreshed.wait()  # ...but execute it AFTER the refresh
+            results.append(_count_files(plan))
+        except Exception as exc:  # surface into the main thread
+            errors.append(exc)
+
+    threads = [threading.Thread(target=reader) for _ in range(n_readers)]
+    for t in threads:
+        t.start()
+    acquired.wait()
+    # mutate the table and refresh while the readers hold old plans
+    add = _new_files_pdf(start_id=300_000, n=7)
+    spark.createDataFrame(add, schema=fixture.SCHEMA).write.mode("append").parquet(table_dir)
+    snap.refresh()
+    refreshed.wait()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    # pre-refresh plans: old snapshot, even though they ran post-refresh
+    assert results == [before] * n_readers
+    # post-refresh plans: new counts, every reader thread agrees
+    fresh = [_count_files(snap.df) for _ in range(n_readers)]
+    assert fresh == [before + 7] * n_readers
+    assert snap.version == 1
+
+
 def test_changelog_tailer_update_seen(spark, tmp_path):
     """Port of testUpdateSeen (TestWithMiniClusterBase.java:207-228): write
     a batch of new files to the change log; the same query returns a
