@@ -77,13 +77,16 @@ def ngram_jaccard_pairs(
     from CANDIDATE GENERATION — a shingle with document frequency d
     contributes d² candidate pairs, so the unbounded index is quadratic in
     the hottest shingle (measured: 73M pairs / 95 s at 40 K synthetic
-    docs) while the bounded one is ≤ max_df · |postings|. Surviving
-    candidates are then verified against the FULL shingle sets
-    (array_intersect per pair), so every emitted Jaccard is the true
-    value; the only loss is pairs whose shared shingles are ALL hot —
-    which at any realistic threshold are not near-dups. This is the knob
-    that lets the exact path survive a skewed corpus; the orthogonal
-    scale path is lsh_verified_pairs.
+    docs) while the bounded one is ≤ max_df · |postings|. Emitted Jaccard
+    values stay EXACT: the common-shingle count splits into the rare part
+    (counted by the bounded self-join) plus the hot part (per-doc hot
+    lists are tiny by construction — the distinct-hot-shingle set is
+    corpus-small — so they ride two broadcast joins and one
+    array_intersect per candidate; full shingle sets never shuffle).
+    The only loss is pairs whose shared shingles are ALL hot — at any
+    realistic threshold those are not near-dups. This is the knob that
+    lets the exact path survive a skewed corpus; the orthogonal scale
+    path is lsh_verified_pairs.
 
     Physical notes: the index keys on xxhash64(shingle) — an 8-byte
     shuffle key instead of the shingle string (same counts w.h.p. at
@@ -97,30 +100,70 @@ def ngram_jaccard_pairs(
         "id", "ns", F.xxhash64("shingle").alias("sg")
     )
     if max_shingle_df is not None:
+        # the bounded plan reads the postings four times (df count, both
+        # self-join sides, hot lists); persist them once — postings are
+        # linear in corpus size and MEMORY_AND_DISK spills, the standard
+        # trade for multi-pass shingle pipelines
+        from pyspark.storagelevel import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
         # shingles are per-doc distinct, so count(*) per sg == document
-        # frequency; the df-filter join re-uses the sg hash partitioning.
-        rare = (
+        # frequency; the hot set is small (bounded by corpus vocabulary,
+        # in practice a handful of boilerplate shingles), so both the
+        # anti-join and the hot-list joins broadcast.
+        hot = (
             sh.groupBy("sg")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("sg")
         )
-        postings = sh.join(rare, "sg")
-        a, b = postings.alias("a"), postings.alias("b")
-        cand = (
+        rare = sh.join(F.broadcast(hot), "sg", "left_anti")
+        a, b = rare.alias("a"), rare.alias("b")
+        pairs = (
             a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(
+                F.count(F.lit(1)).alias("c_rare"),
+                F.first(F.col("a.ns")).alias("size_a"),
+                F.first(F.col("b.ns")).alias("size_b"),
+            )
         )
-        sets_ = df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
-        sa = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-        sb = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
+        # per-doc HOT shingle lists (tiny arrays); candidates missing from
+        # this table have no hot shingles at all → empty list
+        hot_lists = (
+            sh.join(F.broadcast(hot), "sg")
+            .groupBy("id")
+            .agg(F.collect_list("sg").alias("hot_sg"))
+        )
+        # the hot-list joins key on doc id (bounded pair set vs one tiny
+        # array per doc-with-hot-shingles); left to AQE — broadcastable
+        # when small, plain shuffle-hash at corpus scale
+        empty = F.array().cast("array<bigint>")
+        withhot = (
+            pairs.join(
+                hot_lists.select(F.col("id").alias("id_a"), F.col("hot_sg").alias("hot_a")),
+                "id_a",
+                "left",
+            )
+            .join(
+                hot_lists.select(F.col("id").alias("id_b"), F.col("hot_sg").alias("hot_b")),
+                "id_b",
+                "left",
+            )
+            .withColumn(
+                "n_common",
+                F.col("c_rare")
+                + F.size(F.array_intersect(F.coalesce("hot_a", empty), F.coalesce("hot_b", empty))),
+            )
+        )
         return (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .withColumn("jaccard", F.round(inter / union, 6))
+            withhot.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                    6,
+                ),
+            )
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
         )
@@ -350,7 +393,16 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Dat
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster"))
+    # propagate only over nodes that appear in an edge: isolated documents
+    # (the overwhelming majority of a corpus) can never change label, so
+    # they stay out of every round's shuffle and rejoin at the end. The
+    # iterating label table is sized by the dup GRAPH, not the corpus.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint()
+    )
     prev_sum = None
     while True:
         prop = (
@@ -369,8 +421,14 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Dat
             F.sum(F.col("cluster").cast("decimal(38,0)"))
         ).first()[0]
         if cur_sum == prev_sum:
-            return labels
+            break
         prev_sum = cur_sum
+    # isolated docs: cluster = own id (left join keeps one row per doc)
+    return (
+        df.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select("node", F.coalesce("cluster", F.col("node")).alias("cluster"))
+    )
 
 
 def contamination_pairs(
@@ -397,9 +455,9 @@ def contamination_pairs(
 
     ``max_shingle_df`` (skew bound, same rationale as ngram_jaccard_pairs):
     when set, shingles whose TRAIN-side document frequency exceeds the
-    cutoff are dropped from candidate generation, and surviving
-    (train, eval) candidates are re-scored against the full shingle sets
-    — exact overlap values, pair space bounded by max_df · |postings|.
+    cutoff are dropped from candidate generation; exact overlap values
+    are recovered as rare-join count + hot-list intersect, pair space
+    bounded by max_df · |postings|.
     """
     tr_sets = train.select(
         F.col(id_col).alias("train_id"), shingles(F.col(text), n).alias("sh")
@@ -415,26 +473,43 @@ def contamination_pairs(
         .select("eval_id", "n_eval", F.xxhash64("shingle").alias("sg"))
     )
     if max_shingle_df is not None:
-        rare = (
+        # same split as ngram_jaccard_pairs: hot shingles (train-side
+        # df > cutoff, a corpus-small broadcast set) are excluded from
+        # candidate generation; the common count is rare-join count plus
+        # a per-candidate intersect of the tiny per-doc hot lists, so
+        # overlap values stay exact and full shingle sets never shuffle.
+        hot = (
             tr.groupBy("sg")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_shingle_df)
+            .filter(F.col("df") > max_shingle_df)
             .select("sg")
         )
-        cand = (
-            tr.join(rare, "sg")
-            .join(ev.select("eval_id", "sg"), "sg")
-            .select("train_id", "eval_id")
-            .distinct()
+        hits_rare = (
+            tr.join(F.broadcast(hot), "sg", "left_anti")
+            .join(ev, "sg")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count(F.lit(1)).alias("c_rare"), F.first("n_eval").alias("n_eval"))
         )
-        inter = F.size(F.array_intersect("sh_t", "sh_e"))
+        hot_t = (
+            tr.join(F.broadcast(hot), "sg")
+            .groupBy("train_id")
+            .agg(F.collect_list("sg").alias("hot_t"))
+        )
+        hot_e = (
+            ev.join(F.broadcast(hot), "sg")
+            .groupBy("eval_id")
+            .agg(F.collect_list("sg").alias("hot_e"))
+        )
+        empty = F.array().cast("array<bigint>")
         return (
-            cand.join(tr_sets.select("train_id", F.col("sh").alias("sh_t")), "train_id")
-            .join(ev_sets.select("eval_id", F.col("sh").alias("sh_e")), "eval_id")
-            .withColumn("n_common", inter)
+            hits_rare.join(hot_t, "train_id", "left")
+            .join(hot_e, "eval_id", "left")
             .withColumn(
-                "overlap_frac", F.round(F.col("n_common") / F.size("sh_e"), 6)
+                "n_common",
+                F.col("c_rare")
+                + F.size(F.array_intersect(F.coalesce("hot_t", empty), F.coalesce("hot_e", empty))),
             )
+            .withColumn("overlap_frac", F.round(F.col("n_common") / F.col("n_eval"), 6))
             .filter(F.col("overlap_frac") >= min_overlap_frac)
             .select("train_id", "eval_id", "n_common", "overlap_frac")
         )
