@@ -1,0 +1,278 @@
+"""HTTP serving layer — the reference's REST surface over the engine.
+
+The reference's public face is an embedded web server
+(WebServerMain.java:301-2102, NamenodeAnalyticsMethods.java:126-2526);
+this module is its Spark-native analog: a stdlib ThreadingHTTPServer
+binding the URL contract (core/url.py) to INodeEngine / suggestions /
+SQL dialect / QueryGuard, with the reference's response conventions:
+
+- analytic endpoints (/filter /histogram /histogram2 /histogram3
+  /divide) parse the reference query-string grammar; scalar results
+  render text/plain (the reference writes the long straight into the
+  body), histograms render JSON / CSV / Chart.js per histogramOutput
+  (NamenodeAnalyticsMethods.java:1617-1639);
+- discovery endpoints (/endpoints /sets /filters /filterOps /sums
+  /finds /histograms /transforms) return JSON lists from the validity
+  matrices (Constants.java enums via inode/columns.py);
+- admin endpoints /info /metrics /loadingStatus /queryGuard /refresh;
+  suggestion readers /users /fileAge /fileTypes /quotas /directories
+  /top /bottom; point lookups /dump /contentSummary; POST /sql runs
+  the dialect;
+- authorization fronts every request through core.authz.Authorizer
+  (403 on denial, like the reference's SecurityContext). The reference
+  authenticates with JWT/LDAP (SecurityContext.java); transport
+  authentication is deployment-specific, so identity here is taken
+  from the X-NNA-User header (documented stand-in — wire a real
+  authenticating proxy in front for production) and /credentials
+  reports the resolved access levels;
+- malformed queries → 400 with the error message, unknown paths → 404,
+  handler crashes → 500. Response bodies for errors are text/plain,
+  matching the reference's MalformedURLException handler
+  (NamenodeAnalyticsMethods.java:2479-2526).
+
+Spark sessions are thread-safe for concurrent job submission, so the
+threaded server maps straight onto Spark's scheduler; pair with
+QueryGuard fair pools for admission control at scale.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+from nnanalytics_spark.core import url as urlmod
+from nnanalytics_spark.core.authz import AuthorizationError, Authorizer
+from nnanalytics_spark.core.filters import (
+    AGO_OPS,
+    BOOL_OPS,
+    DATE_OPS,
+    LONG_OPS,
+    OLDER_OPS,
+    STRING_OPS,
+)
+from nnanalytics_spark.inode import columns as reg
+from nnanalytics_spark.inode import render, suggestions
+from nnanalytics_spark.sql import dialect
+
+_HISTOGRAM_OUTPUTS = ("json", "csv", "chart")
+
+_DISCOVERY = {
+    "endpoints": lambda: sorted(
+        set(urlmod.ENDPOINTS)
+        | {
+            "contentSummary", "info", "metrics", "loadingStatus", "users",
+            "fileAge", "fileTypes", "quotas", "directories", "top", "bottom",
+            "suggestions", "queryGuard", "refresh", "sql", "credentials",
+        }
+    ),
+    "sets": lambda: list(reg.SETS),
+    "filters": lambda: sorted(reg.FILTER_FILE | reg.FILTER_DIR),
+    "filterOps": lambda: sorted(LONG_OPS | AGO_OPS | OLDER_OPS | STRING_OPS | DATE_OPS | BOOL_OPS),
+    "sums": lambda: sorted(reg.SUM_FILE | reg.SUM_DIR),
+    "finds": lambda: sorted(reg.FIND_FILE | reg.FIND_DIR),
+    "histograms": lambda: sorted(reg.TYPE_FILE | reg.TYPE_DIR),
+    "transforms": lambda: ["fileReplica"],
+    "histogramOutputs": lambda: list(_HISTOGRAM_OUTPUTS),
+}
+
+
+class AnalyticsWebServer:
+    """Bind an INodeEngine (plus optional collaborators) to HTTP.
+
+    ``start()`` returns the bound port (pass port=0 for an ephemeral
+    one); ``stop()`` shuts the listener down. ``now_ms`` pins the clock
+    for every parsed query, keeping relative-time filters deterministic
+    under test (Query.now_ms contract, core/ir.py)."""
+
+    def __init__(
+        self,
+        engine,
+        *,
+        authorizer: Authorizer | None = None,
+        snapshot=None,  # streaming.refresh.SnapshotTable, for /refresh
+        guard=None,  # core.admission.QueryGuard, for /queryGuard
+        now_ms: int | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.engine = engine
+        self.authorizer = authorizer or Authorizer(enabled=False)
+        self.snapshot = snapshot
+        self.guard = guard
+        self.now_ms = now_ms
+        self._address = (host, port)
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self) -> int:
+        handler = _make_handler(self)
+        self._httpd = ThreadingHTTPServer(self._address, handler)
+        self._httpd.daemon_threads = True
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True, name="nna-web"
+        )
+        self._thread.start()
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # ------------------------------------------------------------ dispatch
+    def handle(self, method: str, path: str, query: str, body: str, user: str):
+        """Route one request → (status, content_type, body_str)."""
+        endpoint = path.strip("/").split("/")[-1] or "info"
+        params = parse_qs(query, keep_blank_values=True)
+        try:
+            self.authorizer.check(user, endpoint)
+        except AuthorizationError as exc:
+            return 403, "text/plain", str(exc)
+        try:
+            return self._route(method, endpoint, path, query, params, body, user)
+        except (ValueError, KeyError, dialect.UnsupportedSqlError) as exc:
+            return 400, "text/plain", f"{type(exc).__name__}: {exc}"
+
+    def _route(self, method, endpoint, path, query, params, body, user):
+        if endpoint in _DISCOVERY:
+            return 200, "application/json", json.dumps(_DISCOVERY[endpoint]())
+        if endpoint == "credentials":
+            return 200, "application/json", json.dumps(self.authorizer.access_levels(user))
+        if endpoint in ("info", "loadingStatus"):
+            return 200, "application/json", json.dumps(self.engine.info())
+        if endpoint == "metrics":
+            return 200, "application/json", json.dumps(self.engine.metrics())
+        if endpoint == "dump":
+            inode_path = _one(params, "path")
+            if not inode_path:
+                raise ValueError("/dump requires ?path=")
+            return 200, "application/json", json.dumps(self.engine.dump_inode(inode_path), default=str)
+        if endpoint == "contentSummary":
+            inode_path = _one(params, "path")
+            if not inode_path:
+                raise ValueError("/contentSummary requires ?path=")
+            rows = self.engine.content_summary(inode_path).collect()
+            payload = rows[0].asDict() if rows else {}
+            return 200, "application/json", json.dumps(payload, default=str)
+        if endpoint == "users":
+            return 200, "application/json", json.dumps(suggestions.users(self.engine.inodes))
+        if endpoint in ("fileAge", "fileTypes", "quotas", "directories", "top", "bottom"):
+            return self._suggestion(endpoint, params)
+        if endpoint == "queryGuard":
+            active = self.guard.active_queries() if self.guard else {}
+            return 200, "application/json", json.dumps(active)
+        if endpoint == "refresh":
+            if self.snapshot is None:
+                raise ValueError("no refreshable snapshot configured")
+            self.snapshot.refresh()
+            self.engine.inodes = self.snapshot.df
+            return 200, "application/json", json.dumps({"version": self.snapshot.version})
+        if endpoint == "sql":
+            statement = _one(params, "sqlStatement") or body
+            if not statement:
+                raise ValueError("/sql requires a sqlStatement parameter or body")
+            result = dialect.execute(statement, self.engine)
+            if isinstance(result, list):
+                return 200, "application/json", json.dumps(result)
+            return 200, "text/plain", render.to_csv(result, header=True)
+        if endpoint in urlmod.ENDPOINTS:
+            return self._analytic(endpoint, path, query, params)
+        return 404, "text/plain", f"unknown endpoint: /{endpoint}"
+
+    def _analytic(self, endpoint, path, query, params):
+        out_fmt = _one(params, "histogramOutput") or "json"
+        if out_fmt not in _HISTOGRAM_OUTPUTS:
+            raise ValueError(f"histogramOutput must be one of {_HISTOGRAM_OUTPUTS}")
+        df = urlmod.run_url(self.engine, f"/{endpoint}?{query}", now_ms=self.now_ms)
+        if endpoint in ("filter", "divide"):
+            if df.columns == ["path"]:
+                # path dump: one path per line, text/plain
+                rows = df.collect()
+                return 200, "text/plain", "\n".join(str(r[0]) for r in rows) + "\n"
+            rows = df.collect()
+            if len(rows) == 1 and len(rows[0]) == 1:
+                # scalar sum/ratio: the reference writes the number as the
+                # whole body (NamenodeAnalyticsMethods.java:1402-1513)
+                return 200, "text/plain", str(rows[0][0])
+            # find results / multi-sum: CSV lines
+            return 200, "text/plain", "\n".join(
+                ",".join(str(v) for v in r) for r in rows
+            ) + "\n"
+        if out_fmt == "csv":
+            return 200, "text/plain", render.to_csv(df)
+        if out_fmt == "chart":
+            return 200, "application/json", render.to_chart_js_json(df, title=endpoint)
+        if endpoint == "histogram2":
+            return 200, "application/json", render.two_level_to_json(df)
+        return 200, "application/json", render.to_json(df)
+
+    def _suggestion(self, endpoint, params):
+        now = self.now_ms
+        if now is None:
+            import time
+
+            now = int(time.time() * 1000)
+        inodes = self.engine.inodes
+        if endpoint == "fileAge":
+            df = suggestions.file_age_histogram(inodes, now)
+            return 200, "application/json", render.to_json(df)
+        if endpoint == "fileTypes":
+            df = suggestions.file_type_report(inodes)
+            return 200, "application/json", render.two_level_to_json(df)
+        if endpoint == "quotas":
+            df = suggestions.quota_report(inodes)
+            return 200, "application/json", df.toPandas().to_json(orient="records")
+        if endpoint == "directories":
+            depth = int(_one(params, "depth") or 3)
+            limit = int(_one(params, "limit") or 1000)
+            df = suggestions.top_directories(inodes, depth=depth, k=limit)
+            return 200, "application/json", render.to_json(df)
+        # /top | /bottom rankings over the per-user report
+        metric = _one(params, "metric") or "numFiles"
+        limit = int(_one(params, "limit") or 10)
+        per_user = suggestions.per_user_report(inodes, now)
+        df = suggestions.issue_ranking(per_user, metric, k=limit, top=endpoint == "top")
+        return 200, "application/json", render.to_json(df)
+
+
+def _one(params: dict[str, list[str]], name: str) -> str | None:
+    vals = params.get(name)
+    return vals[-1] if vals else None
+
+
+def _make_handler(server: AnalyticsWebServer):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def _serve(self, method: str) -> None:
+            parts = urlsplit(self.path)
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length).decode("utf-8") if length else ""
+            user = self.headers.get("X-NNA-User", "anonymous")
+            try:
+                status, ctype, payload = server.handle(
+                    method, parts.path, parts.query, body, user
+                )
+            except Exception as exc:  # engine crash → 500, never a hung socket
+                status, ctype, payload = 500, "text/plain", f"{type(exc).__name__}: {exc}"
+            data = payload.encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", f"{ctype}; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self) -> None:  # noqa: N802 (http.server API)
+            self._serve("GET")
+
+        def do_POST(self) -> None:  # noqa: N802
+            self._serve("POST")
+
+        def log_message(self, *args) -> None:  # quiet test output
+            pass
+
+    return Handler

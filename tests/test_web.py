@@ -1,0 +1,218 @@
+"""HTTP serving-layer tests — live-server goldens shaped like the
+reference's REST test suite (TestNNAnalyticsBase.java:434-763 issues real
+GETs against a running WebServerMain): a ThreadingHTTPServer on an
+ephemeral port, driven with http.client, asserting status codes, content
+types, response bodies, and the auth matrix."""
+
+from __future__ import annotations
+
+import http.client
+import json
+
+import pytest
+
+from nnanalytics_spark.core.authz import Authorizer
+from nnanalytics_spark.core.ir import Query
+from nnanalytics_spark.inode import fixture
+from nnanalytics_spark.web.server import AnalyticsWebServer
+
+NOW = fixture.NOW_MS
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = AnalyticsWebServer(engine, now_ms=NOW)
+    port = srv.start()
+    yield ("127.0.0.1", port)
+    srv.stop()
+
+
+def get(addr, path, user=None, method="GET", body=None):
+    conn = http.client.HTTPConnection(*addr, timeout=120)
+    headers = {"X-NNA-User": user} if user else {}
+    conn.request(method, path, body=body, headers=headers)
+    resp = conn.getresponse()
+    out = (resp.status, resp.getheader("Content-Type"), resp.read().decode())
+    conn.close()
+    return out
+
+
+def test_filter_sum_scalar_body(server, engine):
+    status, ctype, body = get(server, "/filter?set=files&filters=fileSize:gt:1024&sum=count")
+    assert status == 200 and ctype.startswith("text/plain")
+    want = engine.filter_sum(
+        Query(set="files", filters=[("fileSize", "gt", "1024")], sums=["count"], now_ms=NOW)
+    ).collect()[0][0]
+    assert body == str(want)
+
+
+def test_filter_dump_paths_text(server):
+    status, ctype, body = get(server, "/filter?set=dirs&filters=path:contains:dir1")
+    assert status == 200 and ctype.startswith("text/plain")
+    lines = [ln for ln in body.splitlines() if ln]
+    assert lines == sorted(lines) and all("dir1" in ln for ln in lines)
+
+
+def test_histogram_json(server, engine):
+    status, ctype, body = get(server, "/histogram?set=files&type=user&sum=count")
+    assert status == 200 and ctype.startswith("application/json")
+    got = json.loads(body)
+    want = {
+        r[0]: r[1]
+        for r in engine.histogram(Query(set="files", type="user", sums=["count"], now_ms=NOW)).collect()
+    }
+    assert got == want
+
+
+def test_histogram_csv_output(server):
+    status, ctype, body = get(
+        server, "/histogram?set=files&type=user&sum=count&histogramOutput=csv"
+    )
+    assert status == 200 and ctype.startswith("text/plain")
+    for line in body.strip().splitlines():
+        key, val = line.rsplit(",", 1)
+        int(val)  # value column is numeric
+
+
+def test_histogram_chart_output(server):
+    status, _, body = get(
+        server, "/histogram?set=files&type=user&sum=count&histogramOutput=chart"
+    )
+    assert status == 200
+    chart = json.loads(body)
+    assert chart["type"] == "bar" and len(chart["labels"]) == len(chart["datasets"][0]["data"])
+
+
+def test_histogram2_nested_json(server):
+    status, _, body = get(server, "/histogram2?set=files&type=user,fileType&sum=count")
+    assert status == 200
+    nested = json.loads(body)
+    assert nested and all(isinstance(v, dict) for v in nested.values())
+
+
+def test_divide_ratio_body(server):
+    status, ctype, body = get(
+        server,
+        "/divide?set1=files&sum1=count&filters1=fileSize:gt:0"
+        "&set2=files&sum2=count&filters2=",
+    )
+    assert status == 200 and ctype.startswith("text/plain")
+    assert 0.0 <= float(body) <= 1.0
+
+
+def test_dump_and_content_summary(server):
+    status, _, body = get(server, "/dump?path=/")
+    assert status == 200
+    inode = json.loads(body)
+    assert inode.get("path") == "/"
+    status, _, body = get(server, "/contentSummary?path=/")
+    assert status == 200 and json.loads(body)
+
+
+def test_discovery_and_admin_endpoints(server):
+    for ep, expect in [
+        ("/endpoints", "histogram"),
+        ("/sets", "files"),
+        ("/filters", "fileSize"),
+        ("/filterOps", "gte"),
+        ("/sums", "diskspaceConsumed"),
+        ("/finds", "accessTime"),
+        ("/histograms", "user"),
+        ("/histogramOutputs", "chart"),
+    ]:
+        status, ctype, body = get(server, ep)
+        assert status == 200 and ctype.startswith("application/json"), ep
+        assert expect in json.loads(body), ep
+    status, _, body = get(server, "/info")
+    info = json.loads(body)
+    assert info["numFiles"] > 0 and info["numDirs"] > 0
+    status, _, body = get(server, "/metrics")
+    assert status == 200 and "defaultParallelism" in json.loads(body)
+
+
+def test_suggestion_readers(server):
+    status, _, body = get(server, "/users")
+    users = json.loads(body)
+    assert status == 200 and users
+    status, _, body = get(server, "/fileAge")
+    assert status == 200 and json.loads(body)
+    status, _, body = get(server, "/top?metric=numFiles&limit=3")
+    top = json.loads(body)
+    assert status == 200 and len(top) <= 3
+    status, _, body = get(server, "/directories?limit=5")
+    assert status == 200 and len(json.loads(body)) <= 5
+
+
+def test_sql_endpoint(server):
+    status, ctype, body = get(
+        server,
+        "/sql",
+        method="POST",
+        body="SELECT COUNT(*) FROM files WHERE fileSize > 1024",
+    )
+    assert status == 200
+    # one header line + one value line
+    header, value = body.strip().splitlines()
+    int(float(value.split(",")[-1]))
+
+
+def test_bad_query_is_400_unknown_is_404(server):
+    status, _, body = get(server, "/histogram?set=files&type=user&nosuchparam=1")
+    assert status == 400 and "nosuchparam" in body
+    status, _, body = get(server, "/histogram?set=files&type=user&top=5&bottom=5")
+    assert status == 400
+    status, _, _ = get(server, "/noSuchEndpoint")
+    assert status == 404
+
+
+def test_auth_matrix_enforced(engine):
+    """READER endpoints deny non-readers with 403; unsecured discovery
+    stays open; /credentials reports the access classes — the reference's
+    SecurityContext precedence (SecurityContext.java:416-465)."""
+    srv = AnalyticsWebServer(
+        engine,
+        authorizer=Authorizer(admin_users=["boss"], read_users=["alice"]),
+        now_ms=NOW,
+    )
+    addr = ("127.0.0.1", srv.start())
+    try:
+        ok = "/filter?set=files&sum=count"
+        assert get(addr, ok, user="alice")[0] == 200
+        assert get(addr, ok, user="mallory")[0] == 403
+        assert get(addr, ok)[0] == 403  # anonymous
+        # admin endpoint: reader denied, admin allowed
+        assert get(addr, "/metrics", user="alice")[0] == 403
+        assert get(addr, "/metrics", user="boss")[0] == 200
+        # unsecured discovery open to anyone
+        assert get(addr, "/endpoints")[0] == 200
+        status, _, body = get(addr, "/credentials", user="alice")
+        assert status == 200 and json.loads(body) == ["READER"]
+    finally:
+        srv.stop()
+
+
+def test_refresh_endpoint_swaps_snapshot(spark, tmp_path):
+    """ADMIN /refresh re-reads the table and the serving engine sees the
+    new namespace (reference /refresh + /reloadNamespace shape)."""
+    from nnanalytics_spark.inode.engine import INodeEngine
+    from nnanalytics_spark.streaming.refresh import SnapshotTable
+
+    table_dir = str(tmp_path / "inodes")
+    pdf = fixture.generate_pandas(levels=1, dirs_per_level=2, files_per_dir=5)
+    spark.createDataFrame(pdf, schema=fixture.SCHEMA).write.parquet(table_dir)
+    snap = SnapshotTable(spark, lambda s: s.read.parquet(table_dir))
+    srv = AnalyticsWebServer(INodeEngine(snap.df), snapshot=snap, now_ms=NOW)
+    addr = ("127.0.0.1", srv.start())
+    try:
+        before = int(get(addr, "/filter?set=files&sum=count")[2])
+        add = fixture.generate_pandas(levels=1, dirs_per_level=1, files_per_dir=4)
+        newf = add[add.type == "file"].copy()
+        newf["id"] = range(900_000, 900_000 + len(newf))
+        newf["path"] = [f"/fresh/f{i}" for i in range(len(newf))]
+        spark.createDataFrame(newf, schema=fixture.SCHEMA).write.mode("append").parquet(table_dir)
+        status, _, body = get(addr, "/refresh")
+        assert status == 200 and json.loads(body)["version"] == 1
+        after = int(get(addr, "/filter?set=files&sum=count")[2])
+        assert after == before + 4
+    finally:
+        srv.stop()
