@@ -65,8 +65,12 @@ _DISCOVERY = {
             "contentSummary", "info", "metrics", "loadingStatus", "users",
             "fileAge", "fileTypes", "quotas", "directories", "top", "bottom",
             "suggestions", "queryGuard", "refresh", "sql", "credentials",
+            "submitOperation", "listOperations", "abortOperation",
+            "setCachedQuery", "removeCachedQuery", "getCachedQuery",
+            "cachedMaps", "history", "saveNamespace", "token", "operations",
         }
     ),
+    "operations": lambda: list(_SUPPORTED_OPS()),
     "sets": lambda: list(reg.SETS),
     "filters": lambda: sorted(reg.FILTER_FILE | reg.FILTER_DIR),
     "filterOps": lambda: sorted(LONG_OPS | AGO_OPS | OLDER_OPS | STRING_OPS | DATE_OPS | BOOL_OPS),
@@ -94,14 +98,23 @@ class AnalyticsWebServer:
         snapshot=None,  # streaming.refresh.SnapshotTable, for /refresh
         guard=None,  # core.admission.QueryGuard, for /queryGuard
         now_ms: int | None = None,
+        save_dir: str | None = None,  # /saveNamespace target
+        suggestions_dir: str | None = None,  # /history sweep archive
         host: str = "127.0.0.1",
         port: int = 0,
     ) -> None:
+        from nnanalytics_spark.inode.operations import OperationRegistry
+        from nnanalytics_spark.inode.suggestions import CachedQueryRegistry
+
         self.engine = engine
         self.authorizer = authorizer or Authorizer(enabled=False)
         self.snapshot = snapshot
         self.guard = guard
         self.now_ms = now_ms
+        self.save_dir = save_dir
+        self.suggestions_dir = suggestions_dir
+        self.operations = OperationRegistry()
+        self.cached_queries = CachedQueryRegistry()
         self._address = (host, port)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -179,9 +192,92 @@ class AnalyticsWebServer:
             if isinstance(result, list):
                 return 200, "application/json", json.dumps(result)
             return 200, "text/plain", render.to_csv(result, header=True)
+        if endpoint in ("submitOperation", "listOperations", "abortOperation"):
+            return self._operations(endpoint, params)
+        if endpoint in ("setCachedQuery", "removeCachedQuery", "getCachedQuery", "cachedMaps"):
+            return self._cached(endpoint, params)
+        if endpoint == "suggestions":
+            # the reference's one-shot suggestions JSON: every file + dir
+            # scalar from the battery, one shared scan each
+            now = self.now_ms or _wall_ms()
+            merged = {}
+            for df in (
+                suggestions.file_scalars(self.engine.inodes, now),
+                suggestions.dir_scalars(self.engine.inodes, now),
+            ):
+                merged.update(df.collect()[0].asDict())
+            return 200, "application/json", json.dumps(merged, default=str)
+        if endpoint == "history":
+            if not self.suggestions_dir:
+                raise ValueError("no suggestions history directory configured")
+            spark = self.engine.inodes.sparkSession
+            hist = spark.read.parquet(f"{self.suggestions_dir}/history")
+            return 200, "application/json", hist.toPandas().to_json(orient="records")
+        if endpoint == "saveNamespace":
+            if not self.save_dir:
+                raise ValueError("no saveNamespace directory configured")
+            from nnanalytics_spark.sources.layout import write_inode_table
+
+            write_inode_table(self.engine.inodes, self.save_dir)
+            return 200, "text/plain", "Saving namespace."
+        if endpoint == "token":
+            return 200, "application/json", json.dumps(
+                {"user": user, "accessLevels": self.authorizer.access_levels(user)}
+            )
         if endpoint in urlmod.ENDPOINTS:
             return self._analytic(endpoint, path, query, params)
         return 404, "text/plain", f"unknown endpoint: /{endpoint}"
+
+    def _operations(self, endpoint, params):
+        """/submitOperation + /listOperations + /abortOperation
+        (NamenodeAnalyticsMethods.java:2065-2434): `operation` is
+        kind[:argument] ("delete", "setReplication:2"); `sleep` is
+        accepted for parity and ignored — pacing here is batch draws by
+        the executor, not a per-inode thread sleep."""
+        from nnanalytics_spark.inode.operations import Operation
+
+        if endpoint == "listOperations":
+            return 200, "application/json", json.dumps(self.operations.list_operations())
+        if endpoint == "abortOperation":
+            op_id = _one(params, "id")
+            if op_id is None:
+                raise ValueError("/abortOperation requires ?id=")
+            self.operations.abort(int(op_id))
+            return 200, "text/plain", f"Aborted operation {op_id}."
+        op_str = _one(params, "operation")
+        if not op_str:
+            raise ValueError("No operation defined. Please check /operations.")
+        kind, _, arg = op_str.partition(":")
+        op = Operation(kind, int(arg) if arg else None)
+        query = urlmod._build_query(params, self.now_ms)
+        op_id = self.operations.submit(self.engine, query, op)
+        return 200, "text/plain", str(op_id)
+
+    def _cached(self, endpoint, params):
+        """Custom cached-query surface (SuggestionsEngine.java:743-767):
+        register a Query under a name, re-runnable on demand and by the
+        sweep."""
+        if endpoint == "cachedMaps":
+            return 200, "application/json", json.dumps(self.cached_queries.names())
+        name = _one(params, "queryName")
+        if not name:
+            raise ValueError(f"/{endpoint} requires ?queryName=")
+        if endpoint == "setCachedQuery":
+            query = urlmod._build_query(params, self.now_ms)
+            shape = "histogram" if _one(params, "type") else "sum"
+            self.cached_queries.register(name, query, shape)
+            return 200, "text/plain", f"{name} set for analysis."
+        if endpoint == "removeCachedQuery":
+            self.cached_queries.unregister(name)
+            return 200, "text/plain", f"{name} removed from analysis."
+        # getCachedQuery: run it now
+        if name not in self.cached_queries.names():
+            raise KeyError(f"no cached query named {name!r}")
+        df = self.cached_queries.refresh(self.engine)[name]
+        rows = df.collect()
+        if len(rows) == 1 and len(rows[0]) == 1:
+            return 200, "text/plain", str(rows[0][0])
+        return 200, "application/json", render.to_json(df)
 
     def _analytic(self, endpoint, path, query, params):
         out_fmt = _one(params, "histogramOutput") or "json"
@@ -242,6 +338,18 @@ class AnalyticsWebServer:
 def _one(params: dict[str, list[str]], name: str) -> str | None:
     vals = params.get(name)
     return vals[-1] if vals else None
+
+
+def _wall_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
+
+
+def _SUPPORTED_OPS():
+    from nnanalytics_spark.inode.operations import SUPPORTED
+
+    return SUPPORTED
 
 
 def _make_handler(server: AnalyticsWebServer):

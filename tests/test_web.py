@@ -191,6 +191,77 @@ def test_auth_matrix_enforced(engine):
         srv.stop()
 
 
+def test_operations_lifecycle_over_http(server):
+    """submit → list → abort round-trip (reference /submitOperation
+    contract: `operation` is kind[:argument], response body is the op
+    id)."""
+    status, ctype, body = get(
+        server,
+        "/submitOperation?set=files&filters=fileSize:gt:1024&operation=setReplication:2&sleep=0",
+    )
+    assert status == 200 and ctype.startswith("text/plain")
+    op_id = int(body)
+    status, _, body = get(server, "/listOperations")
+    ops = json.loads(body)
+    mine = [o for o in ops if o["id"] == op_id][0]
+    assert mine["operation"] == "setReplication" and mine["argument"] == 2
+    assert mine["total"] > 0 and mine["status"] == "running"
+    status, _, body = get(server, f"/abortOperation?id={op_id}")
+    assert status == 200
+    mine = [o for o in json.loads(get(server, "/listOperations")[2]) if o["id"] == op_id][0]
+    assert mine["status"] == "aborted"
+    # bad operation name → 400
+    status, _, _ = get(server, "/submitOperation?set=files&operation=chmod")
+    assert status == 400
+    # /operations discovery lists the supported kinds
+    status, _, body = get(server, "/operations")
+    assert status == 200 and "delete" in json.loads(body)
+
+
+def test_cached_query_lifecycle_over_http(server, engine):
+    status, _, body = get(
+        server,
+        "/setCachedQuery?queryName=bigFiles&set=files&filters=fileSize:gt:1024&sum=count",
+    )
+    assert status == 200 and "bigFiles" in body
+    status, _, body = get(server, "/cachedMaps")
+    assert json.loads(body) == ["bigFiles"]
+    status, ctype, body = get(server, "/getCachedQuery?queryName=bigFiles")
+    assert status == 200 and ctype.startswith("text/plain")
+    want = engine.filter_sum(
+        Query(set="files", filters=[("fileSize", "gt", "1024")], sums=["count"], now_ms=NOW)
+    ).collect()[0][0]
+    assert body == str(want)
+    status, _, _ = get(server, "/removeCachedQuery?queryName=bigFiles")
+    assert status == 200
+    assert json.loads(get(server, "/cachedMaps")[2]) == []
+    status, _, _ = get(server, "/getCachedQuery?queryName=bigFiles")
+    assert status == 400
+
+
+def test_suggestions_and_token(server):
+    status, _, body = get(server, "/suggestions")
+    assert status == 200
+    sugg = json.loads(body)
+    assert "numFiles" in sugg and "numDirs" in sugg
+    status, _, body = get(server, "/token", user="alice")
+    assert status == 200 and json.loads(body)["user"] == "alice"
+
+
+def test_save_namespace_round_trip(spark, engine, tmp_path):
+    from nnanalytics_spark.sources.layout import read_inode_table
+
+    srv = AnalyticsWebServer(engine, now_ms=NOW, save_dir=str(tmp_path / "ns"))
+    addr = ("127.0.0.1", srv.start())
+    try:
+        status, _, body = get(addr, "/saveNamespace")
+        assert status == 200 and "Saving" in body
+        saved = read_inode_table(spark, str(tmp_path / "ns"))
+        assert saved.count() == engine.inodes.count()
+    finally:
+        srv.stop()
+
+
 def test_refresh_endpoint_swaps_snapshot(spark, tmp_path):
     """ADMIN /refresh re-reads the table and the serving engine sees the
     new namespace (reference /refresh + /reloadNamespace shape)."""
