@@ -1,51 +1,121 @@
-"""Custom stateful streaming operator: per-user session tracking.
+"""Custom stateful streaming operators — applyInPandasWithState.
 
-Demonstrates the applyInPandasWithState path for operators Structured
-Streaming's built-ins can't express — here, incremental sessionization
-with carried state (last-seen timestamp + open session count per user).
-The batch equivalence is __spark_entry__.q_sessionization; this version
-maintains the same counts incrementally across micro-batches, which is the
-shape a 100 TB event pipeline actually deploys (state is partitioned by
-key in the state store; each micro-batch touches only updated keys).
+The reference has no streaming layer at all (it refreshes an in-memory
+namespace and answers point-in-time queries); a complete training-data
+engine needs stateful operators over continuously-ingested event and
+document streams. Structured Streaming's applyInPandasWithState is the
+Spark-native way to express semantics the built-in windowed aggregations
+can't: per-key state with Arrow-batched updates, watermark-driven
+eviction, arbitrary merge logic.
+
+``streaming_sessionization`` is the worked operator: per-user session
+counting with an inactivity gap, kept EXACT under any within-watermark
+arrival order by storing each user's session intervals and merging on
+insert — the streaming twin of the batch lag+cumsum sessionization
+(__spark_entry__.q_sessionization), asserted equivalent in
+tests/test_streaming.py.
+
+100 TB shape: state is per-key and bounded (one [start,end] pair per
+OPEN session per user, far smaller than the events), updates ride
+Arrow batches grouped by key, and watermark timeout evicts idle keys
+so state doesn't grow with stream lifetime.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
+from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
-STATE_SCHEMA = "last_ts_ms long, n_sessions long, n_events long"
-GAP_MS = 30 * 60 * 1000
+SESSION_GAP_MS = 30 * 60 * 1000
+
+_OUTPUT_SCHEMA = "user_id long, n_sessions long"
+# flat interval list [s1, e1, s2, e2, ...], sorted, pairwise-disjoint
+_STATE_SCHEMA = "intervals array<long>"
 
 
-def _update_sessions(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
-    last_ts, n_sessions, n_events = state.get if state.exists else (None, 0, 0)
-    ts_values: list[int] = []
-    for pdf in batches:
-        ts_values.extend(int(t) for t in pdf["ts_ms"])
-    for ts in sorted(ts_values):
-        if last_ts is None or ts - last_ts > GAP_MS:
-            n_sessions += 1
-        last_ts = ts
-        n_events += 1
-    state.update((last_ts, n_sessions, n_events))
-    yield pd.DataFrame({"user_id": [user_id], "n_sessions": [n_sessions], "n_events": [n_events]})
+def _merge(intervals: list[int], ts: int, gap_ms: int) -> list[int]:
+    """Insert event time `ts` as [ts, ts] and merge every interval within
+    `gap_ms` — O(k) per event with k = open sessions for this key.
+
+    Merging keeps the operator exact under out-of-order arrival: an early
+    event that later BRIDGES two sessions collapses them, which
+    append-only session counters get wrong."""
+    out: list[int] = []
+    placed = False
+    s_new, e_new = ts, ts
+    for i in range(0, len(intervals), 2):
+        s, e = intervals[i], intervals[i + 1]
+        if e + gap_ms < s_new and not placed:
+            out.extend((s, e))  # strictly before the new session
+        elif s > e_new + gap_ms:
+            if not placed:
+                out.extend((s_new, e_new))
+                placed = True
+            out.extend((s, e))  # strictly after
+        else:  # overlaps-with-gap → absorb into the new interval
+            s_new, e_new = min(s, s_new), max(e, e_new)
+    if not placed:
+        out.extend((s_new, e_new))
+    return out
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """events stream (user_id long, ts_ms long) → per-user running session
-    counts, state carried across micro-batches."""
-    return events.groupBy("user_id").applyInPandasWithState(
-        _update_sessions,
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+def streaming_sessionization(
+    events: DataFrame,
+    gap_ms: int = SESSION_GAP_MS,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Per-user session counts over an event stream, exact within the
+    watermark horizon.
+
+    groupBy(user).applyInPandasWithState with EventTimeTimeout: each
+    micro-batch folds the user's new event times into the interval
+    state; the operator emits the user's current session count (update
+    semantics — the sink keeps the latest row per user). When the
+    watermark passes a user's last activity + gap, the state times out
+    and is evicted after emitting the final count, so state size tracks
+    ACTIVE users only.
+
+    `events` must carry an event-time column named `ts` (timestamp type,
+    already watermarked by the caller or here via withWatermark)."""
+    src = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("long").alias("ts_ms"),
+        F.timestamp_millis(F.col(ts_col).cast("long")).alias("ts"),
+    ).withWatermark("ts", "1 hour")
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (intervals,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_sessions": [len(intervals) // 2]}
+            )
+            return
+        intervals: list[Any] = list(state.get[0]) if state.exists else []
+        last = 0
+        for pdf in pdfs:
+            for ts in pdf["ts_ms"]:
+                ts = int(ts)
+                intervals = _merge(intervals, ts, gap_ms)
+                last = max(last, ts)
+        state.update((intervals,))
+        # evict once the watermark passes the last activity + gap: the
+        # session set for this user can no longer change
+        state.setTimeoutTimestamp(last + gap_ms + 1)
+        yield pd.DataFrame({"user_id": [key[0]], "n_sessions": [len(intervals) // 2]})
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

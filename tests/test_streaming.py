@@ -134,6 +134,73 @@ def test_changelog_tailer_update_seen(spark, tmp_path):
         tailer.stop()
 
 
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == batch lag+cumsum
+    sessionization on the same events, across micro-batches with
+    out-of-order arrival — including a batch-2 event that BRIDGES two
+    batch-1 sessions (the case plain append-only counters get wrong)."""
+    from pyspark.sql import Window as W
+
+    from nnanalytics_spark.streaming.stateful import streaming_sessionization
+
+    MIN = 60 * 1000
+    batch1 = [
+        # user 1: sessions {0,5} and {60,65} — 55min apart, two sessions
+        (1, 0), (1, 5 * MIN), (1, 60 * MIN), (1, 65 * MIN),
+        # user 2: one session
+        (2, 10 * MIN), (2, 20 * MIN),
+    ]
+    batch2 = [
+        # user 1: the 35min event BRIDGES both batch-1 sessions
+        # (35-5=30 ≤ gap and 60-35=25 ≤ gap → they collapse to ONE)
+        (1, 35 * MIN),
+        # user 3 appears only in batch 2: two sessions. Times sit INSIDE
+        # the 1h watermark horizon of batch 1's max (65min): an earlier
+        # draft used ts=0 here and the stream correctly DROPPED it as
+        # late data — equivalence holds within the horizon by design.
+        (3, 30 * MIN), (3, 120 * MIN),
+    ]
+    src = str(tmp_path / "events_stream")
+    schema = "user_id long, ts_ms long"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    spark.createDataFrame(batch2, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_sessionization(stream)
+    # epoch-tagged collection: update semantics say the latest emission
+    # per user wins, so key on (max epoch) explicitly instead of relying
+    # on sink row order
+    emissions: list[tuple[int, int, int]] = []
+
+    def sink(batch_df, epoch_id):
+        for r in batch_df.collect():
+            emissions.append((epoch_id, r["user_id"], r["n_sessions"]))
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got: dict[int, int] = {}
+    for _epoch, user, n in sorted(emissions):
+        got[user] = n
+
+    # batch twin on the union of both batches
+    all_events = spark.createDataFrame(batch1 + batch2, schema)
+    w = W.partitionBy("user_id").orderBy("ts_ms")
+    gap = F.col("ts_ms") - F.lag("ts_ms").over(w)
+    want = {
+        r["user_id"]: r["n_sessions"]
+        for r in all_events.withColumn(
+            "new_sess", F.when(gap.isNull() | (gap > 30 * MIN), 1).otherwise(0)
+        )
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_streaming_windowed_counts(spark, tmp_path):
     """Windowed streaming agg over a parquet-backed stream reaches the same
     totals as the batch query."""
