@@ -1310,6 +1310,13 @@ def q_text_fingerprint(spark, sf):
     return d.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
 
 
+def q_text_repetition(spark, sf):
+    """Gopher-style repetition quality signals: duplicate-word fraction
+    (pure array expressions) and top-bigram coverage (one keyed shuffle
+    with deterministic lexicographic tie-break) — pipeline/text.py."""
+    return text.repetition_signals(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
 def q_histogram2_nested(spark, sf):
     """/histogram2 nested-output contract (Histograms.twoLeveltoJson,
     queries/Histograms.java:98-128): two-level grouping → per-outer-key
@@ -1456,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
+        "text_repetition": q_text_repetition,
         # --- r1-green tail (stable) ---
         "filter_sum": q_filter_sum,
         "filter_string_ops": q_filter_string_ops,
@@ -2566,6 +2574,47 @@ def oracle_sql() -> dict[str, str]:
         # decoded dimension arithmetically from the UTF-8 byte length
         # (PNG: width 64, zero-padded last row; WAV: 8-bit mono 8 kHz PCM,
         # 44-byte header). A codec bug on either side breaks the hash.
+        # Word-level repetition signals; tokenization mirrors text_tokens
+        # (whitespace split on trimmed text), tie-break on the top bigram
+        # is (count desc, bigram asc) on both sides.
+        "text_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> lower(x)) AS w
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, w, len(w) AS n_words,
+                     round(1 - len(list_distinct(w))
+                               / CAST(greatest(len(w), 1) AS DOUBLE), 6)
+                       AS dup_word_frac
+              FROM toks
+            ),
+            bigrams AS (
+              SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+              FROM toks, UNNEST(range(1, len(w))) AS t(i)
+            ),
+            counts AS (
+              SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY 1, 2
+            ),
+            top AS (
+              SELECT doc_id, bg AS top_bigram, c AS top_bigram_count
+              FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY c DESC, bg ASC) AS rn
+                FROM counts
+              ) WHERE rn = 1
+            )
+            SELECT b.doc_id, CAST(b.n_words AS INT) AS n_words,
+                   b.dup_word_frac, t.top_bigram,
+                   CAST(COALESCE(t.top_bigram_count, 0) AS BIGINT)
+                     AS top_bigram_count,
+                   round(2.0 * COALESCE(t.top_bigram_count, 0)
+                         / greatest(b.n_words, 1), 6) AS top_bigram_frac
+            FROM base b LEFT JOIN top t USING (doc_id)
+            ORDER BY b.doc_id
+        """,
         "multimodal_decode": """
             WITH b AS (
               SELECT doc_id, octet_length(encode(text)) AS n FROM documents

@@ -114,6 +114,75 @@ def fingerprint(text_col: Column) -> Column:
     )
 
 
+def repetition_signals(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, "Scaling
+    Language Models", Table A1 repetition filters), word-level:
+
+    - ``dup_word_frac``: 1 − |distinct tokens| / |tokens| — pure array
+      expressions, map-side only;
+    - ``top_bigram`` / ``top_bigram_frac``: the most frequent word bigram
+      and the fraction of tokens its occurrences cover (2·count/|tokens|,
+      overlaps ignored). One explode + one groupBy(doc, bigram) with
+      map-side partial aggregation + a per-doc row_number — the only
+      shuffle, keyed on (doc_id, bigram), so repeated boilerplate
+      aggregates before the exchange.
+
+    Ties on the top bigram break lexicographically (count desc, bigram
+    asc) so results are deterministic and SQL-oracle-matched. Docs with
+    fewer than 2 tokens emit null bigram / 0.0 fraction."""
+    from pyspark.sql import Window as W
+
+    toks = F.transform(tokens(F.col(text)), lambda t: F.lower(t))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("w"),
+        F.size(toks).alias("n_words"),
+        F.round(
+            1 - F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1)), 6
+        ).alias("dup_word_frac"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "n_words",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice(F.col("w"), 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    counts = bigrams.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    top = (
+        counts.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("bg").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("bg").alias("top_bigram"), F.col("c").alias("top_bigram_count"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .withColumn(
+            "top_bigram_frac",
+            F.round(
+                2.0 * F.coalesce(F.col("top_bigram_count"), F.lit(0))
+                / F.greatest(F.col("n_words"), F.lit(1)),
+                6,
+            ),
+        )
+        .select(
+            "doc_id", "n_words", "dup_word_frac",
+            "top_bigram", F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+            "top_bigram_frac",
+        )
+    )
+
+
 def term_stats(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 100
 ) -> DataFrame:

@@ -411,6 +411,30 @@ def test_pack_sequences_default_auto_shards(spark):
             run += r["n_tokens"]
 
 
+def test_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam"),  # one distinct word, bigram "spam spam" ×3
+            (1, "all words here are unique tokens"),
+            (2, "one"),  # <2 tokens → null bigram
+            (3, "a b a b c d"),  # tie "a b"×2 vs others ×1 → lexicographic
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.repetition_signals(docs).collect()}
+    r0 = out[0]
+    assert r0["n_words"] == 4 and r0["dup_word_frac"] == 0.75
+    assert r0["top_bigram"] == "spam spam" and r0["top_bigram_count"] == 3
+    assert r0["top_bigram_frac"] == 1.5  # 2*3/4, overlaps ignored
+    r1 = out[1]
+    assert r1["dup_word_frac"] == 0.0 and r1["top_bigram_count"] == 1
+    r2 = out[2]
+    assert r2["top_bigram"] is None and r2["top_bigram_count"] == 0
+    assert r2["top_bigram_frac"] == 0.0
+    r3 = out[3]
+    assert r3["top_bigram"] == "a b" and r3["top_bigram_count"] == 2
+
+
 def test_pii_scrub_and_counts(spark):
     rows = [
         (1, "mail me at a.b@example.com or call +1 (555) 123-4567 now"),
