@@ -60,6 +60,8 @@ HEADLINE = [
     "pii_scrub",
     "ann_batch_topk",
     "pack_sequences",
+    "text_repetition",
+    "multimodal_decode",
 ]
 
 

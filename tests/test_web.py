@@ -262,6 +262,23 @@ def test_save_namespace_round_trip(spark, engine, tmp_path):
         srv.stop()
 
 
+def test_history_endpoint_serves_sweep_archive(spark, engine, tmp_path):
+    from nnanalytics_spark.inode import suggestions
+
+    sweep_dir = str(tmp_path / "sweeps")
+    suggestions.run_sweep(engine.inodes, NOW, output_dir=sweep_dir)
+    srv = AnalyticsWebServer(engine, now_ms=NOW, suggestions_dir=sweep_dir)
+    addr = ("127.0.0.1", srv.start())
+    try:
+        status, ctype, body = get(addr, "/history")
+        assert status == 200 and ctype.startswith("application/json")
+        records = json.loads(body)
+        assert len(records) == 1 and records[0]["sweepTs"] == NOW
+        assert records[0]["numFiles"] > 0
+    finally:
+        srv.stop()
+
+
 def test_refresh_endpoint_swaps_snapshot(spark, tmp_path):
     """ADMIN /refresh re-reads the table and the serving engine sees the
     new namespace (reference /refresh + /reloadNamespace shape)."""
