@@ -40,6 +40,69 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert all(r["jaccard"] <= 1.0 for r in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_bound_stays_exact(spark):
+    """The skew bound must not change emitted VALUES: with a boilerplate
+    shingle hot enough to cross the cutoff, every candidate pair that
+    shares a rare shingle gets the identical exact Jaccard as the
+    unbounded plan (the hot-common count is recovered from the per-doc
+    hot lists), and only all-hot-overlap pairs may disappear."""
+    # 8 docs sharing the boilerplate prefix (hot trigrams, df=8 > cutoff 4)
+    # with distinct tails; two docs also share a rare tail trigram.
+    rows = [
+        (i, f"terms of service apply here always tail{i} unique{i} word{i}")
+        for i in range(8)
+    ]
+    rows[6] = (6, "terms of service apply here always shared rare tail")
+    rows[7] = (7, "terms of service apply here always shared rare tail plus")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    bounded = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=4).collect()
+    }
+    assert bounded  # the rare-sharing pair family survives
+    for pair, jac in bounded.items():
+        assert jac == exact[pair], pair  # exact value, hot commons included
+    # (6,7) share rare shingles → must survive with the full-set Jaccard
+    assert (6, 7) in bounded
+    # dropped pairs (if any) shared ONLY hot shingles
+    for pair in set(exact) - set(bounded):
+        assert pair not in bounded and exact[pair] < 0.5
+
+
+def test_contamination_hot_bound_stays_exact(spark):
+    """Same exactness contract for the containment scan: a hot shingle on
+    the train side is excluded from candidate generation but still counts
+    toward the overlap of surviving pairs."""
+    boiler = "terms of service apply here always"
+    train = spark.createDataFrame(
+        [(i, f"{boiler} train{i} filler{i} extra{i}") for i in range(6)]
+        + [(6, f"{boiler} gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, f"{boiler} gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    unbounded = {
+        (r["train_id"], r["eval_id"]): (r["n_common"], r["overlap_frac"])
+        for r in dedup.contamination_pairs(train, evals, min_overlap_frac=0.0).collect()
+    }
+    bounded = {
+        (r["train_id"], r["eval_id"]): (r["n_common"], r["overlap_frac"])
+        for r in dedup.contamination_pairs(
+            train, evals, min_overlap_frac=0.0, max_shingle_df=3
+        ).collect()
+    }
+    assert (6, 100) in bounded
+    for pair, vals in bounded.items():
+        assert vals == unbounded[pair], pair
+    assert bounded[(6, 100)][1] == 1.0  # fully contained, hot commons counted
+
+
 def test_minhash_lsh_catches_duplicates(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, k=32, bands=16).collect()}
     assert (1, 2) in pairs  # exact dup after normalization always collides
