@@ -2039,7 +2039,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS "emptyDirs1yr"
             FROM anc
         """,
-        "pii_scrub": '''
+        "pii_scrub": r'''
             WITH f AS (
               SELECT doc_id,
                      text || ' contact user' || CAST(doc_id AS VARCHAR)

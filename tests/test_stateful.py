@@ -6,7 +6,33 @@ import pandas as pd
 
 from nnanalytics_spark.streaming import stateful
 
-GAP = stateful.GAP_MS
+GAP = stateful.SESSION_GAP_MS
+
+
+def test_merge_bridging_event_collapses_sessions():
+    # two sessions separated by > gap ...
+    iv = stateful._merge([], 0, GAP)
+    iv = stateful._merge(iv, 60_000, GAP)
+    iv = stateful._merge(iv, GAP + 120_000, GAP)
+    assert len(iv) // 2 == 2
+    # ... collapse into one when a late event lands within gap of BOTH
+    iv = stateful._merge(iv, GAP, GAP)
+    assert iv == [0, GAP + 120_000]
+
+
+def test_merge_is_order_insensitive():
+    import itertools
+
+    times = [0, 60_000, GAP + 120_000, 3 * GAP, 3 * GAP + 5]
+    expected = None
+    for perm in itertools.permutations(times):
+        iv: list[int] = []
+        for ts in perm:
+            iv = stateful._merge(iv, ts, GAP)
+        if expected is None:
+            expected = iv
+        assert iv == expected
+    assert expected is not None and len(expected) // 2 == 3
 
 
 def test_stateful_sessionization_across_batches(spark, tmp_path):
@@ -21,32 +47,29 @@ def test_stateful_sessionization_across_batches(spark, tmp_path):
     write_batch([(1, base), (1, base + 60_000), (2, base)])
 
     stream = spark.readStream.schema("user_id long, ts_ms long").parquet(src)
-    out = stateful.sessionize_stream(stream)
-    q = out.writeStream.outputMode("update").format("memory").queryName("sess").start()
+    out = stateful.streaming_sessionization(stream)
+
+    latest: dict[int, int] = {}
+
+    def sink(df, _epoch):
+        for r in df.collect():
+            latest[r["user_id"]] = r["n_sessions"]
+
+    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
     try:
         q.processAllAvailable()
-        got = {
-            r["user_id"]: (r["n_sessions"], r["n_events"])
-            for r in spark.sql(
-                "SELECT * FROM (SELECT *, row_number() OVER "
-                "(PARTITION BY user_id ORDER BY n_events DESC) rn FROM sess) WHERE rn=1"
-            ).collect()
-        }
-        assert got[1] == (1, 2)
-        assert got[2] == (1, 1)
+        assert latest == {1: 1, 2: 1}
 
         # batch 2: user 1 comes back after > gap → second session;
         # user 2 within gap → still one session
         write_batch([(1, base + GAP + 120_000), (2, base + 60_000)])
         q.processAllAvailable()
-        got = {
-            r["user_id"]: (r["n_sessions"], r["n_events"])
-            for r in spark.sql(
-                "SELECT * FROM (SELECT *, row_number() OVER "
-                "(PARTITION BY user_id ORDER BY n_events DESC) rn FROM sess) WHERE rn=1"
-            ).collect()
-        }
-        assert got[1] == (2, 3)  # state survived the batch boundary
-        assert got[2] == (1, 2)
+        assert latest == {1: 2, 2: 1}  # state survived the batch boundary
+
+        # batch 3: a LATE event for user 1 lands within gap of both open
+        # sessions → they merge back into one (interval-state exactness)
+        write_batch([(1, base + GAP)])
+        q.processAllAvailable()
+        assert latest == {1: 1, 2: 1}
     finally:
         q.stop()
