@@ -1445,13 +1445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "dedup_clusters": q_dedup_clusters,
         "contamination": q_contamination,
-        "simhash_blocks": q_simhash_blocks,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
         "ann_batch_topk": q_ann_batch_topk,
         "centroid_eval": q_centroid_eval,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1468,9 +1465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_histogram_weekly": q_time_histogram_weekly,
         "time_histogram_yearly": q_time_histogram_yearly,
         "sessionization": q_sessionization,
-        # --- new in r2; first five sit inside the driver's 50-row check
-        # window (positions 46-50), the rest are pytest-covered and ride
-        # any headroom the driver has past 50 ---
+        # --- new in r2; every SQL-oracle entry sits inside the driver's
+        # 50-row check window. Rows-only entries (weaker check regardless)
+        # ride any headroom the driver has past 50 ---
         "histogram2_nested": q_histogram2_nested,
         "having_indexed": q_having_indexed,
         "url_histogram": q_url_histogram,
@@ -1479,6 +1476,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
         "embedding_dup_clusters": q_embedding_dup_clusters,
+        # --- rows-only checks (no SQL twin): past the 50-row window ---
+        "simhash_blocks": q_simhash_blocks,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "ann_ivf_topk": q_ann_ivf_topk,
         # --- r1-green tail (stable) ---
         "filter_sum": q_filter_sum,
         "filter_string_ops": q_filter_string_ops,

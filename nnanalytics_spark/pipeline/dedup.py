@@ -189,6 +189,72 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_occurrences(text_col: Column, n: int = 8) -> Column:
+    """All positional word n-grams (NON-distinct, one per start token) —
+    the span-level unit for substring-style dedup. Same single-pass
+    lookahead scan as `shingles`, minus the distinct."""
+    norm = F.lower(F.trim(F.regexp_replace(text_col, r"\s+", " ")))
+    pat = r"(?=((?:\S+ ){%d}\S+))\S+ ?" % (n - 1)
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
+def dup_ngram_coverage(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span statistics: for each document, the
+    fraction of its token n-gram positions whose n-gram also occurs in at
+    least ``min_docs`` distinct documents — the token-granular analog of
+    suffix-array substring dedup (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499), used to rank
+    documents for span-level cleaning when whole-doc dedup is too coarse.
+
+    Shape (two keyed shuffles, both with map-side partial aggregation):
+      1. per-(doc, n-gram-hash) occurrence counts — repeated boilerplate
+         collapses before the exchange;
+      2. n-gram document frequency over those distinct (doc, gram) rows —
+         strictly smaller input than (1)'s.
+    The duplicated-gram set then equi-joins back onto (1) by hash (AQE
+    broadcasts it when small, shuffle-hash otherwise) and one final
+    groupBy(doc) emits the sums. N-grams travel as xxhash64 keys — 8-byte
+    shuffle rows, never the span strings. Docs shorter than n tokens emit
+    0 n-grams / 0.0 fraction."""
+    ng = ngram_occurrences(F.col(text), n)
+    occ = df.select(F.col(id_col).alias("id"), F.explode(ng).alias("g")).select(
+        "id", F.xxhash64("g").alias("sg")
+    )
+    per_doc_gram = occ.groupBy("id", "sg").agg(F.count(F.lit(1)).alias("c"))
+    dfreq = per_doc_gram.groupBy("sg").agg(F.count(F.lit(1)).alias("docs"))
+    dup_sg = dfreq.filter(F.col("docs") >= min_docs).select("sg", F.lit(1).alias("is_dup"))
+    per_doc = (
+        per_doc_gram.join(dup_sg, "sg", "left")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.coalesce(F.sum(F.when(F.col("is_dup") == 1, F.col("c"))), F.lit(0)).alias(
+                "n_dup_ngrams"
+            ),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_dup_ngrams", F.lit(0)).alias("n_dup_ngrams"),
+            F.round(
+                F.coalesce("n_dup_ngrams", F.lit(0))
+                / F.greatest(F.coalesce("n_ngrams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 64, ngram: int = 3
 ) -> DataFrame:
