@@ -1317,6 +1317,29 @@ def q_text_repetition(spark, sf):
     return text.repetition_signals(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
+def q_dup_ngram_stats(spark, sf):
+    """Cross-document duplicated-span statistics: per-doc fraction of
+    token 3-gram positions whose gram occurs in ≥2 documents — the
+    token-granular substring-dedup signal (Lee et al. 2021), two keyed
+    shuffles with map-side combine (pipeline/dedup.py:dup_ngram_coverage)."""
+    return dedup.dup_ngram_coverage(
+        _t(spark, sf, "documents"), n=3, min_docs=2
+    ).orderBy("doc_id")
+
+
+def q_embedding_norm_stats(spark, sf):
+    """Per-label embedding L2-norm geometry report — codegen'd array fold
+    + one groupBy, no UDFs (pipeline/similarity.py:norm_stats)."""
+    return similarity.norm_stats(_t(spark, sf, "embeddings")).orderBy("label")
+
+
+def q_embedding_quantization(spark, sf):
+    """Symmetric int8 quantization report: per-label mean reconstruction
+    MSE + mean scale, element-wise expressions on one scan
+    (pipeline/similarity.py:quantization_error)."""
+    return similarity.quantization_error(_t(spark, sf, "embeddings")).orderBy("label")
+
+
 def q_embedding_dup_clusters(spark, sf):
     """Semantic near-dup clusters: connected components over the
     embedding-cosine pair graph (cos ≥ 0.4) — composes the exact
@@ -1476,6 +1499,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
         "embedding_dup_clusters": q_embedding_dup_clusters,
+        # --- new in r2, SQL-oracle, past the 50-row window (also
+        # hash-verified locally by tests/test_duckdb_parity.py) ---
+        "dup_ngram_stats": q_dup_ngram_stats,
+        "embedding_norm_stats": q_embedding_norm_stats,
+        "embedding_quantization": q_embedding_quantization,
         # --- rows-only checks (no SQL twin): past the 50-row window ---
         "simhash_blocks": q_simhash_blocks,
         "ann_lsh_pairs": q_ann_lsh_pairs,
@@ -2663,6 +2691,83 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(b.n_words, 1), 6) AS top_bigram_frac
             FROM base b LEFT JOIN top t USING (doc_id)
             ORDER BY b.doc_id
+        """,
+        "dup_ngram_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS w
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i + 2], ' ') AS g
+              FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            counts AS (
+              SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+            ),
+            dupg AS (
+              SELECT g FROM counts GROUP BY g HAVING count(*) >= 2
+            ),
+            per_doc AS (
+              SELECT c.doc_id,
+                     SUM(c.c) AS n_ngrams,
+                     COALESCE(SUM(c.c) FILTER (WHERE d.g IS NOT NULL), 0) AS n_dup
+              FROM counts c LEFT JOIN dupg d ON c.g = d.g
+              GROUP BY 1
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_ngrams,
+                   round(COALESCE(p.n_dup, 0)
+                         / CAST(greatest(COALESCE(p.n_ngrams, 0), 1) AS DOUBLE), 6)
+                     AS dup_frac
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        "embedding_norm_stats": """
+            WITH v AS (
+              SELECT label,
+                     sqrt(list_aggregate(
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       'sum')) AS l2,
+                     CAST(embedding[1] AS DOUBLE) AS d0
+              FROM embeddings
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(l2), 6) AS avg_l2,
+                   round(min(l2), 6) AS min_l2,
+                   round(max(l2), 6) AS max_l2,
+                   round(avg(d0), 6) AS avg_dim0
+            FROM v GROUP BY label ORDER BY label
+        """,
+        "embedding_quantization": """
+            WITH s AS (
+              SELECT label, embedding,
+                     list_aggregate(
+                       list_transform(embedding, x -> abs(CAST(x AS DOUBLE))),
+                       'max') / 127.0 AS scale
+              FROM embeddings
+            ),
+            e AS (
+              SELECT label, scale,
+                     CASE WHEN scale = 0 THEN 0.0 ELSE
+                       list_aggregate(
+                         list_transform(embedding,
+                           x -> pow(CAST(x AS DOUBLE)
+                                    - scale * least(greatest(
+                                        round(CAST(x AS DOUBLE) / scale), -127.0),
+                                      127.0), 2)),
+                         'sum') / len(embedding)
+                     END AS mse
+              FROM s
+            )
+            SELECT label,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(avg(mse), 10) AS avg_mse,
+                   round(avg(scale), 6) AS avg_scale
+            FROM e GROUP BY label ORDER BY label
         """,
         "multimodal_decode": """
             WITH b AS (

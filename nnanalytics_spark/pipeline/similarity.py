@@ -475,3 +475,78 @@ def centroid_eval(
         )
         .withColumn("accuracy", F.round(F.col("n_correct") / F.col("n"), 6))
     )
+
+
+def norm_stats(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding-geometry report: L2-norm mean/min/max and mean
+    first-component value — the standard pre-training sanity check that a
+    corpus of embeddings is normalized (or at least consistently scaled)
+    before cosine-based dedup/ANN is trusted.
+
+    Pure expression work per row (one aggregate() fold over the array in
+    codegen) followed by a single groupBy(label) with partial aggregation;
+    no UDFs, no extra shuffle — linear scan at any corpus size. Elements
+    are cast to double BEFORE the fold so accumulation order and precision
+    match the SQL oracle exactly."""
+    v = F.col(vec_col).cast("array<double>")
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            norm(v).alias("l2"),
+            F.element_at(v, 1).alias("d0"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("l2"), 6).alias("avg_l2"),
+            F.round(F.min("l2"), 6).alias("min_l2"),
+            F.round(F.max("l2"), 6).alias("max_l2"),
+            F.round(F.avg("d0"), 6).alias("avg_dim0"),
+        )
+    )
+
+
+def quantization_error(
+    df: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric int8 quantization report: per vector, scale =
+    max(|x|)/127, each component quantizes to round(x/scale) clamped to
+    [-127, 127]; the report aggregates per-label mean-squared
+    reconstruction error and the mean scale — the go/no-go check before
+    shipping a quantized ANN index (IVF/PQ-style compression) instead of
+    float32 vectors.
+
+    Everything is element-wise array expressions (transform + aggregate
+    folds) on a single scan — quantized vectors never materialize into a
+    shuffle; only (label, mse, scale) doubles reach the one groupBy.
+    Zero vectors (scale 0) emit mse 0 so the report never divides by
+    zero. round-half-up matches the SQL oracle's round()."""
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / 127.0
+    # reconstruct each component and fold the squared error in one pass
+    sqerr = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(
+            x
+            - scale
+            * F.least(
+                F.greatest(F.round(x / F.nullif(scale, F.lit(0.0))), F.lit(-127.0)),
+                F.lit(127.0),
+            ),
+            2,
+        ),
+    )
+    per_vec = df.select(
+        F.col(label_col).alias("label"),
+        scale.alias("scale"),
+        F.when(scale == 0.0, F.lit(0.0)).otherwise(sqerr / F.size(v)).alias("mse"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("mse"), 10).alias("avg_mse"),
+        F.round(F.avg("scale"), 6).alias("avg_scale"),
+    )

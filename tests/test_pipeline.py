@@ -541,3 +541,53 @@ def test_centroid_eval_separable_labels(spark):
     out = {r["label"]: (r["n"], r["n_correct"], r["accuracy"])
            for r in similarity.centroid_eval(df).collect()}
     assert out == {0: (6, 6, 1.0), 1: (6, 6, 1.0)}
+
+
+def test_dup_ngram_coverage(spark):
+    """Hand-computable corpus: doc 1 and 2 share one trigram ('a b c'),
+    doc 3 repeats it internally (both positions count as duplicated),
+    doc 4 shares nothing, doc 5 is shorter than n."""
+    rows = [
+        (1, "a b c d e"),       # trigrams: abc bcd cde
+        (2, "x a b c y"),       # trigrams: xab abc bcy
+        (3, "a b c a b c"),     # trigrams: abc bca cab abc
+        (4, "p q r s"),
+        (5, "one two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_ngrams"], r["n_dup_ngrams"], r["dup_frac"])
+        for r in dedup.dup_ngram_coverage(df, n=3, min_docs=2).collect()
+    }
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (4, 2, 0.5)  # 'a b c' at two positions, df=3 docs
+    assert out[4] == (2, 0, 0.0)
+    assert out[5] == (0, 0, 0.0)  # shorter than n → no n-grams
+
+
+def test_norm_stats_unit_vectors(spark):
+    rows = [(1, 0, [3.0, 4.0]), (2, 0, [6.0, 8.0]), (3, 1, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: r for r in similarity.norm_stats(df).collect()}
+    assert out[0]["n"] == 2 and out[0]["min_l2"] == 5.0 and out[0]["max_l2"] == 10.0
+    assert out[0]["avg_l2"] == 7.5 and out[0]["avg_dim0"] == 4.5
+    assert out[1]["avg_l2"] == 1.0 and out[1]["avg_dim0"] == 1.0
+
+
+def test_quantization_error_bounds(spark):
+    """MSE is bounded by (scale/2)^2 per component; zero vectors emit 0;
+    a vector whose components are exact multiples of its scale
+    reconstructs perfectly."""
+    rows = [
+        (1, 0, [127.0, -127.0, 0.0]),   # scale 1.0, exact multiples → mse 0
+        (2, 1, [0.0, 0.0, 0.0]),        # zero vector → scale 0 → mse 0
+        (3, 2, [1.0, 0.30, -0.77]),     # generic
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    out = {r["label"]: r for r in similarity.quantization_error(df).collect()}
+    assert out[0]["avg_mse"] == 0.0 and out[0]["avg_scale"] == 1.0
+    assert out[1]["avg_mse"] == 0.0 and out[1]["avg_scale"] == 0.0
+    scale = 1.0 / 127
+    assert 0.0 < out[2]["avg_mse"] <= (scale / 2) ** 2
+    assert out[2]["avg_scale"] == round(scale, 6)
