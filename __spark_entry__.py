@@ -36,13 +36,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    long (spark.sql.legacy.parquet.nanosAsLong). Expose ts_ms = exact
-    epoch milliseconds (integer div — double math would lose precision at
-    1e18 ns), matching DuckDB's epoch_ms(ts)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """events.ts arrives either as parquet timestamp[us] (Spark reads
+    TIMESTAMP_NTZ) or as TIMESTAMP(NANOS) surfaced as a long under the
+    legacy nanosAsLong conf. Branch on the actual dtype and expose
+    ts_ms / ts_us as exact integer epoch values (integer div / unix_*
+    — double math would lose precision), matching DuckDB's
+    epoch_ms(ts) / epoch_us(ts). Session tz is pinned UTC
+    (nnanalytics_spark/session.py), so unix_millis on the NTZ cast is
+    exact."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts_ms", F.expr("ts div 1000000"))
+    if dict(df.dtypes)["ts"] in ("bigint", "long"):
+        return df.withColumn("ts_ms", F.expr("ts div 1000000")).withColumn(
+            "ts_us", F.expr("ts div 1000")
+        )
+    ts = F.col("ts").cast("timestamp")
+    return df.withColumn("ts_ms", F.unix_millis(ts)).withColumn(
+        "ts_us", F.unix_micros(ts)
+    )
 
 
 def _dsum(col: str, alias: str) -> F.Column:
@@ -414,7 +424,7 @@ def q_asof_last_click(spark, sf):
     composition Spark uses where a native as-of join is missing)."""
     from pyspark.sql import Window as W
 
-    e = _events(spark, sf).withColumn("ts_us", F.expr("ts div 1000"))
+    e = _events(spark, sf)
     w = (
         W.partitionBy("user_id")
         .orderBy("ts_us", "event_id")
