@@ -1648,6 +1648,50 @@ def q_save_namespace_roundtrip(spark, sf):
     )
 
 
+def q_token_commonness(spark, sf):
+    """Corpus-frequency quality signals (pipeline/text.py:token_commonness)
+    — the vocabulary half of the CCNet-style LM score, in integer
+    arithmetic so the oracle hashes exactly."""
+    return text.token_commonness(_t(spark, sf, "documents"))
+
+
+def q_lexical_cosine(spark, sf):
+    """Sparse TF-cosine near-dup pairs over the stop-worded vocabulary
+    (pipeline/lexical.py) — the lexical-weighted modality next to set
+    Jaccard and embedding cosine; top-20 by similarity."""
+    from nnanalytics_spark.pipeline import lexical
+
+    pairs = lexical.lexical_cosine_pairs(
+        _t(spark, sf, "documents"), threshold=0.5, max_token_df=100
+    )
+    return pairs.orderBy(F.col("cos_sim").desc(), "id_a", "id_b").limit(20)
+
+
+def q_profile_table(spark, sf):
+    """One-pass column profiler (core/profile.py): per-column null /
+    distinct / range stats over orders in a single shared scan + stack
+    unpivot. Float and timestamp columns are pre-cast (decimal / date) so
+    min/max render string-identically in both engines."""
+    from nnanalytics_spark.core.profile import profile
+
+    o = (
+        _t(spark, sf, "orders")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast(_DEC))
+        .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+    )
+    return profile(
+        o,
+        [
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r3 window is SQL-oracle entries ONLY, prioritized:
@@ -1671,6 +1715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweep_roundtrip": q_sweep_roundtrip,
         "changelog_upsert": q_changelog_upsert,
         "save_namespace_roundtrip": q_save_namespace_roundtrip,
+        "token_commonness": q_token_commonness,
+        "lexical_cosine": q_lexical_cosine,
+        "profile_table": q_profile_table,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1700,9 +1747,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_batch_topk": q_ann_batch_topk,
         "centroid_eval": q_centroid_eval,
-        "stratified_sample": q_stratified_sample,
-        "shard_histogram": q_shard_histogram,
-        "corpus_curation": q_corpus_curation,
         "window_range_frame": q_window_range_frame,
         "grouping_sets": q_grouping_sets,
         "content_summary": q_content_summary,
@@ -1715,6 +1759,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r2-green SQL-oracle rows rotated out to make room (pytest
         # parity/goldens still cover them locally):
         "embedding_dup_clusters": q_embedding_dup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "shard_histogram": q_shard_histogram,
+        "corpus_curation": q_corpus_curation,
         "text_tokens": q_text_tokens,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -3007,6 +3054,90 @@ def oracle_sql() -> dict[str, str]:
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]
     d["url_sort_by_value"] = d["url_histogram"]
+    d["token_commonness"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+        SELECT doc_id AS id, count(*) AS n_tokens,
+               round(avg(c), 6) AS avg_token_count,
+               round(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS rare_frac
+        FROM toks JOIN vocab USING (tok)
+        GROUP BY doc_id
+    """
+    d["lexical_cosine"] = r"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dfreq AS (SELECT tok, count(*) AS dfc FROM tf GROUP BY tok),
+        tff AS (
+          SELECT tf.id, tf.tok, tf.tf FROM tf JOIN dfreq USING (tok)
+          WHERE dfc <= 100
+        ),
+        nrm AS (SELECT id, SUM(tf * tf) AS nrm2 FROM tff GROUP BY id),
+        dots AS (
+          SELECT a.id AS id_a, b.id AS id_b, SUM(a.tf * b.tf) AS dot
+          FROM tff a JOIN tff b ON a.tok = b.tok AND a.id < b.id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)), 6) AS cos_sim
+        FROM dots
+        JOIN nrm na ON na.id = id_a
+        JOIN nrm nb ON nb.id = id_b
+        WHERE round(dot / (sqrt(na.nrm2) * sqrt(nb.nrm2)), 6) >= 0.5
+        ORDER BY cos_sim DESC, id_a, id_b LIMIT 20
+    """
+    d["profile_table"] = """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+                 CAST(o_orderdate AS DATE) AS o_orderdate,
+                 o_orderpriority
+          FROM orders
+        )
+        SELECT 'o_orderkey' AS "column", count(o_orderkey) AS n,
+               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               count(DISTINCT o_orderkey) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM o
+        UNION ALL
+        SELECT 'o_custkey', count(o_custkey),
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderstatus', count(o_orderstatus),
+               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderstatus),
+               min(o_orderstatus), max(o_orderstatus)
+        FROM o
+        UNION ALL
+        SELECT 'o_totalprice', count(o_totalprice),
+               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderdate', count(o_orderdate),
+               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+        FROM o
+        UNION ALL
+        SELECT 'o_orderpriority', count(o_orderpriority),
+               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               count(DISTINCT o_orderpriority),
+               min(o_orderpriority), max(o_orderpriority)
+        FROM o
+    """
     d["changelog_upsert"] = """
         WITH f AS (
           SELECT p_partkey AS pk,

@@ -65,6 +65,9 @@ HEADLINE = [
     "pack_sequences",
     "text_repetition",
     "multimodal_decode",
+    "token_commonness",
+    "lexical_cosine",
+    "profile_table",
 ]
 
 

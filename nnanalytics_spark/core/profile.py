@@ -1,0 +1,55 @@
+"""One-pass column profiler — the data-quality step every ingest runs
+before a table joins the corpus (null rates, cardinalities, ranges).
+
+The reference has no profiling surface (its one table is fixed); a
+standalone engine needs it for arbitrary parquet inputs. Spark-native
+shape: ONE aggregate computes every per-column statistic in a shared
+scan, then ``stack`` unpivots the single row into one row per column —
+no per-column jobs, no driver loops.
+
+Exact distinct counts use count_distinct, which Catalyst plans via one
+Expand over the scan (rows × profiled-columns intermediate — fine for
+profiling passes; it is still one job and one shuffle). At 100 TB flip
+``exact_distinct=False`` for HLL sketches (approx_count_distinct), which
+collapses the Expand back to plain partial aggregates; the sketch path
+has no SQL oracle, which is why the driver checks the exact one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column (n, n_nulls, n_distinct, min_value, max_value), one row
+    per profiled column. min/max are cast to string so heterogeneous
+    column types share one output schema; cast float/double columns to
+    DECIMAL upstream when string-stable rendering matters."""
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        distinct = F.count_distinct(col) if exact_distinct else F.approx_count_distinct(col)
+        aggs += [
+            F.count(col).alias(f"{c}__n"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            distinct.alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+        ]
+    one_row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', `{c}__n`, `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+        for c in cols
+    )
+    return one_row.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) as "
+            "(column, n, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

@@ -1,0 +1,84 @@
+"""Sparse lexical similarity — TF-vector cosine over an inverted index.
+
+The third near-dup modality next to set-based n-gram Jaccard
+(pipeline/dedup.py) and dense embedding cosine (pipeline/similarity.py):
+term-frequency-weighted overlap catches "same words, different mix"
+pairs that set Jaccard under-scores and embedding models over-smooth.
+
+Built entirely from DataFrame ops: tokenize → per-(doc, token) term
+frequency → token-keyed self-join (the inverted index — the pair space
+never materializes beyond co-occurring candidates) → one aggregate for
+the dot product, with norms carried on the postings. All arithmetic
+before the final divide is INTEGER (tf products and squared norms), so
+a SQL oracle hash-matches exactly; sqrt/divide are IEEE-correctly
+rounded in both engines.
+
+Skew control is stop-wording by document frequency: tokens appearing in
+more than ``max_token_df`` documents are dropped from the VOCABULARY
+(vectors and norms alike, so the cosine stays exact over the filtered
+vocabulary — standard lexical practice, and the analog of dedup.py's
+hot-shingle bound: a token with document frequency d contributes d²
+join rows, so the unbounded index is quadratic in the hottest token).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.pipeline.text import tokens
+
+
+def lexical_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with TF-cosine ≥ threshold over the (optionally
+    stop-worded) vocabulary.
+
+    Plan shape: tf table (one explode + one groupBy) → window document
+    frequency riding the same token-hash exchange the self-join needs
+    (one exchange, reused) → self-join on the 8-byte token hash →
+    per-pair integer dot product → cosine. Shuffle keys are 8-byte
+    hashes; norms are carried columns, no enrichment joins.
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(F.lower(F.col(text)))).alias("tok"),
+        )
+        .groupBy("id", F.xxhash64("tok").alias("tk"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if max_token_df is not None:
+        tf = tf.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("tk"))).filter(
+            F.col("df") <= max_token_df
+        ).drop("df")
+    # squared norm over the FILTERED vector, carried on every posting of
+    # the doc (functionally dependent on id — no separate norm table)
+    tf = tf.withColumn(
+        "nrm2", F.sum(F.col("tf") * F.col("tf")).over(W.partitionBy("id"))
+    )
+    a, b = tf.alias("a"), tf.alias("b")
+    dots = (
+        a.join(b, (F.col("a.tk") == F.col("b.tk")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"),
+            F.first(F.col("a.nrm2")).alias("nrm2_a"),
+            F.first(F.col("b.nrm2")).alias("nrm2_b"),
+        )
+    )
+    return (
+        dots.withColumn(
+            "cos_sim",
+            F.round(F.col("dot") / (F.sqrt("nrm2_a") * F.sqrt("nrm2_b")), 6),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -261,3 +261,52 @@ def with_pii_scrubbed(df: DataFrame, text: str = "text") -> DataFrame:
     for key, cnt in pii_counts(col).items():
         out = out.withColumn(f"n_{key}", cnt)
     return out.withColumn("scrubbed", scrub_pii(col))
+
+
+def token_commonness(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-frequency quality signals per document — the CCNet-style
+    "does this doc look like the corpus" proxy (Wenzek et al. 2020 score
+    docs with an LM; the frequency formulation below is the vocabulary
+    half of that signal, kept in INTEGER arithmetic so a SQL oracle can
+    hash-verify it exactly — log-probability sums are float-order
+    dependent across engines):
+
+    - ``avg_token_count``: mean over the doc's tokens of each token's
+      corpus-wide occurrence count (high = stock phrasing, low = rare
+      vocabulary / noise),
+    - ``rare_frac``: fraction of tokens whose corpus count is
+      ≤ rare_max_count (OOV-ish mass — boilerplate ids, mangled text).
+
+    Plan: one explode to (doc, token), token-count aggregate over the
+    SAME exploded frame, then a token-keyed join back and one per-doc
+    aggregate — two keyed shuffles plus a join AQE broadcasts when the
+    vocabulary is small. Counts ride 8-byte integers; substituting
+    log-probs for counts in the final projection turns this into the
+    true LM score at scale (same plan, float output).
+
+    Empty documents (no tokens after trim) are excluded — they have no
+    token distribution to score; quality_score already flags them.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.lower(F.col(text)))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("corpus_count"))
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("corpus_count"), 6).alias("avg_token_count"),
+            F.round(
+                F.sum(F.when(F.col("corpus_count") <= rare_max_count, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("rare_frac"),
+        )
+    )

@@ -1,0 +1,94 @@
+"""Unit tests for the r3 operators: column profiler, lexical TF-cosine,
+token-commonness quality signals — closed-form fixtures with hand-computed
+expectations (the driver oracle covers the sf-scale parity)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.core.profile import profile
+from nnanalytics_spark.pipeline import text
+from nnanalytics_spark.pipeline.lexical import lexical_cosine_pairs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple banana cherry"),
+        (3, "zebra quark"),
+        (4, "   "),  # whitespace-only: no tokens, excluded from token ops
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_profile_counts_nulls_distinct(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "k long, v string",
+    )
+    got = {r["column"]: r for r in profile(df).collect()}
+    assert got["k"]["n"] == 3 and got["k"]["n_nulls"] == 1
+    assert got["k"]["n_distinct"] == 3
+    assert (got["k"]["min_value"], got["k"]["max_value"]) == ("1", "3")
+    assert got["v"]["n"] == 3 and got["v"]["n_nulls"] == 1
+    assert got["v"]["n_distinct"] == 2
+    assert (got["v"]["min_value"], got["v"]["max_value"]) == ("a", "b")
+
+
+def test_profile_single_pass_plan(spark):
+    """The whole profile is ONE aggregate over one scan — no per-column
+    jobs: exactly one Scan in the optimized plan."""
+    df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("m"))
+    plan = profile(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Range") == 1
+
+
+def test_lexical_cosine_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "totally different words")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           lexical_cosine_pairs(df, threshold=0.9).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_lexical_cosine_tf_weighting(spark):
+    # doc1 = (a:2, b:1), doc2 = (a:1, b:1): cos = (2+1)/(sqrt(5)*sqrt(2))
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b")], "doc_id long, text string"
+    )
+    [(pair, cos)] = [
+        ((r["id_a"], r["id_b"]), r["cos_sim"])
+        for r in lexical_cosine_pairs(df, threshold=0.0).collect()
+    ]
+    assert pair == (1, 2)
+    assert cos == round(3 / (math.sqrt(5) * math.sqrt(2)), 6)
+
+
+def test_lexical_cosine_stopword_bound(spark):
+    # 'the' appears in all 3 docs; with max_token_df=2 it leaves the
+    # vocabulary, so docs sharing ONLY 'the' produce no pair.
+    df = spark.createDataFrame(
+        [(1, "the apple"), (2, "the banana"), (3, "the apple")],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           lexical_cosine_pairs(df, threshold=0.1, max_token_df=2).collect()}
+    assert got == {(1, 3)}
+
+
+def test_token_commonness(docs):
+    got = {r["id"]: r for r in text.token_commonness(docs).collect()}
+    assert set(got) == {1, 2, 3}  # whitespace-only doc 4 excluded
+    # corpus counts: apple=3, banana=2, cherry=1, zebra=1, quark=1
+    r1 = got[1]  # tokens apple, banana, apple -> counts 3,2,3
+    assert r1["n_tokens"] == 3
+    assert r1["avg_token_count"] == round(8 / 3, 6)
+    assert r1["rare_frac"] == round(1 / 3, 6)  # banana(2) is <= 2
+    r3 = got[3]  # zebra, quark both count 1 -> all rare
+    assert r3["avg_token_count"] == 1.0 and r3["rare_frac"] == 1.0
