@@ -1692,6 +1692,43 @@ def q_profile_table(spark, sf):
     )
 
 
+def q_key_skew(spark, sf):
+    """Join-key skew diagnostic (core/profile.py:key_skew) over
+    lineitem.l_orderkey — the pre-flight report that picks broadcast vs
+    shuffle vs salting for a 100 TB join."""
+    from nnanalytics_spark.core.profile import key_skew
+
+    return key_skew(_t(spark, sf, "lineitem"), "l_orderkey")
+
+
+def q_bucketed_join(spark, sf):
+    """Bucketed co-located join end-to-end (sources/layout.py:
+    write_bucketed): both fact tables persisted bucketed+sorted on the
+    join key, then joined via the catalog — the exchange that dominates a
+    fact-fact join disappears (tests/test_sources.py asserts the
+    shuffle-free plan; this row hash-verifies the VALUES the bucketed
+    path produces). External-table paths keep data in tempdirs."""
+    import tempfile
+
+    from nnanalytics_spark.sources import layout
+
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    d = tempfile.mkdtemp(prefix="nna_bucketed_")
+    layout.write_bucketed(li, "bench_li_bkt", "l_orderkey", 8,
+                          sort_col="l_orderkey", path=f"{d}/li")
+    layout.write_bucketed(o, "bench_o_bkt", "o_orderkey", 8,
+                          sort_col="o_orderkey", path=f"{d}/o")
+    j = layout.read_table(spark, "bench_li_bkt").join(
+        layout.read_table(spark, "bench_o_bkt"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        _dsum("l_extendedprice", "sum_price"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r3 window is SQL-oracle entries ONLY, prioritized:
@@ -1718,6 +1755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_commonness": q_token_commonness,
         "lexical_cosine": q_lexical_cosine,
         "profile_table": q_profile_table,
+        "key_skew": q_key_skew,
+        "bucketed_join": q_bucketed_join,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1726,7 +1765,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subtree_agg": q_subtree_agg,
         "suggestions_buckets": q_suggestions_buckets,
         "window_ntile": q_window_ntile,
-        "nna_sql_histogram": q_nna_sql_histogram,
         "quota_flags": q_quota_flags,
         "registered_dir_stats": q_registered_dir_stats,
         "suggestions_per_user": q_suggestions_per_user,
@@ -1747,7 +1785,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_batch_topk": q_ann_batch_topk,
         "centroid_eval": q_centroid_eval,
-        "window_range_frame": q_window_range_frame,
         "grouping_sets": q_grouping_sets,
         "content_summary": q_content_summary,
         "histogram2_nested": q_histogram2_nested,
@@ -1759,6 +1796,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r2-green SQL-oracle rows rotated out to make room (pytest
         # parity/goldens still cover them locally):
         "embedding_dup_clusters": q_embedding_dup_clusters,
+        "window_range_frame": q_window_range_frame,
+        "nna_sql_histogram": q_nna_sql_histogram,
         "stratified_sample": q_stratified_sample,
         "shard_histogram": q_shard_histogram,
         "corpus_curation": q_corpus_curation,
@@ -3054,6 +3093,26 @@ def oracle_sql() -> dict[str, str]:
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]
     d["url_sort_by_value"] = d["url_histogram"]
+    d["key_skew"] = """
+        WITH c AS (
+          SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1
+        )
+        SELECT count(*) AS n_keys,
+               SUM(cnt) AS n_rows,
+               max(cnt) AS max_per_key,
+               round(avg(cnt), 6) AS avg_per_key,
+               round(quantile_cont(cnt, 0.5), 6) AS p50_per_key,
+               round(quantile_cont(cnt, 0.99), 6) AS p99_per_key,
+               round(max(cnt) / avg(cnt), 6) AS skew_ratio
+        FROM c
+    """
+    d["bucketed_join"] = """
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """
     d["token_commonness"] = r"""
         WITH toks AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok

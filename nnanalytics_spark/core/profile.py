@@ -53,3 +53,28 @@ def profile(
             "(column, n, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def key_skew(df: DataFrame, key: str) -> DataFrame:
+    """Key-distribution diagnostic for join/aggregation planning — the
+    report you run BEFORE choosing broadcast vs shuffle vs salting for a
+    100 TB join: per-key row counts reduced to one row of distribution
+    shape (key cardinality, mean/median/p99/max rows per key, and the
+    max/mean skew ratio that predicts straggler tasks — AQE's skew-join
+    threshold is exactly a bound on this quantity).
+
+    Two aggregates: one keyed count (map-side combined) and one scalar
+    reduction over the per-key counts — the second input is |keys| rows,
+    so the whole diagnostic costs barely more than the count itself.
+    Exact interpolated percentiles keep the SQL oracle hashable; at
+    extreme key cardinality swap percentile for approx_percentile."""
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_per_key"),
+        F.round(F.avg("cnt"), 6).alias("avg_per_key"),
+        F.round(F.percentile("cnt", F.lit(0.5)), 6).alias("p50_per_key"),
+        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_per_key"),
+        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+    )

@@ -92,3 +92,16 @@ def test_token_commonness(docs):
     assert r1["rare_frac"] == round(1 / 3, 6)  # banana(2) is <= 2
     r3 = got[3]  # zebra, quark both count 1 -> all rare
     assert r3["avg_token_count"] == 1.0 and r3["rare_frac"] == 1.0
+
+
+def test_key_skew(spark):
+    from nnanalytics_spark.core.profile import key_skew
+
+    # keys: a×4, b×1, c×1 -> n_keys 3, max 4, avg 2, skew 2
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [("b",), ("c",)], "k string"
+    )
+    r = key_skew(df, "k").collect()[0]
+    assert (r["n_keys"], r["n_rows"], r["max_per_key"]) == (3, 6, 4)
+    assert r["avg_per_key"] == 2.0 and r["skew_ratio"] == 2.0
+    assert r["p50_per_key"] == 1.0  # counts sorted: 1,1,4
