@@ -1729,6 +1729,20 @@ def q_bucketed_join(spark, sf):
     )
 
 
+def q_mixture_epochs(spark, sf):
+    """Training-mixture upsampling (sampling.py:mixture_upsample):
+    src1 at 2.25 epochs (two full copies + a deterministic quarter),
+    src2 at 0.5 (the fractional path alone = downsampling), everything
+    else at 1.0. Row-level output so the hash pins exactly WHICH rows
+    carry the extra epoch."""
+    from nnanalytics_spark.pipeline import sampling
+
+    out = sampling.mixture_upsample(
+        _t(spark, sf, "documents"), {"src1": 2250, "src2": 500}
+    )
+    return out.select("doc_id", "source", "copy")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r3 window is SQL-oracle entries ONLY, prioritized:
@@ -1757,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "bucketed_join": q_bucketed_join,
+        "mixture_epochs": q_mixture_epochs,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1788,7 +1803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "content_summary": q_content_summary,
         "histogram2_nested": q_histogram2_nested,
-        "having_indexed": q_having_indexed,
         "url_histogram": q_url_histogram,
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
@@ -1798,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "window_range_frame": q_window_range_frame,
         "nna_sql_histogram": q_nna_sql_histogram,
+        "having_indexed": q_having_indexed,
         "stratified_sample": q_stratified_sample,
         "shard_histogram": q_shard_histogram,
         "corpus_curation": q_corpus_curation,
@@ -3093,6 +3108,23 @@ def oracle_sql() -> dict[str, str]:
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]
     d["url_sort_by_value"] = d["url_histogram"]
+    d["mixture_epochs"] = """
+        WITH d AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src1' THEN 2250 WHEN 'src2' THEN 500
+                             ELSE 1000 END AS pm,
+                 (doc_id * 2654435761) % 1000 AS b
+          FROM documents
+        ),
+        n AS (
+          SELECT doc_id, source,
+                 (pm // 1000) + CASE WHEN b < pm % 1000 THEN 1 ELSE 0 END AS nc
+          FROM d
+        )
+        SELECT doc_id, source, CAST(i AS INT) AS copy
+        FROM n, unnest(generate_series(0, nc - 1)) AS t(i)
+        WHERE nc > 0
+    """
     d["key_skew"] = """
         WITH c AS (
           SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1

@@ -119,3 +119,39 @@ def pack_sequences(
     return out.withColumn(
         "pack_id", F.floor(F.col("start_offset") / F.lit(budget)).cast("long")
     )
+
+
+def mixture_upsample(
+    df: DataFrame,
+    epochs_permille: dict[str, int],
+    default_permille: int = 1000,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Training-mixture upsampling: repeat each stratum ~epochs times,
+    where epochs is expressed in permille (2250 = 2.25 epochs). The
+    integer part becomes full copies; the fractional part is one extra
+    copy for a deterministic id-hash-chosen subset — so every source hits
+    its target mixture weight exactly in expectation and reproducibly
+    per row (no rand(); the same rows get the extra epoch every run).
+
+    Output carries a ``copy`` index (0-based) so downstream shuffles/
+    packing can distinguish repeats. Map-side only: the explode happens
+    at the scan projection, no shuffle; at 100 TB the writer's shard
+    partitioning is unchanged because copies inherit the row's id.
+
+    This is the repeat-weighted half of mixture building (upsampling
+    wiki/books-style sources above 1.0 epochs); stratified_sample is the
+    downsampling half (rates < 1.0 drop rows instead of repeating)."""
+    e_map = F.create_map(*[F.lit(x) for kv in epochs_permille.items() for x in kv])
+    permille = F.coalesce(
+        F.element_at(e_map, F.col(strata_col)), F.lit(default_permille)
+    ).cast("long")
+    n_copies = (permille / 1000).cast("long") + F.when(
+        _bucket(F.col(id_col)) < permille % 1000, F.lit(1)
+    ).otherwise(F.lit(0))
+    # sequence(0, -1) would generate a DESCENDING range; guard empties
+    copies = F.when(n_copies > 0, F.sequence(F.lit(0), (n_copies - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("copy", F.explode(copies))

@@ -105,3 +105,28 @@ def test_key_skew(spark):
     assert (r["n_keys"], r["n_rows"], r["max_per_key"]) == (3, 6, 4)
     assert r["avg_per_key"] == 2.0 and r["skew_ratio"] == 2.0
     assert r["p50_per_key"] == 1.0  # counts sorted: 1,1,4
+
+
+def test_mixture_upsample(spark):
+    from nnanalytics_spark.pipeline.sampling import mixture_upsample
+
+    df = spark.createDataFrame(
+        [(i, "wiki") for i in range(100)] + [(i + 100, "web") for i in range(100)],
+        "doc_id long, source string",
+    )
+    out = mixture_upsample(df, {"wiki": 2500, "web": 1000}).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["doc_id"], r["copy"]))
+    # web: exactly 1.0 epoch — every row once, copy 0
+    assert len(by_src["web"]) == 100
+    assert all(c == 0 for _, c in by_src["web"])
+    # wiki: 2 full copies each + ~half get a third (deterministic subset)
+    wiki = by_src["wiki"]
+    assert 200 < len(wiki) <= 300
+    n3 = len(wiki) - 200
+    triple = {d for d, c in wiki if c == 2}
+    assert len(triple) == n3
+    # rerun is identical (no rand())
+    again = mixture_upsample(df, {"wiki": 2500, "web": 1000}).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
