@@ -1729,6 +1729,24 @@ def q_bucketed_join(spark, sf):
     )
 
 
+def q_video_decode(spark, sf):
+    """Real VIDEO decode round-trip — the third modality's codec is now
+    real, not stubbed: every document's UTF-8 bytes become grayscale DIB
+    frames in a standard AVI container (16×8 @ 5 fps, zero-padded last
+    frame), and decode_media struct-parses the RIFF back (avih/strh/strf
+    headers, '00db' frame chunks, bottom-up row un-flip) —
+    codecs.py:encode_avi/decode_avi. Every output column is arithmetic
+    in the text's UTF-8 byte length, so the oracle verifies the full
+    encode→decode loop cell-for-cell."""
+    from nnanalytics_spark.pipeline import multimodal
+
+    d = _t(spark, sf, "documents")
+    out = multimodal.decode_media(multimodal.videos_from_documents(d))
+    return out.select(
+        "media_id", "width", "height", "fps", "n_frames", "duration_ms", "n_data"
+    ).orderBy("media_id")
+
+
 def q_mixture_epochs(spark, sf):
     """Training-mixture upsampling (sampling.py:mixture_upsample):
     src1 at 2.25 epochs (two full copies + a deterministic quarter),
@@ -1772,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": q_key_skew,
         "bucketed_join": q_bucketed_join,
         "mixture_epochs": q_mixture_epochs,
+        "video_decode": q_video_decode,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1802,7 +1821,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_eval": q_centroid_eval,
         "grouping_sets": q_grouping_sets,
         "content_summary": q_content_summary,
-        "histogram2_nested": q_histogram2_nested,
         "url_histogram": q_url_histogram,
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
@@ -1813,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_range_frame": q_window_range_frame,
         "nna_sql_histogram": q_nna_sql_histogram,
         "having_indexed": q_having_indexed,
+        "histogram2_nested": q_histogram2_nested,
         "stratified_sample": q_stratified_sample,
         "shard_histogram": q_shard_histogram,
         "corpus_curation": q_corpus_curation,
@@ -3108,6 +3127,18 @@ def oracle_sql() -> dict[str, str]:
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]
     d["url_sort_by_value"] = d["url_histogram"]
+    d["video_decode"] = """
+        WITH b AS (
+          SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        )
+        SELECT doc_id AS media_id,
+               CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+               CAST(5 AS INT) AS fps,
+               CAST(greatest((n + 127) // 128, 1) AS INT) AS n_frames,
+               CAST(greatest((n + 127) // 128, 1) * 200 AS INT) AS duration_ms,
+               CAST(greatest((n + 127) // 128, 1) * 128 AS INT) AS n_data
+        FROM b ORDER BY media_id
+    """
     d["mixture_epochs"] = """
         WITH d AS (
           SELECT doc_id, source,

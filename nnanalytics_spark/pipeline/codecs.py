@@ -245,3 +245,166 @@ def png_features(payload: bytes, n_buckets: int = 8) -> list[float]:
         return [0.0] * n_buckets
     hist = np.bincount(px >> 5, minlength=n_buckets)[:n_buckets]
     return (hist / px.size).astype(np.float64).tolist()
+
+
+# ---------------------------------------------------------------------------
+# AVI video (RIFF / uncompressed 24-bit DIB frames)
+# ---------------------------------------------------------------------------
+
+AVI_WIDTH = 16
+AVI_HEIGHT = 8
+AVI_FPS = 5
+
+
+def encode_avi(
+    data: bytes, width: int = AVI_WIDTH, height: int = AVI_HEIGHT, fps: int = AVI_FPS
+) -> bytes:
+    """Wrap raw bytes as an uncompressed AVI: grayscale values become
+    24-bit BI_RGB DIB frames (each byte replicated to B=G=R), width*height
+    bytes per frame, zero-padded last frame, rows stored bottom-up per the
+    DIB convention. Standard RIFF 'AVI ' layout: LIST hdrl (avih + LIST
+    strl (strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) + LIST movi with
+    one '00db' chunk per frame. width*3 must stay 4-byte aligned (the DIB
+    row-pad rule); the default 16 is."""
+    if (width * 3) % 4:
+        raise ValueError("width*3 must be 4-byte aligned")
+    px = width * height
+    n_frames = max((len(data) + px - 1) // px, 1)
+    padded = data.ljust(n_frames * px, b"\x00")
+
+    frames = []
+    for k in range(n_frames):
+        grey = padded[k * px : (k + 1) * px]
+        rows = [grey[r * width : (r + 1) * width] for r in range(height)]
+        bgr = b"".join(
+            b"".join(bytes((v, v, v)) for v in row) for row in reversed(rows)
+        )
+        frames.append(bgr)
+    frame_bytes = len(frames[0])
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        out = struct.pack("<4sI", cid, len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    def list_chunk(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<10I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        frame_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-free flags
+        n_frames,
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,  # dwSuggestedBufferSize
+        width,
+        height,
+    ) + struct.pack("<4I", 0, 0, 0, 0)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII",
+        b"vids",
+        b"DIB ",
+        0,  # flags
+        0, 0,  # priority, language
+        0,  # initial frames
+        1,  # scale
+        fps,  # rate (fps = rate/scale)
+        0,  # start
+        n_frames,  # length
+        frame_bytes,  # suggested buffer
+        0,  # quality
+        0,  # sample size
+    ) + struct.pack("<4H", 0, 0, width, height)
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0,  # biSize..biCompression (BI_RGB)
+        frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return struct.pack("<4sI", b"RIFF", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> dict:
+    """Struct-parse a RIFF/AVI chunk stream — independent of the encoder
+    (no shared helpers), mirroring decode_wav's cross-implementation
+    round-trip guarantee. Walks hdrl for avih/strh/strf, collects '00db'/
+    '00dc' frames from movi, validates frame sizes against the parsed
+    geometry, and un-flips the bottom-up DIB rows back to top-down
+    grayscale arrays. Raises ValueError on malformed containers."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    width = height = n_frames_hdr = None
+    fps = bits = compression = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, n_frames_hdr, fps, bits, compression
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", buf, pos)
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError("truncated chunk %r" % cid)
+            if cid == b"LIST":
+                ltype = buf[body_start : body_start + 4]
+                if ltype in (b"hdrl", b"strl", b"movi"):
+                    walk(buf, body_start + 4, body_start + size)
+            elif cid == b"avih":
+                (usec, _mbps, _pad, _flags, total, _init, _streams, _buf,
+                 w, h) = struct.unpack_from("<10I", buf, body_start)
+                width, height, n_frames_hdr = w, h, total
+                if usec:
+                    fps = round(1_000_000 / usec)
+            elif cid == b"strh":
+                fcc = buf[body_start : body_start + 4]
+                if fcc == b"vids":
+                    scale, rate = struct.unpack_from("<II", buf, body_start + 20)
+                    if scale:
+                        fps = rate // scale
+            elif cid == b"strf":
+                (_sz, _w, _h, _planes, bc, comp) = struct.unpack_from(
+                    "<IiiHHI", buf, body_start
+                )
+                bits, compression = bc, comp
+            elif cid in (b"00db", b"00dc"):
+                frames.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if width is None or fps is None:
+        raise ValueError("missing avih/strh header")
+    if compression not in (0, None):
+        raise ValueError("unsupported AVI compression %r" % compression)
+    if bits not in (24, None):
+        raise ValueError("unsupported bit depth %r" % bits)
+    expect = width * height * 3
+    grey_frames = []
+    for f in frames:
+        if len(f) != expect:
+            raise ValueError("frame size %d != %d" % (len(f), expect))
+        arr = np.frombuffer(f, dtype=np.uint8).reshape(height, width, 3)
+        grey_frames.append(arr[::-1, :, 0].copy())  # un-flip bottom-up rows
+    n_frames = len(grey_frames)
+    if n_frames_hdr is not None and n_frames_hdr != n_frames:
+        raise ValueError("header frame count %s != %d" % (n_frames_hdr, n_frames))
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "n_frames": n_frames,
+        "duration_ms": n_frames * 1000 // fps,
+        "frames": grey_frames,
+    }
+
+
+def avi_features(payload: bytes, n_buckets: int = 8) -> list[float]:
+    """Real video features: normalized intensity histogram over every
+    decoded frame's pixels (sums to 1), vectorized with numpy."""
+    meta = decode_avi(payload)
+    px = np.concatenate([f.ravel() for f in meta["frames"]])
+    counts = np.bincount(px >> 5, minlength=n_buckets)[:n_buckets]
+    return (counts / max(px.size, 1)).astype(float).tolist()

@@ -2,15 +2,15 @@
 
 The Spark-side architecture — schema, partition-aware batch iteration
 (mapInPandas with Arrow batches), typed metadata struct — plus REAL
-decode kernels for two modalities: PNG images and WAV audio are parsed
-by the pure-Python codecs in codecs.py (chunk/CRC-verified PNG inflate +
-unfilter; struct-parsed RIFF/PCM), so image/audio feature extraction is
-a genuine decode, not a fake. Only video decode remains a documented
-stub (no video container parser exists in the stdlib); swapping it for
-pyav/ffmpeg changes one function, not the plan. The operator is shaped
-for 100 TB regardless of kernel: binary payloads never shuffle; decode
-and feature extraction are map-side only; outputs are small typed
-columns.
+decode kernels for all three modalities via the pure-Python codecs in
+codecs.py: PNG images (chunk/CRC-verified inflate + unfilter), WAV audio
+(struct-parsed RIFF/PCM), and uncompressed-DIB AVI video (struct-parsed
+RIFF chunk walk: avih/strh/strf headers + per-frame '00db' payloads,
+bottom-up row un-flip). Compressed codecs (JPEG/H.264/Opus) would swap
+one kernel function each for pyav/PIL without touching the plan. The
+operator is shaped for 100 TB regardless of kernel: binary payloads
+never shuffle; decode and feature extraction are map-side only; outputs
+are small typed columns.
 """
 
 from __future__ import annotations
@@ -47,18 +47,27 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, checksum long, feature array<double>"
 
 
-def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """Deterministic fake decode for VIDEO only: 8 bucket-counts over raw
-    byte values. Image and audio use the real codecs below; video has no
-    stdlib container parser, so this stays a documented stub — real
-    deployment swaps in pyav/ffmpeg frame decode + model features."""
-    if payload is None:
-        return [0.0] * 8
+def _byte_histogram(payload: bytes) -> list[float]:
+    """Normalized 8-bucket byte histogram — the container-agnostic
+    fallback for payloads that aren't a parseable container."""
     counts = [0] * 8
     for byte in payload:
         counts[byte >> 5] += 1
     total = max(len(payload), 1)
     return [c / total for c in counts]
+
+
+def _decode_video(payload: bytes, kind: str) -> list[float]:
+    """Real AVI decode (codecs.decode_avi: RIFF walk + DIB un-flip) →
+    normalized intensity histogram over every decoded frame's pixels.
+    Non-AVI binary falls back to the raw byte histogram so foreign video
+    containers still yield a deterministic (if codec-blind) signature."""
+    if payload is None:
+        return [0.0] * 8
+    try:
+        return codecs.avi_features(payload)
+    except ValueError:
+        return _byte_histogram(payload)
 
 
 def _decode_image(payload: bytes, kind: str) -> list[float]:
@@ -77,7 +86,7 @@ def _decode_audio(payload: bytes, kind: str) -> list[float]:
     return codecs.wav_features(payload)
 
 
-DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_stub}
+DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_video}
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -112,7 +121,8 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 DECODED_SCHEMA = (
     "media_id long, kind string, n_bytes int, width int, height int, "
-    "sample_rate int, n_channels int, duration_ms int, n_data int"
+    "sample_rate int, n_channels int, duration_ms int, n_data int, "
+    "n_frames int, fps int"
 )
 
 
@@ -129,6 +139,9 @@ def decode_media(df: DataFrame) -> DataFrame:
       reconstructed pixels (zero-padded last row).
     - audio: sample_rate, n_channels, duration_ms from the parsed fmt
       chunk; n_data = PCM sample count.
+    - video: width, height, fps, n_frames, duration_ms from the parsed
+      avih/strh headers; n_data = n_frames*width*height decoded pixels
+      (zero-padded last frame).
 
     Arrow-batched mapInPandas, map-side only; payloads never shuffle."""
 
@@ -137,6 +150,7 @@ def decode_media(df: DataFrame) -> DataFrame:
             out: dict[str, list] = {k: [] for k in (
                 "media_id", "kind", "n_bytes", "width", "height",
                 "sample_rate", "n_channels", "duration_ms", "n_data",
+                "n_frames", "fps",
             )}
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 row = dict.fromkeys(out)
@@ -154,6 +168,12 @@ def decode_media(df: DataFrame) -> DataFrame:
                     row["n_channels"] = meta["n_channels"]
                     row["duration_ms"] = meta["duration_ms"]
                     row["n_data"] = meta["n_samples"]
+                elif kind == "video":
+                    meta = codecs.decode_avi(payload)
+                    row["width"], row["height"] = meta["width"], meta["height"]
+                    row["duration_ms"] = meta["duration_ms"]
+                    row["n_frames"], row["fps"] = meta["n_frames"], meta["fps"]
+                    row["n_data"] = meta["n_frames"] * meta["width"] * meta["height"]
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)
@@ -247,24 +267,43 @@ FRAME_SCHEMA = "media_id long, frame_idx int, ts_ms int, payload binary"
 
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Sample frames from video payloads every `every_ms` — a one-to-many
-    mapInPandas (each video row yields duration/every_ms frame rows).
+    mapInPandas (each video row yields ~duration/every_ms frame rows).
 
-    Stub kernel: frame k is a fixed-width byte slice at the proportional
-    offset; a real deployment swaps in pyav/ffmpeg seek+decode. Output rows
-    are narrow (frame payloads only), so the explode happens AFTER decode
-    on the map side — full videos never shuffle."""
+    Real kernel: the AVI is struct-decoded once (codecs.decode_avi) and
+    the frame nearest each every_ms timestamp is emitted as raw top-down
+    grayscale bytes (width*height per frame). Non-AVI payloads fall back
+    to a proportional byte slice, using meta.duration_ms when the
+    container itself can't provide one. Output rows are narrow, so the
+    explode happens AFTER decode on the map side — full videos never
+    shuffle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "ts_ms": [], "payload": []}
-            for mid, payload, duration in zip(
+            for mid, payload, meta_dur in zip(
                 pdf["media_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                if payload is None or not duration:
+                if payload is None:
                     continue
-                n_frames = max(int(duration) // every_ms, 1)
-                step = max(len(payload) // n_frames, 1)
-                for k in range(n_frames):
+                try:
+                    meta = codecs.decode_avi(payload)
+                except ValueError:
+                    meta = None
+                if meta is not None:
+                    duration, fps = meta["duration_ms"], meta["fps"]
+                    for k in range(max(int(duration) // every_ms, 1)):
+                        ts = k * every_ms
+                        idx = min(ts * fps // 1000, meta["n_frames"] - 1)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(int(idx))
+                        out["ts_ms"].append(ts)
+                        out["payload"].append(meta["frames"][idx].tobytes())
+                    continue
+                if not meta_dur:
+                    continue
+                n_slices = max(int(meta_dur) // every_ms, 1)
+                step = max(len(payload) // n_slices, 1)
+                for k in range(n_slices):
                     out["media_id"].append(mid)
                     out["frame_idx"].append(k)
                     out["ts_ms"].append(k * every_ms)
@@ -277,10 +316,32 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
+def videos_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic real-video table: every document's UTF-8 bytes become
+    grayscale AVI frames (16×8 px, 5 fps, zero-padded last frame — the
+    same arithmetic-predictable construction media_from_documents uses for
+    PNG/WAV), so a SQL oracle can predict every decode_media column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "video",
+                    "payload": [
+                        codecs.encode_avi(t.encode("utf-8")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    return src.mapInPandas(run, "media_id long, kind string, payload binary")
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic media table for tests. Image/audio payloads are REAL
-    containers (seeded bytes wrapped as PNG pixels / WAV PCM via codecs);
-    video payloads stay seeded raw bytes for the documented stub path."""
+    """Deterministic media table for tests. All three payload kinds are
+    REAL containers (seeded bytes wrapped as PNG pixels / WAV PCM /
+    grayscale AVI frames via codecs)."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -293,7 +354,14 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             payload = codecs.encode_wav(data)
             meta = ("audio/wav", None, None, len(data) * 1000 // codecs.WAV_RATE)
         else:
-            payload = data
-            meta = ("application/octet-stream", 16, 16, 1000)
+            payload = codecs.encode_avi(data)
+            px = codecs.AVI_WIDTH * codecs.AVI_HEIGHT
+            frames = max((len(data) + px - 1) // px, 1)
+            meta = (
+                "video/x-msvideo",
+                codecs.AVI_WIDTH,
+                codecs.AVI_HEIGHT,
+                frames * 1000 // codecs.AVI_FPS,
+            )
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

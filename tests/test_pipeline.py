@@ -294,17 +294,54 @@ def test_decode_media_matches_arithmetic_contract(spark):
 
 
 def test_multimodal_frame_sampling(spark):
-    media = multimodal.synthetic_media(spark, n=12)  # kinds cycle i%3; duration 1000ms
+    from nnanalytics_spark.pipeline import codecs
+
+    media = multimodal.synthetic_media(spark, n=12)  # kinds cycle i%3
     out = multimodal.sample_frames(media, every_ms=500).collect()
     videos = {r["media_id"] for r in out}
     assert videos == {2, 5, 8, 11}  # only kind == video
+    px = codecs.AVI_WIDTH * codecs.AVI_HEIGHT
     per_video = {}
     for r in out:
         per_video.setdefault(r["media_id"], []).append(r)
     for mid, frames in per_video.items():
-        assert [f["frame_idx"] for f in sorted(frames, key=lambda f: f["frame_idx"])] == [0, 1]
-        assert all(f["ts_ms"] == f["frame_idx"] * 500 for f in frames)
-        assert all(len(f["payload"]) > 0 for f in frames)
+        # synthetic video i carries 256+i bytes -> 3 AVI frames @5fps -> 600 ms
+        n_frames = max((256 + mid + px - 1) // px, 1)
+        duration = n_frames * 1000 // codecs.AVI_FPS
+        assert len(frames) == max(duration // 500, 1)
+        for f in frames:
+            assert f["ts_ms"] in (0, 500)
+            assert f["frame_idx"] == f["ts_ms"] * codecs.AVI_FPS // 1000
+            # real decoded frames: top-down grayscale, exactly w*h bytes
+            assert len(f["payload"]) == px
+    # the k=0 frame is the FIRST 128 source bytes, decoded exactly
+    first = {r["media_id"]: bytes(r["payload"]) for r in out if r["ts_ms"] == 0}
+    for mid in (2, 5, 8, 11):
+        data = bytes(((mid * 131 + j * 17) % 256) for j in range(256 + mid))
+        assert first[mid] == data[:px]
+
+
+def test_codecs_avi_roundtrip():
+    import numpy as np
+
+    from nnanalytics_spark.pipeline import codecs
+
+    data = bytes((j * 7) % 256 for j in range(300))
+    payload = codecs.encode_avi(data)
+    meta = codecs.decode_avi(payload)
+    assert (meta["width"], meta["height"], meta["fps"]) == (16, 8, 5)
+    assert meta["n_frames"] == 3  # ceil(300/128)
+    assert meta["duration_ms"] == 600
+    flat = np.concatenate([f.ravel() for f in meta["frames"]])
+    assert bytes(flat.tobytes()[: len(data)]) == data  # pixels round-trip exactly
+    assert all(b == 0 for b in flat.tobytes()[len(data):])  # zero padding
+    assert abs(sum(codecs.avi_features(payload)) - 1.0) < 1e-9
+    for bad in (b"nope", payload[:30], payload[:200]):
+        try:
+            codecs.decode_avi(bad)
+            raise AssertionError("malformed AVI accepted")
+        except ValueError:
+            pass
 
 
 def test_stratified_sample_deterministic_and_rated(spark):
