@@ -31,7 +31,32 @@ NOW_MS = 1_735_689_600_000  # 2025-01-01T00:00:00Z, after every events.ts
 _DEC = "decimal(18,2)"
 
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make `nnanalytics_spark` importable in Python WORKERS regardless of
+    the harness's CWD/PYTHONPATH: cloudpickle serializes module-level
+    kernel functions (mapInPandas codecs, applyInPandasWithState fold) BY
+    REFERENCE, so workers must import the package. Zip it once per
+    SparkContext and addPyFile — the archive rides the task includes, so
+    even already-running reused workers pick it up on their next task."""
+    sc = spark.sparkContext
+    if id(sc) in _PKG_SHIPPED:
+        return
+    import os
+    import shutil
+    import tempfile
+
+    base = os.path.dirname(os.path.abspath(__file__))
+    stem = os.path.join(tempfile.mkdtemp(prefix="nna_pkg_"), "nnanalytics_spark")
+    archive = shutil.make_archive(stem, "zip", root_dir=base, base_dir="nnanalytics_spark")
+    sc.addPyFile(archive)
+    _PKG_SHIPPED.add(id(sc))
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ship_package(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -54,6 +79,7 @@ def _with_ts_cols(df: DataFrame) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship_package(spark)
     return _with_ts_cols(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
@@ -1443,6 +1469,7 @@ def q_oiv_xml_roundtrip(spark, sf):
 
     from nnanalytics_spark.sources import loader, oivgen
 
+    _ship_package(spark)
     tmp = tempfile.mkdtemp(prefix="oiv_xml_")
     oivgen.write_oiv_xml(tmp, n_dirs=4, files_per_dir=25)
     ino = loader.read_fsimage_xml(spark, tmp)
