@@ -1774,6 +1774,23 @@ def q_video_decode(spark, sf):
     ).orderBy("media_id")
 
 
+def q_image_resize_decode(spark, sf):
+    """Resize-kernel round-trip: even-doc_id PNGs resize through the REAL
+    path (decode → numpy nearest-neighbor grid → re-encode,
+    multimodal.resize) and decode_media must parse the outputs as valid
+    16×16 PNGs. The oracle is closed-form — a decode failure or wrong
+    geometry anywhere in the chain breaks the hash."""
+    from nnanalytics_spark.pipeline import multimodal
+
+    d = _t(spark, sf, "documents")
+    media = multimodal.media_from_documents(d).filter(F.col("kind") == "image")
+    resized = multimodal.resize(media, 16, 16)
+    out = multimodal.decode_media(resized)
+    return out.select("media_id", "kind", "width", "height", "n_data").orderBy(
+        "media_id"
+    )
+
+
 def q_mixture_epochs(spark, sf):
     """Training-mixture upsampling (sampling.py:mixture_upsample):
     src1 at 2.25 epochs (two full copies + a deterministic quarter),
@@ -1818,6 +1835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "mixture_epochs": q_mixture_epochs,
         "video_decode": q_video_decode,
+        "image_resize_decode": q_image_resize_decode,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1837,7 +1855,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dir_scalars": q_dir_scalars,
         "term_stats": q_term_stats,
         "inode_columns": q_inode_columns,
-        "dump_inode": q_dump_inode,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
@@ -1859,6 +1876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nna_sql_histogram": q_nna_sql_histogram,
         "having_indexed": q_having_indexed,
         "histogram2_nested": q_histogram2_nested,
+        "dump_inode": q_dump_inode,
         "stratified_sample": q_stratified_sample,
         "shard_histogram": q_shard_histogram,
         "corpus_curation": q_corpus_curation,
@@ -3154,6 +3172,12 @@ def oracle_sql() -> dict[str, str]:
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]
     d["url_sort_by_value"] = d["url_histogram"]
+    d["image_resize_decode"] = """
+        SELECT doc_id AS media_id, 'image' AS kind,
+               CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+               CAST(256 AS INT) AS n_data
+        FROM documents WHERE doc_id % 2 = 0 ORDER BY media_id
+    """
     d["video_decode"] = """
         WITH b AS (
           SELECT doc_id, octet_length(encode(text)) AS n FROM documents
