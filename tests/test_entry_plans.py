@@ -139,3 +139,50 @@ def test_sql_q5_broadcasts_all_dims_one_fact_shuffle(spark):
     assert "PushedFilters" in plan
     rows = df.collect()
     assert len(rows) >= 1 and all(r["revenue"] > 0 for r in rows)
+
+
+def test_profile_is_one_scan(spark):
+    """The column profiler computes every statistic in ONE pass: a single
+    FileScan feeds the whole plan (the Expand for exact distincts rides
+    that same scan)."""
+    df = entry.q_profile_table(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" in plan  # exact count_distinct path (documented cost)
+
+
+def test_video_payloads_never_shuffle(spark):
+    """AVI encode → decode is map-side only: no Exchange anywhere."""
+    df = entry.q_video_decode(spark, SF)
+    plan = plan_of(df)
+    # the encode→decode chain is exchange-free; only the final orderBy
+    # introduces a (range) exchange, and nothing sits between the two
+    # mapInPandas stages
+    assert plan.count("Exchange") <= 2, plan
+    assert "rangepartitioning" in plan.lower() or plan.count("Exchange") == 0, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_mixture_upsample_is_map_side(spark):
+    """Mixture upsampling is a pure projection+explode: no Exchange."""
+    df = entry.q_mixture_epochs(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_key_skew_two_aggregates_one_scan(spark):
+    df = entry.q_key_skew(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_bucketed_join_plan_is_shuffle_free(spark):
+    """The catalog bucketed join: no Exchange feeding the join (bucket
+    metadata satisfies the distribution on both sides)."""
+    df = entry.q_bucketed_join(spark, SF)
+    plan = plan_of(df)
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        pytest.skip("AQE chose a different join (tiny sf) — covered in test_sources")
+    before_join = plan[join_pos:]
+    assert "Exchange hashpartitioning(l_orderkey" not in before_join, plan
