@@ -1547,6 +1547,7 @@ def q_sessionization_parity(spark, sf):
     events (update-mode emissions, latest epoch wins)."""
     from nnanalytics_spark.streaming.stateful import streaming_sessionization
 
+    _ship_package(spark)  # stateful fold is unpickled in Python workers
     raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
     # FileStreamSource wants a directory; glob-filter the sf dir down to
     # the events table so the other tables' files are never listed in.
@@ -1564,11 +1565,20 @@ def q_sessionization_parity(spark, sf):
         for r in batch_df.collect():
             emissions.append((epoch_id, int(r["user_id"]), int(r["n_sessions"])))
 
-    q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+    # The stateful operator spawns one state-store instance (and an Arrow
+    # Python worker) per shuffle partition, captured at stream start — a
+    # vanilla 200-partition session pays ~25 s of worker fan-out for a
+    # 150-key state. Pin a sane width for the stream, restore after.
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = out.writeStream.outputMode("update").foreachBatch(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     final: dict[int, int] = {}
     for _epoch, user, n in sorted(emissions):
         final[user] = n
