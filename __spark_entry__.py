@@ -31,7 +31,7 @@ NOW_MS = 1_735_689_600_000  # 2025-01-01T00:00:00Z, after every events.ts
 _DEC = "decimal(18,2)"
 
 
-_PKG_SHIPPED: set[int] = set()
+_PKG_SHIPPED: set[str] = set()
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -42,7 +42,11 @@ def _ship_package(spark: SparkSession) -> None:
     SparkContext and addPyFile — the archive rides the task includes, so
     even already-running reused workers pick it up on their next task."""
     sc = spark.sparkContext
-    if id(sc) in _PKG_SHIPPED:
+    # Keyed on applicationId, not id(sc): CPython reuses object ids after
+    # GC, so a stop()+recreate cycle could collide with a stale entry and
+    # silently skip addPyFile for the new context.
+    app_id = sc.applicationId
+    if app_id in _PKG_SHIPPED:
         return
     import os
     import shutil
@@ -52,7 +56,7 @@ def _ship_package(spark: SparkSession) -> None:
     stem = os.path.join(tempfile.mkdtemp(prefix="nna_pkg_"), "nnanalytics_spark")
     archive = shutil.make_archive(stem, "zip", root_dir=base, base_dir="nnanalytics_spark")
     sc.addPyFile(archive)
-    _PKG_SHIPPED.add(id(sc))
+    _PKG_SHIPPED.add(app_id)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -3224,10 +3228,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT count(*) AS n_keys,
                SUM(cnt) AS n_rows,
                max(cnt) AS max_per_key,
-               round(avg(cnt), 6) AS avg_per_key,
-               round(quantile_cont(cnt, 0.5), 6) AS p50_per_key,
-               round(quantile_cont(cnt, 0.99), 6) AS p99_per_key,
-               round(max(cnt) / avg(cnt), 6) AS skew_ratio
+               CAST(avg(cnt) AS DECIMAL(18,6)) AS avg_per_key,
+               CAST(quantile_cont(cnt, 0.5) AS DECIMAL(18,6)) AS p50_per_key,
+               CAST(quantile_cont(cnt, 0.99) AS DECIMAL(18,6)) AS p99_per_key,
+               CAST(max(cnt) / avg(cnt) AS DECIMAL(18,6)) AS skew_ratio
         FROM c
     """
     d["bucketed_join"] = """

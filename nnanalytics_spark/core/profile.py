@@ -67,14 +67,20 @@ def key_skew(df: DataFrame, key: str) -> DataFrame:
     reduction over the per-key counts — the second input is |keys| rows,
     so the whole diagnostic costs barely more than the count itself.
     Exact interpolated percentiles keep the SQL oracle hashable; at
-    extreme key cardinality swap percentile for approx_percentile."""
+    extreme key cardinality swap percentile for approx_percentile.
+
+    The four ratio columns are DECIMAL(18,6), not rounded doubles: a
+    fixed decimal stringifies identically in every engine, so a 1-ulp
+    interpolation difference between implementations can never flip a
+    downstream value hash the way double formatting can."""
+    dec = "decimal(18,6)"
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
     return counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_per_key"),
-        F.round(F.avg("cnt"), 6).alias("avg_per_key"),
-        F.round(F.percentile("cnt", F.lit(0.5)), 6).alias("p50_per_key"),
-        F.round(F.percentile("cnt", F.lit(0.99)), 6).alias("p99_per_key"),
-        F.round(F.max("cnt") / F.avg("cnt"), 6).alias("skew_ratio"),
+        F.avg("cnt").cast(dec).alias("avg_per_key"),
+        F.percentile("cnt", F.lit(0.5)).cast(dec).alias("p50_per_key"),
+        F.percentile("cnt", F.lit(0.99)).cast(dec).alias("p99_per_key"),
+        (F.max("cnt") / F.avg("cnt")).cast(dec).alias("skew_ratio"),
     )

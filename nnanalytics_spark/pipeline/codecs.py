@@ -13,8 +13,10 @@ force fake kernels:
   RFC 2083 §6). The encoder can emit any filter type per row, so tests
   exercise every unfilter branch.
 
-Video remains a documented stub in multimodal.py (no container-parsing
-stdlib exists for any video format).
+- **AVI video**: RIFF container, uncompressed 24-bit DIB frames. As with
+  WAV/PNG, the decoder is an independent struct-walk of the chunk stream
+  (no helpers shared with the encoder), so round-trips cross two
+  implementations.
 
 These kernels run inside Arrow-batched mapInPandas workers
 (multimodal.py): payload bytes never shuffle, outputs are narrow typed
@@ -294,7 +296,7 @@ def encode_avi(
         1_000_000 // fps,  # dwMicroSecPerFrame
         frame_bytes * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # AVIF_HASINDEX off; 0x10 = AVIF_WASCAPTUREFILE-free flags
+        0,  # dwFlags: no idx1 chunk is written, so AVIF_HASINDEX must be off
         n_frames,
         0,  # dwInitialFrames
         1,  # dwStreams
@@ -375,8 +377,13 @@ def decode_avi(payload: bytes) -> dict:
             pos = body_start + size + (size & 1)
 
     walk(payload, 12, len(payload))
-    if width is None or fps is None:
-        raise ValueError("missing avih/strh header")
+    # `not fps` (not just None) — a crafted strh with rate//scale == 0
+    # must fail as ValueError here, not ZeroDivisionError at duration_ms
+    # below: callers' malformed-payload fallback catches only ValueError.
+    if width is None or not fps:
+        raise ValueError("missing or degenerate avih/strh header")
+    if not width or not height:
+        raise ValueError("degenerate geometry %sx%s" % (width, height))
     if compression not in (0, None):
         raise ValueError("unsupported AVI compression %r" % compression)
     if bits not in (24, None):

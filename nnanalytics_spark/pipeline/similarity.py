@@ -58,7 +58,7 @@ def all_pairs_above(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    broadcast_limit: int = 100_000,
+    broadcast_limit: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the exact computation, with
     a size dispatch (VERDICT r1 #3):
@@ -76,14 +76,17 @@ def all_pairs_above(
     Per-pair math: dot / (||a||·||b||) in float64, matching the SQL-oracle
     formula; numpy's pairwise-summation order can differ from a sequential
     fold only below the round(…, 6) that both sides apply.
+
+    ``broadcast_limit=None`` skips the ``count()`` dispatch probe (an
+    extra action per call) and goes straight to the blocked path — use it
+    when the corpus is known-large and the probe is pure overhead.
     """
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    n = df.count()
-    if n > broadcast_limit:
+    if broadcast_limit is None or df.count() > broadcast_limit:
         return all_pairs_above_blocked(df, threshold, id_col=id_col, vec_col=vec_col)
 
     rows = (
