@@ -541,6 +541,36 @@ def q_simhash_blocks(spark, sf):
     return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=10)
 
 
+# Signature construction shared by q_simhash_pairs and its oracle: pure
+# integer arithmetic on doc_id, identical in Spark and DuckDB. Group
+# g = doc_id div 10 is replicated into four disjoint 6-bit fields
+# (bits 20/28/36/44), so signatures from different groups are >=4 apart
+# and every hamming<=3 pair is WITHIN a group — closed-form pair set.
+# Low bits carry doc_id%10, and odd ids flip bit 50: a quadrant-3 bit
+# the old high-16-block scheme always missed (changing bits 48-63
+# changed the whole block key), so this row exercises the fix directly.
+_SIMHASH_GROUP_MULT = (1 << 20) + (1 << 28) + (1 << 36) + (1 << 44)
+
+
+def q_simhash_pairs(spark, sf):
+    """Quadrant-blocked SimHash pairing (pipeline/dedup.py:
+    simhash_pairs_from_sigs) over arithmetically-constructed signatures.
+    Because 4-quadrant blocking guarantees recall at hamming<=3 by
+    pigeonhole, the emitted pairs must EQUAL the brute-force xor/bit_count
+    self-join the oracle runs — a full-value check of the blocking plan,
+    including pairs whose differing bits span three quadrants."""
+    i = F.col("doc_id")
+    sigs = _t(spark, sf, "documents").select(
+        i.alias("id"),
+        (
+            F.expr("doc_id div 10") * F.lit(_SIMHASH_GROUP_MULT)
+            + (i % 10)
+            + (i % 2) * F.lit(1 << 50)
+        ).alias("sig"),
+    )
+    return dedup.simhash_pairs_from_sigs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+
+
 def q_embedding_dup_pairs(spark, sf):
     """Embedding-cosine near-dup pairs (exact all-pairs at this scale)."""
     return similarity.all_pairs_above(_t(spark, sf, "embeddings"), threshold=0.4)
@@ -1850,6 +1880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_epochs": q_mixture_epochs,
         "video_decode": q_video_decode,
         "image_resize_decode": q_image_resize_decode,
+        # --- (2b) new in r4 ---
+        "simhash_pairs": q_simhash_pairs,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -3233,6 +3265,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(quantile_cont(cnt, 0.99) AS DECIMAL(18,6)) AS p99_per_key,
                CAST(max(cnt) / avg(cnt) AS DECIMAL(18,6)) AS skew_ratio
         FROM c
+    """
+    d["simhash_pairs"] = f"""
+        WITH s AS (
+          SELECT doc_id AS id,
+                 (doc_id // 10) * {_SIMHASH_GROUP_MULT}
+                   + (doc_id % 10) + (doc_id % 2) * {1 << 50} AS sig
+          FROM documents
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY id_a, id_b
     """
     d["bucketed_join"] = """
         SELECT o_orderpriority, count(*) AS n_items,

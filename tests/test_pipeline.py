@@ -118,6 +118,67 @@ def test_simhash_identical_for_same_tokens(spark):
     assert sigs[1] != sigs[3]
 
 
+def test_simhash_quadrant_recall(spark):
+    """Pigeonhole guarantee: any pair within Hamming 3 must be found, no
+    matter WHICH bits differ. Perturbations at bits 50/55/60 all land in
+    quadrant 3 — the single-high-16-block scheme this replaced missed
+    every such pair (the block key itself changed); quadrant blocking
+    finds it via the three untouched quadrants."""
+    base = 0x0123_4567_89AB_CDEF
+    rows = [
+        (1, base),
+        (2, base ^ (1 << 50) ^ (1 << 55) ^ (1 << 60)),  # ham 3, all in q3
+        (3, base ^ (1 << 5) ^ (1 << 21) ^ (1 << 50)),  # ham 3, spans q0/q1/q3
+        (4, base ^ 0b1111),  # ham 4 — must NOT be emitted vs base
+        (5, 0x7654_3210_FEDC_BA98),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs_from_sigs(df, max_hamming=3).collect()
+    }
+    assert got[(1, 2)] == 3 and got[(1, 3)] == 3
+    assert (1, 4) not in got and (1, 5) not in got
+    # pair (2,3): differs at bits 5,21,55,60 -> ham 4, excluded
+    assert (2, 3) not in got
+
+
+def test_simhash_quadrant_recall_exhaustive(spark):
+    """Every possible 3-bit perturbation pattern across quadrants is
+    recovered: flip one random bit per chosen quadrant for all C(4,3)
+    quadrant subsets plus same-quadrant triples."""
+    import itertools
+    import random
+
+    random.seed(11)
+
+    def signed(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    base_u = 0xFEDC_BA98_7654_3211  # sign bit set — exercises that region
+    rows = [(0, signed(base_u))]
+    expected = set()
+    nid = 1
+    for quads in itertools.combinations_with_replacement(range(4), 3):
+        bits = set()
+        while len(bits) < 3:
+            q = quads[len(bits)]
+            bits.add(16 * q + random.randrange(16))
+        sig_u = base_u
+        for b in bits:
+            sig_u ^= 1 << b
+        rows.append((nid, signed(sig_u)))
+        expected.add((0, nid))
+        nid += 1
+    df = spark.createDataFrame(rows, "id long, sig long")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs_from_sigs(df, max_hamming=3).collect()
+        if r["id_a"] == 0
+    }
+    assert expected <= got
+
+
 def test_cosine_identity(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [-1.0, -2.0, -3.0])],
                                "vec_id long, embedding array<double>")
