@@ -590,15 +590,42 @@ def q_ann_lsh_pairs(spark, sf):
     return similarity.lsh_bucketed_pairs(_t(spark, sf, "embeddings"), threshold=0.3, bits=8)
 
 
+_IVF_INDEX: dict[str, str] = {}
+
+
+def _ivf_index(spark, sf):
+    """ivf_build once per sf dir (similarity.py:ivf_build): centroids +
+    cell-partitioned assignment parquet in a temp dir, reused by every
+    search in the process — the build/search split VERDICT r3 #4 asked
+    for, instead of re-running k-means per query."""
+    if sf not in _IVF_INDEX:
+        import tempfile
+
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        path = tempfile.mkdtemp(prefix="nna_ivf_")
+        _IVF_INDEX[sf] = similarity.ivf_build(emb, path, nlist=16)
+    return _IVF_INDEX[sf]
+
+
 def q_ann_ivf_topk(spark, sf):
-    """IVF-probed approximate top-10 for the vec_id=0 vector (k-means
-    cells, nprobe=4 of 16 — the partition-pruned scale path; rows-only:
-    recall depends on cell layout)."""
+    """IVF-probed approximate top-10 for the vec_id=0 vector over the
+    PERSISTED index (nprobe=4 of 16 — a genuinely partition-pruned scan,
+    asserted in test_entry_plans; rows-only: partial-probe recall depends
+    on cell layout)."""
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return similarity.ivf_topk(
-        emb.filter(F.col("vec_id") != 0), qvec, k=10, nlist=16, nprobe=4
-    )
+    return similarity.ivf_search(spark, _ivf_index(spark, sf), qvec, k=10, nprobe=4)
+
+
+def q_ann_ivf_full(spark, sf):
+    """IVF search probing EVERY cell (nprobe=nlist=16) over the persisted
+    index: because cell assignment partitions the corpus and scoring is
+    exact cosine, the result must EQUAL brute-force top-10 — the oracle
+    recomputes that exactly in SQL, so this row hash-verifies the whole
+    build -> partitioned-write -> probe -> score path end to end."""
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    return similarity.ivf_search(spark, _ivf_index(spark, sf), qvec, k=10, nprobe=16)
 
 
 def q_cube_agg(spark, sf):
@@ -1882,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_decode": q_image_resize_decode,
         # --- (2b) new in r4 ---
         "simhash_pairs": q_simhash_pairs,
+        "ann_ivf_full": q_ann_ivf_full,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -3217,6 +3245,10 @@ def oracle_sql() -> dict[str, str]:
     d["all_pairs_blocked"] = d["embedding_dup_pairs"]
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]
+    # Full-probe IVF must reproduce brute force exactly (assignment
+    # partitions the corpus; scoring is exact cosine), so its oracle IS
+    # the brute-force top-k SQL.
+    d["ann_ivf_full"] = d["ann_topk"]
     d["url_sort_by_value"] = d["url_histogram"]
     d["image_resize_decode"] = """
         SELECT doc_id AS media_id, 'image' AS kind,

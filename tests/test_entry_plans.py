@@ -170,6 +170,19 @@ def test_mixture_upsample_is_map_side(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_ann_ivf_search_partition_pruned(spark):
+    """The driver's IVF search (nprobe=4 of 16) over the persisted index
+    must plan as a partition-pruned scan: cell IN (...) in
+    PartitionFilters (decided from directory names), NOT a row-level
+    DataFilter over a full read (VERDICT r3 #4)."""
+    df = entry.q_ann_ivf_topk(spark, SF)
+    plan = plan_of(df)
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "PartitionFilters: [cell" in scans[0] and " IN (" in scans[0], scans[0]
+    assert "DataFilters: []" in scans[0], scans[0]
+
+
 def test_key_skew_two_aggregates_one_scan(spark):
     df = entry.q_key_skew(spark, SF)
     plan = plan_of(df)

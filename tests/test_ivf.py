@@ -49,6 +49,42 @@ def test_ivf_prunes_candidates(clustered):
     assert one_cell < total  # probing one cell scans a strict subset
 
 
+def test_ivf_build_search_roundtrip(clustered, tmp_path):
+    """The persisted index (ivf_build) answers searches identically to the
+    inline one-shot path, and probing every cell reproduces brute force."""
+    path = similarity.ivf_build(clustered, str(tmp_path / "idx"), nlist=8)
+    query = clustered.filter("vec_id = 0").head()["embedding"]
+    spark = clustered.sparkSession
+    exact = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.brute_force_topk(clustered, query, k=10).collect()
+    ]
+    full = [
+        (r["vec_id"], r["cos_sim"])
+        for r in similarity.ivf_search(spark, path, list(query), k=10, nprobe=8).collect()
+    ]
+    assert full == exact
+    partial = {
+        r["vec_id"]
+        for r in similarity.ivf_search(spark, path, list(query), k=10, nprobe=3).collect()
+    }
+    assert len({v for v, _ in exact} & partial) >= 9  # tight clusters
+
+
+def test_ivf_search_prunes_partitions(clustered, tmp_path):
+    """The nprobe<nlist search plan must carry a cell IN (...) partition
+    filter on the assignments scan — pruning decided from directory names
+    at planning time, which is the whole point of the build/search split."""
+    path = similarity.ivf_build(clustered, str(tmp_path / "idx"), nlist=8)
+    query = clustered.filter("vec_id = 0").head()["embedding"]
+    df = similarity.ivf_search(clustered.sparkSession, path, list(query), k=10, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert len(scans) == 1, plan
+    assert "PartitionFilters: [cell" in scans[0] and " IN (" in scans[0], scans[0]
+    assert "DataFilters: []" in scans[0], scans[0]  # pruning, not row filtering
+
+
 def test_ivf_recall_against_brute_force(spark):
     """Recall invariants on the real embedding table: probing EVERY cell
     must reproduce brute force exactly (IVF is partition pruning, not
