@@ -481,6 +481,29 @@ def q_approx_distinct(spark, sf):
     )
 
 
+def q_approx_distinct_bound(spark, sf):
+    """HLL error-bound invariant (VERDICT r3 #5): the sketch estimate must
+    land within 3x the requested rsd (0.05) of the exact count — the bound
+    approx_count_distinct documents. Emits the exact per-group count (the
+    oracle recomputes it) plus the bound verdict; the sketch value itself
+    stays out of the hash (engine-specific), but a broken sketch flips
+    within_bound and reds the row."""
+    li = _t(spark, sf, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+    )
+    return g.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx") - F.col("exact_parts"))
+            / F.col("exact_parts")
+            <= 0.15
+        ).alias("within_bound"),
+    )
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text
 # --------------------------------------------------------------------------
@@ -512,6 +535,26 @@ def q_lsh_verified_pairs(spark, sf):
     recall; engine-specific hashing so rows-only check)."""
     return dedup.lsh_verified_pairs(
         _t(spark, sf, "documents"), threshold=0.3, k=32, bands=16
+    )
+
+
+def q_minhash_recall(spark, sf):
+    """MinHash-LSH recall invariant (VERDICT r3 #5): every exact-Jaccard
+    pair at threshold 0.6 must surface among the LSH candidates at
+    (k=32, bands=16) — banding theory puts per-pair collision probability
+    at 1-(1-0.36)^16 > 0.999 there, and the corpus is fixed, so n_missed
+    is deterministically 0. Emits (n_exact, n_missed): the oracle
+    recomputes n_exact from scratch in SQL (full shingle pipeline) and
+    pins n_missed = 0 — a hash-checked recall gate for an operator whose
+    signatures themselves are engine-specific."""
+    docs = _t(spark, sf, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100).select(
+        "id_a", "id_b"
+    )
+    cand = dedup.minhash_lsh_pairs(docs, k=32, bands=16)
+    missed = exact.join(cand, ["id_a", "id_b"], "left_anti")
+    return exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        missed.agg(F.count(F.lit(1)).alias("n_missed"))
     )
 
 
@@ -800,6 +843,26 @@ def q_multimodal_features(spark, sf):
         "n_bytes",
         "checksum",
         F.round(F.element_at("feature", 1), 6).alias("f0"),
+    )
+
+
+def q_multimodal_feature_hist(spark, sf):
+    """Image-feature extraction promoted to hash-checked (VERDICT r3 #5):
+    for the PNG path the full 8-bin intensity histogram is SQL-predictable
+    — pixels are exactly the document's ASCII bytes plus zero padding to a
+    64-wide row, so the oracle rebuilds every bucket fraction from
+    character code points. (The container-level checksum/n_bytes stay in
+    the rows-only multimodal_features entry: they depend on zlib output,
+    which no SQL engine can predict.)"""
+    from nnanalytics_spark.pipeline import multimodal
+
+    d = _t(spark, sf, "documents")
+    media = multimodal.media_from_documents(d).filter(F.col("kind") == "image")
+    out = multimodal.extract_features(media)
+    return out.select(
+        "media_id",
+        "kind",
+        *[F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}") for i in range(8)],
     )
 
 
@@ -1907,9 +1970,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_epochs": q_mixture_epochs,
         "video_decode": q_video_decode,
         "image_resize_decode": q_image_resize_decode,
-        # --- (2b) new in r4 ---
+        # --- (2b) new/promoted in r4 ---
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf_full": q_ann_ivf_full,
+        "minhash_recall": q_minhash_recall,
+        "approx_distinct_bound": q_approx_distinct_bound,
+        "multimodal_feature_hist": q_multimodal_feature_hist,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -1966,7 +2033,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "simhash_blocks": q_simhash_blocks,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
         "ann_ivf_topk": q_ann_ivf_topk,
         # --- r1-green tail (stable) ---
         "filter_sum": q_filter_sum,
@@ -3249,6 +3315,122 @@ def oracle_sql() -> dict[str, str]:
     # partitions the corpus; scoring is exact cosine), so its oracle IS
     # the brute-force top-k SQL.
     d["ann_ivf_full"] = d["ann_topk"]
+    d["minhash_recall"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN dfc USING (shingle) WHERE dfc.df <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+          GROUP BY 1, 2
+        )
+        SELECT count(*) AS n_exact, CAST(0 AS BIGINT) AS n_missed
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+    """
+    d["approx_distinct_bound"] = """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               true AS within_bound
+        FROM lineitem GROUP BY 1
+    """
+    d["multimodal_feature_hist"] = """
+        WITH ch AS (
+          SELECT doc_id, unicode(c) AS cp
+          FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                FROM documents WHERE doc_id % 2 = 0)
+          WHERE c != ''
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS len,
+                 SUM(CASE WHEN cp // 32 = 0 THEN 1 ELSE 0 END) AS b0,
+                 SUM(CASE WHEN cp // 32 = 1 THEN 1 ELSE 0 END) AS b1,
+                 SUM(CASE WHEN cp // 32 = 2 THEN 1 ELSE 0 END) AS b2,
+                 SUM(CASE WHEN cp // 32 = 3 THEN 1 ELSE 0 END) AS b3,
+                 SUM(CASE WHEN cp // 32 = 4 THEN 1 ELSE 0 END) AS b4,
+                 SUM(CASE WHEN cp // 32 = 5 THEN 1 ELSE 0 END) AS b5,
+                 SUM(CASE WHEN cp // 32 = 6 THEN 1 ELSE 0 END) AS b6,
+                 SUM(CASE WHEN cp // 32 = 7 THEN 1 ELSE 0 END) AS b7
+          FROM ch GROUP BY doc_id
+        ),
+        sz AS (
+          SELECT *, CAST(greatest((len + 63) // 64, 1) * 64 AS DOUBLE) AS total
+          FROM agg
+        )
+        SELECT doc_id AS media_id, 'image' AS kind,
+               round((b0 + total - len) / total, 6) AS f0,
+               round(b1 / total, 6) AS f1,
+               round(b2 / total, 6) AS f2,
+               round(b3 / total, 6) AS f3,
+               round(b4 / total, 6) AS f4,
+               round(b5 / total, 6) AS f5,
+               round(b6 / total, 6) AS f6,
+               round(b7 / total, 6) AS f7
+        FROM sz
+    """
+    # Full SQL twin for hyperplane-LSH pairs: the planes are seeded
+    # constants (similarity._hyperplanes), and both engines fold the dot
+    # product left-to-right from 0.0, so the 8-bit signatures — and hence
+    # the bucket-join candidates — are bit-identical. This promotes
+    # ann_lsh_pairs from rows-only to hash-checked.
+    _planes = similarity._hyperplanes(64, 8)
+    _plane_vals = ", ".join(
+        f"({bi}, [{', '.join(repr(x) for x in row)}])" for bi, row in enumerate(_planes)
+    )
+    d["ann_lsh_pairs"] = f"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        planes AS (SELECT * FROM (VALUES {_plane_vals}) AS t(bi, p)),
+        sig AS (
+          SELECT v.vec_id,
+                 CAST(SUM(CASE WHEN list_reduce(list_prepend(0.0,
+                         [v.e[i] * p[i] for i in range(1, len(v.e) + 1)]),
+                         (x, y) -> x + y) >= 0
+                     THEN 1 << bi ELSE 0 END) AS BIGINT) AS sig
+          FROM v, planes GROUP BY v.vec_id
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (x, y) -> x + y)) AS nrm
+          FROM v
+        )
+        SELECT sa.vec_id AS id_a, sb.vec_id AS id_b,
+               round(list_reduce(list_prepend(0.0,
+                       [na.e[i] * nb.e[i] for i in range(1, len(na.e) + 1)]),
+                       (x, y) -> x + y) / (na.nrm * nb.nrm), 6) AS cos_sim
+        FROM sig sa
+        JOIN sig sb ON sa.sig = sb.sig AND sa.vec_id < sb.vec_id
+        JOIN n na ON na.vec_id = sa.vec_id
+        JOIN n nb ON nb.vec_id = sb.vec_id
+        WHERE round(list_reduce(list_prepend(0.0,
+                [na.e[i] * nb.e[i] for i in range(1, len(na.e) + 1)]),
+                (x, y) -> x + y) / (na.nrm * nb.nrm), 6) >= 0.3
+    """
     d["url_sort_by_value"] = d["url_histogram"]
     d["image_resize_decode"] = """
         SELECT doc_id AS media_id, 'image' AS kind,
