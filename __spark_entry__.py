@@ -1603,6 +1603,29 @@ def q_oiv_xml_roundtrip(spark, sf):
     )
 
 
+def q_fsimage_proto_roundtrip(spark, sf):
+    """Binary protobuf FSImage ingestion (sources/fsimage.py:
+    read_fsimage_binary — VERDICT r3 #6): parse the raw checkpoint
+    container (FileSummary trailer -> INODE / INODE_DIR / STRING_TABLE
+    sections, packed-permission string-table resolution, block-sum file
+    sizes, level-walk path rebuild) with NO `hdfs oiv` export step.
+    Same closed-form namespace as oiv_xml_roundtrip, written by an
+    independent encoder, so the same range() oracle predicts every row
+    — and batch=16 forces genuinely parallel multi-range decode."""
+    import tempfile
+
+    from nnanalytics_spark.sources import fsimage
+
+    _ship_package(spark)
+    tmp = tempfile.mkdtemp(prefix="fsimage_bin_")
+    img = fsimage.write_fsimage_binary(tmp, n_dirs=4, files_per_dir=25)
+    ino = fsimage.read_fsimage_binary(spark, img, batch=16)
+    return ino.filter(F.col("type") == "file").select(
+        "id", "type", "path", "name", "user", "group", "permission",
+        "accessTime", "modTime", "fileSize", "fileReplica", "numBlocks",
+    )
+
+
 def q_replica_histogram(spark, sf):
     """fileReplica histogram key: EC-policied files bin under the policy
     NAME instead of the replication factor (VersionContext.java:206-219,
@@ -1975,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_full": q_ann_ivf_full,
         "minhash_recall": q_minhash_recall,
         "approx_distinct_bound": q_approx_distinct_bound,
+        "fsimage_proto_roundtrip": q_fsimage_proto_roundtrip,
         "multimodal_feature_hist": q_multimodal_feature_hist,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
@@ -3161,6 +3185,9 @@ def oracle_sql() -> dict[str, str]:
             FROM f WHERE sz > 100 AND u <> 'u3'
         """,
         "oiv_xml_roundtrip": _oivgen.oracle_sql(n_dirs=4, files_per_dir=25),
+        # the binary reader parses a different container written by an
+        # independent encoder, but the namespace is the same closed form
+        "fsimage_proto_roundtrip": _oivgen.oracle_sql(n_dirs=4, files_per_dir=25),
         # Decode round-trip: the engine wraps text bytes as real PNG/WAV
         # containers and struct-parses them back; the oracle predicts every
         # decoded dimension arithmetically from the UTF-8 byte length

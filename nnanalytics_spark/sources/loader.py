@@ -12,6 +12,8 @@ and keeps it fresh by tailing the edit log. The Spark-native equivalents:
 - ``read_fsimage_xml``: an `hdfs oiv -p XML` export (the more common
   format in practice) → the same stored schema, including absolute-path
   reconstruction from the INodeDirectorySection parent/child edges.
+- the RAW binary checkpoint needs no export at all: fsimage.py parses
+  the protobuf container directly (the reference's own ingestion path).
 - snapshot refresh for freshness lives in streaming/refresh.py.
 """
 
@@ -151,37 +153,14 @@ def _symbolic_perm_bits(sym: F.Column) -> F.Column:
     return bits.cast("int")
 
 
-def read_fsimage_xml(spark: SparkSession, path: str, max_depth: int = 64) -> DataFrame:
-    """Parse an `hdfs oiv -p XML` export into the stored inode schema.
-
-    The XML carries names + parent/child edges, not absolute paths
-    (PBImageXmlWriter: INodeSection then INodeDirectorySection), so paths
-    are rebuilt by walking the directory tree: one equi-join per tree
-    level, root-down. Each round joins the (still-pathless) children of
-    the already-resolved frontier — level d resolves in round d, so the
-    loop runs tree-depth rounds (HDFS trees: tens, not thousands), and
-    every join is keyed on the 8-byte parent id. localCheckpoint per
-    round keeps the plan from nesting. The inode scan itself stays
-    columnar/pruned; only (id, parent, name) rides the path walk.
-    """
-    inodes = (
-        spark.read.format("xml")
-        .option("rowTag", "inode")
-        .schema(_XML_INODE_SCHEMA)
-        .load(path)
-    )
-    dirsec = (
-        spark.read.format("xml")
-        .option("rowTag", "directory")
-        .schema(_XML_DIR_SCHEMA)
-        .load(path)
-    )
-    edges = dirsec.select(
-        F.col("parent").alias("parent_id"), F.explode("child").alias("id")
-    )
-
-    # --- path reconstruction: root-down level walk --------------------
-    names = inodes.select("id", F.coalesce("name", F.lit("")).alias("name"))
+def resolve_paths(names: DataFrame, edges: DataFrame, max_depth: int = 64) -> DataFrame:
+    """Rebuild absolute paths from (id, name) + (parent_id, id) edges by a
+    root-down level walk: one equi-join per tree level. Level d resolves
+    in round d, so the loop runs tree-depth rounds (HDFS trees: tens, not
+    thousands), and every join is keyed on the 8-byte parent id.
+    localCheckpoint per round keeps the plan from nesting. Shared by the
+    OIV-XML and binary-protobuf fsimage readers — both formats carry
+    names + edges, never absolute paths."""
     nodes = names.join(edges, "id", "left")
     resolved = (
         nodes.filter(F.col("parent_id").isNull())
@@ -209,8 +188,34 @@ def read_fsimage_xml(spark: SparkSession, path: str, max_depth: int = 64) -> Dat
             break
         resolved = resolved.unionByName(frontier).localCheckpoint()
         remaining = remaining.join(frontier.select("id"), "id", "left_anti").localCheckpoint()
+    return resolved
 
-    paths = resolved
+
+def read_fsimage_xml(spark: SparkSession, path: str, max_depth: int = 64) -> DataFrame:
+    """Parse an `hdfs oiv -p XML` export into the stored inode schema.
+
+    The XML carries names + parent/child edges, not absolute paths
+    (PBImageXmlWriter: INodeSection then INodeDirectorySection), so paths
+    are rebuilt level by level (resolve_paths). The inode scan itself
+    stays columnar/pruned; only (id, parent, name) rides the path walk.
+    """
+    inodes = (
+        spark.read.format("xml")
+        .option("rowTag", "inode")
+        .schema(_XML_INODE_SCHEMA)
+        .load(path)
+    )
+    dirsec = (
+        spark.read.format("xml")
+        .option("rowTag", "directory")
+        .schema(_XML_DIR_SCHEMA)
+        .load(path)
+    )
+    edges = dirsec.select(
+        F.col("parent").alias("parent_id"), F.explode("child").alias("id")
+    )
+    names = inodes.select("id", F.coalesce("name", F.lit("")).alias("name"))
+    paths = resolve_paths(names, edges, max_depth)
 
     is_dir = F.col("type") == "DIRECTORY"
     perm_parts = F.split(F.col("permission"), ":")

@@ -92,3 +92,58 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_fsimage_binary_summary(tmp_path):
+    """FileSummary trailer parse: magic, layout version sign, section
+    index with correct offsets/lengths."""
+    from nnanalytics_spark.sources import fsimage
+
+    img = fsimage.write_fsimage_binary(str(tmp_path), n_dirs=2, files_per_dir=3)
+    s = fsimage.parse_summary(img)
+    assert s["ondiskVersion"] == 1
+    assert s["layoutVersion"] == -64  # uint32 wire value decoded as signed
+    assert s["codec"] is None
+    assert set(s["sections"]) == {"STRING_TABLE", "INODE", "INODE_DIR"}
+    for off, ln in s["sections"].values():
+        assert off >= len(fsimage.MAGIC) and ln > 0
+
+
+def test_fsimage_binary_matches_xml_reader(spark, tmp_path):
+    """The protobuf reader and the OIV-XML reader must produce IDENTICAL
+    stored-schema rows for the same closed-form namespace — two container
+    formats, two independent parsers, one contract."""
+    from nnanalytics_spark.sources import fsimage, oivgen
+
+    oivgen.write_oiv_xml(str(tmp_path / "xml"), n_dirs=3, files_per_dir=7)
+    fsimage.write_fsimage_binary(str(tmp_path / "bin"), n_dirs=3, files_per_dir=7)
+    from_xml = loader.read_fsimage_xml(spark, str(tmp_path / "xml"))
+    from_bin = fsimage.read_fsimage_binary(
+        spark, str(tmp_path / "bin" / "fsimage_0000000000000000001"), batch=8
+    )
+    cols = [
+        "id", "type", "path", "name", "parent", "user", "group", "permission",
+        "accessTime", "modTime", "fileSize", "fileReplica", "numBlocks",
+        "nsQuota", "dsQuota",
+    ]
+    rx = sorted(tuple(r) for r in from_xml.select(cols).collect())
+    rb = sorted(tuple(r) for r in from_bin.select(cols).collect())
+    assert len(rb) == 1 + 3 + 3 * 7
+    assert rx == rb
+
+
+def test_fsimage_binary_small_batches_parallel_decode(spark, tmp_path):
+    """batch=4 over 31 inodes forces multi-range decode; quota signs
+    (-1 stored as 2^64-1 varint) must come back negative."""
+    from nnanalytics_spark.sources import fsimage
+
+    img = fsimage.write_fsimage_binary(str(tmp_path), n_dirs=5, files_per_dir=5)
+    df = fsimage.read_fsimage_binary(spark, img, batch=4)
+    root = df.filter("path = '/'").head()
+    assert root["nsQuota"] == 9000 and root["dsQuota"] == -1
+    dirs = df.filter("type = 'dir' AND path != '/'")
+    assert dirs.count() == 5
+    assert dirs.filter("nsQuota = -1 AND dsQuota = -1").count() == 5
+    files = df.filter("type = 'file'")
+    assert files.count() == 25
+    assert files.filter("user IS NULL OR \"group\" IS NULL").count() == 0
