@@ -42,6 +42,8 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
+from pyspark.sql import functions as F
+
 from nnanalytics_spark.core import url as urlmod
 from nnanalytics_spark.core.authz import AuthorizationError, Authorizer
 from nnanalytics_spark.core.filters import (
@@ -100,6 +102,7 @@ class AnalyticsWebServer:
         now_ms: int | None = None,
         save_dir: str | None = None,  # /saveNamespace target
         suggestions_dir: str | None = None,  # /history sweep archive
+        log_file: str | None = None,  # /log tail target
         host: str = "127.0.0.1",
         port: int = 0,
     ) -> None:
@@ -113,6 +116,7 @@ class AnalyticsWebServer:
         self.now_ms = now_ms
         self.save_dir = save_dir
         self.suggestions_dir = suggestions_dir
+        self.log_file = log_file
         self.operations = OperationRegistry()
         self.cached_queries = CachedQueryRegistry()
         self._address = (host, port)
@@ -224,9 +228,103 @@ class AnalyticsWebServer:
             return 200, "application/json", json.dumps(
                 {"user": user, "accessLevels": self.authorizer.access_levels(user)}
             )
+        if endpoint in ("threads", "system", "config", "log", "drop", "truncate"):
+            return self._admin_tail(endpoint, params)
         if endpoint in urlmod.ENDPOINTS:
             return self._analytic(endpoint, path, query, params)
         return 404, "text/plain", f"unknown endpoint: /{endpoint}"
+
+    def _admin_tail(self, endpoint, params):
+        """Ops-surface tail (Constants.java:298-362 endpoint enum;
+        handlers NamenodeAnalyticsMethods.java /threads /system /config
+        /log /drop /truncate). Spark-native analogs: the thread dump adds
+        the Spark scheduler's view (active jobs/stages), /system reports
+        host + session resources, /config serves the live Spark conf,
+        /drop and /truncate manage the engine's registered views and the
+        sweep-history archive (the embedded-DB tables of the reference).
+        All six sit in the ADMIN class of the authz matrix except
+        /config (cache-reader, like the reference)."""
+        spark = self.engine.inodes.sparkSession
+        if endpoint == "threads":
+            tracker = spark.sparkContext.statusTracker()
+            return 200, "application/json", json.dumps(
+                {
+                    "threads": [
+                        {"name": t.name, "daemon": t.daemon, "alive": t.is_alive()}
+                        for t in threading.enumerate()
+                    ],
+                    "activeJobs": list(tracker.getActiveJobsIds()),
+                    "activeStages": list(tracker.getActiveStageIds()),
+                }
+            )
+        if endpoint == "system":
+            import os
+
+            vm = {}
+            try:
+                with open("/proc/meminfo") as fh:
+                    for line in fh:
+                        k, _, rest = line.partition(":")
+                        if k in ("MemTotal", "MemAvailable"):
+                            vm[k] = rest.strip()
+            except OSError:
+                pass
+            return 200, "application/json", json.dumps(
+                {
+                    "cpuCount": os.cpu_count(),
+                    "loadAvg": list(os.getloadavg()),
+                    "memory": vm,
+                    "defaultParallelism": spark.sparkContext.defaultParallelism,
+                    "sparkVersion": spark.version,
+                }
+            )
+        if endpoint == "config":
+            key = _one(params, "key")
+            if key:
+                value = spark.conf.get(key, None)
+                if value is None:
+                    raise KeyError(f"no such config key: {key}")
+                return 200, "text/plain", value
+            conf = dict(spark.sparkContext.getConf().getAll())
+            return 200, "application/json", json.dumps(conf, sort_keys=True)
+        if endpoint == "log":
+            if not self.log_file:
+                raise ValueError("no log file configured")
+            limit = int(_one(params, "charsLimit") or 4000)
+            try:
+                with open(self.log_file, encoding="utf-8", errors="replace") as fh:
+                    fh.seek(0, 2)
+                    size = fh.tell()
+                    fh.seek(max(size - limit, 0))
+                    return 200, "text/plain", fh.read()
+            except OSError as exc:
+                raise ValueError(f"cannot read log file: {exc}") from exc
+        if endpoint == "drop":
+            name = _one(params, "table")
+            if not name:
+                raise ValueError("/drop requires ?table=")
+            if name in self.cached_queries.names():
+                self.cached_queries.unregister(name)
+                return 200, "text/plain", f"Dropped cached query {name}."
+            if spark.catalog.dropTempView(name):
+                return 200, "text/plain", f"Dropped view {name}."
+            raise KeyError(f"no cached query or view named {name!r}")
+        # truncate: rewrite the sweep-history archive keeping `limit` days
+        if not self.suggestions_dir:
+            raise ValueError("no suggestions history directory configured")
+        limit_days = int(_one(params, "limit") or 0)
+        if limit_days <= 0:
+            raise ValueError("/truncate requires ?limit=<days> > 0")
+        now = self.now_ms or _wall_ms()
+        cutoff = now - limit_days * 86_400_000
+        hist_dir = f"{self.suggestions_dir}/history"
+        kept = spark.read.parquet(hist_dir).filter(F.col("sweepTs") >= cutoff)
+        kept_pdf = kept.toPandas()  # history is sweep-cadence tiny
+        import shutil
+
+        shutil.rmtree(hist_dir)
+        spark.createDataFrame(kept_pdf, kept.schema).write.mode("overwrite").parquet(hist_dir)
+        return 200, "text/plain", f"Truncated history to {limit_days} days ({len(kept_pdf)} rows kept)."
 
     def _operations(self, endpoint, params):
         """/submitOperation + /listOperations + /abortOperation

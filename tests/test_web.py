@@ -304,3 +304,101 @@ def test_refresh_endpoint_swaps_snapshot(spark, tmp_path):
         assert after == before + 4
     finally:
         srv.stop()
+
+
+def test_threads_system_config_endpoints(server):
+    """Ops-surface tail (/threads /system /config): JSON shape goldens
+    against the live session — the reference's thread dump / system
+    resources / live-config handlers."""
+    status, ctype, body = get(server, "/threads")
+    assert status == 200 and ctype.startswith("application/json")
+    payload = json.loads(body)
+    names = [t["name"] for t in payload["threads"]]
+    assert "nna-web" in names  # the serving thread sees itself
+    assert isinstance(payload["activeJobs"], list)
+
+    status, _, body = get(server, "/system")
+    sysinfo = json.loads(body)
+    assert sysinfo["cpuCount"] >= 1 and sysinfo["sparkVersion"]
+    assert "MemTotal" in sysinfo["memory"]
+
+    status, _, body = get(server, "/config")
+    conf = json.loads(body)
+    assert conf.get("spark.app.name")  # live conf, not a stub
+    status, ctype, body = get(server, "/config?key=spark.sql.shuffle.partitions")
+    assert status == 200 and ctype.startswith("text/plain") and body == "8"
+    assert get(server, "/config?key=no.such.key")[0] == 400
+
+
+def test_log_endpoint_tails_file(engine, tmp_path):
+    log = tmp_path / "nna.log"
+    log.write_text("line-one\n" + "x" * 100 + "\nlast-line\n")
+    srv = AnalyticsWebServer(engine, now_ms=NOW, log_file=str(log))
+    addr = ("127.0.0.1", srv.start())
+    try:
+        status, ctype, body = get(addr, "/log?charsLimit=15")
+        assert status == 200 and ctype.startswith("text/plain")
+        assert body.endswith("last-line\n") and len(body) <= 15
+        status, _, body = get(addr, "/log")
+        assert status == 200 and body.startswith("line-one")
+    finally:
+        srv.stop()
+    # unconfigured log file → 400
+    srv2 = AnalyticsWebServer(engine, now_ms=NOW)
+    addr2 = ("127.0.0.1", srv2.start())
+    try:
+        assert get(addr2, "/log")[0] == 400
+    finally:
+        srv2.stop()
+
+
+def test_drop_endpoint_removes_cached_query_and_view(server, engine):
+    get(server, "/setCachedQuery?queryName=dropMe&set=files&sum=count")
+    status, _, body = get(server, "/drop?table=dropMe")
+    assert status == 200 and "dropMe" in body
+    assert "dropMe" not in json.loads(get(server, "/cachedMaps")[2])
+    engine.inodes.createOrReplaceTempView("scratch_view")
+    status, _, body = get(server, "/drop?table=scratch_view")
+    assert status == 200 and "scratch_view" in body
+    assert get(server, "/drop?table=neverExisted")[0] == 400
+
+
+def test_truncate_endpoint_prunes_history(spark, engine, tmp_path):
+    """/truncate?limit=<days> rewrites the sweep archive keeping only
+    recent sweeps — the reference's embedded-DB retention admin."""
+    from nnanalytics_spark.inode import suggestions as sugg
+
+    day = 86_400_000
+    sugg.run_sweep(engine.inodes, NOW - 10 * day, str(tmp_path))
+    sugg.run_sweep(engine.inodes, NOW - 1 * day, str(tmp_path))
+    srv = AnalyticsWebServer(engine, now_ms=NOW, suggestions_dir=str(tmp_path))
+    addr = ("127.0.0.1", srv.start())
+    try:
+        before = spark.read.parquet(str(tmp_path / "history")).count()
+        assert before == 2
+        status, _, body = get(addr, "/truncate?limit=5")
+        assert status == 200 and "1 rows kept" in body
+        after = spark.read.parquet(str(tmp_path / "history"))
+        assert after.count() == 1 and after.head()["sweepTs"] == NOW - day
+        assert get(addr, "/truncate?limit=0")[0] == 400
+    finally:
+        srv.stop()
+
+
+def test_admin_tail_respects_auth_matrix(engine):
+    """/threads /system /log /drop /truncate are ADMIN-class; /config is
+    cache-reader-class (Constants.java endpoint enum)."""
+    srv = AnalyticsWebServer(
+        engine,
+        authorizer=Authorizer(admin_users=["boss"], cache_reader_users=["cacher"]),
+        now_ms=NOW,
+    )
+    addr = ("127.0.0.1", srv.start())
+    try:
+        for ep in ("/threads", "/system", "/log", "/drop?table=x", "/truncate?limit=1"):
+            assert get(addr, ep, user="cacher")[0] == 403, ep
+            assert get(addr, ep, user="boss")[0] in (200, 400), ep  # authorized (400 = unconfigured)
+        assert get(addr, "/config", user="cacher")[0] == 200
+        assert get(addr, "/config", user="intruder")[0] == 403
+    finally:
+        srv.stop()
