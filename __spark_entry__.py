@@ -1964,12 +1964,13 @@ def q_mixture_epochs(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
-    # entries. The r3 window is SQL-oracle entries ONLY, prioritized:
-    # (1) the fixed _events family (never green in r1/r2), (2) queries new
-    # in r3, (3) SQL-oracle entries that sat past the window in r2, then
-    # (4) a regression watch of r2-green rows. r1/r2-green entries rotated
-    # past 50 keep their recorded pass (code unchanged); rows-only entries
-    # (weaker check regardless) ride any driver headroom past 50.
+    # entries. The r4 window is SQL-oracle entries ONLY, prioritized:
+    # (1) the r3 rows the driver saw red or never saw (profile_table +
+    # key_skew hash-hardened this round; kept in place per VERDICT r3 #1),
+    # (2) queries new or promoted in r4, then (3)-(4) a regression watch
+    # of r3-green rows. Entries rotated past 50 keep their recorded pass
+    # AND are now guarded by tests/test_oracle_battery.py, which re-runs
+    # every oracle pair at sf0.01 under pytest each round.
     return {
         # --- (1) fixed this round: events.ts dtype crash (VERDICT r2 #1) ---
         "time_histogram_monthly": q_time_histogram_monthly,
@@ -2005,14 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
         "embedding_quantization": q_embedding_quantization,
-        # --- (4) r2-green regression watch ---
-        "subtree_agg": q_subtree_agg,
-        "suggestions_buckets": q_suggestions_buckets,
-        "window_ntile": q_window_ntile,
-        "quota_flags": q_quota_flags,
-        "registered_dir_stats": q_registered_dir_stats,
-        "suggestions_per_user": q_suggestions_per_user,
-        "file_age_histogram": q_file_age_histogram,
+        # --- (4) r3-green regression watch ---
         "top_directories": q_top_directories,
         "quota_report": q_quota_report,
         "issue_ranking": q_issue_ranking,
@@ -2034,8 +2028,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
         # ---------------- past the 50-row window ----------------
-        # r2-green SQL-oracle rows rotated out to make room (pytest
-        # parity/goldens still cover them locally):
+        # green SQL-oracle rows rotated out to make room; the pytest
+        # oracle battery re-checks every one of these at sf0.01:
+        "subtree_agg": q_subtree_agg,
+        "suggestions_buckets": q_suggestions_buckets,
+        "window_ntile": q_window_ntile,
+        "quota_flags": q_quota_flags,
+        "registered_dir_stats": q_registered_dir_stats,
+        "suggestions_per_user": q_suggestions_per_user,
+        "file_age_histogram": q_file_age_histogram,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "window_range_frame": q_window_range_frame,
         "nna_sql_histogram": q_nna_sql_histogram,

@@ -68,6 +68,20 @@ HEADLINE = [
     "token_commonness",
     "lexical_cosine",
     "profile_table",
+    # r4: previously-unbenched r3 operators (VERDICT r3 #8) ...
+    "video_decode",
+    "image_resize_decode",
+    "mixture_epochs",
+    "key_skew",
+    "bucketed_join",
+    "sessionization_parity",
+    # ... and the operators added/promoted in r4 (fixture-generating
+    # roundtrips excluded — they time the fixture writer, not the plan)
+    "simhash_pairs",
+    "ann_ivf_full",  # includes the one-time index build at this sf
+    "minhash_recall",
+    "multimodal_feature_hist",
+    "ann_lsh_pairs",
 ]
 
 
