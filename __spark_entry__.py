@@ -538,6 +538,16 @@ def q_lsh_verified_pairs(spark, sf):
     )
 
 
+def q_dedup_span_removal(spark, sf):
+    """Span-level corpus rewrite (pipeline/dedup.py:remove_dup_spans —
+    the transform half of Lee et al. 2021, where dup_ngram_stats is the
+    reporting half): drop every token position covered by an 8-gram that
+    appears in >=2 docs, keeping the copy in the minimum doc id. The
+    oracle replays the whole rewrite in SQL on gram STRINGS (Spark keys
+    on xxhash64 of the same strings — identical grouping)."""
+    return dedup.remove_dup_spans(_t(spark, sf, "documents"), n=8, min_docs=2)
+
+
 def q_minhash_recall(spark, sf):
     """MinHash-LSH recall invariant (VERDICT r3 #5): every exact-Jaccard
     pair at threshold 0.6 must surface among the LSH candidates at
@@ -2002,12 +2012,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fsimage_proto_roundtrip": q_fsimage_proto_roundtrip,
         "multimodal_feature_hist": q_multimodal_feature_hist,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+        "dedup_span_removal": q_dedup_span_removal,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
         "embedding_quantization": q_embedding_quantization,
         # --- (4) r3-green regression watch ---
-        "top_directories": q_top_directories,
         "quota_report": q_quota_report,
         "issue_ranking": q_issue_ranking,
         "file_type_report": q_file_type_report,
@@ -2037,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registered_dir_stats": q_registered_dir_stats,
         "suggestions_per_user": q_suggestions_per_user,
         "file_age_histogram": q_file_age_histogram,
+        "top_directories": q_top_directories,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "window_range_frame": q_window_range_frame,
         "nna_sql_histogram": q_nna_sql_histogram,
@@ -3377,6 +3388,47 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+    """
+    d["dedup_span_removal"] = r"""
+        WITH toks AS (
+          SELECT doc_id AS id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        grams AS (
+          SELECT id, i AS pos, array_to_string(t[i:i+7], ' ') AS g
+          FROM toks, unnest(generate_series(1, greatest(len(t) - 7, 0))) AS s(i)
+        ),
+        stats AS (
+          SELECT g, count(DISTINCT id) AS docs, min(id) AS keeper
+          FROM grams GROUP BY g
+        ),
+        covered AS (
+          SELECT DISTINCT gr.id, p.pos
+          FROM grams gr
+          JOIN stats st USING (g),
+               unnest(generate_series(gr.pos, gr.pos + 7)) AS p(pos)
+          WHERE st.docs >= 2 AND gr.id != st.keeper
+        ),
+        positions AS (
+          SELECT id, len(t) AS n_tokens, i AS pos, t[i] AS tok
+          FROM toks, unnest(generate_series(1, len(t))) AS s(i)
+        ),
+        kept AS (
+          SELECT p.id, p.n_tokens, p.pos, p.tok
+          FROM positions p
+          LEFT JOIN covered c ON c.id = p.id AND c.pos = p.pos
+          WHERE c.id IS NULL
+        ),
+        reb AS (
+          SELECT id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                 count(*) AS n_kept
+          FROM kept GROUP BY id
+        )
+        SELECT t.id AS doc_id,
+               COALESCE(reb.clean_text, '') AS clean_text,
+               CAST(len(t.t) AS INT) AS n_tokens,
+               CAST(len(t.t) - COALESCE(reb.n_kept, 0) AS INT) AS n_removed
+        FROM toks t LEFT JOIN reb ON reb.id = t.id
     """
     d["approx_distinct_bound"] = """
         SELECT l_returnflag,

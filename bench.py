@@ -82,6 +82,7 @@ HEADLINE = [
     "minhash_recall",
     "multimodal_feature_hist",
     "ann_lsh_pairs",
+    "dedup_span_removal",
 ]
 
 

@@ -248,6 +248,90 @@ def dup_ngram_coverage(
     )
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level corpus REWRITE — the transform half of Lee et al. 2021
+    (dup_ngram_coverage only reports the stats): every token position
+    covered by an n-gram that occurs in >= min_docs documents is dropped,
+    EXCEPT in the canonical document (the minimum doc id containing that
+    n-gram), which keeps its copy. Boilerplate that plagues web corpora
+    (headers, licenses, navigation) survives exactly once.
+
+    Output: (doc_id, clean_text, n_tokens, n_removed) — deterministic,
+    order-preserving within each document.
+
+    Shape at 100 TB (three keyed shuffles, all map-side combined):
+      1. per-gram stats: corpus doc-frequency + min doc id, keyed on the
+         8-byte xxhash64 of the gram (strings never shuffle);
+      2. flagged (doc, position) cover set: gram occurrences of
+         non-canonical docs joined to the duplicated-gram set, exploded
+         to the n covered positions, deduped;
+      3. final per-doc rebuild: tokens anti-joined against the cover set,
+         collected as (pos, tok) structs and array_sort'ed — sorting
+         happens inside each doc's aggregation buffer, no global sort.
+    Token positions ride as ints; only the surviving tokens are ever
+    re-materialized as text."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("t"),
+    ).filter(F.length(F.trim(F.col(text))) > 0)
+    # gram occurrences with their start positions (1-based)
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("t") - n + 1, F.lit(0))),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.xxhash64(F.array_join(F.slice("t", i, n), " ")).alias("sg"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.sg").alias("sg"))
+    stats = grams.groupBy("sg").agg(
+        F.count_distinct("id").alias("docs"), F.min("id").alias("keeper")
+    )
+    dup = stats.filter(F.col("docs") >= min_docs)
+    covered = (
+        grams.join(dup, "sg")
+        .filter(F.col("id") != F.col("keeper"))
+        .select("id", F.explode(F.sequence(F.col("pos"), F.col("pos") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    positions = toks.select(
+        "id",
+        F.size("t").alias("n_tokens"),
+        F.posexplode("t").alias("pos0", "tok"),
+    ).select("id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = positions.join(covered, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # left join back so a fully-covered doc still emits (empty) output
+    return (
+        toks.select("id", F.size("t").alias("n_tokens"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("int").alias("n_removed"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 64, ngram: int = 3
 ) -> DataFrame:
@@ -488,6 +572,13 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Dat
     checkpoint() on durable storage. This is the
     label-propagation half of large-star/small-star (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14).
+
+    Measured (r4): convergence takes 2 rounds on both the sf0.01 and
+    sf0.1 pair graphs — near-dup components really are cliques. Path
+    halving (joining labels to labels, cluster <- label(label(node)))
+    would cut long chains to O(log d) rounds but only pays past ~3
+    rounds; with no such chains observed it would add a second shuffle
+    per round for nothing, so it is deliberately not implemented.
     """
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     # every localCheckpoint here is LAZY (eager=False): the convergence

@@ -689,3 +689,44 @@ def test_quantization_error_bounds(spark):
     scale = 1.0 / 127
     assert 0.0 < out[2]["avg_mse"] <= (scale / 2) ** 2
     assert out[2]["avg_scale"] == round(scale, 6)
+
+
+def test_remove_dup_spans(spark):
+    """Hand-checkable rewrite: docs 1 and 2 share the 3-gram 'a b c';
+    doc 1 (min id) keeps its copy, doc 2 loses exactly those 3 token
+    positions; doc 3 shares nothing and is untouched."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b c x y"),
+            (2, "p q a b c r"),
+            (3, "u v w z k"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.remove_dup_spans(df, n=3, min_docs=2).collect()
+    }
+    assert got[1] == ("a b c x y", 5, 0)
+    assert got[2] == ("p q r", 6, 3)
+    assert got[3] == ("u v w z k", 5, 0)
+
+
+def test_remove_dup_spans_overlapping_and_full_cover(spark):
+    """Overlapping duplicated grams union their cover; a doc that is one
+    big duplicated span comes back empty rather than vanishing."""
+    df = spark.createDataFrame(
+        [
+            (10, "a b c d"),  # keeper of both grams (abc, bcd)
+            (11, "a b c d"),  # fully covered -> empty rewrite
+            (12, "x a b c d"),  # covered positions 2-5 only
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in dedup.remove_dup_spans(df, n=3, min_docs=2).collect()
+    }
+    assert got[10] == ("a b c d", 0)
+    assert got[11] == ("", 4)
+    assert got[12] == ("x", 4)
