@@ -24,7 +24,30 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
+    # Whole-stage codegen emits one compiled class per plan; a long-lived
+    # session running hundreds of distinct plans (the bench's warmup +
+    # measured passes, or a real analytics server) exhausts the JVM's
+    # default 240 MB code cache, at which point HotSpot silently stops
+    # JIT-compiling and every subsequent query runs interpreted (observed:
+    # uniform 10-25x slowdowns from ~query #75 onward). 1 GB keeps the
+    # full query surface compiled; UseCodeCacheFlushing is belt-and-braces
+    # so saturation degrades to eviction, never to a disabled compiler.
+    #
+    # -Xms == -Xmx (Spark derives -Xmx from spark.driver.memory): on
+    # virtualized hosts where first-touch page faults are slow and
+    # serialize per-process (measured ~0.5 GB/s here regardless of thread
+    # count), G1's grow-GC-shrink cycling over a huge elastic heap turns
+    # into recurring 30-90 s "fault storms" — 32 task threads RUNNABLE in
+    # allocation paths, 32 cores of pure system time, near-zero progress.
+    # A fixed, modestly-sized heap is faulted in exactly once (absorbed by
+    # the untimed warmup) and never uncommitted, so the storms can't recur.
+    # Heap sizing: the full 59-query bench peaks under 6 GB of live heap
+    # at sf0.1; 12 GB leaves headroom and stays cheap to fault in.
+    "spark.driver.extraJavaOptions": (
+        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing -Xms"
+        + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
+    ),
 }
 
 
