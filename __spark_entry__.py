@@ -548,6 +548,58 @@ def q_dedup_span_removal(spark, sf):
     return dedup.remove_dup_spans(_t(spark, sf, "documents"), n=8, min_docs=2)
 
 
+def q_gopher_quality(spark, sf):
+    """Gopher composite quality filter (pipeline/text.py:gopher_rules —
+    Rae et al. 2021 Table A1): per-doc rule booleans + pass flag in one
+    expression-only scan. Thresholds tuned to the synthetic corpus's
+    length range (min 10 / max 200 words) so both outcomes occur; the
+    oracle replays every rule in DuckDB list/regexp SQL."""
+    return text.gopher_rules(
+        _t(spark, sf, "documents"), min_words=10, max_words=200
+    )
+
+
+def q_dsir_weights(spark, sf):
+    """DSIR importance weights (pipeline/selection.py — Xie et al. 2023):
+    documents from source 'src0' play the target corpus; every doc gets
+    sum(count * ln(p_target/p_raw)) over Laplace-smoothed unigram
+    distributions. Per-token log-ratios are rounded to 9 dp and summed
+    as DECIMAL so the weight is partition-order independent and the
+    oracle reproduces it bit-exactly."""
+    from nnanalytics_spark.pipeline import selection
+
+    return selection.dsir_weights(
+        _t(spark, sf, "documents"), F.col("source") == "src0"
+    )
+
+
+def q_dedup_keep_best(spark, sf):
+    """Exact-dup survivor selection (pipeline/dedup.py:keep_best): one
+    kept doc per normalized-text group, winner = longest raw text with
+    lowest-id tie-break, via a single max_by hash-aggregate (no window
+    sort). Oracle uses a row_number window — different mechanism, same
+    deterministic winner."""
+    return dedup.keep_best(_t(spark, sf, "documents"))
+
+
+def q_decontaminate(spark, sf):
+    """Corpus decontamination (pipeline/dedup.py:decontaminate — the
+    rewrite half of the contamination scan): drop train docs sharing
+    >=5% of any eval doc's trigram shingles (same eval split as
+    q_contamination: every 50th doc), then report the kept corpus by
+    source. The anti-join's right side is the corpus-small contaminated
+    id set and broadcasts."""
+    d = _t(spark, sf, "documents")
+    evals = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    kept = dedup.decontaminate(train, evals, min_overlap_frac=0.05)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("chars_kept"))
+        .orderBy("source")
+    )
+
+
 def q_minhash_recall(spark, sf):
     """MinHash-LSH recall invariant (VERDICT r3 #5): every exact-Jaccard
     pair at threshold 0.6 must surface among the LSH candidates at
@@ -2013,6 +2065,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feature_hist": q_multimodal_feature_hist,
         "ann_lsh_pairs": q_ann_lsh_pairs,
         "dedup_span_removal": q_dedup_span_removal,
+        "gopher_quality": q_gopher_quality,
+        "dsir_weights": q_dsir_weights,
+        "dedup_keep_best": q_dedup_keep_best,
+        "decontaminate": q_decontaminate,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -2033,13 +2089,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_batch_topk": q_ann_batch_topk,
         "centroid_eval": q_centroid_eval,
         "grouping_sets": q_grouping_sets,
+        # ---------------- past the 50-row window ----------------
+        # green SQL-oracle rows rotated out to make room; the pytest
+        # oracle battery re-checks every one of these at sf0.01:
         "content_summary": q_content_summary,
         "url_histogram": q_url_histogram,
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
         "url_filter": q_url_filter,
-        # ---------------- past the 50-row window ----------------
-        # green SQL-oracle rows rotated out to make room; the pytest
-        # oracle battery re-checks every one of these at sf0.01:
         "subtree_agg": q_subtree_agg,
         "suggestions_buckets": q_suggestions_buckets,
         "window_ntile": q_window_ntile,
@@ -2741,6 +2797,128 @@ def oracle_sql() -> dict[str, str]:
             SELECT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text,
                    min(doc_id) AS keep_id, count(*) AS dup_count
             FROM documents GROUP BY 1
+        """,
+        "dedup_keep_best": r"""
+            WITH norm AS (
+              SELECT doc_id, length(text) AS q,
+                     lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm_text
+              FROM documents
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY norm_text ORDER BY q DESC, doc_id ASC) AS rn
+              FROM norm
+            ),
+            grouped AS (
+              SELECT norm_text, max(q) AS keep_quality, count(*) AS dup_count
+              FROM norm GROUP BY 1
+            )
+            SELECT g.norm_text, r.doc_id AS keep_id, g.keep_quality, g.dup_count
+            FROM grouped g JOIN ranked r ON r.norm_text = g.norm_text AND r.rn = 1
+        """,
+        "gopher_quality": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE list_transform(
+                                 regexp_split_to_array(trim(text), '\s+'),
+                                 x -> lower(x)) END AS t,
+                     string_split(text, chr(10)) AS lines
+              FROM documents
+            ),
+            feats AS (
+              SELECT doc_id,
+                     len(t) AS n_words,
+                     greatest(len(t), 1) AS sw,
+                     coalesce(list_sum(list_transform(t, x -> length(x))), 0) AS sum_len,
+                     len(regexp_extract_all(text, '#|\.\.\.')) AS n_sym,
+                     greatest(len(lines), 1) AS sl,
+                     len(list_filter(lines, l -> regexp_matches(l, '^\s*([*\-•])'))) AS n_bullet,
+                     len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$'))) AS n_ellipsis,
+                     len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+                     len(list_filter(t, x -> list_contains(
+                       ['the','be','to','of','and'], x))) AS stop_hits
+              FROM toks
+            )
+            SELECT doc_id, n_words,
+                   round(sum_len / sw, 6) AS mean_word_len,
+                   round(n_sym / sw, 6) AS symbol_ratio,
+                   round(n_alpha / sw, 6) AS alpha_word_frac,
+                   stop_hits AS stopword_hits,
+                   (n_words >= 10 AND n_words <= 200) AS ok_word_count,
+                   (sum_len / sw >= 3.0 AND sum_len / sw <= 10.0) AS ok_mean_word_len,
+                   (n_sym / sw <= 0.1) AS ok_symbol_ratio,
+                   (n_bullet / sl <= 0.9) AS ok_bullet,
+                   (n_ellipsis / sl <= 0.3) AS ok_ellipsis,
+                   (n_alpha / sw >= 0.8) AS ok_alpha_words,
+                   (stop_hits >= 2) AS ok_stopwords,
+                   ((n_words >= 10 AND n_words <= 200)
+                    AND (sum_len / sw >= 3.0 AND sum_len / sw <= 10.0)
+                    AND (n_sym / sw <= 0.1)
+                    AND (n_bullet / sl <= 0.9)
+                    AND (n_ellipsis / sl <= 0.3)
+                    AND (n_alpha / sw >= 0.8)
+                    AND (stop_hits >= 2)) AS passes
+            FROM feats
+        """,
+        "dsir_weights": r"""
+            WITH toks AS (
+              SELECT doc_id, (source = 'src0') AS is_target,
+                     unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+              FROM documents
+            ),
+            per_tok AS (
+              SELECT tok, count(*) AS c_raw,
+                     sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+              FROM toks GROUP BY 1
+            ),
+            tot AS (
+              SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS vocab
+              FROM per_tok
+            ),
+            ratios AS (
+              SELECT tok,
+                     CAST(round(
+                       ln((c_tgt + 1.0) / (n_tgt + 1.0 * vocab))
+                       - ln((c_raw + 1.0) / (n_raw + 1.0 * vocab)), 9)
+                     AS DECIMAL(20,9)) AS log_ratio
+              FROM per_tok, tot
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(round(sum(log_ratio), 6) AS DECIMAL(18,6)) AS weight
+            FROM toks JOIN ratios USING (tok)
+            GROUP BY 1
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])) AS shingle
+              FROM toks
+            ),
+            ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+            evn AS (SELECT doc_id, count(*) AS n_eval FROM ev GROUP BY 1),
+            tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+            hits AS (
+              SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_common
+              FROM tr JOIN ev ON tr.shingle = ev.shingle
+              GROUP BY 1, 2
+            ),
+            bad AS (
+              SELECT DISTINCT train_id FROM hits
+              JOIN evn ON evn.doc_id = eval_id
+              WHERE round(n_common / evn.n_eval, 6) >= 0.05
+            )
+            SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+            FROM documents d
+            WHERE d.doc_id % 50 <> 0
+              AND d.doc_id NOT IN (SELECT train_id FROM bad)
+            GROUP BY 1 ORDER BY 1
         """,
         "ngram_jaccard_pairs": r"""
             WITH toks AS (

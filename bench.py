@@ -93,6 +93,10 @@ HEADLINE = [
     "multimodal_feature_hist",
     "ann_lsh_pairs",
     "dedup_span_removal",
+    "gopher_quality",
+    "dsir_weights",
+    "dedup_keep_best",
+    "decontaminate",
 ]
 
 

@@ -721,3 +721,64 @@ def contamination_pairs(
         .filter(F.col("overlap_frac") >= min_overlap_frac)
         .select("train_id", "eval_id", "n_common", "overlap_frac")
     )
+
+
+def keep_best(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Exact-dup survivor selection: one kept document per duplicate
+    group, chosen by quality — not just ``min(id)``.
+
+    ``exact_dedup`` answers "how many dups"; this answers "which copy do
+    we keep": the group winner maximizes (quality, -doc_id), i.e. highest
+    ``quality_col`` (doc length when None) with the lowest id as the
+    deterministic tie-break. One hash-aggregate shuffle via ``max_by``
+    over a comparable struct — no window, no second pass, and the
+    argmax rides the same map-side partial aggregation that collapses
+    duplicate groups before the exchange (a row_number window would
+    force a full sort within every group instead)."""
+    q = F.col(quality_col) if quality_col else F.length(F.col(text))
+    rank = F.struct(q.alias("q"), (-F.col(id_col)).alias("nid"))
+    return df.groupBy(normalized(F.col(text)).alias("norm_text")).agg(
+        F.max_by(F.col(id_col), rank).alias("keep_id"),
+        F.max(q).alias("keep_quality"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_overlap_frac: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Corpus decontamination: drop every train document whose n-gram
+    overlap with ANY eval document reaches ``min_overlap_frac`` — the
+    rewrite half of ``contamination_pairs`` (scan reports, this cleans),
+    mirroring how ``remove_dup_spans`` complements ``dup_ngram_coverage``.
+
+    Implemented as a LEFT ANTI join of the train corpus against the
+    distinct contaminated-id set, so the heavy work is exactly the
+    already-bounded contamination scan; the anti-join's right side is
+    |contaminated docs| — corpus-small — and broadcasts. Returns the
+    cleaned train corpus with its original columns."""
+    bad = (
+        contamination_pairs(
+            train,
+            evals,
+            text=text,
+            id_col=id_col,
+            n=n,
+            min_overlap_frac=min_overlap_frac,
+            max_shingle_df=max_shingle_df,
+        )
+        .select(F.col("train_id").alias(id_col))
+        .distinct()
+    )
+    return train.join(F.broadcast(bad), id_col, "left_anti")

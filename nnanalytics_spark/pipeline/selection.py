@@ -1,0 +1,119 @@
+"""Data-selection operators for training-corpus curation.
+
+DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling",
+NeurIPS 2023) — scores every raw document by how target-like its
+token distribution is:
+
+    w(doc) = sum over tokens t in doc of  count_doc(t) * ln( p_target(t) / p_raw(t) )
+
+where p_target / p_raw are Laplace-smoothed unigram distributions
+estimated from a (small) target corpus and the full raw corpus.
+Resampling the raw corpus with probabilities proportional to exp(w)
+yields a target-shaped subset; in practice pipelines keep the top-k
+by w or use Gumbel-top-k on w.
+
+Spark shape (100 TB reasoning):
+- ONE explode of the raw corpus feeds BOTH distribution estimates —
+  the target is a filtered view of the same exploded tokens, so the
+  expensive tokenize+explode scan happens once.
+- Both vocab tables are token-keyed aggregates (map-side partial
+  combine collapses heavy hitters before the exchange).
+- The per-token log-ratio table is vocabulary-sized (millions of rows,
+  not corpus-sized). It joins back to the exploded tokens on the token
+  key; at real vocabularies that join BROADCASTs.
+- Per-doc weight is then one groupBy(doc_id) sum — shuffle keyed on
+  doc_id with map-side partials.
+
+The published method hashes n-grams into 2^k buckets so the vocab
+table has a fixed size; here features are the raw token strings so the
+DuckDB oracle can reproduce the arithmetic exactly (the hash only
+changes the feature key, not the plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.pipeline.text import tokens
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_filter,
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance weight against a target subset.
+
+    ``target_filter`` is a Column predicate selecting the target subset
+    of ``df`` (e.g. ``F.col("source") == "src0"``). Returns
+    ``(doc_id, n_tokens, weight)``; ``weight`` is the summed log
+    importance ratio rounded to 6 dp and cast DECIMAL(18,6) so both
+    engines render it identically (same hash-hardening as key_skew).
+
+    Smoothing: p(t) = (c(t) + alpha) / (N + alpha * V) with V = size of
+    the RAW vocabulary; target counts are 0 for raw-only tokens, so every
+    raw token has a finite ratio and the weight is total.
+
+    Determinism: each token's log-ratio is rounded to 9 dp and cast to
+    DECIMAL(20,9) BEFORE the per-doc sum. A double sum is
+    order-dependent, so the same corpus could score differently under a
+    different partitioning (or engine); summing fixed-point terms is
+    exact and associative, so the weight is bit-stable under
+    repartitioning and reproducible in the DuckDB oracle.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.alias("is_target"),
+        F.explode(tokens(F.col(text))).alias("tok"),
+    )
+    per_tok = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = per_tok.agg(
+        F.sum("c_raw").alias("n_raw"),
+        F.sum("c_tgt").alias("n_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    ratios = per_tok.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c_tgt") + alpha) / (F.col("n_tgt") + alpha * F.col("vocab")))
+            - F.log((F.col("c_raw") + alpha) / (F.col("n_raw") + alpha * F.col("vocab"))),
+            9,
+        )
+        .cast("decimal(20,9)")
+        .alias("log_ratio"),
+    )
+    return (
+        toks.join(F.broadcast(ratios), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("log_ratio").alias("_w"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_w"), 6).cast("decimal(18,6)").alias("weight"),
+        )
+    )
+
+
+def dsir_topk(
+    df: DataFrame,
+    target_filter,
+    k: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Top-k raw documents by DSIR weight (deterministic tie-break on
+    doc_id) — the selection step itself, as a TakeOrdered (no global
+    sort materialization)."""
+    w = dsir_weights(df, target_filter, text=text, id_col=id_col, alpha=alpha)
+    return w.orderBy(F.col("weight").desc(), "doc_id").limit(k)

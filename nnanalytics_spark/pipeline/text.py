@@ -215,6 +215,90 @@ def term_stats(
     )
 
 
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, "Scaling Language
+    Models: Methods, Analysis & Insights from Training Gopher", Table A1)
+    as one composite expression-only filter. Per document it emits each
+    rule's boolean plus the AND of all of them (``passes``), so a curation
+    pipeline can both filter and report per-rule rejection rates from a
+    single scan.
+
+    Rules (defaults are the published thresholds):
+      - word count within [min_words, max_words]
+      - mean word length within [min_mean_word_len, max_mean_word_len]
+      - symbol-to-word ratio (``#`` or ``...``) <= max_symbol_ratio
+      - fraction of lines starting with a bullet <= max_bullet_frac
+      - fraction of lines ending with an ellipsis <= max_ellipsis_frac
+      - fraction of words containing an alphabetic char >= min_alpha_word_frac
+      - at least min_required_stopwords hits from the required-word list
+        (the/be/to/of/and)
+
+    Everything is array/regexp expressions over ONE scan — no shuffle, no
+    UDF — so at 100 TB this is a map-only pass that AQE can pipeline into
+    whatever consumes it. All ratios are emitted rounded to 6 dp so the
+    DuckDB oracle hashes identically (integer-exact arithmetic only).
+    """
+    toks = F.transform(tokens(F.col(text)), lambda t: F.lower(t))
+    n_words = F.size(toks)
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_wl = F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / safe_words
+    n_symbols = F.regexp_count(F.col(text), F.lit(r"#|\.\.\."))
+    lines = F.split(F.col(text), r"\n")
+    safe_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*([*\-•])")))
+        / safe_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+        / safe_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike(r"[a-zA-Z]"))) / safe_words
+    )
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(GOPHER_REQUIRED_WORDS)))
+
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": (n_symbols / safe_words) <= max_symbol_ratio,
+        "ok_bullet": bullet_frac <= max_bullet_frac,
+        "ok_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "ok_alpha_words": alpha_frac >= min_alpha_word_frac,
+        "ok_stopwords": stop_hits >= min_required_stopwords,
+    }
+    passes = None
+    for c in flags.values():
+        passes = c if passes is None else (passes & c)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(n_symbols / safe_words, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        *[c.alias(name) for name, c in flags.items()],
+        passes.alias("passes"),
+    )
+
+
 def with_text_features(df: DataFrame, text: str = "text") -> DataFrame:
     col = F.col(text)
     return (

@@ -730,3 +730,114 @@ def test_remove_dup_spans_overlapping_and_full_cover(spark):
     assert got[10] == ("a b c d", 0)
     assert got[11] == ("", 4)
     assert got[12] == ("x", 4)
+
+
+# ---------------------------------------------------------------------------
+# r4: gopher rules / DSIR / survivor selection / decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_flags(spark):
+    df = spark.createDataFrame(
+        [
+            # passes everything (min_words lowered for the fixture)
+            (1, "the cat and the dog walk to the house of wonder be good"),
+            # too few words
+            (2, "short text"),
+            # no required stopwords, all-symbol words
+            (3, "### $$$ %%% ^^^ &&& *** !!! ((( ))) ___ +++ === ~~~"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.gopher_rules(df, min_words=5, max_words=100).collect()
+    }
+    assert out[1]["passes"] is True
+    assert out[2]["ok_word_count"] is False and out[2]["passes"] is False
+    assert out[3]["ok_stopwords"] is False
+    assert out[3]["ok_alpha_words"] is False
+    assert out[3]["passes"] is False
+
+
+def test_gopher_rules_line_fractions(spark):
+    bullets = "\n".join(["- item %d" % i for i in range(10)])
+    df = spark.createDataFrame([(1, bullets)], "doc_id long, text string")
+    row = text.gopher_rules(df, min_words=1, max_bullet_frac=0.5).head()
+    assert row["ok_bullet"] is False  # 100% bullet lines > 50%
+
+
+def test_dsir_weights_prefer_target_like(spark):
+    from nnanalytics_spark.pipeline import selection
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", "tgt"),
+            (2, "alpha beta gamma beta", "raw"),   # target-like tokens
+            (3, "delta epsilon zeta eta", "raw"),  # nothing target-like
+        ],
+        "doc_id long, text string, source string",
+    )
+    w = {
+        r["doc_id"]: float(r["weight"])
+        for r in selection.dsir_weights(df, F.col("source") == "tgt").collect()
+    }
+    assert w[2] > w[3]  # target-shaped doc scores higher
+
+
+def test_dsir_topk_deterministic(spark):
+    from nnanalytics_spark.pipeline import selection
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta" if i % 2 else "zeta eta", "tgt" if i == 1 else "raw")
+         for i in range(1, 7)],
+        "doc_id long, text string, source string",
+    )
+    top = selection.dsir_topk(df, F.col("source") == "tgt", k=3).collect()
+    assert [r["doc_id"] for r in top] == [1, 3, 5]  # odd docs are target-like
+
+
+def test_keep_best_prefers_quality_then_low_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb", 10),
+            (2, "aa  bb", 30),   # same normalized text, higher quality -> wins
+            (3, "AA BB", 30),    # ties with 2 on quality -> lower id (2) wins
+            (4, "unique doc", 5),
+        ],
+        "doc_id long, text string, quality long",
+    )
+    out = {
+        r["norm_text"]: (r["keep_id"], r["keep_quality"], r["dup_count"])
+        for r in dedup.keep_best(df, quality_col="quality").collect()
+    }
+    assert out["aa bb"] == (2, 30, 3)
+    assert out["unique doc"] == (4, 5, 1)
+
+
+def test_keep_best_default_length(spark):
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "x  y")], "doc_id long, text string"
+    )
+    row = dedup.keep_best(df).head()
+    # normalized texts equal; doc 2's RAW text is longer -> higher quality
+    assert row["keep_id"] == 2 and row["dup_count"] == 2
+
+
+def test_decontaminate_drops_overlapping_train_docs(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text about database engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    kept = dedup.decontaminate(train, evals, min_overlap_frac=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # bounded-df path returns the same answer
+    kept2 = dedup.decontaminate(train, evals, min_overlap_frac=0.5, max_shingle_df=2)
+    assert [r["doc_id"] for r in kept2.collect()] == [2]
