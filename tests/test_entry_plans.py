@@ -199,3 +199,43 @@ def test_bucketed_join_plan_is_shuffle_free(spark):
         pytest.skip("AQE chose a different join (tiny sf) — covered in test_sources")
     before_join = plan[join_pos:]
     assert "Exchange hashpartitioning(l_orderkey" not in before_join, plan
+
+
+def test_gopher_rules_is_map_only(spark):
+    """The Gopher composite filter is a single map-side scan: no Exchange,
+    no Python eval (pure codegen array/regexp expressions)."""
+    df = entry.q_gopher_quality(spark, SF)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "FileScan" in plan and plan.count("FileScan") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_dsir_one_explode_broadcast_ratios(spark):
+    """DSIR: the corpus is exploded ONCE for the distribution estimates
+    and once for the per-doc score join; the vocab-sized ratio table
+    reaches the score join as a BROADCAST (no shuffle of the exploded
+    corpus on the token key beyond the distribution aggregate)."""
+    df = entry.q_dsir_weights(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: the per-token aggregate, the final per-doc aggregate,
+    # and broadcast exchanges; no extra sort-merge join shuffles
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_keep_best_single_aggregate_no_window(spark):
+    """Survivor selection is ONE hash aggregate (max_by); no window sort
+    within groups."""
+    df = entry.q_dedup_keep_best(spark, SF)
+    plan = plan_of(df)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_decontaminate_anti_join_broadcasts(spark):
+    """The cleaned-corpus anti-join broadcasts the corpus-small
+    contaminated-id set."""
+    df = entry.q_decontaminate(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
