@@ -600,6 +600,51 @@ def q_decontaminate(spark, sf):
     )
 
 
+def q_temperature_mixture(spark, sf):
+    """Temperature-scaled mixture planner (pipeline/sampling.py:
+    temperature_mixture — the UniMax/mT5 sampling rule): per-source
+    natural share vs T=3.33-scaled rate plus implied epochs at a 10M-char
+    budget. One grouped sum + a broadcast-scalar normalization."""
+    from nnanalytics_spark.pipeline import sampling
+
+    return sampling.temperature_mixture(
+        _t(spark, sf, "documents"), temperature=3.333333, token_budget=10_000_000
+    )
+
+
+def q_fuzzy_dedup_pipeline(spark, sf):
+    """END-TO-END fuzzy dedup (the workflow a corpus team actually runs,
+    composed from the verified stages): exact-Jaccard near-dup pairs at
+    0.6 (bounded inverted index) → connected components → ONE survivor
+    per cluster by (longest text, lowest id) → per-source kept/dropped
+    report. The oracle replays the whole chain in SQL, reusing the
+    recursive-CTE transitive closure the dedup_clusters row proved."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+    clusters = dedup.dup_clusters(docs, pairs)
+    joined = docs.join(clusters, docs.doc_id == clusters.node)
+    rank = F.struct(F.length("text").alias("q"), (-F.col("doc_id")).alias("nid"))
+    survivors = joined.groupBy("cluster").agg(
+        F.max_by(F.struct("source", "n_chars"), rank).alias("keep")
+    )
+    kept = survivors.groupBy(F.col("keep.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("keep.n_chars").alias("chars_kept"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(kept, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+            "chars_kept",
+        )
+        .orderBy("source")
+    )
+
+
 def q_minhash_recall(spark, sf):
     """MinHash-LSH recall invariant (VERDICT r3 #5): every exact-Jaccard
     pair at threshold 0.6 must surface among the LSH candidates at
@@ -2069,6 +2114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dedup_keep_best": q_dedup_keep_best,
         "decontaminate": q_decontaminate,
+        "temperature_mixture": q_temperature_mixture,
+        "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -2087,11 +2134,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "ann_topk": q_ann_topk,
         "ann_batch_topk": q_ann_batch_topk,
-        "centroid_eval": q_centroid_eval,
-        "grouping_sets": q_grouping_sets,
         # ---------------- past the 50-row window ----------------
         # green SQL-oracle rows rotated out to make room; the pytest
         # oracle battery re-checks every one of these at sf0.01:
+        "centroid_eval": q_centroid_eval,
+        "grouping_sets": q_grouping_sets,
         "content_summary": q_content_summary,
         "url_histogram": q_url_histogram,
         "oiv_xml_roundtrip": q_oiv_xml_roundtrip,
@@ -2889,6 +2936,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(log_ratio), 6) AS DECIMAL(18,6)) AS weight
             FROM toks JOIN ratios USING (tok)
             GROUP BY 1
+        """,
+        "temperature_mixture": r"""
+            WITH sizes AS (
+              SELECT source, count(*) AS n_docs, sum(n_chars) AS size
+              FROM documents GROUP BY 1
+            ),
+            powed AS (SELECT *, pow(size, 1.0 / 3.333333) AS p FROM sizes),
+            tot AS (SELECT sum(size) AS tot_size, sum(p) AS tot_p FROM powed)
+            SELECT source, n_docs, size,
+                   round(size / tot_size, 6) AS natural_share,
+                   round(p / tot_p, 6) AS rate,
+                   round(10000000 * (round(p / tot_p, 6) / size), 6) AS epochs
+            FROM powed, tot ORDER BY source
+        """,
+        "fuzzy_dedup_pipeline": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+              FROM documents
+            ),
+            sh AS (
+              SELECT doc_id,
+                     unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                           for i in range(1, len(t) - 1)])) AS shingle
+              FROM toks
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+            rare AS (
+              SELECT sh.doc_id, sh.shingle FROM sh
+              JOIN dfc USING (shingle) WHERE dfc.df <= 100
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM rare a JOIN rare b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            ),
+            common AS (
+              SELECT c.id_a, c.id_b, count(*) AS c
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+              GROUP BY 1, 2
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM common
+              JOIN sizes sa ON sa.doc_id = id_a
+              JOIN sizes sb ON sb.doc_id = id_b
+              WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+            ),
+            edges AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+            ),
+            clusters AS (
+              SELECT d.doc_id AS node,
+                     least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+              FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id
+            ),
+            ranked AS (
+              SELECT d.source, d.n_chars, c.cluster,
+                     row_number() OVER (PARTITION BY c.cluster
+                                        ORDER BY length(d.text) DESC,
+                                                 d.doc_id ASC) AS rn
+              FROM documents d JOIN clusters c ON c.node = d.doc_id
+            ),
+            kept AS (
+              SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+              FROM ranked WHERE rn = 1 GROUP BY 1
+            ),
+            totals AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+            SELECT t.source, t.n_docs, k.n_kept,
+                   t.n_docs - k.n_kept AS n_dropped, k.chars_kept
+            FROM totals t JOIN kept k USING (source) ORDER BY source
         """,
         "decontaminate": r"""
             WITH toks AS (

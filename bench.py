@@ -97,6 +97,8 @@ HEADLINE = [
     "dsir_weights",
     "dedup_keep_best",
     "decontaminate",
+    "temperature_mixture",
+    "fuzzy_dedup_pipeline",
 ]
 
 

@@ -155,3 +155,46 @@ def mixture_upsample(
         F.array().cast("array<int>")
     )
     return df.withColumn("copy", F.explode(copies))
+
+
+def temperature_mixture(
+    df: DataFrame,
+    temperature: float = 3.333333,
+    size_col: str = "n_chars",
+    strata_col: str = "source",
+    token_budget: int | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture planner (the UniMax / mT5 sampling
+    rule, Chung et al. 2023 / Xue et al. 2021): source sampling rate
+    r_i ∝ c_i^(1/T) where c_i is the source's size. T=1 reproduces
+    natural proportions; T→∞ approaches uniform — the standard knob for
+    keeping low-resource sources from vanishing in a multilingual /
+    multi-source mix.
+
+    Emits per source: size, natural share, temperature-scaled rate, and
+    — when ``token_budget`` is given — the implied epochs over that
+    source (budget * rate / size), the number ``mixture_upsample``
+    consumes as its permille map. The heavy input is one grouped sum
+    over the corpus (map-side combine); the normalization is a
+    broadcast-scalar join over |sources| rows, so the plan is
+    corpus-one-pass at any scale."""
+    sizes = df.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum(size_col).alias("size")
+    )
+    powed = sizes.withColumn("p", F.pow(F.col("size"), 1.0 / temperature))
+    totals = powed.agg(
+        F.sum("size").alias("tot_size"), F.sum("p").alias("tot_p")
+    )
+    out = powed.crossJoin(F.broadcast(totals)).select(
+        strata_col,
+        "n_docs",
+        "size",
+        F.round(F.col("size") / F.col("tot_size"), 6).alias("natural_share"),
+        F.round(F.col("p") / F.col("tot_p"), 6).alias("rate"),
+    )
+    if token_budget is not None:
+        out = out.withColumn(
+            "epochs",
+            F.round(F.lit(token_budget) * (F.col("rate") / F.col("size")), 6),
+        )
+    return out.orderBy(strata_col)

@@ -841,3 +841,28 @@ def test_decontaminate_drops_overlapping_train_docs(spark):
     # bounded-df path returns the same answer
     kept2 = dedup.decontaminate(train, evals, min_overlap_frac=0.5, max_shingle_df=2)
     assert [r["doc_id"] for r in kept2.collect()] == [2]
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", 100) for i in range(100)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in sampling.temperature_mixture(df, temperature=5.0).collect()}
+    # temperature scaling must pull the small source's rate ABOVE its
+    # natural share and the big source's below
+    assert out["small"]["rate"] > out["small"]["natural_share"]
+    assert out["big"]["rate"] < out["big"]["natural_share"]
+    assert abs(out["big"]["rate"] + out["small"]["rate"] - 1.0) < 1e-5
+
+
+def test_temperature_one_is_natural(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a", 300), (2, "b", 100)], "doc_id long, source string, n_chars long"
+    )
+    out = {r["source"]: r for r in sampling.temperature_mixture(df, temperature=1.0).collect()}
+    assert out["a"]["rate"] == out["a"]["natural_share"] == 0.75
