@@ -99,6 +99,7 @@ HEADLINE = [
     "decontaminate",
     "temperature_mixture",
     "fuzzy_dedup_pipeline",
+    "incremental_dedup",
 ]
 
 

@@ -723,6 +723,40 @@ def contamination_pairs(
     )
 
 
+def incremental_exact_dedup(
+    new: DataFrame,
+    corpus: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus and itself —
+    the production shape of exact dedup, where the corpus is petabytes
+    and each ingest batch is comparatively tiny. A row of ``new``
+    survives iff (a) its normalized text matches no corpus document and
+    (b) it is the canonical (lowest-id) copy within the batch.
+
+    Join strategy is written for that asymmetry: a plain
+    ``new LEFT ANTI corpus`` would broadcast (or shuffle) the CORPUS —
+    the big side. Instead the batch's distinct keys broadcast INTO a
+    semi-join that filters the corpus scan down to the collision set
+    (corpus-small by construction), and the batch anti-joins against
+    that. The corpus is touched by exactly one broadcast-filtered scan;
+    nothing corpus-sized ever shuffles."""
+    norm = normalized(F.col(text))
+    batch = new.withColumn("norm_text", norm)
+    batch_keys = batch.select("norm_text").distinct()
+    collisions = (
+        corpus.select(norm.alias("norm_text"))
+        .join(F.broadcast(batch_keys), "norm_text", "left_semi")
+        .distinct()
+    )
+    winners = batch.groupBy("norm_text").agg(F.min(id_col).alias(id_col))
+    return (
+        winners.join(F.broadcast(collisions), "norm_text", "left_anti")
+        .join(batch.drop("norm_text"), id_col)
+    )
+
+
 def keep_best(
     df: DataFrame,
     text: str = "text",

@@ -239,3 +239,13 @@ def test_decontaminate_anti_join_broadcasts(spark):
     df = entry.q_decontaminate(spark, SF)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_incremental_dedup_corpus_never_broadcast(spark):
+    """The corpus side must be filtered by a BROADCAST of the batch keys
+    (semi) and the batch anti-joins the broadcast collision set — the
+    corpus itself is never the build side of any join."""
+    df = entry.q_incremental_dedup(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

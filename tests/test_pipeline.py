@@ -866,3 +866,23 @@ def test_temperature_one_is_natural(spark):
     )
     out = {r["source"]: r for r in sampling.temperature_mixture(df, temperature=1.0).collect()}
     assert out["a"]["rate"] == out["a"]["natural_share"] == 0.75
+
+
+def test_incremental_exact_dedup(spark):
+    corpus = spark.createDataFrame(
+        [(1, "existing doc one"), (2, "existing doc two")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Existing  doc one"),   # dup of corpus doc 1 -> dropped
+            (11, "brand new doc"),       # survives
+            (12, "brand  NEW doc"),      # batch-dup of 11 -> dropped
+            (13, "another new doc"),     # survives
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup.incremental_exact_dedup(new, corpus).collect()
+    )
+    assert kept == [11, 13]
