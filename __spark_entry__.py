@@ -1871,6 +1871,39 @@ def q_sweep_roundtrip(spark, sf):
     return spark.read.parquet(f"{out_dir}/quotaReport")
 
 
+def q_history_roundtrip(spark, sf):
+    """History sink round-trip (§2.1/§2.9 — the HSQL `history` analog,
+    suggestions.py:229): TWO sweeps at pinned timestamps append to the
+    history table; reading it back must reproduce both sweeps'
+    file-scalar metrics with their sweepTs. The oracle recomputes the
+    battery closed-form from part for both `now` values, so the hash
+    pins the append-only persistence AND the now-relative arithmetic.
+    (fileSize = floor(p_retailprice) keeps every file in the tiny/small
+    classes; emptyFiles pins the zero class.)"""
+    import tempfile
+
+    from nnanalytics_spark.inode import suggestions
+
+    out_dir = tempfile.mkdtemp(prefix="nna_hist_")
+    ino = _inodes(spark, sf)
+    suggestions.run_sweep(ino, NOW_MS, output_dir=out_dir)
+    suggestions.run_sweep(ino, NOW_MS + 7 * 86_400_000, output_dir=out_dir)
+    return (
+        spark.read.parquet(f"{out_dir}/history")
+        .select(
+            "sweepTs",
+            "numFiles",
+            "emptyFiles",
+            "tinyFiles",
+            "smallFiles",
+            "oldFiles1yr",
+            "oldFiles2yr",
+            "totalDiskspace",
+        )
+        .orderBy("sweepTs")
+    )
+
+
 def q_changelog_upsert(spark, sf):
     """Edit-log tailing end-to-end (§2.1, testUpdateSeen shape,
     TestWithMiniClusterBase.java:207-228): two deterministic change-log
@@ -2146,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": q_temperature_mixture,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "incremental_dedup": q_incremental_dedup,
+        "history_roundtrip": q_history_roundtrip,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -2162,10 +2196,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "contamination": q_contamination,
         "embedding_dup_pairs": q_embedding_dup_pairs,
-        "ann_topk": q_ann_topk,
         # ---------------- past the 50-row window ----------------
         # green SQL-oracle rows rotated out to make room; the pytest
         # oracle battery re-checks every one of these at sf0.01:
+        "ann_topk": q_ann_topk,
         "ann_batch_topk": q_ann_batch_topk,
         "centroid_eval": q_centroid_eval,
         "grouping_sets": q_grouping_sets,
@@ -2734,6 +2768,25 @@ def oracle_sql() -> dict[str, str]:
                    dsq AS "dsQuota", dsu AS "dsQuotaUsed", dsr AS "dsQuotaRatioUsed",
                    (nsr >= 85 OR dsr >= 85) AS "nearLimit"
             FROM r
+        """,
+        "history_roundtrip": f"""
+            WITH f AS (
+              SELECT CAST(floor(p_retailprice) AS BIGINT) AS size,
+                     (1 + p_partkey % 3) AS repl,
+                     ({now} - (p_partkey % 400) * 86400000) AS access_time
+              FROM part
+            ),
+            sweeps AS (SELECT * FROM (VALUES ({now}), ({now + 7 * 86_400_000})) AS s(ts))
+            SELECT s.ts AS "sweepTs",
+                   count(*) AS "numFiles",
+                   sum(CASE WHEN size = 0 THEN 1 ELSE 0 END) AS "emptyFiles",
+                   sum(CASE WHEN size > 0 AND size <= 1024 THEN 1 ELSE 0 END) AS "tinyFiles",
+                   sum(CASE WHEN size > 1024 AND size <= 1048576 THEN 1 ELSE 0 END) AS "smallFiles",
+                   sum(CASE WHEN access_time <= s.ts - 31536000000 THEN 1 ELSE 0 END) AS "oldFiles1yr",
+                   sum(CASE WHEN access_time <= s.ts - 63072000000 THEN 1 ELSE 0 END) AS "oldFiles2yr",
+                   sum(size * repl) AS "totalDiskspace"
+            FROM sweeps s CROSS JOIN f
+            GROUP BY 1 ORDER BY 1
         """,
         "dir_scalars": """
             WITH f AS (
