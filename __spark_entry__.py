@@ -1856,6 +1856,92 @@ def q_sessionization_parity(spark, sf):
     )
 
 
+def q_watermark_window_parity(spark, sf):
+    """Append-mode watermarked window counts (streaming/refresh.py:
+    windowed_event_counts) with a REAL late-data drop, hash-pinned to a
+    batch SQL twin. Three deterministic file-stream segments:
+
+      batch 0 — every event (builds all window state; watermark still 0);
+      batch 1 — replay of the tail rows (windows past max-H are never
+                emitted in append mode, so re-sending them changes no
+                output — the batch exists purely to advance Spark's
+                lagging late-event watermark, which trails eviction by
+                one batch: `watermarkForLateEvents` vs `ForEviction`);
+      batch 2 — replay of old rows (< max-3H): every one lands below the
+                late-event watermark and is dropped (asserted > 0 in
+                tests/test_streaming.py), so emitted counts stay exact.
+
+    Emitted set = windows with end <= max(ts)-H, counts over ALL events —
+    exactly the oracle SQL. At 100 TB the foreachBatch collect becomes a
+    parquet sink; state is bounded by |open windows|, not the corpus."""
+    import os
+    import tempfile
+    import time
+
+    h_ms = 601_000  # not a multiple of the 300 s window so window ends
+    win_ms = 300_000  # never tie the watermark (hash-stable boundary)
+    ev = _events(spark, sf).select("event_id", "ts_ms", "event_type")
+    max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    seg_dir = tempfile.mkdtemp(prefix="nna_wm_seg_")
+    segments = [
+        ev,
+        ev.filter(F.col("ts_ms") > max_ts - win_ms),
+        ev.filter((F.col("ts_ms") < max_ts - 3 * h_ms) & (F.col("event_id") % 97 == 0)),
+    ]
+    base_mtime = time.time() - 3600
+    for i, seg in enumerate(segments):
+        path = f"{seg_dir}/seg{i}"
+        seg.coalesce(1).write.parquet(path)
+        # FileStreamSource orders batches by mtime — pin it explicitly so
+        # segment arrival order never depends on write latency.
+        for name in os.listdir(path):
+            os.utime(os.path.join(path, name), (base_mtime + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_ms long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{seg_dir}/*")
+    )
+    from nnanalytics_spark.streaming.refresh import windowed_event_counts
+
+    out = windowed_event_counts(
+        stream.withColumn("ts", F.timestamp_millis(F.col("ts_ms"))),
+        window="300 seconds",
+        horizon=f"{h_ms} milliseconds",
+        with_value=False,
+    )
+    rows: list[tuple[int, str, int]] = []
+    dropped = [0]
+
+    def sink(batch_df, _epoch):
+        for r in batch_df.collect():
+            rows.append(
+                (
+                    int(r["window"].start.timestamp() * 1000) // win_ms,
+                    r["event_type"],
+                    int(r["cnt"]),
+                )
+            )
+
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+        try:
+            q.processAllAvailable()
+            dropped[0] = sum(
+                op.get("numRowsDroppedByWatermark", 0)
+                for p in q.recentProgress
+                for op in p["stateOperators"]
+            )
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    q_watermark_window_parity.last_dropped = dropped[0]
+    return spark.createDataFrame(sorted(rows), "win long, event_type string, cnt long")
+
+
 def q_sweep_roundtrip(spark, sf):
     """run_sweep persistence round-trip (§2.9 cache sink analog,
     suggestions.py:213): the periodic sweep writes every cached report as
@@ -2180,6 +2266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
         "incremental_dedup": q_incremental_dedup,
         "history_roundtrip": q_history_roundtrip,
+        # --- (2c) new in this session ---
+        "watermark_window_parity": q_watermark_window_parity,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -2492,6 +2580,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(epoch_ms(ts) / 300000) AS BIGINT) AS win, event_type,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "watermark_window_parity": """
+            WITH ev AS (SELECT epoch_ms(ts) AS ts_ms, event_type FROM events),
+            wm AS (SELECT max(ts_ms) - 601000 AS w FROM ev)
+            SELECT CAST(FLOOR(ts_ms / 300000) AS BIGINT) AS win, event_type,
+                   count(*) AS cnt
+            FROM ev, wm
+            WHERE (FLOOR(ts_ms / 300000) + 1) * 300000 <= wm.w
+            GROUP BY 1, 2
         """,
         "join_revenue": """
             SELECT n_name,

@@ -100,6 +100,8 @@ HEADLINE = [
     "temperature_mixture",
     "fuzzy_dedup_pipeline",
     "incremental_dedup",
+    # r4 late additions
+    "watermark_window_parity",
 ]
 
 

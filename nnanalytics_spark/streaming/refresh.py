@@ -116,14 +116,32 @@ class ChangeLogTailer:
             self._query.stop()
 
 
-def windowed_event_counts(events_stream: DataFrame, window: str = "5 minutes") -> DataFrame:
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window: str = "5 minutes",
+    horizon: str = "10 minutes",
+    with_value: bool = True,
+) -> DataFrame:
     """Streaming windowed aggregation with late-data watermarking — the
     standard Structured Streaming shape for the events table (its batch
-    equivalence is __spark_entry__.q_windowed_counts)."""
+    equivalence is __spark_entry__.q_windowed_counts).
+
+    Late-drop semantics worth knowing (pinned by
+    __spark_entry__.q_watermark_window_parity and tests/test_streaming.py):
+    Spark filters late input with the PREVIOUS batch's watermark
+    (`watermarkForLateEvents`) while evicting/emitting with the current
+    one (`watermarkForEviction`), so a record arriving one batch after
+    the watermark passed its window is still accepted; drops begin the
+    batch after that. Any replay/backfill reasoning at 100 TB has to use
+    the laggier of the two.
+    """
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if with_value:
+        aggs.append(F.sum("value").alias("total_value"))
     return (
-        events_stream.withWatermark("ts", "10 minutes")
+        events_stream.withWatermark("ts", horizon)
         .groupBy(F.window("ts", window), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .agg(*aggs)
     )
 
 

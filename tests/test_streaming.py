@@ -323,3 +323,31 @@ def test_streaming_dedup_drops_rearrivals(spark, tmp_path):
         q.stop()
     got = {r["fingerprint"]: r["text"] for r in out_rows}
     assert got == {"a": "first a", "b": "first b", "c": "first c"}
+
+
+def test_watermark_window_parity_drops_and_matches_batch(spark):
+    """The driver-contract parity query: append-mode watermarked windows
+    over three deterministic segments must (a) actually DROP the replayed
+    old rows via the late-event watermark and (b) reproduce the batch
+    tumbling-window counts restricted to finalized windows."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["win"], r["event_type"]): r["cnt"]
+        for r in entry.q_watermark_window_parity(spark, sf).collect()
+    }
+    assert entry.q_watermark_window_parity.last_dropped > 0
+
+    ev = entry._events(spark, sf)
+    max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    expected = {
+        (r["win"], r["event_type"]): r["cnt"]
+        for r in (
+            ev.withColumn("win", F.expr("ts_ms div 300000"))
+            .filter((F.col("win") + 1) * 300000 <= max_ts - 601_000)
+            .groupBy("win", "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        ).collect()
+    }
+    assert got == expected and len(got) > 0
