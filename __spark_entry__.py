@@ -573,6 +573,20 @@ def q_dsir_weights(spark, sf):
     )
 
 
+def q_quality_classifier(spark, sf):
+    """Hashed linear quality classifier (pipeline/selection.py:
+    hashed_classifier_scores) — the fastText-style model-based filter of
+    the GPT-3/LLaMA pipelines: poly-hash feature buckets, per-bucket
+    weight lookup, mean score, threshold keep. Weights are a
+    deterministic integer stand-in (no training stack in-container), so
+    the oracle replays the scorer bit-for-bit; plumbing (hashing,
+    broadcast-shaped weight table, expression-only scan) is the real
+    production shape."""
+    from nnanalytics_spark.pipeline import selection
+
+    return selection.hashed_classifier_scores(_t(spark, sf, "documents"))
+
+
 def q_dedup_keep_best(spark, sf):
     """Exact-dup survivor selection (pipeline/dedup.py:keep_best): one
     kept doc per normalized-text group, winner = longest raw text with
@@ -2268,6 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "history_roundtrip": q_history_roundtrip,
         # --- (2c) new in this session ---
         "watermark_window_parity": q_watermark_window_parity,
+        "quality_classifier": q_quality_classifier,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -3087,6 +3102,28 @@ def oracle_sql() -> dict[str, str]:
                     AND (n_alpha / sw >= 0.8)
                     AND (stop_hits >= 2)) AS passes
             FROM feats
+        """,
+        "quality_classifier": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     list_transform(
+                       string_split_regex(trim(text), '\s+'),
+                       t -> ((list_reduce(
+                                list_prepend(CAST(0 AS BIGINT),
+                                  list_transform(string_split_regex(t, ''),
+                                                 c -> CAST(ascii(c) AS BIGINT))),
+                                (a, b) -> (a * 31 + b) % 2147483647)
+                              % 4096) * 2654435761 + 104729) % 2001 - 1000
+                     ) AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(ws) AS n_tokens,
+                   CAST(round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 6)
+                        AS DECIMAL(18,6)) AS score,
+                   CAST(round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 6)
+                        AS DECIMAL(18,6)) >= 0 AS keep
+            FROM d
         """,
         "dsir_weights": r"""
             WITH toks AS (

@@ -102,6 +102,7 @@ HEADLINE = [
     "incremental_dedup",
     # r4 late additions
     "watermark_window_parity",
+    "quality_classifier",
 ]
 
 

@@ -117,3 +117,55 @@ def dsir_topk(
     sort materialization)."""
     w = dsir_weights(df, target_filter, text=text, id_col=id_col, alpha=alpha)
     return w.orderBy(F.col("weight").desc(), "doc_id").limit(k)
+
+
+def hashed_classifier_scores(
+    df: DataFrame,
+    dim: int = 4096,
+    threshold: float = 0.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashed bag-of-words
+    features — the model-based filtering stage of the GPT-3/LLaMA data
+    pipelines (Brown et al. 2020 §A; Touvron et al. 2023 use a fastText
+    classifier the same way). Architecture is the real thing:
+
+        bucket(tok) = poly_hash_31(tok) mod dim        (feature hashing)
+        score(doc)  = mean over tokens of W[bucket(tok)]
+
+    The weight vector is where a trained model would plug in; since no
+    training framework ships in this container, W is a DETERMINISTIC
+    stand-in — W[b] = ((b*2654435761 + 104729) mod 2001) - 1000, integers
+    in [-1000, 1000] — so the whole scorer is integer-exact and the
+    DuckDB oracle replays it bit-for-bit (same stub philosophy as the
+    multimodal codecs: the Spark plumbing is real, the learned artifact
+    is faked deterministically).
+
+    Scale shape: expression-only (nested higher-order functions inside
+    whole-stage codegen), zero shuffles, zero UDFs; a real W of size
+    ``dim`` rides along as a broadcast literal array exactly like the
+    stand-in does. Returns (id, n_tokens, score DECIMAL(18,6), keep).
+    """
+    toks = tokens(F.col(text))
+    tok_hash = lambda t: F.aggregate(  # noqa: E731 — poly hash, base 31
+        F.split(t, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
+    )
+    weight = lambda t: (  # noqa: E731
+        (tok_hash(t) % dim) * F.lit(2654435761) + 104729
+    ) % 2001 - 1000
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, weight), F.lit(0).cast("long"), lambda a, w: a + w
+    )
+    score = F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0)).cast(
+        "decimal(18,6)"
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        score.alias("score"),
+        (score >= threshold).alias("keep"),
+    )

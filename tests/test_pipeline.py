@@ -886,3 +886,42 @@ def test_incremental_exact_dedup(spark):
         r["doc_id"] for r in dedup.incremental_exact_dedup(new, corpus).collect()
     )
     assert kept == [11, 13]
+
+
+def test_hashed_classifier_scores_exact_and_thresholded(spark):
+    from nnanalytics_spark.pipeline import selection
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha alpha"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in selection.hashed_classifier_scores(df, dim=16).collect()
+    }
+
+    def w(tok):
+        h = 0
+        for c in tok:
+            h = (h * 31 + ord(c)) % 2147483647
+        return ((h % 16) * 2654435761 + 104729) % 2001 - 1000
+
+    exp1 = round((w("alpha") + w("beta")) / 2, 6)
+    assert float(rows[1]["score"]) == exp1
+    assert float(rows[2]["score"]) == w("alpha")  # mean of identical tokens
+    assert rows[3]["n_tokens"] == 0 and float(rows[3]["score"]) == 0.0
+    for r in rows.values():
+        assert r["keep"] == (float(r["score"]) >= 0)
+
+
+def test_hashed_classifier_is_expression_only(spark):
+    from nnanalytics_spark.pipeline import selection
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    explained = (
+        selection.hashed_classifier_scores(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in explained and "Python" not in explained
