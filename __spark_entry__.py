@@ -82,6 +82,13 @@ def _with_ts_cols(df: DataFrame) -> DataFrame:
     )
 
 
+def _fanout(spark: SparkSession) -> int:
+    """Partition width for Python-kernel fan-out over single-split local
+    inputs (the testdata tables are one parquet file each, which would
+    pin the whole Arrow kernel chain to one core)."""
+    return spark.sparkContext.defaultParallelism
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
     return _with_ts_cols(spark.read.parquet(f"{sf_dir}/events.parquet"))
@@ -971,7 +978,7 @@ def q_multimodal_features(spark, sf):
     from nnanalytics_spark.pipeline import multimodal
 
     d = _t(spark, sf, "documents")
-    media = multimodal.media_from_documents(d)
+    media = multimodal.media_from_documents(d, parallelism=_fanout(spark))
     out = multimodal.extract_features(media)
     return out.select(
         "media_id",
@@ -993,7 +1000,9 @@ def q_multimodal_feature_hist(spark, sf):
     from nnanalytics_spark.pipeline import multimodal
 
     d = _t(spark, sf, "documents")
-    media = multimodal.media_from_documents(d).filter(F.col("kind") == "image")
+    media = multimodal.media_from_documents(d, parallelism=_fanout(spark)).filter(
+        F.col("kind") == "image"
+    )
     out = multimodal.extract_features(media)
     return out.select(
         "media_id",
@@ -1014,7 +1023,9 @@ def q_multimodal_decode(spark, sf):
     from nnanalytics_spark.pipeline import multimodal
 
     d = _t(spark, sf, "documents")
-    out = multimodal.decode_media(multimodal.media_from_documents(d))
+    out = multimodal.decode_media(
+        multimodal.media_from_documents(d, parallelism=_fanout(spark))
+    )
     return out.select(
         "media_id", "kind", "width", "height",
         "sample_rate", "n_channels", "duration_ms", "n_data",
@@ -2194,7 +2205,9 @@ def q_video_decode(spark, sf):
     from nnanalytics_spark.pipeline import multimodal
 
     d = _t(spark, sf, "documents")
-    out = multimodal.decode_media(multimodal.videos_from_documents(d))
+    out = multimodal.decode_media(
+        multimodal.videos_from_documents(d, parallelism=_fanout(spark))
+    )
     return out.select(
         "media_id", "width", "height", "fps", "n_frames", "duration_ms", "n_data"
     ).orderBy("media_id")
@@ -2209,7 +2222,9 @@ def q_image_resize_decode(spark, sf):
     from nnanalytics_spark.pipeline import multimodal
 
     d = _t(spark, sf, "documents")
-    media = multimodal.media_from_documents(d).filter(F.col("kind") == "image")
+    media = multimodal.media_from_documents(d, parallelism=_fanout(spark)).filter(
+        F.col("kind") == "image"
+    )
     resized = multimodal.resize(media, 16, 16)
     out = multimodal.decode_media(resized)
     return out.select("media_id", "kind", "width", "height", "n_data").orderBy(

@@ -181,31 +181,56 @@ def decode_media(df: DataFrame) -> DataFrame:
     return df.select("media_id", "kind", "payload").mapInPandas(run, DECODED_SCHEMA)
 
 
-def media_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def media_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parallelism: int | None = None,
+) -> DataFrame:
     """Deterministic real-media table derived from a documents table:
     even doc_ids become 8-bit grayscale PNGs (text bytes as pixels, width
     64, zero-padded last row), odd doc_ids become 8-bit mono 8 kHz WAVs
     (text bytes as PCM samples). Because the mapping from text length to
     decoded dimensions is arithmetic, an external SQL oracle can predict
     every decode_media column — this is what upgrades the multimodal
-    component from rows-only to a hash-checked contract."""
+    component from rows-only to a hash-checked contract.
+
+    ``parallelism``: optionally repartition the (id, text) projection
+    BEFORE any payload exists. A single-split local parquet file would
+    otherwise run the whole Python kernel chain on one core; the shuffle
+    moves only raw text, so the payloads-never-shuffle property is
+    untouched (asserted in tests/test_entry_plans.py). At real scale the
+    source arrives in thousands of splits and this stays None."""
+    return _media_table(docs, id_col, text_col, _encode_mixed, parallelism)
+
+
+def _encode_mixed(pdf: pd.DataFrame) -> pd.DataFrame:
+    payloads, kinds = [], []
+    for mid, txt in zip(pdf["media_id"], pdf["text"]):
+        data = txt.encode("utf-8")
+        if mid % 2 == 0:
+            kinds.append("image")
+            payloads.append(codecs.encode_png(data, width=codecs.PNG_WIDTH))
+        else:
+            kinds.append("audio")
+            payloads.append(codecs.encode_wav(data, sample_rate=codecs.WAV_RATE))
+    return pd.DataFrame(
+        {"media_id": pdf["media_id"], "kind": kinds, "payload": payloads}
+    )
+
+
+def _media_table(docs, id_col, text_col, encode_batch, parallelism):
+    """Shared payload-builder plumbing: project (id, text), optionally
+    fan out the text-only rows, then one Arrow mapInPandas running
+    ``encode_batch``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads, kinds = [], []
-            for mid, txt in zip(pdf["media_id"], pdf["text"]):
-                data = txt.encode("utf-8")
-                if mid % 2 == 0:
-                    kinds.append("image")
-                    payloads.append(codecs.encode_png(data, width=codecs.PNG_WIDTH))
-                else:
-                    kinds.append("audio")
-                    payloads.append(codecs.encode_wav(data, sample_rate=codecs.WAV_RATE))
-            yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "kind": kinds, "payload": payloads}
-            )
+            yield encode_batch(pdf)
 
     src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    if parallelism:
+        src = src.repartition(parallelism)
     return src.mapInPandas(run, "media_id long, kind string, payload binary")
 
 
@@ -316,26 +341,29 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return src.mapInPandas(run, FRAME_SCHEMA)
 
 
-def videos_from_documents(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def videos_from_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    parallelism: int | None = None,
+) -> DataFrame:
     """Deterministic real-video table: every document's UTF-8 bytes become
     grayscale AVI frames (16×8 px, 5 fps, zero-padded last frame — the
     same arithmetic-predictable construction media_from_documents uses for
-    PNG/WAV), so a SQL oracle can predict every decode_media column."""
+    PNG/WAV), so a SQL oracle can predict every decode_media column.
+    ``parallelism`` fans out the text-only input exactly as in
+    media_from_documents."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": "video",
-                    "payload": [
-                        codecs.encode_avi(t.encode("utf-8")) for t in pdf["text"]
-                    ],
-                }
-            )
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "kind": "video",
+                "payload": [codecs.encode_avi(t.encode("utf-8")) for t in pdf["text"]],
+            }
+        )
 
-    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
-    return src.mapInPandas(run, "media_id long, kind string, payload binary")
+    return _media_table(docs, id_col, text_col, encode, parallelism)
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

@@ -65,9 +65,15 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_multimodal_payload_never_shuffles(spark):
+    """Binary payloads must never cross an exchange. The one allowed
+    Exchange is the text-only fan-out BELOW the payload-building
+    MapInPandas (children print below parents in the plan string), so
+    every shuffled row is (media_id, text) — payloads exist only above
+    it."""
     df = entry.q_multimodal_features(spark, SF)
     plan = plan_of(df)
-    assert "Exchange" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.rfind("MapInPandas") < plan.find("Exchange"), plan
 
 
 def test_subtree_agg_is_single_shuffle(spark):
