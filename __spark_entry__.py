@@ -1967,6 +1967,50 @@ def q_watermark_window_parity(spark, sf):
     return spark.createDataFrame(sorted(rows), "win long, event_type string, cnt long")
 
 
+def q_stream_static_join_parity(spark, sf):
+    """Stream-static broadcast join (the standard streaming-enrichment
+    shape: each micro-batch of events joins a static dimension without
+    any state store), hash-pinned end-to-end: the stream writes the
+    ENRICHED ROWS to a parquet sink, and the query aggregates the sink's
+    contents — so the hash covers the streamed join output on disk, not
+    just a plan. Stateless join → no watermark needed; the static side
+    broadcasts per micro-batch exactly as it would on a cluster.
+    value_cents uses floor(value*100) so the double sum is
+    integer-exact on both engines."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    dim = _t(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    enriched = (
+        _with_ts_cols(stream)
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"))
+        .select("event_id", "user_id", "c_nationkey", "event_type", "value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="nna_stream_join_")
+    q = (
+        enriched.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(f"{out_dir}/data")
+    return sunk.groupBy("c_nationkey", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+    )
+
+
 def q_sweep_roundtrip(spark, sf):
     """run_sweep persistence round-trip (§2.9 cache sink analog,
     suggestions.py:213): the periodic sweep writes every cached report as
@@ -2298,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- (2c) new in this session ---
         "watermark_window_parity": q_watermark_window_parity,
         "quality_classifier": q_quality_classifier,
+        "stream_static_join_parity": q_stream_static_join_parity,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -2610,6 +2655,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(FLOOR(epoch_ms(ts) / 300000) AS BIGINT) AS win, event_type,
                    count(*) AS cnt
             FROM events GROUP BY 1, 2
+        """,
+        "stream_static_join_parity": """
+            SELECT c_nationkey, event_type,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS value_cents
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
         """,
         "watermark_window_parity": """
             WITH ev AS (SELECT epoch_ms(ts) AS ts_ms, event_type FROM events),

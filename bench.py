@@ -103,6 +103,7 @@ HEADLINE = [
     # r4 late additions
     "watermark_window_parity",
     "quality_classifier",
+    "stream_static_join_parity",
 ]
 
 
