@@ -594,6 +594,21 @@ def q_quality_classifier(spark, sf):
     return selection.hashed_classifier_scores(_t(spark, sf, "documents"))
 
 
+def q_quality_quantile(spark, sf):
+    """Per-domain percentile cut (selection.top_fraction_per_group):
+    keep the top 25% of documents by classifier score WITHIN each
+    source — the curation step that follows model-based scoring when
+    score distributions differ across domains. Ranked by (score desc,
+    doc_id), so ties are deterministic; the oracle replays scorer +
+    window bit-for-bit."""
+    from nnanalytics_spark.pipeline import selection
+
+    scored = selection.hashed_classifier_scores(
+        _t(spark, sf, "documents"), keep=("source",)
+    )
+    return selection.top_fraction_per_group(scored, 0.25)
+
+
 def q_dedup_keep_best(spark, sf):
     """Exact-dup survivor selection (pipeline/dedup.py:keep_best): one
     kept doc per normalized-text group, winner = longest raw text with
@@ -2343,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_window_parity": q_watermark_window_parity,
         "quality_classifier": q_quality_classifier,
         "stream_static_join_parity": q_stream_static_join_parity,
+        "quality_quantile": q_quality_quantile,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -3192,6 +3208,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 6)
                         AS DECIMAL(18,6)) >= 0 AS keep
             FROM d
+        """,
+        "quality_quantile": r"""
+            WITH scored AS (
+              SELECT doc_id, source,
+                     len(ws) AS n_tokens,
+                     CAST(round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 6)
+                          AS DECIMAL(18,6)) AS score
+              FROM (
+                SELECT doc_id, source,
+                       list_transform(
+                         string_split_regex(trim(text), '\s+'),
+                         t -> ((list_reduce(
+                                  list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split_regex(t, ''),
+                                                   c -> CAST(ascii(c) AS BIGINT))),
+                                  (a, b) -> (a * 31 + b) % 2147483647)
+                                % 4096) * 2654435761 + 104729) % 2001 - 1000
+                       ) AS ws
+                FROM documents
+              )
+            ), ranked AS (
+              SELECT *,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY score DESC, doc_id) AS rank,
+                     count(*) OVER (PARTITION BY source) AS group_n
+              FROM scored
+            )
+            SELECT doc_id, source, n_tokens, score, score >= 0 AS keep, rank
+            FROM ranked WHERE rank <= CEIL(0.25 * group_n)
         """,
         "dsir_weights": r"""
             WITH toks AS (

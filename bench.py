@@ -104,6 +104,7 @@ HEADLINE = [
     "watermark_window_parity",
     "quality_classifier",
     "stream_static_join_parity",
+    "quality_quantile",
 ]
 
 

@@ -125,6 +125,7 @@ def hashed_classifier_scores(
     threshold: float = 0.0,
     text: str = "text",
     id_col: str = "doc_id",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """fastText-style linear quality classifier over hashed bag-of-words
     features — the model-based filtering stage of the GPT-3/LLaMA data
@@ -147,6 +148,14 @@ def hashed_classifier_scores(
     ``dim`` rides along as a broadcast literal array exactly like the
     stand-in does. Returns (id, n_tokens, score DECIMAL(18,6), keep).
     """
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        *_classifier_cols(dim, threshold, text),
+    )
+
+
+def _classifier_cols(dim: int, threshold: float, text: str) -> list:
     toks = tokens(F.col(text))
     tok_hash = lambda t: F.aggregate(  # noqa: E731 — poly hash, base 31
         F.split(t, ""),
@@ -163,9 +172,41 @@ def hashed_classifier_scores(
     score = F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0)).cast(
         "decimal(18,6)"
     )
-    return df.select(
-        F.col(id_col),
+    return [
         n.alias("n_tokens"),
         score.alias("score"),
         (score >= threshold).alias("keep"),
+    ]
+
+
+def top_fraction_per_group(
+    df: DataFrame,
+    frac: float,
+    score_col: str = "score",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile curation: keep the top ``frac`` of rows by
+    score WITHIN each group — the per-domain percentile cut used after
+    model-based scoring (sources differ in score distribution, so one
+    global threshold over- or under-selects entire domains).
+
+    Exact semantics: rows ranked by (score desc, id) inside each group;
+    keep rank <= ceil(frac * group_size). Deterministic under ties.
+
+    Scale: one shuffle on ``group_col`` + a per-group window sort. At
+    100 TB the window sort over the largest domain is the cost center;
+    the production flip is a two-pass threshold — per-group
+    approx_percentile(score, 1-frac) (one agg, map-side combinable) then
+    a broadcast-joined filter ``score >= t_g`` — trading exact group
+    sizes for no sort. Same output columns either way.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.col(score_col).desc(), F.col(id_col))
+    ranked = df.withColumn("rank", F.row_number().over(w)).withColumn(
+        "group_n", F.count(F.lit(1)).over(W.partitionBy(group_col))
     )
+    return ranked.filter(
+        F.col("rank") <= F.ceil(F.lit(frac) * F.col("group_n"))
+    ).drop("group_n")

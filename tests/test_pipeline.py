@@ -925,3 +925,30 @@ def test_hashed_classifier_is_expression_only(spark):
         .toString()
     )
     assert "Exchange" not in explained and "Python" not in explained
+
+
+def test_top_fraction_per_group_exact_cut(spark):
+    from nnanalytics_spark.pipeline import selection
+
+    rows = [(i, "a" if i < 10 else "b", float(100 - i)) for i in range(14)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    kept = selection.top_fraction_per_group(df, 0.25).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # ceil(0.25*10)=3 best of group a (highest scores = lowest ids);
+    # ceil(0.25*4)=1 best of group b
+    assert sorted(by_src["a"]) == [0, 1, 2]
+    assert by_src["b"] == [10]
+    assert all(r["rank"] <= 3 for r in kept)
+
+
+def test_top_fraction_tie_breaks_on_id(spark):
+    from nnanalytics_spark.pipeline import selection
+
+    df = spark.createDataFrame(
+        [(3, "s", 1.0), (1, "s", 1.0), (2, "s", 1.0), (4, "s", 1.0)],
+        "doc_id long, source string, score double",
+    )
+    kept = selection.top_fraction_per_group(df, 0.5).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 2]  # all-tied: lowest ids win
