@@ -594,6 +594,49 @@ def q_quality_classifier(spark, sf):
     return selection.hashed_classifier_scores(_t(spark, sf, "documents"))
 
 
+def q_chunk_documents(spark, sf):
+    """Context-window chunking (sampling.chunk_documents): every doc
+    split into consecutive 32-token chunks, document boundaries
+    preserved (the no-attention-bleed alternative to pack_sequences).
+    Map-side only; the oracle replays the slicing with DuckDB list
+    ranges."""
+    from nnanalytics_spark.pipeline import sampling
+
+    return sampling.chunk_documents(_t(spark, sf, "documents"), max_tokens=32)
+
+
+def q_approx_quantile_bound(spark, sf):
+    """GK-sketch quantile invariant (same pattern as
+    approx_distinct_bound): percentile_approx(0.5, accuracy=1000) must
+    land at a value whose exact rank interval intersects
+    [0.5n - n/1000, 0.5n + n/1000] — the documented GK guarantee. The
+    sketch value itself stays out of the hash (merge-order specific);
+    a broken sketch flips within_bound and reds the row. Tie-aware:
+    the value's rank interval is [rank_lt+1, rank_le]."""
+    li = _t(spark, sf, "lineitem")
+    acc = 1000
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, acc).alias("approx_med"),
+    )
+    joined = li.join(F.broadcast(g), "l_returnflag")
+    ranked = joined.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("approx_med"), 1).otherwise(0)
+        ).alias("rank_lt"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("approx_med"), 1).otherwise(0)
+        ).alias("rank_le"),
+    )
+    lo = 0.5 * F.col("n") - F.col("n") / acc
+    hi = 0.5 * F.col("n") + F.col("n") / acc
+    return ranked.select(
+        "l_returnflag",
+        "n",
+        ((F.col("rank_lt") < hi) & (F.col("rank_le") >= lo)).alias("within_bound"),
+    )
+
+
 def q_quality_quantile(spark, sf):
     """Per-domain percentile cut (selection.top_fraction_per_group):
     keep the top 25% of documents by classifier score WITHIN each
@@ -2359,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "stream_static_join_parity": q_stream_static_join_parity,
         "quality_quantile": q_quality_quantile,
+        "chunk_documents": q_chunk_documents,
+        "approx_quantile_bound": q_approx_quantile_bound,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -3208,6 +3253,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 6)
                         AS DECIMAL(18,6)) >= 0 AS keep
             FROM d
+        """,
+        "chunk_documents": r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   i AS chunk_idx,
+                   len(toks[i*32+1 : least((i+1)*32, len(toks))]) AS n_chunk_tokens,
+                   array_to_string(toks[i*32+1 : least((i+1)*32, len(toks))], ' ')
+                     AS chunk_text
+            FROM d, LATERAL unnest(
+              range(CAST(greatest(1, ceil(len(toks) / 32.0)) AS BIGINT))) AS t(i)
+        """,
+        "approx_quantile_bound": """
+            SELECT l_returnflag, count(*) AS n, true AS within_bound
+            FROM lineitem GROUP BY 1
         """,
         "quality_quantile": r"""
             WITH scored AS (

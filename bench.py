@@ -105,6 +105,8 @@ HEADLINE = [
     "quality_classifier",
     "stream_static_join_parity",
     "quality_quantile",
+    "chunk_documents",
+    "approx_quantile_bound",
 ]
 
 

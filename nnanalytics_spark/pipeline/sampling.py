@@ -198,3 +198,41 @@ def temperature_mixture(
             F.round(F.lit(token_budget) * (F.col("rate") / F.col("size")), 6),
         )
     return out.orderBy(strata_col)
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 32,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document's token sequence into
+    ceil(n/max_tokens) consecutive fixed-size chunks — the
+    document-preserving alternative to pack_sequences (no cross-doc
+    concatenation, so no attention bleed across document boundaries;
+    the trade is a padded final chunk per doc instead of per pack).
+
+    Map-side only: tokens → slice per chunk index → posexplode. No
+    shuffle, no UDF; output rows ≈ corpus_tokens / max_tokens regardless
+    of document length skew, so one pathological 10 GB document becomes
+    many rows instead of one giant array cell.
+    """
+    from nnanalytics_spark.pipeline.text import tokens
+
+    toks = tokens(F.col(text))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(max_tokens)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * max_tokens + 1, max_tokens),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size("chunk").alias("n_chunk_tokens"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )

@@ -952,3 +952,31 @@ def test_top_fraction_tie_breaks_on_id(spark):
     )
     kept = selection.top_fraction_per_group(df, 0.5).collect()
     assert sorted(r["doc_id"] for r in kept) == [1, 2]  # all-tied: lowest ids win
+
+
+def test_chunk_documents_boundaries(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(70))), (2, "solo"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunk_tokens"])
+        for r in sampling.chunk_documents(df, max_tokens=32).collect()
+    )
+    # 70 tokens -> 32 + 32 + 6; 1 token -> one chunk; empty -> one empty chunk
+    assert rows == [(1, 0, 32), (1, 1, 32), (1, 2, 6), (2, 0, 1), (3, 0, 0)]
+
+
+def test_chunk_documents_roundtrip_text(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    txt = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(9, txt)], "doc_id long, text string")
+    chunks = (
+        sampling.chunk_documents(df, max_tokens=16)
+        .orderBy("chunk_idx")
+        .collect()
+    )
+    assert " ".join(c["chunk_text"] for c in chunks) == txt
