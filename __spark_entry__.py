@@ -637,6 +637,14 @@ def q_approx_quantile_bound(spark, sf):
     )
 
 
+def q_random_projection(spark, sf):
+    """Sign random projection 64→8 dims (similarity.random_projection,
+    Achlioptas 2003): derived ±1 matrix, nothing broadcast, map-side
+    fold in codegen. Floats cast to double pre-fold so both engines run
+    the identical IEEE sequence; outputs rounded to 6 dp."""
+    return similarity.random_projection(_t(spark, sf, "embeddings"))
+
+
 def q_quality_quantile(spark, sf):
     """Per-domain percentile cut (selection.top_fraction_per_group):
     keep the top 25% of documents by classifier score WITHIN each
@@ -2353,9 +2361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries. The r4 window is SQL-oracle entries ONLY, prioritized:
     # (1) the r3 rows the driver saw red or never saw (profile_table +
     # key_skew hash-hardened this round; kept in place per VERDICT r3 #1),
-    # (2) queries new or promoted in r4, then (3)-(4) a regression watch
-    # of r3-green rows. Entries rotated past 50 keep their recorded pass
-    # AND are now guarded by tests/test_oracle_battery.py, which re-runs
+    # (2) queries new or promoted in r4 — (2c) is the late-r4 batch:
+    # streaming watermark/stream-static parity, classifier + quantile
+    # curation, chunking, the GK quantile bound — then (3)-(4) a
+    # regression watch of r3-green rows (its tail past entry 50 rotates
+    # out as (2c) grows). Entries rotated past 50 keep their recorded
+    # pass AND are guarded by tests/test_oracle_battery.py, which re-runs
     # every oracle pair at sf0.01 under pytest each round.
     return {
         # --- (1) fixed this round: events.ts dtype crash (VERDICT r2 #1) ---
@@ -2404,6 +2415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile": q_quality_quantile,
         "chunk_documents": q_chunk_documents,
         "approx_quantile_bound": q_approx_quantile_bound,
+        "random_projection": q_random_projection,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -4060,6 +4072,18 @@ def oracle_sql() -> dict[str, str]:
     # r3 rows that reuse an existing oracle VERBATIM: same SQL, different
     # Spark plan (blocked kernel / streaming stateful operator / parquet
     # sink round-trip / sort post-op) — the hash equality IS the claim.
+    # random_projection: the 8 output columns share one fold shape, so the
+    # SQL is generated — same derived sign matrix, same left-fold order.
+    proj_cols = ",\n               ".join(
+        "round(list_reduce(list_prepend(0.0, list_transform(range(64), "
+        f"i -> CAST(embedding[i+1] AS DOUBLE) * (CASE WHEN "
+        f"((i*8 + {j} + 104729) * 2654435761 + 12345) % 1000003 % 2 = 0 "
+        f"THEN 1.0 ELSE -1.0 END))), (a, b) -> a + b), 6) AS p{j}"
+        for j in range(8)
+    )
+    d["random_projection"] = (
+        f"SELECT vec_id,\n               {proj_cols}\n        FROM embeddings"
+    )
     d["all_pairs_blocked"] = d["embedding_dup_pairs"]
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]

@@ -107,6 +107,7 @@ HEADLINE = [
     "quality_quantile",
     "chunk_documents",
     "approx_quantile_bound",
+    "random_projection",
 ]
 
 

@@ -619,3 +619,42 @@ def quantization_error(
         F.round(F.avg("mse"), 10).alias("avg_mse"),
         F.round(F.avg("scale"), 6).alias("avg_scale"),
     )
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 8,
+    vec: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 104729,
+) -> DataFrame:
+    """Sign random projection (Achlioptas 2003, "Database-friendly random
+    projections"): out[j] = sum_i emb[i] * s(i, j) with s in {+1, -1} —
+    the JL-lemma dimensionality reduction used in front of ANN indexes
+    and dedup sweeps when 64-4096-dim embeddings are too wide to shuffle.
+
+    The sign matrix is derived, not stored: s(i,j) from an integer mix of
+    (i*out_dim + j + seed), so the operator broadcasts NOTHING and the
+    DuckDB oracle replays it exactly. Expression-only (nested fold over
+    index sequences inside codegen), map-side, no shuffle; output is
+    out_dim columns p0..p{k-1} rounded to 6 dp (floats are cast to
+    double BEFORE the fold so both engines run the identical IEEE
+    sequence)."""
+    in_dim = F.size(F.col(vec))
+
+    def sign(i, j):
+        mixed = ((i * out_dim + j + seed) * 2654435761 + 12345) % 1000003
+        return F.when(mixed % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    def proj(j):
+        return F.round(
+            F.aggregate(
+                F.sequence(F.lit(0), in_dim - 1),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(F.col(vec), i + 1).cast("double") * sign(i, F.lit(j)),
+            ),
+            6,
+        ).alias(f"p{j}")
+
+    return df.select(F.col(id_col), *[proj(j) for j in range(out_dim)])

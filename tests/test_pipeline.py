@@ -980,3 +980,19 @@ def test_chunk_documents_roundtrip_text(spark):
         .collect()
     )
     assert " ".join(c["chunk_text"] for c in chunks) == txt
+
+
+def test_random_projection_preserves_relative_geometry(spark):
+    """JL sanity on a controlled set: identical vectors project
+    identically; a vector and its negation project to negations."""
+    from nnanalytics_spark.pipeline import similarity as sim
+
+    base = [float((i * 7) % 5 - 2) for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, [-x for x in base])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: [r[f"p{j}"] for j in range(8)]
+            for r in sim.random_projection(df).collect()}
+    assert rows[1] == rows[2]
+    assert rows[3] == [-x if x != 0 else x for x in rows[1]]
