@@ -645,6 +645,18 @@ def q_random_projection(spark, sf):
     return similarity.random_projection(_t(spark, sf, "embeddings"))
 
 
+def q_semdedup(spark, sf):
+    """SemDeDup (similarity.semdedup, Abbas et al. 2023): cluster-bounded
+    semantic dedup — assign every embedding to its nearest seed centroid
+    (vec_ids 0..7, pinned so the oracle reproduces the clustering
+    closed-form), find within-cell cosine pairs >= 0.4 with the blocked
+    BLAS kernel, and flag each vector keep/dup under the deterministic
+    smaller-id-survives rule. One row per vector: (id, cell, keep)."""
+    return similarity.semdedup(
+        _t(spark, sf, "embeddings"), eps=0.4, centroid_ids=list(range(8))
+    )
+
+
 def q_quality_quantile(spark, sf):
     """Per-domain percentile cut (selection.top_fraction_per_group):
     keep the top 25% of documents by classifier score WITHIN each
@@ -2416,6 +2428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "approx_quantile_bound": q_approx_quantile_bound,
         "random_projection": q_random_projection,
+        "semdedup": q_semdedup,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -4084,6 +4097,51 @@ def oracle_sql() -> dict[str, str]:
     d["random_projection"] = (
         f"SELECT vec_id,\n               {proj_cols}\n        FROM embeddings"
     )
+    d["semdedup"] = """
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                 e AS se, nrm AS snrm
+          FROM n WHERE vec_id < 8
+        ),
+        sims AS (
+          SELECT a.vec_id, s.cell,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.e[i] * s.se[i] for i in range(1, len(a.e) + 1)]),
+                         (x, y) -> x + y) / (a.nrm * s.snrm), 6) AS cs
+          FROM n a CROSS JOIN seeds s
+        ),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cell ASC) AS rn
+            FROM sims
+          ) WHERE rn = 1
+        ),
+        dups AS (
+          SELECT DISTINCT ab.vec_id AS dup_id
+          FROM assigned aa
+          JOIN assigned ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+          JOIN n a ON a.vec_id = aa.vec_id
+          JOIN n b ON b.vec_id = ab.vec_id
+          WHERE round(list_reduce(list_prepend(0.0,
+                  [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                  (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.4
+        )
+        SELECT asg.vec_id AS id, asg.cell AS cell,
+               (d.dup_id IS NULL) AS keep
+        FROM assigned asg LEFT JOIN dups d ON d.dup_id = asg.vec_id
+    """
     d["all_pairs_blocked"] = d["embedding_dup_pairs"]
     d["sessionization_parity"] = d["sessionization"]
     d["sweep_roundtrip"] = d["quota_report"]

@@ -108,6 +108,7 @@ HEADLINE = [
     "chunk_documents",
     "approx_quantile_bound",
     "random_projection",
+    "semdedup",
 ]
 
 

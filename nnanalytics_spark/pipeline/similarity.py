@@ -658,3 +658,165 @@ def random_projection(
         ).alias(f"p{j}")
 
     return df.select(F.col(id_col), *[proj(j) for j in range(out_dim)])
+
+
+def assign_cells_rounded(df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid cell assignment with ROUND(cos, 6) + lowest-cell
+    tie-break — the oracle-reproducible variant of ivf_assign. Rounding
+    before the argmax means an engine's 1-ulp dot-product difference
+    cannot flip the chosen cell unless two centroids tie to 6 dp, and a
+    6-dp tie resolves to the lower cell index on both engines (numpy
+    argmax returns the FIRST maximum; the SQL twin orders by sim DESC,
+    cell ASC). Broadcast centroids, Arrow-batched matmul, map-side only."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    b_cent = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = b_cent.value
+        cent_norms = np.linalg.norm(cents, axis=1)
+        for pdf in batches:
+            mat = np.array(list(pdf["v"]), dtype=np.float64)
+            sims = np.round(
+                (mat @ cents.T)
+                / (np.linalg.norm(mat, axis=1)[:, None] * cent_norms[None, :]),
+                6,
+            )
+            yield pd.DataFrame({"id": pdf["id"], "cell": np.argmax(sims, axis=1), "v": pdf["v"]})
+
+    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    return src.mapInPandas(assign, "id long, cell int, v array<double>")
+
+
+def within_cell_pairs_above(
+    assigned: DataFrame, threshold: float, rows_per_block: int = 8192
+) -> DataFrame:
+    """All (id_a < id_b) pairs with round(cosine, 6) >= threshold that
+    share a cell, via the same block-decomposed BLAS kernel as
+    all_pairs_above_blocked but keyed on (cell, block-pair) — the pair
+    space is bounded per cell, so total work is sum over cells of
+    |cell|² rather than n². A skewed giant cell degrades toward the
+    global blocked kernel, never worse: its rows still split into
+    rows_per_block-sized blocks that fit executor memory.
+
+    Input: (id long, cell int, v array<double>) from assign_cells_rounded.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = assigned.sparkSession
+    n = assigned.count()
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+    blocked = assigned.withColumn(
+        "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    bp = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
+    )
+    left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
+        "cell", "bl", "br", F.lit(0).alias("side"), "id", "v"
+    )
+    right = (
+        blocked.join(F.broadcast(bp), F.col("block") == F.col("br"))
+        .filter(F.col("bl") != F.col("br"))
+        .select("cell", "bl", "br", F.lit(1).alias("side"), "id", "v")
+    )
+    both = left.unionByName(right)
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        _cell, bl, br = key
+        if bl == br:
+            a = b = pdf
+        else:
+            a = pdf[pdf["side"] == 0]
+            b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        a_ids = a["id"].to_numpy()
+        b_ids = b["id"].to_numpy()
+        a_mat = np.array(list(a["v"]), dtype=np.float64)
+        b_mat = np.array(list(b["v"]), dtype=np.float64)
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 6)
+        ka, kb = np.nonzero((sims >= threshold) & (a_ids[:, None] < b_ids[None, :]))
+        ia, ib, s = a_ids[ka], b_ids[kb], sims[ka, kb]
+        if bl != br:
+            kb2, ka2 = np.nonzero(
+                (sims.T >= threshold) & (b_ids[:, None] < a_ids[None, :])
+            )
+            ia = np.concatenate([ia, b_ids[kb2]])
+            ib = np.concatenate([ib, a_ids[ka2]])
+            s = np.concatenate([s, sims.T[kb2, ka2]])
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": s})
+
+    return both.groupBy("cell", "bl", "br").applyInPandas(
+        kernel, "id_a long, id_b long, cos_sim double"
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    eps: float = 0.4,
+    nlist: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_ids: list[int] | None = None,
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication whose pair space is bounded by clustering — embeddings
+    are assigned to k-means cells and near-duplicate cosine pairs are
+    searched ONLY within a cell, which is what makes the method viable at
+    web scale (the paper dedups LAION/C4 this way; cross-cluster pairs
+    are deliberately sacrificed as rare).
+
+    Keep rule: within a cell, a vector is a duplicate iff some LOWER-id
+    vector in the same cell has round(cosine, 6) >= eps — the
+    deterministic greedy keeper (the paper keeps the lowest-centroid-
+    similarity example; any single-representative rule preserves the
+    measured quality, and EXISTS-a-smaller-id is exactly reproducible in
+    SQL, so the driver oracle can verify the whole operator end-to-end).
+
+    ``centroid_ids`` pins centroids to existing rows' vectors (sorted by
+    id → cell index), making the clustering itself closed-form for the
+    oracle; None uses sampled k-means (kmeans_centroids) — same plan,
+    better cells.
+
+    Plan shape: broadcast-assign (map-side) → per-(cell, block-pair)
+    BLAS kernel (within_cell_pairs_above) → distinct dup ids → one
+    broadcast-able anti-join-shaped left join for the keep flag. At
+    100 TB nothing is O(n²): shuffle is O(n · blocks-per-cell) rows and
+    the score matrix lives only inside numpy blocks.
+
+    Returns (id, cell, keep) — one row per input vector.
+    """
+    import numpy as np
+
+    if centroid_ids is not None:
+        rows = (
+            df.filter(F.col(id_col).isin([int(i) for i in centroid_ids]))
+            .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy("id")
+            .collect()
+        )
+        centroids = np.array([r["v"] for r in rows], dtype=np.float64)
+    else:
+        centroids = kmeans_centroids(df, nlist=nlist, vec_col=vec_col)
+
+    assigned = assign_cells_rounded(df, centroids, id_col, vec_col)
+    pairs = within_cell_pairs_above(assigned, eps, rows_per_block=rows_per_block)
+    dups = pairs.select(F.col("id_b").alias("dup_id")).distinct()
+    return (
+        assigned.join(dups, assigned["id"] == dups["dup_id"], "left")
+        .select(
+            "id",
+            "cell",
+            F.col("dup_id").isNull().alias("keep"),
+        )
+    )

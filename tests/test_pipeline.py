@@ -996,3 +996,54 @@ def test_random_projection_preserves_relative_geometry(spark):
             for r in sim.random_projection(df).collect()}
     assert rows[1] == rows[2]
     assert rows[3] == [-x if x != 0 else x for x in rows[1]]
+
+
+def test_semdedup_within_cell_only(spark):
+    """SemDeDup compares vectors only within a cell: two identical
+    vectors assigned to DIFFERENT seed centroids both survive, while a
+    within-cell duplicate is dropped under the smaller-id-survives rule.
+    Seeds are orthogonal axes so assignment is unambiguous."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # seed cell 0
+        (1, [0.0, 1.0, 0.0, 0.0]),   # seed cell 1
+        (10, [1.0, 0.1, 0.0, 0.0]),  # cell 0
+        (11, [2.0, 0.2, 0.0, 0.0]),  # cell 0, cosine 1.0 with 10 → dup
+        (20, [0.1, 1.0, 0.0, 0.0]),  # cell 1 — same direction family but
+        (21, [0.2, 1.0, 0.0, 0.0]),  # high mutual cosine within cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["id"]: (r["cell"], r["keep"])
+        for r in similarity.semdedup(
+            df, eps=0.999, centroid_ids=[0, 1], rows_per_block=2
+        ).collect()
+    }
+    assert out[0] == (0, True) and out[1] == (1, True)
+    assert out[10] == (0, True)
+    assert out[11] == (0, False)  # within-cell exact-direction dup of 10
+    # 20/21 cosine ≈ 0.99523 < eps → both kept even though same cell
+    assert out[20] == (1, True) and out[21] == (1, True)
+
+
+def test_semdedup_blocked_kernel_matches_single_block(spark):
+    """Pair discovery must be invariant to the block decomposition."""
+    import random
+
+    random.seed(11)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    rows += [(100 + i, [x * 1.5 for x in rows[i][1]]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = {
+        (r["id"], r["cell"], r["keep"])
+        for r in similarity.semdedup(
+            df, eps=0.9, centroid_ids=[0, 1, 2, 3], rows_per_block=1000
+        ).collect()
+    }
+    many = {
+        (r["id"], r["cell"], r["keep"])
+        for r in similarity.semdedup(
+            df, eps=0.9, centroid_ids=[0, 1, 2, 3], rows_per_block=8
+        ).collect()
+    }
+    assert one == many
+    assert any(not k for (_, _, k) in one)  # the scaled copies dedup
