@@ -657,6 +657,14 @@ def q_semdedup(spark, sf):
     )
 
 
+def q_bigram_lm(spark, sf):
+    """Corpus-self-trained bigram-LM NLL per document (text.bigram_lm_scores,
+    CCNet-style model scoring without an external model). Per-term NLL is
+    rounded then summed as DECIMAL(18,6), so the doc totals are exact and
+    engine-portable; the oracle replays the identical add-one bigram model."""
+    return text.bigram_lm_scores(_t(spark, sf, "documents"))
+
+
 def q_quality_quantile(spark, sf):
     """Per-domain percentile cut (selection.top_fraction_per_group):
     keep the top 25% of documents by classifier score WITHIN each
@@ -2429,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantile_bound": q_approx_quantile_bound,
         "random_projection": q_random_projection,
         "semdedup": q_semdedup,
+        "bigram_lm": q_bigram_lm,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -4387,6 +4396,34 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(count(*) AS DOUBLE), 6) AS rare_frac
         FROM toks JOIN vocab USING (tok)
         GROUP BY doc_id
+    """
+    d["bigram_lm"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        uni AS (SELECT unnest(t) AS w FROM toks),
+        uc AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+        v AS (SELECT count(*) AS vs FROM uc),
+        bg AS (
+          SELECT doc_id,
+                 unnest([t[i] for i in range(1, len(t))]) AS w1,
+                 unnest([t[i + 1] for i in range(1, len(t))]) AS w2
+          FROM toks WHERE len(t) >= 2
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        scored AS (
+          SELECT bg.doc_id,
+                 CAST(round(-ln((bc.c2 + 1.0) / (uc.c1 + CAST(v.vs AS DOUBLE))), 6)
+                      AS DECIMAL(18,6)) AS nll
+          FROM bg
+          JOIN bc USING (w1, w2)
+          JOIN uc ON uc.w = bg.w1
+          CROSS JOIN v
+        )
+        SELECT doc_id AS id, count(*) AS n_bigrams, SUM(nll) AS sum_nll,
+               round(CAST(SUM(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+        FROM scored GROUP BY doc_id
     """
     d["lexical_cosine"] = r"""
         WITH toks AS (

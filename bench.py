@@ -109,6 +109,7 @@ HEADLINE = [
     "approx_quantile_bound",
     "random_projection",
     "semdedup",
+    "bigram_lm",
 ]
 
 

@@ -394,3 +394,75 @@ def token_commonness(
             ).alias("rare_frac"),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document bigram-LM negative log-likelihood — the CCNet-style
+    "score every document with a language model" quality signal (Wenzek
+    et al. 2020 use a wiki-trained KenLM; here the LM is the add-one-
+    smoothed bigram model of the corpus ITSELF, so the operator needs no
+    external artifact and still separates fluent from mangled text:
+    boilerplate scores low NLL, shuffled/rare token soup scores high).
+
+    Model: P(w2 | w1) = (C(w1 w2) + 1) / (C(w1) + V) with C from corpus
+    occurrence counts and V the vocabulary size. Per document,
+    nll = sum over bigram positions of -ln P, each term rounded to 6 dp
+    and cast to DECIMAL(18,6) BEFORE the sum — decimal addition is exact
+    integer arithmetic, so the per-doc total is identical no matter how
+    partitions order the adds, and a DuckDB oracle hash-matches it (a
+    raw double sum would be float-order dependent across engines; this
+    is the same hardening key_skew's ratios use).
+
+    Plan: one explode to (doc, w1, w2) pairs via a transform over index
+    sequences (map-side), a bigram-keyed count and a unigram-keyed count
+    (two shuffles with map-side partial aggregation — at 100 TB both key
+    spaces are token-bounded, not doc-bounded), joins back (AQE
+    broadcasts the counts when small), and one per-doc aggregate. The
+    vocabulary size rides a broadcast cross join of a 1-row aggregate.
+    Docs with < 2 tokens have no bigram and are excluded, matching the
+    reference treatment of empty docs in token_commonness.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text))).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("t"), i).alias("w1"),
+                    F.element_at(F.col("t"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("id", "bg.w1", "bg.w2")
+
+    uni = df.select(F.explode(tokens(F.lower(F.col(text)))).alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab_size = uni.select(F.countDistinct("w").alias("vs"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+
+    nll = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "id",
+            F.round(
+                -F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("vs"))), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("nll"),
+        )
+    )
+    return nll.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("nll").alias("sum_nll"),
+        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
+    )

@@ -1047,3 +1047,36 @@ def test_semdedup_blocked_kernel_matches_single_block(spark):
     }
     assert one == many
     assert any(not k for (_, _, k) in one)  # the scaled copies dedup
+
+
+def test_bigram_lm_closed_form(spark):
+    """Add-one bigram NLL against hand-computed values: corpus 'a b a b'
+    + 'x y' has unigrams a:2 b:2 x:1 y:1 (V=4), bigrams (a,b):2 (b,a):1
+    (x,y):1."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r for r in text.bigram_lm_scores(df).collect()}
+    # doc 3 has one token → no bigram → excluded from SCORING, but its
+    # token still counts toward the corpus vocabulary (V=5)
+    assert set(out) == {1, 2}
+    # d1: 2·(-ln((2+1)/(2+5))) + (-ln((1+1)/(2+5))) = 2·0.847298 + 1.252763
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["sum_nll"] == Decimal("2.947359")
+    assert abs(out[1]["avg_nll"] - 0.982453) < 1e-6
+    # d2: -ln((1+1)/(1+5))
+    assert out[2]["sum_nll"] == Decimal("1.098612")
+
+
+def test_bigram_lm_separates_fluent_from_noise(spark):
+    """Documents made of the corpus's stock phrasing score lower NLL than
+    a same-length document of unique token soup."""
+    stock = "the quick brown fox jumps over the lazy dog"
+    rows = [(i, stock) for i in range(10)]
+    rows.append((99, "zq8 xv7 wm2 kd9 pl4 rt6 bn1 cy3 hj5"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: float(r["avg_nll"]) for r in text.bigram_lm_scores(df).collect()}
+    assert out[99] > out[0] * 2
