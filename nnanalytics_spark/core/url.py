@@ -38,10 +38,12 @@ from nnanalytics_spark.core.ir import Query, parse_filter_triplets
 
 ENDPOINTS = ("filter", "histogram", "histogram2", "histogram3", "divide", "dump")
 
-# accepted-and-ignored parameters (email sink / lock semantics / rendering)
+# accepted-and-ignored parameters (email sink / lock semantics / rendering;
+# `proxy` is consumed by the security layer before query execution —
+# SecurityContext.java:152-157 — so the grammar must tolerate it)
 _IGNORED = {
     "emailTo", "emailCC", "emailFrom", "emailHost", "emailConditions",
-    "useLock", "histogramOutput", "rawTimestamps", "useQueryLock",
+    "useLock", "histogramOutput", "rawTimestamps", "useQueryLock", "proxy",
 }
 
 _KNOWN = _IGNORED | {

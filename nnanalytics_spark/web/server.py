@@ -19,11 +19,13 @@ SQL dialect / QueryGuard, with the reference's response conventions:
   /top /bottom; point lookups /dump /contentSummary; POST /sql runs
   the dialect;
 - authorization fronts every request through core.authz.Authorizer
-  (403 on denial, like the reference's SecurityContext). The reference
-  authenticates with JWT/LDAP (SecurityContext.java); transport
-  authentication is deployment-specific, so identity here is taken
-  from the X-NNA-User header (documented stand-in — wire a real
-  authenticating proxy in front for production) and /credentials
+  (403 on denial, like the reference's SecurityContext). Pass a
+  core.authn.SecurityManager to enable the reference's authentication
+  stack (SecurityContext.java): /login issues HS256 JWTs against the
+  local password set and/or LDAP DN-template binds, requests present
+  Basic / Bearer / the nna-jwt-token cookie, /logout revokes. Without
+  one, identity is taken from the X-NNA-User header (documented
+  stand-in — wire an authenticating proxy in front) and /credentials
   reports the resolved access levels;
 - malformed queries → 400 with the error message, unknown paths → 404,
   handler crashes → 500. Response bodies for errors are text/plain,
@@ -45,6 +47,7 @@ from urllib.parse import parse_qs, urlsplit
 from pyspark.sql import functions as F
 
 from nnanalytics_spark.core import url as urlmod
+from nnanalytics_spark.core.authn import AuthenticationError, SecurityManager
 from nnanalytics_spark.core.authz import AuthorizationError, Authorizer
 from nnanalytics_spark.core.filters import (
     AGO_OPS,
@@ -97,6 +100,7 @@ class AnalyticsWebServer:
         engine,
         *,
         authorizer: Authorizer | None = None,
+        security: SecurityManager | None = None,
         snapshot=None,  # streaming.refresh.SnapshotTable, for /refresh
         guard=None,  # core.admission.QueryGuard, for /queryGuard
         now_ms: int | None = None,
@@ -111,6 +115,7 @@ class AnalyticsWebServer:
 
         self.engine = engine
         self.authorizer = authorizer or Authorizer(enabled=False)
+        self.security = security
         self.snapshot = snapshot
         self.guard = guard
         self.now_ms = now_ms
@@ -141,10 +146,25 @@ class AnalyticsWebServer:
             self._httpd = None
 
     # ------------------------------------------------------------ dispatch
-    def handle(self, method: str, path: str, query: str, body: str, user: str):
-        """Route one request → (status, content_type, body_str)."""
+    def handle(self, method: str, path: str, query: str, body: str, user: str,
+               headers: dict | None = None):
+        """Route one request → (status, content_type, body_str[, extra
+        response headers]). With a SecurityManager configured and
+        enabled, identity comes from authentication (Basic / Bearer /
+        nna-jwt-token cookie — SecurityContext.java:296-380) instead of
+        the X-NNA-User stand-in, /login issues tokens and /logout
+        revokes them; with auth disabled, the reference's ``proxy``
+        parameter may override identity (SecurityContext.java:152-157)."""
         endpoint = path.strip("/").split("/")[-1] or "info"
         params = parse_qs(query, keep_blank_values=True)
+        headers = headers or {}
+        if self.security is not None and self.security.authentication_enabled:
+            outcome = self._authenticate(endpoint, params, body, headers)
+            if not isinstance(outcome, str):
+                return outcome  # login/logout response or 401
+            user = outcome
+        elif self.security is not None:
+            user = _one(params, "proxy") or user
         try:
             self.authorizer.check(user, endpoint)
         except AuthorizationError as exc:
@@ -153,6 +173,53 @@ class AnalyticsWebServer:
             return self._route(method, endpoint, path, query, params, body, user)
         except (ValueError, KeyError, dialect.UnsupportedSqlError) as exc:
             return 400, "text/plain", f"{type(exc).__name__}: {exc}"
+
+    # ------------------------------------------------------- authentication
+    @staticmethod
+    def _cookie_token(headers: dict) -> str | None:
+        """Extract nna-jwt-token from a Cookie header (the reference's
+        cookie name, SecurityContext.java:210)."""
+        for part in (headers.get("cookie") or "").split(";"):
+            name, _, value = part.strip().partition("=")
+            if name == "nna-jwt-token" and value:
+                return value
+        return None
+
+    def _authenticate(self, endpoint, params, body, headers):
+        """Returns the authenticated username, or a full response tuple
+        for /login, /logout and authentication failures (401)."""
+        token = self._cookie_token(headers)
+        auth_header = headers.get("authorization")
+        if endpoint == "login":
+            form = parse_qs(body, keep_blank_values=True)
+            username = _one(params, "username") or _one(form, "username")
+            password = _one(params, "password") or _one(form, "password")
+            try:
+                issued = self.security.login(username, password)
+            except AuthenticationError as exc:
+                return 401, "text/plain", str(exc)
+            return (
+                200,
+                "application/json",
+                json.dumps({"user": username, "token": issued}),
+                {"Set-Cookie": f"nna-jwt-token={issued}"},
+            )
+        if endpoint == "logout":
+            bearer = (auth_header or "")
+            if bearer.startswith("Bearer "):
+                token = bearer[len("Bearer "):].strip()
+            if self.security.logout(token):
+                return (
+                    200,
+                    "text/plain",
+                    "You have been logged out.",
+                    {"Set-Cookie": "nna-jwt-token=; Max-Age=0"},
+                )
+            return 400, "text/plain", "No login session."
+        try:
+            return self.security.resolve(auth_header, token)
+        except AuthenticationError as exc:
+            return 401, "text/plain", str(exc)
 
     def _route(self, method, endpoint, path, query, params, body, user):
         if endpoint in _DISCOVERY:
@@ -459,16 +526,26 @@ def _make_handler(server: AnalyticsWebServer):
             length = int(self.headers.get("Content-Length") or 0)
             body = self.rfile.read(length).decode("utf-8") if length else ""
             user = self.headers.get("X-NNA-User", "anonymous")
+            req_headers = {
+                "authorization": self.headers.get("Authorization"),
+                "cookie": self.headers.get("Cookie"),
+            }
+            extra: dict = {}
             try:
-                status, ctype, payload = server.handle(
-                    method, parts.path, parts.query, body, user
+                result = server.handle(
+                    method, parts.path, parts.query, body, user, req_headers
                 )
+                status, ctype, payload = result[:3]
+                if len(result) > 3:
+                    extra = result[3]
             except Exception as exc:  # engine crash → 500, never a hung socket
                 status, ctype, payload = 500, "text/plain", f"{type(exc).__name__}: {exc}"
             data = payload.encode("utf-8")
             self.send_response(status)
             self.send_header("Content-Type", f"{ctype}; charset=utf-8")
             self.send_header("Content-Length", str(len(data)))
+            for name, value in extra.items():
+                self.send_header(name, value)
             self.end_headers()
             self.wfile.write(data)
 
