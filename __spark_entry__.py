@@ -665,6 +665,63 @@ def q_bigram_lm(spark, sf):
     return text.bigram_lm_scores(_t(spark, sf, "documents"))
 
 
+def q_cluster_split(spark, sf):
+    """Leakage-free train/test split (sampling.cluster_split): the split
+    is decided per near-dup CLUSTER (dup_clusters over exact-Jaccard
+    pairs at 0.6), so no near-duplicate pair ever straddles train/test.
+    The oracle composes the proven transitive-closure CTE with the same
+    Knuth bucket arithmetic — assignment is hash-checked row by row."""
+    from nnanalytics_spark.pipeline import sampling
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+    clusters = dedup.dup_clusters(docs, pairs)
+    return sampling.cluster_split(docs, clusters, test_permille=100)
+
+
+def q_hashed_features(spark, sf):
+    """Feature hashing to 8 integer dims (text.hashed_features,
+    Weinberger et al. 2009): bucket from the base-31 rolling hash, ±1
+    sign from the base-37 one. Map-side only, integer-exact — the oracle
+    replays both hash folds bit-for-bit."""
+    return text.hashed_features(_t(spark, sf, "documents"), dim=8)
+
+
+def q_count_min_bound(spark, sf):
+    """Count-min sketch error-bound invariant (text.count_min_table /
+    count_min_estimates, Cormode & Muthukrishnan 2005): for the 20 most
+    frequent tokens, the sketch estimate must be >= the exact count
+    (structural) and <= exact + floor(e·N/width) (the epsilon guarantee;
+    deterministic on a fixed corpus). The sketch itself is a (d, bucket,
+    cnt) DataFrame — depth·width rows from ONE keyed aggregate — and the
+    oracle rebuilds sketch, estimates and bound entirely in SQL."""
+    docs = _t(spark, sf, "documents")
+    width = 16  # vocab is small; a narrow sketch makes the row discriminative
+    sketch = text.count_min_table(docs, width=width, depth=4)
+    toks = docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(20)
+    totals = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    est = text.count_min_estimates(sketch, top.select("tok"), width=width)
+    return (
+        top.join(est, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            "exact_cnt",
+            "cms_estimate",
+            (
+                (F.col("cms_estimate") >= F.col("exact_cnt"))
+                & (
+                    F.col("cms_estimate") - F.col("exact_cnt")
+                    <= F.floor(F.lit(2.718281828459045) * F.col("n_total") / width)
+                )
+            ).alias("within_bound"),
+        )
+        .orderBy("tok")
+    )
+
+
 def q_quality_quantile(spark, sf):
     """Per-domain percentile cut (selection.top_fraction_per_group):
     keep the top 25% of documents by classifier score WITHIN each
@@ -2438,6 +2495,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_projection": q_random_projection,
         "semdedup": q_semdedup,
         "bigram_lm": q_bigram_lm,
+        "cluster_split": q_cluster_split,
+        "hashed_features": q_hashed_features,
+        "count_min_bound": q_count_min_bound,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -4150,6 +4210,80 @@ def oracle_sql() -> dict[str, str]:
         SELECT asg.vec_id AS id, asg.cell AS cell,
                (d.dup_id IS NULL) AS keep
         FROM assigned asg LEFT JOIN dups d ON d.dup_id = asg.vec_id
+    """
+    # cluster_split: the proven transitive-closure clustering, wrapped
+    # with the Knuth split bucket (KNUTH % 1000 == 761; pmod == % here
+    # because cluster ids are positive doc_ids).
+    d["cluster_split"] = f"""
+        SELECT node AS id, cluster,
+               CASE WHEN ((cluster % 1000) * 761) % 1000 < 100
+                    THEN 'test' ELSE 'train' END AS split
+        FROM ({d["dedup_clusters"]})
+    """
+
+    def _poly_sql(expr: str, base: int) -> str:
+        """DuckDB replay of text._poly_hash: rolling hash mod 2^31-1."""
+        return (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(string_split_regex({expr}, ''), "
+            "c -> CAST(ascii(c) AS BIGINT))), "
+            f"(a, b) -> (a * {base} + b) % 2147483647)"
+        )
+
+    feat_cols = ",\n               ".join(
+        f"SUM(CASE WHEN x.b = {j} THEN x.s ELSE 0 END) AS f{j}" for j in range(8)
+    )
+    d["hashed_features"] = rf"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        hs AS (
+          SELECT doc_id,
+                 unnest(list_transform(t, tok -> struct_pack(
+                   b := {_poly_sql('tok', 31)} % 8,
+                   s := 1 - 2 * ({_poly_sql('tok', 37)} % 2)))) AS x
+          FROM toks
+        )
+        SELECT doc_id AS id,
+               {feat_cols}
+        FROM hs GROUP BY doc_id
+    """
+
+    cms_buckets = ", ".join(f"{_poly_sql('tok', b)} % 16" for b in (31, 37, 41, 43))
+    d["count_min_bound"] = rf"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+        top AS (
+          SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 20
+        ),
+        tot AS (SELECT count(*) AS n_total FROM toks),
+        sketch AS (
+          SELECT d, bucket, count(*) AS cnt FROM (
+            SELECT unnest([0, 1, 2, 3]) AS d,
+                   unnest([{cms_buckets}]) AS bucket
+            FROM toks
+          ) GROUP BY d, bucket
+        ),
+        probes AS (
+          SELECT tok, unnest([0, 1, 2, 3]) AS d,
+                 unnest([{cms_buckets}]) AS bucket
+          FROM top
+        ),
+        est AS (
+          SELECT tok, min(cnt) AS cms_estimate
+          FROM probes JOIN sketch USING (d, bucket) GROUP BY tok
+        )
+        SELECT top.tok, exact_cnt, cms_estimate,
+               (cms_estimate >= exact_cnt AND
+                cms_estimate - exact_cnt <=
+                  CAST(floor(2.718281828459045 * n_total / 16) AS BIGINT))
+                 AS within_bound
+        FROM top JOIN est USING (tok) CROSS JOIN tot
+        ORDER BY top.tok
     """
     d["all_pairs_blocked"] = d["embedding_dup_pairs"]
     d["sessionization_parity"] = d["sessionization"]

@@ -110,6 +110,9 @@ HEADLINE = [
     "random_projection",
     "semdedup",
     "bigram_lm",
+    "cluster_split",
+    "hashed_features",
+    "count_min_bound",
 ]
 
 

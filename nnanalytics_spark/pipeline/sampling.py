@@ -236,3 +236,38 @@ def chunk_documents(
         F.size("chunk").alias("n_chunk_tokens"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+def cluster_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    test_permille: int = 100,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Leakage-free train/test split: assign the split by near-dup
+    CLUSTER, not by document, so a test document's near-duplicate can
+    never sit in train (the standard post-dedup practice — a doc-level
+    split leaks because the retained twin of an eval doc inflates the
+    benchmark; see the contamination literature around Lee et al. 2021).
+
+    ``clusters`` is dup_clusters output (node, cluster): every document
+    mapped to its canonical keeper id, isolated docs to themselves. The
+    split decision hashes the CLUSTER id through the same Knuth bucket
+    as train_test_split, so (a) all members of a component land on one
+    side by construction, and (b) an un-clustered corpus degrades to
+    exactly train_test_split's assignment. One broadcast-able join, one
+    integer comparison — no rand(), stable under reruns and reordering.
+
+    Returns (id, cluster, split).
+    """
+    joined = df.select(F.col(id_col).alias("id")).join(
+        clusters.select(F.col("node").alias("id"), "cluster"), "id", "left"
+    )
+    cluster_id = F.coalesce(F.col("cluster"), F.col("id"))
+    return joined.select(
+        "id",
+        cluster_id.alias("cluster"),
+        F.when(_bucket(cluster_id) < test_permille, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

@@ -466,3 +466,112 @@ def bigram_lm_scores(
         F.sum("nll").alias("sum_nll"),
         F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
     )
+
+
+def _poly_hash(tok: Column, base: int) -> Column:
+    """Per-token polynomial rolling hash mod 2^31-1 — the same portable
+    construction as fingerprint(), so any SQL engine replays it exactly
+    (no xxhash64 dependence). Different bases give the independent hash
+    functions the sketch/hashing-trick family needs."""
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % F.lit(2147483647),
+    )
+
+
+def hashed_features(
+    df: DataFrame,
+    dim: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature hashing ("the hashing trick", Weinberger et al. 2009):
+    each document becomes a dim-wide integer vector, f[j] = sum over
+    tokens with bucket(token) == j of sign(token), bucket from one
+    rolling hash (base 31) and the ±1 sign from an independent one
+    (base 37) — the sign makes bucket collisions cancel in expectation,
+    which is what lets a tiny dim still separate documents.
+
+    This is the classical text→vector bridge in front of the embedding
+    operators (ANN / dedup / clustering) when no learned model is
+    available: map-side only (one transform computes both hashes per
+    token, then dim integer folds), no shuffle, no UDF, integer-exact
+    output — so the SQL oracle matches bit-for-bit. Empty documents are
+    excluded (no token mass), matching token_commonness.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), tokens(F.lower(F.col(text))).alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    hashed = toks.select(
+        "id",
+        F.transform(
+            F.col("t"),
+            lambda tok: F.struct(
+                (_poly_hash(tok, 31) % dim).alias("b"),
+                (1 - 2 * (_poly_hash(tok, 37) % 2)).alias("s"),
+            ),
+        ).alias("h"),
+    )
+    def _feat(j: int) -> Column:
+        return F.aggregate(
+            F.col("h"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.when(x["b"] == j, x["s"]).otherwise(0),
+        ).alias(f"f{j}")
+
+    return hashed.select("id", *[_feat(j) for j in range(dim)])
+
+
+CMS_BASES = (31, 37, 41, 43)
+
+
+def count_min_table(
+    df: DataFrame,
+    width: int = 64,
+    depth: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built AS a
+    DataFrame: (d, bucket, cnt) with bucket = hash_d(token) % width, one
+    independent rolling-hash base per row d. The sketch is depth·width
+    rows regardless of corpus size — the right shape for a distributed
+    build: one explode (each token emits its depth buckets from the same
+    pass) and ONE keyed aggregate with map-side combine; no driver-side
+    sketch object, and the result is joinable, persistable parquet.
+    """
+    bases = CMS_BASES[:depth]
+    toks = df.select(F.explode(tokens(F.lower(F.col(text)))).alias("tok"))
+    emitted = toks.select(
+        F.posexplode(
+            F.array(*[(_poly_hash(F.col("tok"), b) % width) for b in bases])
+        ).alias("d", "bucket")
+    )
+    return emitted.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimates(
+    sketch: DataFrame,
+    queries: DataFrame,
+    width: int = 64,
+    tok_col: str = "tok",
+) -> DataFrame:
+    """Point-query the sketch table for each token in ``queries``:
+    estimate = min over rows d of the counter at (d, hash_d(token)).
+    The query side is small by construction (heavy-hitter candidates),
+    so both the bucket join and the per-token min are broadcast-sized.
+    """
+    bases = CMS_BASES
+    probes = queries.select(
+        tok_col,
+        F.posexplode(
+            F.array(*[(_poly_hash(F.col(tok_col), b) % width) for b in bases])
+        ).alias("d", "bucket"),
+    )
+    return (
+        probes.join(sketch, ["d", "bucket"])
+        .groupBy(tok_col)
+        .agg(F.min("cnt").alias("cms_estimate"))
+    )

@@ -255,3 +255,31 @@ def test_incremental_dedup_corpus_never_broadcast(spark):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_semdedup_broadcast_assign_no_corpus_shuffle_before_kernel(spark):
+    """The assignment stage is map-side (mapInPandas over the scan —
+    centroids broadcast, no exchange between the scan and the assign);
+    the only exchanges feed the (cell, block-pair) kernel groupBy and
+    the final keep-flag join."""
+    df = entry.q_semdedup(spark, SF)
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan  # the per-cell BLAS kernel
+    # assignment = MapInPandas directly over its scan: in the subtree
+    # below the FIRST MapInPandas there is no Exchange
+    idx = plan.index("MapInPandas")
+    below = plan[idx:]
+    first_scan = below.index("Scan parquet")
+    assert "Exchange" not in below[:first_scan], plan
+
+
+def test_bigram_lm_counts_ride_partial_aggregates(spark):
+    """Both count shuffles are token-keyed with map-side partial
+    aggregation (HashAggregate before each Exchange), and the vocabulary
+    scalar arrives via a broadcast join, not a shuffle."""
+    df = entry.q_bigram_lm(spark, SF)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan  # the 1-row vocab size
+    # partial_count before the exchanges — Spark renders map-side combine
+    # as partial_count(1) in HashAggregate
+    assert "partial_count" in plan, plan

@@ -1080,3 +1080,65 @@ def test_bigram_lm_separates_fluent_from_noise(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["id"]: float(r["avg_nll"]) for r in text.bigram_lm_scores(df).collect()}
     assert out[99] > out[0] * 2
+
+
+def _py_poly(tok: str, base: int) -> int:
+    h = 0
+    for c in tok:
+        h = (h * base + ord(c)) % 2147483647
+    return h
+
+
+def test_cluster_split_never_straddles(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    docs = spark.createDataFrame(
+        [(i, f"doc body number {i}") for i in range(50)], "doc_id long, text string"
+    )
+    # components {0,7,13} and {20,21}; rest isolated
+    pairs = spark.createDataFrame(
+        [(0, 7), (7, 13), (20, 21)], "id_a long, id_b long"
+    )
+    clusters = dedup.dup_clusters(docs, pairs)
+    out = {r["id"]: (r["cluster"], r["split"]) for r in
+           sampling.cluster_split(docs, clusters, test_permille=500).collect()}
+    assert len(out) == 50
+    assert out[0][0] == out[7][0] == out[13][0] == 0
+    # the whole component shares one split
+    assert out[0][1] == out[7][1] == out[13][1]
+    assert out[20][1] == out[21][1]
+    # isolated docs degrade to train_test_split's per-id assignment
+    tts = {r["doc_id"]: r["split"] for r in
+           sampling.train_test_split(docs, test_permille=500).collect()}
+    for i in range(22, 50):
+        assert out[i][1] == tts[i]
+
+
+def test_hashed_features_matches_python_replica(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "Gamma  delta"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: [r[f"f{j}"] for j in range(8)]
+           for r in text.hashed_features(docs, dim=8).collect()}
+    assert set(out) == {1, 2}  # empty doc excluded
+    for doc_id, toks in ((1, ["alpha", "beta", "alpha"]), (2, ["gamma", "delta"])):
+        expected = [0] * 8
+        for t in toks:
+            expected[_py_poly(t, 31) % 8] += 1 - 2 * (_py_poly(t, 37) % 2)
+        assert out[doc_id] == expected, doc_id
+
+
+def test_count_min_never_underestimates(spark):
+    rows = [(i, "apple banana cherry date " * (1 + i % 3)) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sketch = text.count_min_table(docs, width=4, depth=4)  # heavy collisions
+    assert sketch.count() <= 4 * 4
+    toks = docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+    exact = {r["tok"]: r["c"] for r in toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).collect()}
+    qdf = spark.createDataFrame([(t,) for t in exact], "tok string")
+    est = {r["tok"]: r["cms_estimate"]
+           for r in text.count_min_estimates(sketch, qdf, width=4).collect()}
+    assert set(est) == set(exact)
+    for t, c in exact.items():
+        assert est[t] >= c, t
