@@ -722,6 +722,36 @@ def q_count_min_bound(spark, sf):
     )
 
 
+def q_kmeans_refine(spark, sf):
+    """One DISTRIBUTED Lloyd iteration (similarity.kmeans_refine): assign
+    the corpus to the pinned seed centroids (vec_ids 0..7, broadcast
+    argmax with round-6 tie-break — the same assignment the semdedup row
+    proves), then recompute each cell centroid as the member mean via one
+    keyed aggregate with map-side partial sums. The oracle replays
+    assignment and the 64 per-dimension means closed-form."""
+    import numpy as np
+
+    emb = _t(spark, sf, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centroids = np.array([r["v"] for r in rows], dtype=np.float64)
+    return similarity.kmeans_refine(emb, centroids)
+
+
+def q_source_divergence(spark, sf):
+    """Per-source KL(P_source || P_corpus) over token distributions
+    (selection.source_divergence) — the data-mixing redundancy
+    diagnostic. Per-token terms are integer-count-derived, rounded, and
+    DECIMAL-summed, so source totals hash identically across engines."""
+    from nnanalytics_spark.pipeline import selection
+
+    return selection.source_divergence(_t(spark, sf, "documents"))
+
+
 def q_quality_quantile(spark, sf):
     """Per-domain percentile cut (selection.top_fraction_per_group):
     keep the top 25% of documents by classifier score WITHIN each
@@ -2498,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_split": q_cluster_split,
         "hashed_features": q_hashed_features,
         "count_min_bound": q_count_min_bound,
+        "kmeans_refine": q_kmeans_refine,
+        "source_divergence": q_source_divergence,
         # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
@@ -4284,6 +4316,69 @@ def oracle_sql() -> dict[str, str]:
                  AS within_bound
         FROM top JOIN est USING (tok) CROSS JOIN tot
         ORDER BY top.tok
+    """
+    # kmeans_refine: the semdedup assignment CTE, then per-cell means of
+    # all 64 dimensions.
+    mean_cols = ",\n               ".join(
+        f"round(avg(e[{j + 1}]), 6) AS c{j}" for j in range(64)
+    )
+    d["kmeans_refine"] = f"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                 e AS se, nrm AS snrm
+          FROM n WHERE vec_id < 8
+        ),
+        sims AS (
+          SELECT a.vec_id, s.cell,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.e[i] * s.se[i] for i in range(1, len(a.e) + 1)]),
+                         (x, y) -> x + y) / (a.nrm * s.snrm), 6) AS cs
+          FROM n a CROSS JOIN seeds s
+        ),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cell ASC) AS rn
+            FROM sims
+          ) WHERE rn = 1
+        )
+        SELECT cell, count(*) AS n_members,
+               {mean_cols}
+        FROM assigned JOIN v USING (vec_id)
+        GROUP BY cell
+    """
+    d["source_divergence"] = r"""
+        WITH toks AS (
+          SELECT source AS src,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        st AS (SELECT src, tok, count(*) AS c_st FROM toks GROUP BY 1, 2),
+        ct AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY tok),
+        ns AS (SELECT src, SUM(c_st) AS n_s FROM st GROUP BY src),
+        tot AS (SELECT SUM(c_st) AS n FROM st),
+        term AS (
+          SELECT st.src, st.c_st,
+                 CAST(round((st.c_st / CAST(ns.n_s AS DOUBLE)) *
+                        ln((CAST(st.c_st AS DOUBLE) * tot.n) /
+                           (CAST(ns.n_s AS DOUBLE) * ct.c_t)), 6)
+                      AS DECIMAL(18,6)) AS kl_term
+          FROM st JOIN ct USING (tok) JOIN ns USING (src) CROSS JOIN tot
+        )
+        SELECT src AS source, SUM(c_st) AS n_tokens,
+               count(*) AS n_distinct, SUM(kl_term) AS kl_nats
+        FROM term GROUP BY src
     """
     d["all_pairs_blocked"] = d["embedding_dup_pairs"]
     d["sessionization_parity"] = d["sessionization"]

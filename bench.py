@@ -113,6 +113,8 @@ HEADLINE = [
     "cluster_split",
     "hashed_features",
     "count_min_bound",
+    "kmeans_refine",
+    "source_divergence",
 ]
 
 

@@ -210,3 +210,63 @@ def top_fraction_per_group(
     return ranked.filter(
         F.col("rank") <= F.ceil(F.lit(frac) * F.col("group_n"))
     ).drop("group_n")
+
+
+def source_divergence(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    source: str = "source",
+) -> DataFrame:
+    """Per-source KL divergence from the corpus token distribution,
+    KL(P_source || P_corpus) = sum_w P_s(w)·ln(P_s(w)/P(w)) — the
+    data-mixing diagnostic for "which sources are redundant with the
+    blend vs contributing distinct mass" (the quantity behind
+    distributionally-targeted mixing, e.g. DoReMi/DSIR-style reweighting
+    decisions). No smoothing is needed: every token of a source exists
+    in the corpus, so P(w) > 0 wherever P_s(w) > 0.
+
+    Exactness: each per-token term is computed from four INTEGER counts,
+    rounded to 6 dp and summed as DECIMAL(18,6) — the same
+    order-independence hardening as bigram_lm_scores, so an engine
+    oracle hash-matches the totals. Plan: one explode, a (source, token)
+    count, corpus counts AGGREGATED FROM that table (token-keyed, no
+    second corpus scan), broadcast-able totals, one final per-source
+    aggregate.
+
+    Returns (source, n_tokens, n_distinct, kl_nats DECIMAL(18,6)).
+    """
+    from nnanalytics_spark.pipeline.text import tokens
+
+    toks = df.select(
+        F.col(source).alias("src"),
+        F.explode(tokens(F.lower(F.col(text)))).alias("tok"),
+    )
+    st = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    ct = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    ns = st.groupBy("src").agg(F.sum("c_st").alias("n_s"))
+    n_total = st.agg(F.sum("c_st").alias("n")).select("n")
+    term = (
+        st.join(ct, "tok")
+        .join(ns, "src")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "src",
+            "c_st",
+            F.round(
+                (F.col("c_st") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st").cast("double") * F.col("n"))
+                    / (F.col("n_s").cast("double") * F.col("c_t"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("kl_term"),
+        )
+    )
+    return term.groupBy(F.col("src").alias("source")).agg(
+        F.sum("c_st").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("kl_term").alias("kl_nats"),
+    )

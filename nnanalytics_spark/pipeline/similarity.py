@@ -820,3 +820,37 @@ def semdedup(
             F.col("dup_id").isNull().alias("keep"),
         )
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ONE distributed Lloyd iteration: assign every vector to its
+    nearest centroid (broadcast, map-side — assign_cells_rounded) and
+    recompute each cell's centroid as the member mean. Returns
+    (cell, n_members, c0..c{dim-1} rounded to 6 dp).
+
+    This is the fully-distributed counterpart of kmeans_centroids'
+    driver-side sampled Lloyd: the per-iteration cost is one broadcast
+    assign plus ONE keyed aggregate whose map-side partial sums make the
+    shuffle k·dim doubles per partition — at 100 TB each refinement
+    pass streams the corpus once and moves kilobytes. Iterating is
+    driver-light: the k×dim result is collected, re-broadcast, repeat.
+    Means are SUM/COUNT of exact input doubles, so an oracle replays the
+    iteration exactly (sum order differs only below round 6).
+    """
+    dim = len(centroids[0])
+    assigned = assign_cells_rounded(df, centroids, id_col, vec_col)
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            *[
+                F.round(F.avg(F.element_at(F.col("v"), j + 1)), 6).alias(f"c{j}")
+                for j in range(dim)
+            ],
+        )
+    )

@@ -283,3 +283,23 @@ def test_bigram_lm_counts_ride_partial_aggregates(spark):
     # partial_count before the exchanges — Spark renders map-side combine
     # as partial_count(1) in HashAggregate
     assert "partial_count" in plan, plan
+
+
+def test_hashed_features_is_map_only(spark):
+    """The hashing trick is one scan, zero exchanges — both hash folds
+    and all dim bucket sums happen inside the projection."""
+    plan = plan_of(entry.q_hashed_features(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Scan parquet" in plan
+
+
+def test_count_min_sketch_single_keyed_aggregate(spark):
+    """The sketch build shuffles once on (d, bucket) with map-side
+    partial counts; the probe side joins broadcast (20 tokens)."""
+    from nnanalytics_spark.pipeline import text as t
+    sketch = t.count_min_table(entry._t(spark, SF, "documents"), width=16, depth=4)
+    plan = plan_of(sketch)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_count" in plan
+    full = plan_of(entry.q_count_min_bound(spark, SF))
+    assert "BroadcastHashJoin" in full, full

@@ -1142,3 +1142,44 @@ def test_count_min_never_underestimates(spark):
     assert set(est) == set(exact)
     for t, c in exact.items():
         assert est[t] >= c, t
+
+
+def test_kmeans_refine_means(spark):
+    import numpy as np
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),          # the seeds
+        (10, [3.0, 0.0]), (11, [5.0, 1.0]),         # cell 0
+        (20, [0.0, 3.0]),                           # cell 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = {r["cell"]: (r["n_members"], r["c0"], r["c1"])
+           for r in similarity.kmeans_refine(df, cents).collect()}
+    # cell 0 members: 0, 10, 11 → mean (3, 1/3); cell 1: 1, 20 → (0, 2)
+    assert out[0] == (3, 3.0, round(1 / 3, 6))
+    assert out[1] == (2, 0.0, 2.0)
+
+
+def test_source_divergence_zero_for_proportional_source(spark):
+    """A source whose token distribution equals the corpus distribution
+    has KL exactly 0; a disjoint-vocabulary source has KL = ln(N/n_s)
+    (its tokens appear nowhere else)."""
+    import math
+    from decimal import Decimal
+
+    from nnanalytics_spark.pipeline import selection
+
+    rows = (
+        [(i, "a b", "s1") for i in range(6)]        # 12 tokens: a,b even
+        + [(10 + i, "a b", "s2") for i in range(2)]  # same distribution
+        + [(20, "zz zz zz zz", "s3")]                # disjoint vocab
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in selection.source_divergence(df).collect()}
+    # s1 and s2 both have P(a)=P(b)=1/2; corpus restricted to {a,b} mass …
+    # corpus: a=8, b=8, zz=4, N=20. P_s1(a)=.5 vs P(a)=.4 → KL > 0 equal
+    # for s1 and s2 (identical distributions), and s3's KL = ln(20/4).
+    assert out["s1"]["kl_nats"] == out["s2"]["kl_nats"]
+    assert out["s3"]["kl_nats"] == Decimal(str(round(math.log(20 / 4), 6)))
+    assert out["s3"]["n_tokens"] == 4 and out["s3"]["n_distinct"] == 1
