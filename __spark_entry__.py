@@ -2470,10 +2470,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # key_skew hash-hardened this round; kept in place per VERDICT r3 #1),
     # (2) queries new or promoted in r4 — (2c) is the late-r4 batch:
     # streaming watermark/stream-static parity, classifier + quantile
-    # curation, chunking, the GK quantile bound — then (3)-(4) a
-    # regression watch of r3-green rows (its tail past entry 50 rotates
-    # out as (2c) grows). Entries rotated past 50 keep their recorded
-    # pass AND are guarded by tests/test_oracle_battery.py, which re-runs
+    # curation, chunking, the GK quantile bound, SemDeDup, bigram-LM,
+    # cluster-aware split, feature hashing, count-min, distributed
+    # Lloyd, source KL. Groups (1)+(2) now fill the window exactly;
+    # (3)-(4) and everything below rotated out with recorded green rows
+    # AND are guarded by tests/test_oracle_battery.py, which re-runs
     # every oracle pair at sf0.01 under pytest each round.
     return {
         # --- (1) fixed this round: events.ts dtype crash (VERDICT r2 #1) ---
