@@ -115,6 +115,16 @@ HEADLINE = [
     "count_min_bound",
     "kmeans_refine",
     "source_divergence",
+    # r4 final batch: behavior analytics, lexical retrieval, paragraph
+    # dedup rewrite, subquery TPC-H shapes (shard/compaction roundtrips
+    # excluded — they time fixture writes, not the plan)
+    "funnel_steps",
+    "retention_cohorts",
+    "bm25_topk",
+    "paragraph_dedup",
+    "sql_tpch_q17",
+    "sql_tpch_q18",
+    "sql_tpch_q22",
 ]
 
 

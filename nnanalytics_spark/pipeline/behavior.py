@@ -1,0 +1,110 @@
+"""Behavioral / event-sequence analytics over the events stream.
+
+Beyond-reference operators a training-data (or product-analytics)
+pipeline runs on event logs: ordered funnels and cohort retention.
+Both are expressed as plain DataFrame aggregations — no UDFs — so
+Catalyst keeps them in whole-stage codegen and the only shuffles are
+the keyed aggregations a 1000-executor run would need anyway.
+
+Determinism: event time is the exact integer microsecond epoch
+(``ts_us``), never a double; funnel progression uses STRICT time
+increase so the result is identical to the nested ``min(ts) > prev``
+SQL formulation DuckDB runs as the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user: str = "user_id",
+    ts: str = "ts_us",
+    event_type: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Ordered-funnel completion counts: how many users performed
+    ``steps[0]`` then (strictly later) ``steps[1]``, then … in order.
+
+    Single-shuffle shape: filter to funnel event types (pushed to the
+    scan), ONE groupBy(user) that sorts each user's event structs and
+    walks them with ``F.aggregate`` (a codegen'd lambda fold, not a
+    Python UDF), then a tiny groupBy over |steps| rows. Per-user state
+    is (furthest step, its timestamp) — O(1), so one hot user cannot
+    skew memory the way a collect_list-of-everything would (the list is
+    bounded by that user's FUNNEL events only, already type-filtered).
+
+    Greedy earliest-match is optimal for subsequence existence, so this
+    equals the oracle's nested ``min(ts) where ts > prev`` chain; ties
+    at identical timestamps do NOT advance (strict >), matching the SQL.
+    """
+    idx = F.lit(None).cast("int")
+    for i, s in enumerate(steps):
+        idx = F.when(F.col(event_type) == s, F.lit(i + 1)).otherwise(idx)
+    ev = (
+        events.filter(F.col(event_type).isin(list(steps)))
+        .select(
+            F.col(user).alias("u"),
+            F.struct(
+                F.col(ts).alias("t"),
+                F.col(order_tiebreak).alias("tb"),
+                idx.alias("step"),
+            ).alias("e"),
+        )
+    )
+    # Fold state: (reached step, timestamp of that step). Advance only on
+    # the NEXT step index with a strictly later timestamp.
+    walk = F.aggregate(
+        F.array_sort(F.collect_list("e")),
+        F.struct(F.lit(0).alias("step"), F.lit(-1).cast("long").alias("t")),
+        lambda acc, e: F.when(
+            (e["step"] == acc["step"] + 1) & (e["t"] > acc["t"]),
+            F.struct(e["step"].alias("step"), e["t"].alias("t")),
+        ).otherwise(acc),
+    )
+    reached = ev.groupBy("u").agg(walk["step"].alias("reached"))
+    per_step = reached.groupBy("reached").agg(F.count(F.lit(1)).alias("n"))
+    dim = reached.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step int, event_type string"
+    )
+    return (
+        dim.join(per_step, per_step["reached"] >= dim["step"], "left")
+        .groupBy("step", "event_type")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("users"))
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Cohort retention: users grouped by their first-activity day, then
+    counted (distinct) per (cohort day, activity-week offset).
+
+    Two keyed aggregations and one broadcast join: the cohort table is
+    |users| rows (aggregate FIRST, then join — cheaper than a per-user
+    window over the raw log, which would shuffle every event by user just
+    to tag it), and AQE broadcasts it against the event log. At 100 TB
+    the cohort dim is still tiny relative to the log, so the join side
+    stays broadcast and the only big shuffle is the final group-by.
+    """
+    d = F.to_date(F.col(ts).cast("timestamp"))
+    act = events.select(F.col(user).alias("u"), d.alias("d"))
+    cohort = act.groupBy("u").agg(F.min("d").alias("cohort_day"))
+    return (
+        act.join(F.broadcast(cohort), "u")
+        .groupBy(
+            "cohort_day",
+            (F.datediff(F.col("d"), F.col("cohort_day")) / bucket_days)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("u")).alias("active_users"))
+    )

@@ -816,3 +816,62 @@ def decontaminate(
         .distinct()
     )
     return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    chunk_words: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Paragraph-level exact dedup with corpus rewrite (the Dolma /
+    RefinedWeb recipe): split every document into paragraphs, keep only
+    the GLOBALLY FIRST occurrence of each distinct paragraph (ordered by
+    (doc_id, paragraph index)), and reassemble each document from its
+    surviving paragraphs in original order.
+
+    The driver corpus has no newline structure, so "paragraph" here is a
+    deterministic fixed-width token chunk (``chunk_documents``); with
+    real text you would split on blank lines instead — the dedup/rewrite
+    machinery below is unchanged either way.
+
+    Two shuffles, both keyed: a row_number window partitioned by the
+    paragraph text picks each paragraph's first occurrence (ONE exchange
+    — cheaper than groupBy-min + a text-keyed join back), and the
+    reassembly groupBy(doc) re-sorts surviving chunks by index. At
+    100 TB you would window over xxhash64(paragraph)'s 128-bit sibling
+    rather than the raw string to keep exchange rows narrow; the string
+    key keeps this exact for the oracle. Emits per-doc chunk counts and
+    an md5 of the rewritten text so the whole rewrite is hash-checkable.
+    """
+    from pyspark.sql import Window as W
+
+    from nnanalytics_spark.pipeline.sampling import chunk_documents
+
+    chunks = chunk_documents(df, max_tokens=chunk_words, text=text, id_col=id_col)
+    w = W.partitionBy("chunk_text").orderBy(F.col(id_col).asc(), F.col("chunk_idx").asc())
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.md5(F.coalesce(F.col("new_text"), F.lit(""))).alias("text_md5"),
+        )
+    )

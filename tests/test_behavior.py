@@ -1,0 +1,175 @@
+"""Closed-form tests for the behavior / retrieval / layout operators
+added late in r4: funnel, retention, BM25, paragraph dedup, shard-layout
+verification, compaction."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.pipeline import behavior, retrieval
+from nnanalytics_spark.pipeline.dedup import paragraph_dedup
+from nnanalytics_spark.sources import layout
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_us long, event_type string"
+    )
+
+
+class TestFunnel:
+    def test_strict_order_progression(self, spark):
+        ev = _events(
+            spark,
+            [
+                # u1 completes the funnel in order
+                (1, 1, 100, "view"),
+                (2, 1, 200, "click"),
+                (3, 1, 300, "purchase"),
+                # u2 clicks before viewing: click can't count, funnel stops at view
+                (4, 2, 100, "click"),
+                (5, 2, 200, "view"),
+                # u3 views only
+                (6, 3, 100, "view"),
+                # u4 never views: purchase/click alone count nothing
+                (7, 4, 100, "purchase"),
+                (8, 4, 200, "click"),
+            ],
+        )
+        out = behavior.funnel_steps(
+            ev, ["view", "click", "purchase"], ts="ts_us"
+        )
+        got = {r["step"]: (r["event_type"], r["users"]) for r in out.collect()}
+        assert got == {1: ("view", 3), 2: ("click", 1), 3: ("purchase", 1)}
+
+    def test_equal_timestamps_do_not_advance(self, spark):
+        ev = _events(spark, [(1, 1, 100, "view"), (2, 1, 100, "click")])
+        out = behavior.funnel_steps(ev, ["view", "click"], ts="ts_us")
+        got = {r["step"]: r["users"] for r in out.collect()}
+        assert got == {1: 1, 2: 0}
+
+    def test_later_view_cannot_resurrect_earlier_click(self, spark):
+        # Greedy earliest-first is what the SQL oracle computes: the
+        # click at t=50 precedes the first view, so step 2 is empty even
+        # though (view@100, no later click) exists.
+        ev = _events(spark, [(1, 1, 50, "click"), (2, 1, 100, "view")])
+        out = behavior.funnel_steps(ev, ["view", "click"], ts="ts_us")
+        got = {r["step"]: r["users"] for r in out.collect()}
+        assert got == {1: 1, 2: 0}
+
+
+class TestRetention:
+    def test_cohort_and_offsets(self, spark):
+        ev = spark.createDataFrame(
+            [
+                (1, "2024-01-01 10:00:00"),
+                (1, "2024-01-09 10:00:00"),  # day 8 → week 1
+                (2, "2024-01-02 00:00:00"),
+                (2, "2024-01-02 23:59:59"),  # same day → week 0 once
+            ],
+            "user_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = behavior.retention_cohorts(ev)
+        got = {
+            (str(r["cohort_day"]), r["week_offset"]): r["active_users"]
+            for r in out.collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 1): 1,
+            ("2024-01-02", 0): 1,
+        }
+
+
+class TestBM25:
+    def test_rare_term_outranks_common(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (0, "rare word word"),
+                (1, "word word word"),
+                (2, "word other other"),
+                (3, "other other other"),
+            ],
+            "doc_id long, text string",
+        )
+        out = retrieval.bm25_topk(docs, ["rare", "word"], k=3)
+        rows = out.collect()
+        assert [r["doc_id"] for r in rows][0] == 0  # unique term dominates
+        assert len(rows) == 3
+        # closed-form check for doc 0: N=4, df(rare)=1, df(word)=3, dl=3, avgdl=3
+        idf_rare = math.log(1 + (4 - 1 + 0.5) / 1.5)
+        idf_word = math.log(1 + (4 - 3 + 0.5) / 3.5)
+        s = idf_rare * (1 * 2.2) / (1 + 1.2) + idf_word * (2 * 2.2) / (2 + 1.2)
+        assert abs(rows[0]["score"] - round(s, 6)) < 1e-9
+
+    def test_k_boundary_tiebreak_is_doc_id(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "same text here") for i in range(5)], "doc_id long, text string"
+        )
+        out = retrieval.bm25_topk(docs, ["same"], k=2)
+        assert [r["doc_id"] for r in out.collect()] == [0, 1]
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_wins_and_rewrite_hash(self, spark):
+        a = " ".join(["w%d" % i for i in range(16)])  # chunk A
+        b = " ".join(["x%d" % i for i in range(16)])  # chunk B
+        docs = spark.createDataFrame(
+            [(0, f"{a} {b}"), (1, f"{b} {a}"), (2, a)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup(docs, 16).collect()}
+        # doc 0 keeps both chunks; docs 1/2 lose everything they share
+        assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
+        assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 0)
+        assert (out[2]["n_chunks"], out[2]["n_kept"]) == (1, 0)
+        assert out[0]["text_md5"] == hashlib.md5(f"{a} {b}".encode()).hexdigest()
+        assert out[1]["text_md5"] == hashlib.md5(b"").hexdigest()
+
+
+class TestShardLayout:
+    def test_valid_layout_passes(self, spark):
+        df = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        d = tempfile.mkdtemp(prefix="nna_t_shard_")
+        layout.range_shard_write(df, d, "k", num_shards=4)
+        row = layout.verify_shard_layout(spark, d, "k").collect()[0]
+        assert row["n_shards"] == 4
+        assert row["total_rows"] == 1000
+        assert row["distinct_keys"] == 1000
+        assert bool(row["all_sorted"]) is True
+        assert row["overlap_pairs"] == 0
+
+    def test_hash_partitioned_layout_is_flagged(self, spark):
+        # hash partitioning interleaves key ranges → overlaps must show up
+        df = spark.range(0, 1000).select(F.col("id").alias("k"))
+        d = tempfile.mkdtemp(prefix="nna_t_badshard_")
+        df.repartition(4, "k").write.mode("overwrite").parquet(d)
+        row = layout.verify_shard_layout(spark, d, "k").collect()[0]
+        assert row["overlap_pairs"] > 0
+
+    def test_unsorted_shard_is_flagged(self, spark):
+        df = spark.range(0, 100).select(
+            (F.lit(99) - F.col("id")).alias("k")
+        ).coalesce(1)
+        d = tempfile.mkdtemp(prefix="nna_t_unsorted_")
+        df.write.mode("overwrite").parquet(d)
+        row = layout.verify_shard_layout(spark, d, "k").collect()[0]
+        assert bool(row["all_sorted"]) is False
+
+
+class TestCompaction:
+    def test_counts_and_content(self, spark):
+        base = tempfile.mkdtemp(prefix="nna_t_compact_")
+        small, out = f"{base}/in", f"{base}/out"
+        spark.range(0, 500).repartition(8).write.parquet(small)
+        before, after = layout.compact_small_files(spark, small, out, 2)
+        assert (before, after) == (8, 2)
+        assert spark.read.parquet(out).count() == 500

@@ -303,3 +303,48 @@ def test_count_min_sketch_single_keyed_aggregate(spark):
     assert "partial_count" in plan
     full = plan_of(entry.q_count_min_bound(spark, SF))
     assert "BroadcastHashJoin" in full, full
+
+
+def test_funnel_single_user_shuffle_no_python(spark):
+    """The funnel fold is a codegen'd aggregate lambda: ONE exchange keyed
+    on user carries the corpus; the step dim joins as a broadcast loop
+    over |steps| rows; no Python eval node anywhere."""
+    plan = plan_of(entry.q_funnel_steps(spark, SF))
+    assert "Python" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(u#") == 1, plan
+
+
+def test_bm25_broadcasts_df_and_stats(spark):
+    """Document frequencies (|query| rows) and corpus stats (1 row)
+    broadcast; the candidate postings shuffle once on (id, tok). The
+    corpus-wide token stream never joins non-broadcast."""
+    plan = plan_of(entry.q_bm25_topk(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-k, never a global sort
+
+
+def test_tpch_q17_decorrelates_to_aggregate_join(spark):
+    """The correlated per-part avg must become an aggregate + join (one
+    l_partkey exchange), not a per-row subquery re-scan."""
+    plan = plan_of(entry.q_sql_tpch_q17(spark, SF))
+    assert "avg(l_quantity)" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_tpch_q22_anti_join_broadcasts(spark):
+    """NOT EXISTS over recent orders plans as a broadcast LeftAnti with
+    the date filter pushed below the join, and the global-average
+    threshold rides a broadcast scalar — no correlated re-scan."""
+    plan = plan_of(entry.q_sql_tpch_q22(spark, SF))
+    assert "LeftAnti" in plan, plan
+    assert "PushedFilters" in plan, plan
+
+
+def test_paragraph_dedup_two_keyed_shuffles(spark):
+    """First-occurrence window shuffles once on the paragraph text,
+    reassembly shuffles once on doc_id; nothing else moves the corpus."""
+    plan = plan_of(entry.q_paragraph_dedup(spark, SF))
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(chunk_text#") == 1, plan
