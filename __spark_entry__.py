@@ -2634,6 +2634,94 @@ def q_sql_tpch_q22(spark, sf):
     return spark.sql(_TPCH_Q22)
 
 
+def q_sample_k_per_group(spark, sf):
+    """Fixed-size per-stratum sampling (sampling.py:sample_k_per_group):
+    exactly 20 docs per source, ranked by md5(id) so the draw is uniform,
+    deterministic, and reproducible in ANY engine (the oracle replays the
+    identical row_number window)."""
+    from nnanalytics_spark.pipeline import sampling
+
+    return sampling.sample_k_per_group(_t(spark, sf, "documents"), "source", k=20)
+
+
+def q_inter_event_gaps(spark, sf):
+    """Dwell-time profile (behavior.py:inter_event_gaps): per event type,
+    count/mean/p50/p90 of the gap between a user's consecutive events of
+    that type. One (user, type)-keyed window exchange; integer
+    microsecond arithmetic until the final rounded divide."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.inter_event_gaps(_events(spark, sf))
+
+
+def q_two_stage_distinct(spark, sf):
+    """Skew-safe exact distinct (core/aggregates.py:
+    exact_distinct_two_stage): distinct users per event type as two hash
+    aggregates — map-side combine on (type, user) collapses hot types
+    BEFORE the exchange and spreads each type's value set across
+    reducers, where count_distinct's Expand plan funnels every hot-group
+    value through one task. Expand-free plan asserted in tests."""
+    from nnanalytics_spark.core.aggregates import exact_distinct_two_stage
+
+    return exact_distinct_two_stage(
+        _events(spark, sf), "event_type", "user_id", alias="n_users"
+    )
+
+
+def q_zone_map_prune(spark, sf):
+    """File skip-index end-to-end (layout.py:zone_map + prune_files): the
+    event log is range-sharded into 16 files, a footer-only zone map is
+    built distributedly, a 10%-of-keyspace range predicate prunes the
+    scan list, and the final aggregate reads ONLY the surviving files.
+    The oracle computes the same range closed-form over the raw table —
+    the hash proves pruned-scan == full-scan — and the pruned flag pins
+    that the zone map actually skipped files."""
+    import tempfile
+
+    from nnanalytics_spark.sources import layout
+
+    out_dir = tempfile.mkdtemp(prefix="nna_zonemap_")
+    ev = _events(spark, sf).select("event_id", "ts_us", "value")
+    layout.range_shard_write(ev, out_dir, "ts_us", num_shards=16)
+    zmap = layout.zone_map(spark, out_dir, "ts_us")
+    mn, mx = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    lo = mn + (mx - mn) * 2 // 5
+    hi = mn + (mx - mn) // 2
+    files = layout.prune_files(spark, zmap, lo, hi)
+    pruned = spark.read.parquet(*files).filter(F.col("ts_us").between(lo, hi))
+    return pruned.agg(
+        F.lit(16).alias("n_files_total"),
+        F.lit(len(files) < 16).alias("pruned"),
+        F.count(F.lit(1)).alias("rows_in_range"),
+        _dsum("value", "sum_value"),
+    )
+
+
+def q_schema_evolution(spark, sf):
+    """Schema-evolution round-trip (layout.py:read_merged_schema): half
+    the event log is written with the v1 schema (no event_type), half
+    with v2; a mergeSchema read unions the footers so v1 rows surface
+    event_type as NULL — tagged '(legacy)' — and the aggregate hashes the
+    merged table against the closed-form oracle."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="nna_evolve_")
+    ev = _events(spark, sf).select("event_id", "event_type", "value")
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "value").write.parquet(
+        f"{base}/v1"
+    )
+    ev.filter(F.col("event_id") % 2 == 1).write.parquet(f"{base}/v2")
+    from nnanalytics_spark.sources import layout
+
+    merged = layout.read_merged_schema(spark, base)
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("(legacy)")).alias("tag")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), _dsum("value", "sum_value"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r4 window is SQL-oracle entries ONLY, prioritized:
@@ -2705,6 +2793,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_min_bound": q_count_min_bound,
         "kmeans_refine": q_kmeans_refine,
         "source_divergence": q_source_divergence,
+        # --- (2d) late-r4, below the window (battery-guarded; rotate into
+        # the gate next round): fixed-size sampling, dwell gaps, skew-safe
+        # distinct, zone-map pruning, schema evolution ---
+        "sample_k_per_group": q_sample_k_per_group,
+        "inter_event_gaps": q_inter_event_gaps,
+        "two_stage_distinct": q_two_stage_distinct,
+        "zone_map_prune": q_zone_map_prune,
+        "schema_evolution": q_schema_evolution,
         # --- (2c) r3-green rows rotated out to make room for (2a);
         # recorded credit + oracle-battery guard ---
         "time_histogram_monthly": q_time_histogram_monthly,
@@ -3271,6 +3367,55 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT event_id) AS distinct_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events
+        """,
+        "sample_k_per_group": """
+            SELECT source, doc_id, rn FROM (
+              SELECT source, doc_id,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT)
+                       AS rn
+              FROM documents
+            ) WHERE rn <= 20
+        """,
+        "inter_event_gaps": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY epoch_us(ts)) AS gap_us
+              FROM events
+            )
+            SELECT event_type, count(*) AS n_gaps,
+                   round(CAST(SUM(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6)
+                     AS mean_gap_s,
+                   round(quantile_cont(gap_us, 0.5) / 1000000.0, 6) AS p50_gap_s,
+                   round(quantile_cont(gap_us, 0.9) / 1000000.0, 6) AS p90_gap_s
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type
+        """,
+        "two_stage_distinct": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "zone_map_prune": """
+            WITH b AS (
+              SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events
+            )
+            SELECT CAST(16 AS INT) AS n_files_total,
+                   TRUE AS pruned,
+                   count(*) AS rows_in_range,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events, b
+            WHERE epoch_us(ts) BETWEEN mn + (mx - mn) * 2 // 5
+                                   AND mn + (mx - mn) // 2
+        """,
+        "schema_evolution": """
+            SELECT CASE WHEN event_id % 2 = 0 THEN '(legacy)'
+                        ELSE event_type END AS tag,
+                   count(*) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY tag
         """,
         "memory_histogram": """
             SELECT CASE

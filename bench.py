@@ -125,6 +125,9 @@ HEADLINE = [
     "sql_tpch_q17",
     "sql_tpch_q18",
     "sql_tpch_q22",
+    "sample_k_per_group",
+    "inter_event_gaps",
+    "two_stage_distinct",
 ]
 
 

@@ -48,3 +48,27 @@ def summary_aggregates(value_expr: Column, prefix: str = "") -> list[Column]:
         F.max(value_expr).alias(f"{p}max"),
         F.avg(value_expr).alias(f"{p}avg"),
     ]
+
+
+def exact_distinct_two_stage(
+    df, group: str, value: str, alias: str = "n_distinct"
+):
+    """Exact COUNT(DISTINCT value) per group as TWO ordinary hash
+    aggregates — groupBy(group, value) then groupBy(group) — instead of
+    Spark's single count_distinct, which plans an Expand (row
+    duplication per aggregate) and funnels each group's full value set
+    through one reducer.
+
+    Why it matters at 100 TB: the first aggregate combines map-side on
+    (group, value), so a hot group's millions of repeated values shrink
+    to its distinct set BEFORE the exchange, and the distinct set itself
+    is spread across reducers by (group, value) — no single task ever
+    holds a whole hot group. The second aggregate counts |distinct| rows.
+    Same answer, skew-safe plan; asserted Expand-free in
+    tests/test_entry_plans.py."""
+    return (
+        df.groupBy(F.col(group), F.col(value))
+        .agg(F.lit(1).alias("_one"))
+        .groupBy(group)
+        .agg(F.count(F.lit(1)).alias(alias))
+    )

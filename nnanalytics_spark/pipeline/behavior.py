@@ -108,3 +108,40 @@ def retention_cohorts(
         )
         .agg(F.count_distinct(F.col("u")).alias("active_users"))
     )
+
+
+def inter_event_gaps(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts_us",
+    event_type: str = "event_type",
+) -> DataFrame:
+    """Dwell-time profile: for each event type, the distribution of gaps
+    between a user's consecutive events OF THAT TYPE (lag window per
+    (user, type) in event-time order), summarized as count / mean /
+    exact interpolated p50 / p90 in seconds.
+
+    One window exchange keyed on (user, type) — the same key the gap is
+    defined over, so no second shuffle until the per-type rollup (|types|
+    rows). Mean rides an integer microsecond sum (order-independent);
+    percentiles use Spark's exact interpolated percentile, which matches
+    DuckDB's quantile_cont definition.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user, event_type).orderBy(F.col(ts).asc())
+    gaps = (
+        events.select(F.col(user), F.col(event_type), F.col(ts))
+        .withColumn("prev", F.lag(ts).over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn("gap_us", F.col(ts) - F.col("prev"))
+    )
+    sec = 1_000_000.0
+    return gaps.groupBy(event_type).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.sum("gap_us").cast("double") / F.count(F.lit(1)) / sec, 6).alias(
+            "mean_gap_s"
+        ),
+        F.round(F.percentile("gap_us", F.lit(0.5)) / sec, 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_us", F.lit(0.9)) / sec, 6).alias("p90_gap_s"),
+    )

@@ -271,3 +271,35 @@ def cluster_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-SIZE per-stratum sample: exactly min(k, |stratum|) rows per
+    group — the eval-set builder's complement to ``stratified_sample``'s
+    fixed-RATE draw (a rate sample of a tiny stratum can round to zero;
+    benchmark suites need "50 docs per language" guarantees).
+
+    Deterministic without rand(): rows are ranked inside each stratum by
+    md5(id) — a uniform, data-independent order any engine reproduces
+    (unlike xxhash64, md5 exists in DuckDB/Trino/Postgres, so the oracle
+    is bit-exact) — and row_number keeps the first k. One exchange keyed
+    on the stratum; the window never sees more than a stratum per task,
+    and heavy strata stay sortable because only (group, hash, id) ride
+    the shuffle, not the payload columns.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(F.col(group), F.col(id_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(group, id_col, "rn")
+    )

@@ -171,3 +171,90 @@ def compact_small_files(
         "overwrite"
     ).parquet(out_path)
     return _count(in_path), _count(out_path)
+
+
+def zone_map(spark: SparkSession, path: str, key: str) -> DataFrame:
+    """File-level zone map (min/max/rows per data file) built from
+    parquet FOOTERS only — one metadata read per file, no data pages
+    touched. This is the skip-index every lakehouse keeps (Delta/Iceberg
+    file stats, ClickHouse minmax marks): at 100 TB the map is |files|
+    rows, and a point/range predicate consults it to open only the files
+    whose [min,max] intersects the predicate (see ``prune_files``).
+
+    Distributed the same way as ``verify_shard_layout``: file names fan
+    out over tasks, each reads ~8 KB of footer. The map itself should be
+    cached or persisted next to the table — it is the poor-man's manifest.
+    """
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F401 — parity with callers
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    files_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        max(1, len(files))
+    )
+
+    def _footer(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.names.index(key)
+                lo = hi = None
+                rows = 0
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    rows += g.num_rows
+                    st = g.column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                out.append(
+                    {
+                        "file": f,
+                        "n_rows": rows,
+                        "min_key": None if lo is None else int(lo),
+                        "max_key": None if hi is None else int(hi),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return files_df.mapInPandas(
+        _footer, "file string, n_rows long, min_key long, max_key long"
+    )
+
+
+def prune_files(
+    spark: SparkSession, zmap: DataFrame, lo: int, hi: int
+) -> list[str]:
+    """Files whose [min,max] intersects [lo, hi] — the scan list a
+    zone-map-aware reader passes to ``spark.read.parquet(*files)``.
+    The zone map is |files| rows; this is a driver-side filter over
+    metadata, exactly like a manifest prune, NOT a data scan."""
+    from pyspark.sql import functions as F
+
+    rows = zmap.filter(
+        (F.col("max_key") >= lo) & (F.col("min_key") <= hi)
+    ).collect()
+    return sorted(r["file"] for r in rows)
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the footer schemas of every file
+    under ``path`` (``mergeSchema``) so files written before a column
+    existed surface it as NULL — the append-only evolution contract a
+    long-lived 100 TB table depends on (new pipeline versions add
+    columns; historical files stay valid and unread columns stay
+    prunable). ``recursiveFileLookup`` walks version subdirectories
+    that are not hive-style partition keys."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )

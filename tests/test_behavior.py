@@ -173,3 +173,92 @@ class TestCompaction:
         before, after = layout.compact_small_files(spark, small, out, 2)
         assert (before, after) == (8, 2)
         assert spark.read.parquet(out).count() == 500
+
+
+class TestInterEventGaps:
+    def test_gaps_are_per_user_per_type(self, spark):
+        ev = _events(
+            spark,
+            [
+                (1, 1, 1_000_000, "view"),
+                (2, 1, 3_000_000, "view"),   # gap 2 s
+                (3, 1, 2_000_000, "click"),  # different type: no gap with views
+                (4, 2, 10_000_000, "view"),  # different user: no cross-user gap
+                (5, 2, 14_000_000, "view"),  # gap 4 s
+            ],
+        )
+        from nnanalytics_spark.pipeline.behavior import inter_event_gaps
+
+        out = {r["event_type"]: r for r in inter_event_gaps(ev).collect()}
+        assert "click" not in out  # a single event has no gap
+        v = out["view"]
+        assert v["n_gaps"] == 2
+        assert v["mean_gap_s"] == 3.0
+        assert v["p50_gap_s"] == 3.0  # interpolated between 2 and 4
+
+
+class TestSampleKPerGroup:
+    def test_exact_k_and_determinism(self, spark):
+        from nnanalytics_spark.pipeline.sampling import sample_k_per_group
+
+        docs = spark.createDataFrame(
+            [(i, "s%d" % (i % 3)) for i in range(100)], "doc_id long, source string"
+        )
+        a = sample_k_per_group(docs, "source", k=5, id_col="doc_id")
+        counts = {r["source"]: r["n"] for r in a.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"s0": 5, "s1": 5, "s2": 5}
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, sample_k_per_group(docs, "source", k=5).collect())
+        )
+
+    def test_small_stratum_keeps_all(self, spark):
+        from nnanalytics_spark.pipeline.sampling import sample_k_per_group
+
+        docs = spark.createDataFrame(
+            [(1, "tiny"), (2, "tiny")], "doc_id long, source string"
+        )
+        assert sample_k_per_group(docs, "source", k=5).count() == 2
+
+
+class TestZoneMap:
+    def test_prune_skips_files_and_preserves_answer(self, spark):
+        d = tempfile.mkdtemp(prefix="nna_t_zmap_")
+        df = spark.range(0, 10_000).select(F.col("id").alias("k"))
+        layout.range_shard_write(df, d, "k", num_shards=8)
+        zmap = layout.zone_map(spark, d, "k")
+        assert zmap.count() == 8
+        files = layout.prune_files(spark, zmap, 2_000, 2_999)
+        assert 0 < len(files) < 8  # the index actually skipped shards
+        got = (
+            spark.read.parquet(*files)
+            .filter(F.col("k").between(2_000, 2_999))
+            .count()
+        )
+        assert got == 1000
+
+
+class TestSchemaEvolution:
+    def test_legacy_files_surface_nulls(self, spark):
+        base = tempfile.mkdtemp(prefix="nna_t_evolve_")
+        spark.range(0, 10).select(F.col("id")).write.parquet(f"{base}/v1")
+        spark.range(10, 20).select(
+            F.col("id"), F.lit("new").alias("tag")
+        ).write.parquet(f"{base}/v2")
+        merged = layout.read_merged_schema(spark, base)
+        assert set(merged.columns) == {"id", "tag"}
+        assert merged.filter(F.col("tag").isNull()).count() == 10
+
+
+class TestTwoStageDistinct:
+    def test_matches_count_distinct(self, spark):
+        from nnanalytics_spark.core.aggregates import exact_distinct_two_stage
+
+        df = spark.createDataFrame(
+            [(i % 4, i % 7) for i in range(200)], "g int, v int"
+        )
+        got = {r["g"]: r["n_distinct"] for r in
+               exact_distinct_two_stage(df, "g", "v").collect()}
+        want = {r["g"]: r["n"] for r in df.groupBy("g").agg(
+            F.count_distinct("v").alias("n")).collect()}
+        assert got == want

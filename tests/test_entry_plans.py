@@ -348,3 +348,11 @@ def test_paragraph_dedup_two_keyed_shuffles(spark):
     plan = plan_of(entry.q_paragraph_dedup(spark, SF))
     assert "Python" not in plan, plan
     assert plan.count("Exchange hashpartitioning(chunk_text#") == 1, plan
+
+
+def test_two_stage_distinct_has_no_expand(spark):
+    """The skew-safe distinct must be two hash aggregates with map-side
+    partial combine — never count_distinct's Expand."""
+    plan = plan_of(entry.q_two_stage_distinct(spark, SF))
+    assert "Expand" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
