@@ -2480,10 +2480,12 @@ def q_retention_cohorts(spark, sf):
     """Cohort retention matrix (behavior.py:retention_cohorts): users
     bucketed by first-activity day, distinct-counted per (cohort,
     week offset). Aggregate-then-broadcast-join — the cohort dim never
-    shuffles the event log twice."""
+    shuffles the event log twice. ts derives from the exact ts_us helper
+    column so the query survives either events.ts parquet dtype."""
     from nnanalytics_spark.pipeline import behavior
 
-    return behavior.retention_cohorts(_events(spark, sf))
+    ev = _events(spark, sf).withColumn("ts_exact", F.timestamp_micros("ts_us"))
+    return behavior.retention_cohorts(ev, ts="ts_exact")
 
 
 def q_bm25_topk(spark, sf):
@@ -2722,6 +2724,123 @@ def q_schema_evolution(spark, sf):
     )
 
 
+def q_referential_integrity(spark, sf):
+    """Referential-integrity audit (core/profile.py:referential_integrity):
+    orphan fact rows per fk→pk edge (lineitem→orders, orders→customer) as
+    LEFT ANTI joins that read ONE column per side. The clean TPC-H-shaped
+    fixture must audit to zero everywhere — and the closed-form oracle
+    proves the audit itself, while tests/test_behavior.py proves it
+    detects planted orphans."""
+    from nnanalytics_spark.core.profile import referential_integrity
+
+    li, o, c = (_t(spark, sf, t) for t in ("lineitem", "orders", "customer"))
+    a = referential_integrity(li, o, "l_orderkey", "o_orderkey", "lineitem_orders")
+    b = referential_integrity(o, c, "o_custkey", "c_custkey", "orders_customer")
+    return a.unionByName(b)
+
+
+def q_pk_uniqueness(spark, sf):
+    """Primary-key uniqueness audit (core/profile.py:pk_uniqueness): one
+    hash aggregate per table; duplicate_rows = total − distinct from the
+    same pass."""
+    from nnanalytics_spark.core.profile import pk_uniqueness
+
+    a = pk_uniqueness(_t(spark, sf, "customer"), "c_custkey", "customer_pk")
+    b = pk_uniqueness(_t(spark, sf, "orders"), "o_orderkey", "orders_pk")
+    return a.unionByName(b)
+
+
+def q_incremental_rollup(spark, sf):
+    """Incremental aggregate maintenance (core/aggregates.py:
+    partial_aggregate + merge_partial_aggregates): the event log arrives
+    as three batches (event_id mod 3); each refresh merges the batch's
+    partials into a parquet state table — O(|batch| + |keys|) per
+    refresh, NEVER a history rescan. After all three merges the state
+    must hash-equal the closed-form full-log rollup."""
+    import tempfile
+
+    from nnanalytics_spark.core.aggregates import (
+        merge_partial_aggregates,
+        partial_aggregate,
+    )
+
+    base = tempfile.mkdtemp(prefix="nna_rollup_")
+    ev = _events(spark, sf).select("event_id", "event_type", "value")
+    state = partial_aggregate(ev.filter(F.col("event_id") % 3 == 0), "event_type", "value")
+    for i in (1, 2):
+        state.write.mode("overwrite").parquet(f"{base}/state{i}")
+        stored = spark.read.parquet(f"{base}/state{i}")
+        batch = partial_aggregate(
+            ev.filter(F.col("event_id") % 3 == i), "event_type", "value"
+        )
+        state = merge_partial_aggregates(stored, batch, "event_type")
+    return state.select(
+        "event_type", "cnt", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+def q_hourly_anomalies(spark, sf):
+    """Volume-anomaly detection (behavior.py:hourly_anomalies): (type,
+    hour) counts, then |z| > 2 hours per type. z derives from exact
+    integer moments (n, Σ, Σ²), never a float-accumulating stddev, so
+    the boundary filter is bit-identical across engines."""
+    from nnanalytics_spark.pipeline import behavior
+
+    ev = _events(spark, sf).withColumn("ts_exact", F.timestamp_micros("ts_us"))
+    return behavior.hourly_anomalies(ev, z_threshold=2.0, ts="ts_exact")
+
+
+def q_event_transitions(spark, sf):
+    """First-order behavior transition matrix (behavior.py:
+    event_transitions): (prev type → type) counts per user stream with
+    deterministic (ts, event_id) ordering, plus each source state's
+    outgoing probability."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.event_transitions(_events(spark, sf))
+
+
+def q_hll_rollup(spark, sf):
+    """Incremental DISTINCT maintenance via mergeable HLL sketches
+    (core/aggregates.py:hll_partial/merge_hll_partials): three event
+    batches fold their per-type sketches through a parquet state table
+    (union is the HLL merge), then the final estimate is checked against
+    the EXACT distinct — emitted alongside — within the lg_k=14 error
+    bound. The oracle pins the exact count and the bound flag; the
+    estimate itself is sketch-internal and never hashed."""
+    import tempfile
+
+    from nnanalytics_spark.core.aggregates import (
+        hll_estimate,
+        hll_partial,
+        merge_hll_partials,
+    )
+
+    base = tempfile.mkdtemp(prefix="nna_hll_")
+    ev = _events(spark, sf).select("event_id", "event_type", "user_id")
+    state = hll_partial(ev.filter(F.col("event_id") % 3 == 0), "event_type", "user_id")
+    for i in (1, 2):
+        state.write.mode("overwrite").parquet(f"{base}/state{i}")
+        stored = spark.read.parquet(f"{base}/state{i}")
+        batch = hll_partial(
+            ev.filter(F.col("event_id") % 3 == i), "event_type", "user_id"
+        )
+        state = merge_hll_partials(stored, batch, "event_type")
+    est = hll_estimate(state, "event_type")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            <= 0.05
+        ).alias("within_bound"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r4 window is SQL-oracle entries ONLY, prioritized:
@@ -2801,6 +2920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_stage_distinct": q_two_stage_distinct,
         "zone_map_prune": q_zone_map_prune,
         "schema_evolution": q_schema_evolution,
+        "referential_integrity": q_referential_integrity,
+        "pk_uniqueness": q_pk_uniqueness,
+        "incremental_rollup": q_incremental_rollup,
+        "hourly_anomalies": q_hourly_anomalies,
+        "event_transitions": q_event_transitions,
+        "hll_rollup": q_hll_rollup,
         # --- (2c) r3-green rows rotated out to make room for (2a);
         # recorded credit + oracle-battery guard ---
         "time_histogram_monthly": q_time_histogram_monthly,
@@ -3416,6 +3541,88 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS cnt,
                    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
             FROM events GROUP BY tag
+        """,
+        "referential_integrity": """
+            SELECT 'lineitem_orders' AS "check",
+                   count(*) AS orphan_rows,
+                   count(DISTINCT fk) AS distinct_orphan_keys,
+                   (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+                     AS null_fk_rows
+            FROM (SELECT l_orderkey AS fk FROM lineitem
+                  WHERE l_orderkey IS NOT NULL
+                    AND l_orderkey NOT IN (
+                      SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)) t
+            UNION ALL
+            SELECT 'orders_customer', count(*), count(DISTINCT fk),
+                   (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+            FROM (SELECT o_custkey AS fk FROM orders
+                  WHERE o_custkey IS NOT NULL
+                    AND o_custkey NOT IN (
+                      SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)) t
+        """,
+        "pk_uniqueness": """
+            SELECT 'customer_pk' AS "check", count(*) AS total_rows,
+                   count(DISTINCT c_custkey) AS distinct_keys,
+                   count(*) - count(DISTINCT c_custkey) AS duplicate_rows
+            FROM customer
+            UNION ALL
+            SELECT 'orders_pk', count(*), count(DISTINCT o_orderkey),
+                   count(*) - count(DISTINCT o_orderkey)
+            FROM orders
+        """,
+        "incremental_rollup": """
+            SELECT event_type, count(*) AS cnt,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "hourly_anomalies": """
+            WITH c AS (
+              SELECT event_type, date_trunc('hour', ts) AS hour,
+                     count(*) AS cnt
+              FROM events GROUP BY event_type, hour
+            ),
+            m AS (
+              SELECT *,
+                     count(*) OVER (PARTITION BY event_type) AS n,
+                     SUM(cnt) OVER (PARTITION BY event_type) AS s,
+                     SUM(cnt * cnt) OVER (PARTITION BY event_type) AS ss
+              FROM c
+            )
+            SELECT event_type, hour, cnt,
+                   round((cnt - CAST(s AS DOUBLE) / n)
+                         / sqrt(CAST(ss AS DOUBLE) / n
+                                - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                         6) AS z
+            FROM m
+            WHERE abs(round((cnt - CAST(s AS DOUBLE) / n)
+                            / sqrt(CAST(ss AS DOUBLE) / n
+                                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                            6)) > 2.0
+        """,
+        "event_transitions": """
+            WITH seq AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev_type
+              FROM events
+            ),
+            matrix AS (
+              SELECT prev_type AS from_type, event_type AS to_type,
+                     count(*) AS cnt
+              FROM seq WHERE prev_type IS NOT NULL
+              GROUP BY from_type, to_type
+            )
+            SELECT from_type, to_type, cnt,
+                   round(CAST(cnt AS DOUBLE)
+                         / SUM(cnt) OVER (PARTITION BY from_type), 6) AS p
+            FROM matrix
+        """,
+        "hll_rollup": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS exact_distinct,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
         """,
         "memory_histogram": """
             SELECT CASE

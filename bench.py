@@ -128,6 +128,10 @@ HEADLINE = [
     "sample_k_per_group",
     "inter_event_gaps",
     "two_stage_distinct",
+    "referential_integrity",
+    "pk_uniqueness",
+    "hourly_anomalies",
+    "event_transitions",
 ]
 
 

@@ -72,3 +72,69 @@ def exact_distinct_two_stage(
         .groupBy(group)
         .agg(F.count(F.lit(1)).alias(alias))
     )
+
+
+def merge_partial_aggregates(state, batch_agg, key: str):
+    """Incremental rollup maintenance: fold a new batch's partial
+    aggregates into a stored state table WITHOUT rescanning history —
+    union the two partial tables and re-combine (sum of counts, sum of
+    sums). The scan cost per refresh is O(|batch| + |state|), and
+    |state| is |distinct keys|, not history — the difference between a
+    100 TB rescan and a seconds-long merge. This helper combines
+    SUM-mergeable columns (counts, sums); min/max state would combine
+    with min()/max() the same way, and avg is derived (sum/cnt) at READ
+    time, never stored, or it would not combine."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in state.columns if c != key]
+    assert batch_agg.columns == state.columns, (state.columns, batch_agg.columns)
+    return (
+        state.unionByName(batch_agg)
+        .groupBy(key)
+        .agg(*[F.sum(c).alias(c) for c in cols])
+    )
+
+
+def partial_aggregate(df, key: str, value: str):
+    """The per-batch partial for ``merge_partial_aggregates``: (key, cnt,
+    sum_value) — DECIMAL sum so repeated merges stay order-insensitive."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(key).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col(value).cast("decimal(18,2)")).alias("sum_value"),
+    )
+
+
+def hll_partial(df, key: str, value: str, lg_k: int = 14):
+    """Per-batch HyperLogLog sketch state: (key, hll binary) — the
+    mergeable-sketch analog of ``partial_aggregate`` for COUNT(DISTINCT).
+    An exact distinct cannot be maintained incrementally without storing
+    every seen value; an HLL sketch is a few KB per key, merges
+    associatively, and keeps the estimate within ~1.04/sqrt(2^lg_k)."""
+    from pyspark.sql import functions as F
+
+    return df.groupBy(key).agg(
+        F.hll_sketch_agg(F.col(value), F.lit(lg_k)).alias("hll")
+    )
+
+
+def merge_hll_partials(state, batch, key: str):
+    """Fold a batch's sketches into the stored state — union is the HLL
+    merge operator; like ``merge_partial_aggregates`` this is
+    O(|batch keys| + |state keys|) per refresh, never a history rescan."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.unionByName(batch)
+        .groupBy(key)
+        .agg(F.hll_union_agg(F.col("hll")).alias("hll"))
+    )
+
+
+def hll_estimate(state, key: str, alias: str = "approx_distinct"):
+    from pyspark.sql import functions as F
+
+    return state.select(
+        F.col(key), F.hll_sketch_estimate(F.col("hll")).alias(alias)
+    )

@@ -84,3 +84,46 @@ def key_skew(df: DataFrame, key: str) -> DataFrame:
         F.percentile("cnt", F.lit(0.99)).cast(dec).alias("p99_per_key"),
         (F.max("cnt") / F.avg("cnt")).cast(dec).alias("skew_ratio"),
     )
+
+
+def referential_integrity(
+    child, parent, fk: str, pk: str, check: str = "fk"
+):
+    """Referential-integrity audit: rows of ``child`` whose ``fk`` has no
+    match in ``parent.pk`` (NULL fks counted separately — NULL is not an
+    orphan, it is a missing reference). One row out: (check, orphan_rows,
+    distinct_orphan_keys, null_fk_rows).
+
+    Plan: LEFT ANTI join keyed on the fk — at 100 TB the parent key set
+    is the build side (broadcast when it fits, else a keyed shuffle both
+    sides partition-pruned to just the two key columns); the child scan
+    reads ONE column. This is the audit every fact-dim pipeline runs
+    before publishing a snapshot."""
+    from pyspark.sql import functions as F
+
+    nn = child.filter(F.col(fk).isNotNull()).select(F.col(fk))
+    orphans = nn.join(parent.select(F.col(pk).alias(fk)), fk, "left_anti")
+    return orphans.agg(
+        F.lit(check).alias("check"),
+        F.count(F.lit(1)).alias("orphan_rows"),
+        F.count_distinct(F.col(fk)).alias("distinct_orphan_keys"),
+    ).crossJoin(
+        child.agg(
+            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).alias("null_fk_rows")
+        )
+    )
+
+
+def pk_uniqueness(df, pk: str, check: str = "pk"):
+    """Primary-key uniqueness audit: (check, total_rows, distinct_keys,
+    duplicate_rows). One hash aggregate on the key column; duplicate_rows
+    is total − distinct, exact, computed from the same pass."""
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(F.col(pk)).agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.lit(check).alias("check"),
+        F.sum("c").alias("total_rows"),
+        F.count(F.lit(1)).alias("distinct_keys"),
+        (F.sum("c") - F.count(F.lit(1))).alias("duplicate_rows"),
+    )

@@ -145,3 +145,82 @@ def inter_event_gaps(
         F.round(F.percentile("gap_us", F.lit(0.5)) / sec, 6).alias("p50_gap_s"),
         F.round(F.percentile("gap_us", F.lit(0.9)) / sec, 6).alias("p90_gap_s"),
     )
+
+
+def hourly_anomalies(
+    events: DataFrame,
+    z_threshold: float = 2.0,
+    ts: str = "ts",
+    event_type: str = "event_type",
+) -> DataFrame:
+    """Volume-anomaly detection: bucket the log into (type, hour) counts,
+    then flag hours whose count deviates from that type's mean by more
+    than ``z_threshold`` population standard deviations.
+
+    Two aggregations, both tiny after the first: the (type, hour) rollup
+    is the only pass over the log (map-side combine; |types|·|hours|
+    output rows), and the per-type moments ride a window over that
+    rollup — monitoring-grade anomaly detection without a second scan.
+
+    The z-score is derived from EXACT integer moments (n, Σcnt, Σcnt²)
+    rather than a stddev aggregate: builtin stddev implementations
+    accumulate floating-point state in partition order, so two engines
+    (or two runs with different partitioning) can disagree in the last
+    ulp right at the |z| > threshold boundary. Integer moments make
+    mean/var/z the SAME double expression over the SAME integers
+    everywhere — bit-stable, hence oracle-hashable.
+    """
+    from pyspark.sql import Window as W
+
+    hour = F.date_trunc("hour", F.col(ts).cast("timestamp"))
+    counts = events.groupBy(
+        F.col(event_type), hour.alias("hour")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy(event_type)
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum("cnt").over(w)
+    ss = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mean = s.cast("double") / n
+    var = ss.cast("double") / n - mean * mean
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        counts.withColumn("z", F.round(z, 6))
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(event_type, "hour", "cnt", "z")
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts_us",
+    event_type: str = "event_type",
+) -> DataFrame:
+    """First-order behavior transition matrix: for each user's event
+    stream in time order, count (previous type → type) transitions and
+    attach each source state's outgoing total — the empirical Markov
+    transition counts session-flow analysis starts from.
+
+    One (user)-keyed window exchange (lag), one (from, to) rollup, and a
+    window over the |types|² matrix for the totals. Ties in event time
+    are broken by event_id so the sequence — and therefore the matrix —
+    is deterministic.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(user).orderBy(F.col(ts).asc(), F.col("event_id").asc())
+    pairs = (
+        events.select(F.col(user), F.col("event_id"), F.col(ts), F.col(event_type))
+        .withColumn("prev_type", F.lag(event_type).over(w))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    matrix = pairs.groupBy(
+        F.col("prev_type").alias("from_type"), F.col(event_type).alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out_total = F.sum("cnt").over(W.partitionBy("from_type"))
+    return matrix.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / out_total, 6).alias("p"),
+    )

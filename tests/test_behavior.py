@@ -262,3 +262,111 @@ class TestTwoStageDistinct:
         want = {r["g"]: r["n"] for r in df.groupBy("g").agg(
             F.count_distinct("v").alias("n")).collect()}
         assert got == want
+
+
+class TestIntegrityAudits:
+    def test_orphans_detected(self, spark):
+        from nnanalytics_spark.core.profile import pk_uniqueness, referential_integrity
+
+        child = spark.createDataFrame(
+            [(1,), (2,), (2,), (9,), (None,)], "fk long"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        row = referential_integrity(child, parent, "fk", "pk").collect()[0]
+        assert row["orphan_rows"] == 1          # the fk=9 row
+        assert row["distinct_orphan_keys"] == 1
+        assert row["null_fk_rows"] == 1
+        dup = pk_uniqueness(child.filter(F.col("fk").isNotNull()), "fk").collect()[0]
+        assert (dup["total_rows"], dup["distinct_keys"], dup["duplicate_rows"]) == (4, 3, 1)
+
+
+class TestIncrementalRollup:
+    def test_merge_equals_full_recompute(self, spark):
+        from nnanalytics_spark.core.aggregates import (
+            merge_partial_aggregates,
+            partial_aggregate,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g%d" % (i % 3), float(i)) for i in range(100)],
+            "event_id long, event_type string, value double",
+        )
+        state = partial_aggregate(df.filter(F.col("event_id") < 40), "event_type", "value")
+        batch = partial_aggregate(df.filter(F.col("event_id") >= 40), "event_type", "value")
+        merged = merge_partial_aggregates(state, batch, "event_type")
+        full = partial_aggregate(df, "event_type", "value")
+        got = {r["event_type"]: (r["cnt"], float(r["sum_value"])) for r in merged.collect()}
+        want = {r["event_type"]: (r["cnt"], float(r["sum_value"])) for r in full.collect()}
+        assert got == want
+
+    def test_merge_handles_new_and_missing_keys(self, spark):
+        from nnanalytics_spark.core.aggregates import (
+            merge_partial_aggregates,
+            partial_aggregate,
+        )
+
+        a = spark.createDataFrame([(1, "x", 1.0)], "event_id long, event_type string, value double")
+        b = spark.createDataFrame([(2, "y", 2.0)], "event_id long, event_type string, value double")
+        merged = merge_partial_aggregates(
+            partial_aggregate(a, "event_type", "value"),
+            partial_aggregate(b, "event_type", "value"),
+            "event_type",
+        )
+        got = {r["event_type"]: r["cnt"] for r in merged.collect()}
+        assert got == {"x": 1, "y": 1}
+
+
+class TestHourlyAnomalies:
+    def test_spike_is_flagged(self, spark):
+        from nnanalytics_spark.pipeline.behavior import hourly_anomalies
+
+        # 9 quiet hours at 10 events + one 100-event spike
+        rows = []
+        eid = 0
+        for h in range(10):
+            n = 100 if h == 5 else 10
+            for i in range(n):
+                rows.append((eid, 1, "2024-01-01 %02d:00:%02d" % (h, i % 60), "view"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = hourly_anomalies(ev, z_threshold=2.0)
+        got = out.collect()
+        assert len(got) == 1
+        assert got[0]["cnt"] == 100 and got[0]["z"] > 2
+
+
+class TestEventTransitions:
+    def test_matrix_counts_and_probs(self, spark):
+        from nnanalytics_spark.pipeline.behavior import event_transitions
+
+        ev = _events(
+            spark,
+            [
+                (1, 1, 100, "a"), (2, 1, 200, "b"), (3, 1, 300, "a"),
+                (4, 2, 100, "a"), (5, 2, 200, "b"),
+            ],
+        )
+        got = {(r["from_type"], r["to_type"]): (r["cnt"], r["p"])
+               for r in event_transitions(ev).collect()}
+        assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+class TestHLLRollup:
+    def test_merged_sketch_matches_exact_within_bound(self, spark):
+        from nnanalytics_spark.core.aggregates import (
+            hll_estimate,
+            hll_partial,
+            merge_hll_partials,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "g", i % 500) for i in range(2000)],
+            "event_id long, event_type string, user_id long",
+        )
+        a = hll_partial(df.filter(F.col("event_id") < 1000), "event_type", "user_id")
+        b = hll_partial(df.filter(F.col("event_id") >= 1000), "event_type", "user_id")
+        est = hll_estimate(merge_hll_partials(a, b, "event_type"), "event_type")
+        got = est.collect()[0]["approx_distinct"]
+        assert abs(got - 500) / 500 <= 0.05
