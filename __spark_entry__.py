@@ -2841,6 +2841,35 @@ def q_hll_rollup(spark, sf):
     )
 
 
+def q_trend_by_group(spark, sf):
+    """Per-type least-squares trend of value over time (pipeline/
+    stats.py:trend_by_group): slope/intercept/Pearson r from exact
+    integer moments (hours since corpus start × value cents), one
+    grouped aggregate — drift detection without a window or UDF."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.trend_by_group(_events(spark, sf))
+
+
+def q_chi_square(spark, sf):
+    """Chi-square independence test (stats.py:chi_square_independence):
+    event type × hour-of-day contingency table from one log pass,
+    margins via windows over the tiny table, exact integer counts under
+    the double statistic."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.chi_square_independence(_events(spark, sf))
+
+
+def q_winsorized_stats(spark, sf):
+    """Robust per-type summary (stats.py:winsorized_stats): values
+    clamped to the group's exact interpolated [p5, p95], then a
+    DECIMAL-summed mean — the outlier-resistant twin of the raw mean."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.winsorized_stats(_events(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r4 window is SQL-oracle entries ONLY, prioritized:
@@ -2926,6 +2955,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hourly_anomalies": q_hourly_anomalies,
         "event_transitions": q_event_transitions,
         "hll_rollup": q_hll_rollup,
+        "trend_by_group": q_trend_by_group,
+        "chi_square": q_chi_square,
+        "winsorized_stats": q_winsorized_stats,
         # --- (2c) r3-green rows rotated out to make room for (2a);
         # recorded credit + oracle-battery guard ---
         "time_histogram_monthly": q_time_histogram_monthly,
@@ -3623,6 +3655,82 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "trend_by_group": """
+            WITH mn AS (SELECT min(epoch_us(ts)) AS mn FROM events),
+            pts AS (
+              SELECT event_type,
+                     CAST(floor((epoch_us(ts) - mn) / 3600000000.0) AS BIGINT) AS x,
+                     CAST(round(value * 100) AS BIGINT) AS y
+              FROM events, mn
+            ),
+            m AS (
+              SELECT event_type, count(*) AS n,
+                     SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                     SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                     SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                     SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                     SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+              FROM pts GROUP BY event_type
+            ),
+            d AS (
+              SELECT event_type, n,
+                     CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                     CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                     CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+              FROM m
+            ),
+            s AS (
+              SELECT *,
+                     (nd * sxyd - sxd * syd) AS cov_n,
+                     (nd * sxxd - sxd * sxd) AS var_x,
+                     (nd * syyd - syd * syd) AS var_y
+              FROM d
+            )
+            SELECT event_type, n,
+                   round((cov_n / var_x) / 100.0, 6) AS slope_per_hour,
+                   round((syd / nd - ((cov_n / var_x) * sxd) / nd) / 100.0, 6)
+                     AS intercept,
+                   round(cov_n / sqrt(var_x * var_y), 6) AS pearson_r
+            FROM s
+        """,
+        "chi_square": """
+            WITH t AS (
+              SELECT event_type AS a,
+                     CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) % 24 AS b,
+                     count(*) AS o
+              FROM events GROUP BY a, b
+            ),
+            c AS (
+              SELECT a, b, o,
+                     CAST(SUM(o) OVER (PARTITION BY a) AS DOUBLE)
+                       * SUM(o) OVER (PARTITION BY b)
+                       / SUM(o) OVER () AS e
+              FROM t
+            )
+            SELECT round(SUM((o - e) * (o - e) / e), 6) AS chi2,
+                   (count(DISTINCT a) - 1) * (count(DISTINCT b) - 1) AS dof,
+                   count(*) AS cells
+            FROM c
+        """,
+        "winsorized_stats": """
+            WITH bounds AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type
+            ),
+            c AS (
+              SELECT e.event_type,
+                     least(greatest(value, lo), hi) AS v
+              FROM events e JOIN bounds USING (event_type)
+            )
+            SELECT event_type, count(*) AS n,
+                   round(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(*), 6) AS winsorized_mean,
+                   round(min(v), 6) AS clamp_lo,
+                   round(max(v), 6) AS clamp_hi
+            FROM c GROUP BY event_type
         """,
         "memory_histogram": """
             SELECT CASE

@@ -132,6 +132,9 @@ HEADLINE = [
     "pk_uniqueness",
     "hourly_anomalies",
     "event_transitions",
+    "trend_by_group",
+    "chi_square",
+    "winsorized_stats",
 ]
 
 

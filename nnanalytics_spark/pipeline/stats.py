@@ -1,0 +1,146 @@
+"""Distributed statistics over the event log — trend fits, independence
+tests, robust (winsorized) summaries.
+
+Every statistic here is derived from EXACT integer (or DECIMAL) moments
+aggregated in one pass, with the floating-point formula applied only to
+the finished moments. That discipline is what makes the results
+bit-identical across engines and partitionings: builtin stddev/corr
+accumulate float state in partition order (fine for analysis, fatal for
+a value-hash oracle), while Σx, Σy, Σxy, Σx², Σy² over integers are
+order-free. It is also the faster plan — the moment aggregate combines
+map-side, so one reducer row per group crosses the wire.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def trend_by_group(
+    events: DataFrame,
+    group: str = "event_type",
+    ts: str = "ts_us",
+    value: str = "value",
+) -> DataFrame:
+    """Per-group least-squares linear trend of ``value`` over time:
+    slope (per hour), intercept, and Pearson r — the monitoring query
+    behind every "is this metric drifting?" dashboard.
+
+    x = whole hours since the global minimum timestamp (small exact
+    integers), y = value in cents (exact integers), so all five moments
+    are integer sums in DECIMAL and the OLS formula
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    runs on exact operands. One scalar pre-pass for min(ts) (broadcast),
+    one grouped moment aggregate — two scans of one column each, no
+    window, no UDF.
+    """
+    mn = events.agg(F.min(ts).alias("mn"))
+    # explicit floor, not a bare cast: Spark's double→long cast truncates
+    # while other engines round, and the oracle must replay this exactly
+    x = F.floor((F.col(ts) - F.col("mn")) / 3_600_000_000.0).cast("long")
+    y = F.round(F.col(value) * 100).cast("long")
+    d38 = "decimal(38,0)"
+    moments = (
+        events.crossJoin(F.broadcast(mn))
+        .select(F.col(group), x.alias("x"), y.alias("y"))
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("x").cast(d38)).alias("sx"),
+            F.sum(F.col("y").cast(d38)).alias("sy"),
+            F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
+            F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+        )
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return moments.select(
+        group,
+        F.col("n"),
+        F.round(slope / 100.0, 6).alias("slope_per_hour"),  # cents → units
+        F.round((sy / n - slope * sx / n) / 100.0, 6).alias("intercept"),
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("pearson_r"),
+    )
+
+
+def chi_square_independence(
+    events: DataFrame,
+    dim_a: str = "event_type",
+    dim_b_hours: str = "ts_us",
+    buckets: int = 24,
+) -> DataFrame:
+    """Chi-square test of independence between an event dimension and
+    hour-of-day: Χ² = Σ (observed − expected)² / expected over the
+    |A|×|buckets| contingency table, with expected cells from the
+    margins. One log pass builds the (a, b) counts; the margins and the
+    statistic are windows/aggregates over the tiny table. Returns ONE
+    row: (chi2, dof, cells) — compare chi2 against the critical value
+    for dof at your α; the engine reports the statistic, not a p-value
+    (no stats tables in either engine).
+
+    All counts are exact integers; expected = row_total·col_total/N is
+    the same double expression on both engines.
+    """
+    from pyspark.sql import Window as W
+
+    b = (
+        F.floor(F.col(dim_b_hours) / 3_600_000_000.0).cast("long") % buckets
+    ).alias("b")
+    table = events.groupBy(F.col(dim_a).alias("a"), b).agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    row_t = F.sum("o").over(W.partitionBy("a"))
+    col_t = F.sum("o").over(W.partitionBy("b"))
+    grand = F.sum("o").over(W.partitionBy())
+    cell = table.select(
+        "a", "b", "o", (row_t.cast("double") * col_t / grand).alias("e")
+    )
+    dev = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return cell.agg(
+        F.round(F.sum(dev), 6).alias("chi2"),
+        ((F.count_distinct("a") - 1) * (F.count_distinct("b") - 1)).alias("dof"),
+        F.count(F.lit(1)).alias("cells"),
+    )
+
+
+def winsorized_stats(
+    events: DataFrame,
+    group: str = "event_type",
+    value: str = "value",
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Robust per-group summary: clamp values to the group's exact
+    [p5, p95] interpolated percentiles, then mean/min/max over the
+    clamped column — the outlier-resistant mean a metrics pipeline
+    reports next to the raw one.
+
+    Two aggregates over the same keyed exchange: percentile bounds per
+    group, broadcast back (|groups| rows), then the clamped rollup.
+    Clamped sums go through DECIMAL so the mean is order-free.
+    """
+    bounds = events.groupBy(group).agg(
+        F.percentile(value, F.lit(lower)).alias("lo"),
+        F.percentile(value, F.lit(upper)).alias("hi"),
+    )
+    clamped = events.join(F.broadcast(bounds), group).select(
+        F.col(group),
+        F.least(F.greatest(F.col(value), F.col("lo")), F.col("hi")).alias("v"),
+    )
+    return clamped.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)),
+            6,
+        ).alias("winsorized_mean"),
+        F.round(F.min("v"), 6).alias("clamp_lo"),
+        F.round(F.max("v"), 6).alias("clamp_hi"),
+    )

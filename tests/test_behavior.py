@@ -370,3 +370,49 @@ class TestHLLRollup:
         est = hll_estimate(merge_hll_partials(a, b, "event_type"), "event_type")
         got = est.collect()[0]["approx_distinct"]
         assert abs(got - 500) / 500 <= 0.05
+
+
+class TestStats:
+    def test_trend_recovers_known_slope(self, spark):
+        from nnanalytics_spark.pipeline import stats
+
+        # y = 2.0 * hour + 5.0, exact
+        rows = [
+            (i, "g", i * 3_600_000_000, 2.0 * i + 5.0) for i in range(10)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, event_type string, ts_us long, value double"
+        )
+        r = stats.trend_by_group(ev).collect()[0]
+        assert r["slope_per_hour"] == 2.0
+        assert r["intercept"] == 5.0
+        assert r["pearson_r"] == 1.0
+
+    def test_chi_square_zero_for_independent_uniform(self, spark):
+        from nnanalytics_spark.pipeline import stats
+
+        # 2 types × 2 hours, perfectly proportional counts → chi2 == 0
+        rows = []
+        eid = 0
+        for t, h, n in [("a", 0, 10), ("a", 1, 20), ("b", 0, 30), ("b", 1, 60)]:
+            for _ in range(n):
+                rows.append((eid, t, h * 3_600_000_000))
+                eid += 1
+        ev = spark.createDataFrame(rows, "event_id long, event_type string, ts_us long")
+        r = stats.chi_square_independence(ev).collect()[0]
+        assert r["chi2"] == 0.0
+        assert r["dof"] == 1
+        assert r["cells"] == 4
+
+    def test_winsorized_mean_resists_outlier(self, spark):
+        from nnanalytics_spark.pipeline import stats
+
+        vals = [float(i) for i in range(1, 20)] + [10_000.0]
+        ev = spark.createDataFrame(
+            [(i, "g", v) for i, v in enumerate(vals)],
+            "event_id long, event_type string, value double",
+        )
+        r = stats.winsorized_stats(ev).collect()[0]
+        raw_mean = sum(vals) / len(vals)
+        assert r["winsorized_mean"] < raw_mean / 5  # outlier clamped away
+        assert r["clamp_hi"] < 10_000.0
