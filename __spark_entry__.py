@@ -3626,7 +3626,9 @@ def oracle_sql() -> dict[str, str]:
                                 - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
                          6) AS z
             FROM m
-            WHERE abs(round((cnt - CAST(s AS DOUBLE) / n)
+            WHERE CAST(ss AS DOUBLE) / n
+                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+              AND abs(round((cnt - CAST(s AS DOUBLE) / n)
                             / sqrt(CAST(ss AS DOUBLE) / n
                                    - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
                             6)) > 2.0
@@ -3688,10 +3690,14 @@ def oracle_sql() -> dict[str, str]:
               FROM d
             )
             SELECT event_type, n,
-                   round((cov_n / var_x) / 100.0, 6) AS slope_per_hour,
-                   round((syd / nd - ((cov_n / var_x) * sxd) / nd) / 100.0, 6)
-                     AS intercept,
-                   round(cov_n / sqrt(var_x * var_y), 6) AS pearson_r
+                   round(CASE WHEN var_x > 0 THEN (cov_n / var_x) / 100.0 END, 6)
+                     AS slope_per_hour,
+                   round(CASE WHEN var_x > 0 THEN
+                           (syd / nd - ((cov_n / var_x) * sxd) / nd) / 100.0
+                         END, 6) AS intercept,
+                   round(CASE WHEN var_x * var_y > 0 THEN
+                           cov_n / sqrt(var_x * var_y)
+                         END, 6) AS pearson_r
             FROM s
         """,
         "chi_square": """

@@ -65,12 +65,21 @@ def exact_distinct_two_stage(
     is spread across reducers by (group, value) — no single task ever
     holds a whole hot group. The second aggregate counts |distinct| rows.
     Same answer, skew-safe plan; asserted Expand-free in
-    tests/test_entry_plans.py."""
+    tests/test_entry_plans.py.
+
+    NULL semantics match count(DISTINCT): NULL is never a distinct
+    value, but a group whose values are ALL NULL still appears with 0 —
+    so the null row survives stage one and is excluded only from the
+    stage-two count."""
     return (
         df.groupBy(F.col(group), F.col(value))
         .agg(F.lit(1).alias("_one"))
         .groupBy(group)
-        .agg(F.count(F.lit(1)).alias(alias))
+        .agg(
+            F.sum(
+                F.when(F.col(value).isNotNull(), 1).otherwise(0)
+            ).alias(alias)
+        )
     )
 
 

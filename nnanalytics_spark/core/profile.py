@@ -109,7 +109,11 @@ def referential_integrity(
         F.count_distinct(F.col(fk)).alias("distinct_orphan_keys"),
     ).crossJoin(
         child.agg(
-            F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)).alias("null_fk_rows")
+            # coalesce: sum over an EMPTY child is NULL, the audit's
+            # contract (and the oracle's scalar count) says 0
+            F.coalesce(
+                F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("null_fk_rows")
         )
     )
 

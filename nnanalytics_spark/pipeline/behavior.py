@@ -88,18 +88,20 @@ def retention_cohorts(
     """Cohort retention: users grouped by their first-activity day, then
     counted (distinct) per (cohort day, activity-week offset).
 
-    Two keyed aggregations and one broadcast join: the cohort table is
-    |users| rows (aggregate FIRST, then join — cheaper than a per-user
-    window over the raw log, which would shuffle every event by user just
-    to tag it), and AQE broadcasts it against the event log. At 100 TB
-    the cohort dim is still tiny relative to the log, so the join side
-    stays broadcast and the only big shuffle is the final group-by.
+    Two keyed aggregations and one join: the cohort table is |users|
+    rows (aggregate FIRST, then join — cheaper than a per-user window
+    over the raw log, which would shuffle every event by user just to
+    tag it). The join strategy is deliberately left to AQE: the cohort
+    dim is tiny relative to the log but still one row PER USER, so a
+    forced broadcast would blow the broadcast limit on a
+    hundreds-of-millions-of-users log; AQE broadcasts exactly when the
+    dim actually fits and falls back to a keyed join when it does not.
     """
     d = F.to_date(F.col(ts).cast("timestamp"))
     act = events.select(F.col(user).alias("u"), d.alias("d"))
     cohort = act.groupBy("u").agg(F.min("d").alias("cohort_day"))
     return (
-        act.join(F.broadcast(cohort), "u")
+        act.join(cohort, "u")
         .groupBy(
             "cohort_day",
             (F.datediff(F.col("d"), F.col("cohort_day")) / bucket_days)
@@ -183,8 +185,14 @@ def hourly_anomalies(
     mean = s.cast("double") / n
     var = ss.cast("double") / n - mean * mean
     z = (F.col("cnt") - mean) / F.sqrt(var)
+    # var == 0 (a type with constant hourly counts, e.g. all events in one
+    # bucket) has no anomalies by definition — and under ANSI mode the
+    # bare division would abort the whole query with DIVIDE_BY_ZERO, so
+    # the guard must come BEFORE z is ever evaluated.
     return (
-        counts.withColumn("z", F.round(z, 6))
+        counts.withColumn("var", var)
+        .filter(F.col("var") > 0)
+        .withColumn("z", F.round(z, 6))
         .filter(F.abs(F.col("z")) > z_threshold)
         .select(event_type, "hour", "cnt", "z")
     )

@@ -62,12 +62,19 @@ def trend_by_group(
     var_x = n * sxx - sx * sx
     var_y = n * syy - sy * sy
     slope = cov_n / var_x
+    # Degenerate groups (singleton, or constant x / constant y) have no
+    # defined slope/r — emit NULL, never divide: under ANSI mode the bare
+    # division is a hard DIVIDE_BY_ZERO that kills the whole query on
+    # the first rare group.
+    slope_g = F.when(var_x > 0, slope)
     return moments.select(
         group,
         F.col("n"),
-        F.round(slope / 100.0, 6).alias("slope_per_hour"),  # cents → units
-        F.round((sy / n - slope * sx / n) / 100.0, 6).alias("intercept"),
-        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("pearson_r"),
+        F.round(slope_g / 100.0, 6).alias("slope_per_hour"),  # cents → units
+        F.round((sy / n - slope_g * sx / n) / 100.0, 6).alias("intercept"),
+        F.round(
+            F.when(var_x * var_y > 0, cov_n / F.sqrt(var_x * var_y)), 6
+        ).alias("pearson_r"),
     )
 
 

@@ -134,7 +134,9 @@ def verify_shard_layout(spark: SparkSession, path: str, key: str) -> DataFrame:
     shards = files_df.mapInPandas(
         _check,
         "file string, rows long, min_key long, max_key long, n_distinct long, sorted boolean",
-    )
+    ).persist()  # consumed 3× (both self-join sides + the final agg);
+    # without this the per-file sortedness read — the expensive part —
+    # re-executes for every consumer
     a, b = shards.alias("a"), shards.alias("b")
     overlaps = a.join(
         b,
@@ -167,9 +169,19 @@ def compact_small_files(
     def _count(p: str) -> int:
         return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
 
-    spark.read.parquet(in_path).coalesce(target_files).write.mode(
-        "overwrite"
-    ).parquet(out_path)
+    df = spark.read.parquet(in_path)
+    # coalesce can only REDUCE partition count, and the scan may already
+    # pack many tiny files into fewer splits than target_files (split
+    # packing depends on maxPartitionBytes/openCostInBytes and core
+    # count, not on this function's contract). Keep the shuffle-free
+    # coalesce on the common path; fall back to a round-robin
+    # repartition only when the scan under-splits, so the output file
+    # count is exactly target_files either way.
+    if df.rdd.getNumPartitions() >= target_files:
+        df = df.coalesce(target_files)
+    else:
+        df = df.repartition(target_files)
+    df.write.mode("overwrite").parquet(out_path)
     return _count(in_path), _count(out_path)
 
 
@@ -236,11 +248,16 @@ def prune_files(
     """Files whose [min,max] intersects [lo, hi] — the scan list a
     zone-map-aware reader passes to ``spark.read.parquet(*files)``.
     The zone map is |files| rows; this is a driver-side filter over
-    metadata, exactly like a manifest prune, NOT a data scan."""
+    metadata, exactly like a manifest prune, NOT a data scan.
+
+    A file with NULL stats (writer emitted no min/max) is conservatively
+    KEPT — a skip index may only skip what it can prove disjoint, or the
+    pruned scan silently loses rows."""
     from pyspark.sql import functions as F
 
     rows = zmap.filter(
-        (F.col("max_key") >= lo) & (F.col("min_key") <= hi)
+        F.coalesce(F.col("max_key") >= lo, F.lit(True))
+        & F.coalesce(F.col("min_key") <= hi, F.lit(True))
     ).collect()
     return sorted(r["file"] for r in rows)
 

@@ -416,3 +416,81 @@ class TestStats:
         raw_mean = sum(vals) / len(vals)
         assert r["winsorized_mean"] < raw_mean / 5  # outlier clamped away
         assert r["clamp_hi"] < 10_000.0
+
+
+class TestReviewEdgeCases:
+    """Regressions for the r4 code-review findings: ANSI divide-by-zero
+    guards, NULL-distinct semantics, under-split compaction, NULL-stats
+    pruning."""
+
+    def test_anomalies_survive_zero_variance_type(self, spark):
+        from nnanalytics_spark.pipeline.behavior import hourly_anomalies
+
+        # 'solo' lives in exactly one hour bucket → n=1, var=0: must be
+        # skipped, not crash the query under ANSI mode
+        rows = [(0, 1, "2024-01-01 03:00:00", "solo")]
+        eid = 1
+        for h in range(10):
+            n = 100 if h == 5 else 10
+            for i in range(n):
+                rows.append((eid, 1, "2024-01-01 %02d:00:%02d" % (h, i % 60), "view"))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, event_type string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = hourly_anomalies(ev, z_threshold=2.0).collect()
+        assert {r["event_type"] for r in out} == {"view"}
+
+    def test_trend_degenerate_groups_yield_null_not_crash(self, spark):
+        from nnanalytics_spark.pipeline import stats
+
+        ev = spark.createDataFrame(
+            [
+                (0, "single", 0, 5.0),                     # n=1: var_x=var_y=0
+                (1, "flat_y", 0, 7.0),                     # constant value
+                (2, "flat_y", 3_600_000_000, 7.0),
+                (3, "ok", 0, 1.0),
+                (4, "ok", 3_600_000_000, 2.0),
+            ],
+            "event_id long, event_type string, ts_us long, value double",
+        )
+        got = {r["event_type"]: r for r in stats.trend_by_group(ev).collect()}
+        assert got["single"]["slope_per_hour"] is None
+        assert got["single"]["pearson_r"] is None
+        assert got["flat_y"]["slope_per_hour"] == 0.0   # var_x>0, var_y=0
+        assert got["flat_y"]["pearson_r"] is None
+        assert got["ok"]["slope_per_hour"] == 1.0
+
+    def test_two_stage_distinct_null_semantics(self, spark):
+        from nnanalytics_spark.core.aggregates import exact_distinct_two_stage
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", None), ("b", None)], "g string, v int"
+        )
+        got = {r["g"]: r["n_distinct"] for r in
+               exact_distinct_two_stage(df, "g", "v").collect()}
+        # count(DISTINCT v): NULL never counts, all-NULL group shows 0
+        assert got == {"a": 2, "b": 0}
+
+    def test_compaction_reaches_target_when_scan_undersplits(self, spark):
+        base = tempfile.mkdtemp(prefix="nna_t_compact2_")
+        small, out = f"{base}/in", f"{base}/out"
+        spark.range(0, 100).coalesce(1).write.parquet(small)  # 1 tiny file
+        before, after = layout.compact_small_files(spark, small, out, 4)
+        assert (before, after) == (1, 4)
+        assert spark.read.parquet(out).count() == 100
+
+    def test_prune_keeps_files_with_null_stats(self, spark):
+        zmap = spark.createDataFrame(
+            [("f_in", 100, 0, 10), ("f_out", 100, 50, 60), ("f_null", 100, None, None)],
+            "file string, n_rows long, min_key long, max_key long",
+        )
+        assert layout.prune_files(spark, zmap, 0, 20) == ["f_in", "f_null"]
+
+    def test_integrity_audit_on_empty_child_is_zero(self, spark):
+        from nnanalytics_spark.core.profile import referential_integrity
+
+        child = spark.createDataFrame([], "fk long")
+        parent = spark.createDataFrame([(1,)], "pk long")
+        row = referential_integrity(child, parent, "fk", "pk").collect()[0]
+        assert (row["orphan_rows"], row["null_fk_rows"]) == (0, 0)
