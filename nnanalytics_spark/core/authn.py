@@ -239,7 +239,22 @@ class JwtManager:
         return sub
 
     def revoke(self, token: str) -> None:
+        """Add to the revocation set, pruning entries whose exp has
+        passed — expired tokens fail verify() on their own, so retaining
+        them only leaks memory on a long-lived server. Bounds the set to
+        tokens revoked within the TTL window."""
         self._revoked.add(token)
+        now_s = self._now_ms() // 1000
+        dead = []
+        for t in self._revoked:
+            try:
+                exp = json.loads(_b64url_decode(t.split(".")[1])).get("exp", 0)
+            except Exception:
+                dead.append(t)  # unparseable entries can never verify
+                continue
+            if exp <= now_s:
+                dead.append(t)
+        self._revoked.difference_update(dead)
 
 
 # ------------------------------------------------------------ the context
@@ -300,7 +315,13 @@ class SecurityManager:
         a JWT from the Bearer header / nna-jwt-token cookie. Raises
         AuthenticationError when nothing valid is presented."""
         if authorization and authorization.startswith("Basic "):
-            decoded = base64.b64decode(authorization[len("Basic "):].strip()).decode()
+            try:
+                decoded = base64.b64decode(
+                    authorization[len("Basic "):].strip(), validate=True
+                ).decode()
+            except Exception as exc:  # malformed base64 / non-UTF-8 blob:
+                # must surface as 401, not a 500 from the request handler
+                raise AuthenticationError("Malformed Basic credentials.") from exc
             username, _, password = decoded.partition(":")
             self.login(username, password)  # raises on failure
             return username

@@ -276,16 +276,26 @@ def remove_dup_spans(
          happens inside each doc's aggregation buffer, no global sort.
     Token positions ride as ints; only the surviving tokens are ever
     re-materialized as text."""
+    from nnanalytics_spark.pipeline.text import tokens as _tokens
+
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("t"),
+        # the SHARED tokenizer, so span positions line up with every
+        # other operator's token indices (empty-string convention incl.)
+        _tokens(F.lower(F.col(text))).alias("t"),
     ).filter(F.length(F.trim(F.col(text))) > 0)
-    # gram occurrences with their start positions (1-based)
+    # gram occurrences with their start positions (1-based). Docs shorter
+    # than n have no grams: sequence(1, 0) would DESCEND ([1, 0]) and
+    # slice(t, 0, n) is a runtime error, so the whole sequence is gated
+    # behind size >= n and short docs emit an empty gram array instead.
+    gram_seq = F.when(
+        F.size("t") >= n, F.sequence(F.lit(1), F.size("t") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
     grams = toks.select(
         "id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("t") - n + 1, F.lit(0))),
+                gram_seq,
                 lambda i: F.struct(
                     i.alias("pos"),
                     F.xxhash64(F.array_join(F.slice("t", i, n), " ")).alias("sg"),

@@ -156,14 +156,13 @@ def hashed_classifier_scores(
 
 
 def _classifier_cols(dim: int, threshold: float, text: str) -> list:
+    # the ONE base-31 polynomial hash (text._poly_hash) — hashed_features
+    # and count_min_table share it, so a hash fix lands everywhere at once
+    from nnanalytics_spark.pipeline.text import _poly_hash
+
     toks = tokens(F.col(text))
-    tok_hash = lambda t: F.aggregate(  # noqa: E731 — poly hash, base 31
-        F.split(t, ""),
-        F.lit(0).cast("long"),
-        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(2147483647),
-    )
     weight = lambda t: (  # noqa: E731
-        (tok_hash(t) % dim) * F.lit(2654435761) + 104729
+        (_poly_hash(t, 31) % dim) * F.lit(2654435761) + 104729
     ) % 2001 - 1000
     n = F.size(toks)
     total = F.aggregate(

@@ -809,7 +809,11 @@ def semdedup(
     else:
         centroids = kmeans_centroids(df, nlist=nlist, vec_col=vec_col)
 
-    assigned = assign_cells_rounded(df, centroids, id_col, vec_col)
+    # persist: the assignment map pass is consumed by THREE downstream
+    # jobs (within_cell_pairs_above's count() sizing action, both sides
+    # of its block join, and the final keep join) — uncached, the numpy
+    # argmax over the whole corpus would re-execute for each
+    assigned = assign_cells_rounded(df, centroids, id_col, vec_col).persist()
     pairs = within_cell_pairs_above(assigned, eps, rows_per_block=rows_per_block)
     dups = pairs.select(F.col("id_b").alias("dup_id")).distinct()
     return (

@@ -562,6 +562,12 @@ def count_min_estimates(
     estimate = min over rows d of the counter at (d, hash_d(token)).
     The query side is small by construction (heavy-hitter candidates),
     so both the bucket join and the per-token min are broadcast-sized.
+
+    LEFT join + coalesce(0): the sketch table is sparse (only touched
+    buckets have rows), so a probe landing in an untouched bucket means
+    counter == 0 — it must participate in the min (an absent token's
+    estimate is 0), not silently drop out of it. An inner join here
+    breaks the CMS upper-bound guarantee for rare/absent tokens.
     """
     bases = CMS_BASES
     probes = queries.select(
@@ -571,7 +577,8 @@ def count_min_estimates(
         ).alias("d", "bucket"),
     )
     return (
-        probes.join(sketch, ["d", "bucket"])
+        probes.join(sketch, ["d", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
         .groupBy(tok_col)
         .agg(F.min("cnt").alias("cms_estimate"))
     )

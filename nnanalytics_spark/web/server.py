@@ -385,12 +385,24 @@ class AnalyticsWebServer:
         now = self.now_ms or _wall_ms()
         cutoff = now - limit_days * 86_400_000
         hist_dir = f"{self.suggestions_dir}/history"
-        kept = spark.read.parquet(hist_dir).filter(F.col("sweepTs") >= cutoff)
-        kept_pdf = kept.toPandas()  # history is sweep-cadence tiny
+        import os
         import shutil
 
-        shutil.rmtree(hist_dir)
-        spark.createDataFrame(kept_pdf, kept.schema).write.mode("overwrite").parquet(hist_dir)
+        if not os.path.isdir(hist_dir):
+            raise ValueError("no sweep history to truncate")
+        kept = spark.read.parquet(hist_dir).filter(F.col("sweepTs") >= cutoff)
+        kept_pdf = kept.toPandas()  # history is sweep-cadence tiny
+        # write-then-swap: the replacement lands in a sibling temp dir and
+        # only replaces the archive after the write SUCCEEDS — a failure
+        # mid-rewrite (disk full, kill) must never lose the only copy
+        tmp_dir = f"{hist_dir}.__truncating__"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        spark.createDataFrame(kept_pdf, kept.schema).write.mode("overwrite").parquet(tmp_dir)
+        old_dir = f"{hist_dir}.__old__"
+        shutil.rmtree(old_dir, ignore_errors=True)
+        os.rename(hist_dir, old_dir)
+        os.rename(tmp_dir, hist_dir)
+        shutil.rmtree(old_dir)
         return 200, "text/plain", f"Truncated history to {limit_days} days ({len(kept_pdf)} rows kept)."
 
     def _operations(self, endpoint, params):

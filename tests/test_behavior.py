@@ -494,3 +494,60 @@ class TestReviewEdgeCases:
         parent = spark.createDataFrame([(1,)], "pk long")
         row = referential_integrity(child, parent, "fk", "pk").collect()[0]
         assert (row["orphan_rows"], row["null_fk_rows"]) == (0, 0)
+
+
+class TestEarlyR4ReviewFixes:
+    """Regressions for the early-r4 review findings."""
+
+    def test_span_removal_survives_short_docs(self, spark):
+        from nnanalytics_spark.pipeline.dedup import remove_dup_spans
+
+        docs = spark.createDataFrame(
+            [(0, "only three tokens"), (1, "a b c d e f g h i j"),
+             (2, "a b c d e f g h i j")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in remove_dup_spans(docs, n=8).collect()}
+        assert out[0]["n_removed"] == 0           # short doc untouched, no crash
+        assert out[0]["clean_text"] == "only three tokens"
+        assert out[2]["n_removed"] > 0            # dup doc still rewritten
+
+    def test_cms_absent_token_estimates_zero(self, spark):
+        from nnanalytics_spark.pipeline.text import count_min_estimates, count_min_table
+
+        docs = spark.createDataFrame([(0, "aa aa bb")], "doc_id long, text string")
+        sketch = count_min_table(docs, width=64)
+        q = spark.createDataFrame([("zz_absent",), ("aa",)], "tok string")
+        got = {r["tok"]: r["cms_estimate"] for r in
+               count_min_estimates(sketch, q, width=64).collect()}
+        assert got["aa"] >= 2
+        assert "zz_absent" in got        # absent token must NOT vanish
+        assert got["zz_absent"] >= 0     # and min includes empty buckets
+
+    def test_malformed_basic_auth_is_auth_error(self):
+        from nnanalytics_spark.core.authn import (
+            AuthenticationError,
+            LocalPasswordSet,
+            SecurityManager,
+        )
+
+        sm = SecurityManager(local=LocalPasswordSet({"u": "p"}))
+        import pytest as _pytest
+
+        with _pytest.raises(AuthenticationError):
+            sm.resolve(authorization="Basic !!!not-base64!!!")
+        with _pytest.raises(AuthenticationError):
+            sm.resolve(authorization="Basic " + "//5hAGIA")  # non-UTF-8 bytes
+
+    def test_jwt_revocation_set_prunes_expired(self):
+        from nnanalytics_spark.core.authn import JwtManager
+
+        clock = [1_000_000_000_000]
+        jm = JwtManager(secret="s", ttl_ms=1000, now_ms=lambda: clock[0])
+        t1 = jm.generate("u")
+        jm.revoke(t1)
+        assert len(jm._revoked) == 1
+        clock[0] += 10_000            # t1 now expired
+        t2 = jm.generate("u")
+        jm.revoke(t2)                 # prune happens on revoke
+        assert t1 not in jm._revoked and t2 in jm._revoked
