@@ -91,6 +91,14 @@ def _fanout(spark: SparkSession) -> int:
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ship_package(spark)
+    # TIMESTAMP(NANOS) parquet (older testdata) is unreadable WITHOUT the
+    # legacy conf — the scan itself throws before _with_ts_cols can
+    # branch on the dtype. Setting it is a no-op for timestamp[us] files,
+    # so set it unconditionally; guard for Spark builds without the conf.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     return _with_ts_cols(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
@@ -2262,10 +2270,13 @@ def q_changelog_upsert(spark, sf):
     ).unionByName(
         files.filter(pk % 10 == 2)
         # pk reads the CURRENT id column — derive everything before the
-        # id rewrite shifts it
+        # id rewrite shifts it. The fresh-id offset must clear the WHOLE
+        # base id space (pk + 1e6), not add another 1e6 — at sf >= 5
+        # p_partkey exceeds 1e6 and a +1e6 fresh id would collide with a
+        # real file's id, silently deleting an unrelated row in the MERGE.
         .withColumn("path", F.concat(F.lit("/fresh/part_"), pk.cast("string")))
         .withColumn("fileSize", pk.cast("long"))
-        .withColumn("id", F.col("id") + 1_000_000)
+        .withColumn("id", F.col("id") + 10_000_000_000)
         .withColumn("user", F.lit("fresh"))
         .withColumn("op", F.lit("add"))
     )

@@ -355,19 +355,30 @@ def decode_avi(payload: bytes) -> dict:
                 ltype = buf[body_start : body_start + 4]
                 if ltype in (b"hdrl", b"strl", b"movi"):
                     walk(buf, body_start + 4, body_start + size)
+            # header structs validate the chunk's DECLARED size before
+            # unpack_from: a short chunk must raise ValueError (the
+            # malformed-payload contract), not struct.error from reading
+            # past the declared body — or worse, silently parse the next
+            # chunk's bytes as header fields.
             elif cid == b"avih":
+                if size < 40:
+                    raise ValueError("short avih chunk")
                 (usec, _mbps, _pad, _flags, total, _init, _streams, _buf,
                  w, h) = struct.unpack_from("<10I", buf, body_start)
                 width, height, n_frames_hdr = w, h, total
                 if usec:
                     fps = round(1_000_000 / usec)
             elif cid == b"strh":
+                if size < 28:
+                    raise ValueError("short strh chunk")
                 fcc = buf[body_start : body_start + 4]
                 if fcc == b"vids":
                     scale, rate = struct.unpack_from("<II", buf, body_start + 20)
                     if scale:
                         fps = rate // scale
             elif cid == b"strf":
+                if size < 20:
+                    raise ValueError("short strf chunk")
                 (_sz, _w, _h, _planes, bc, comp) = struct.unpack_from(
                     "<IiiHHI", buf, body_start
                 )

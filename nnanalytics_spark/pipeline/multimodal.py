@@ -314,6 +314,12 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     meta = codecs.decode_avi(payload)
                 except ValueError:
                     meta = None
+                # a structurally-valid AVI can still carry ZERO frames
+                # (empty movi list): frames[idx] on it would IndexError
+                # past the ValueError fallback — treat it like any other
+                # undecodable payload and fall through to the byte slices
+                if meta is not None and meta["n_frames"] == 0:
+                    meta = None
                 if meta is not None:
                     duration, fps = meta["duration_ms"], meta["fps"]
                     for k in range(max(int(duration) // every_ms, 1)):

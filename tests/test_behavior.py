@@ -551,3 +551,48 @@ class TestEarlyR4ReviewFixes:
         t2 = jm.generate("u")
         jm.revoke(t2)                 # prune happens on revoke
         assert t1 not in jm._revoked and t2 in jm._revoked
+
+
+class TestR3ReviewFixes:
+    """Regressions for the r3-range review findings (codec hardening,
+    zero-frame videos)."""
+
+    def test_zero_frame_avi_falls_back_not_crashes(self, spark):
+        import struct
+
+        from nnanalytics_spark.pipeline import codecs
+
+        # structurally-valid AVI with headers but an empty movi list
+        avih = struct.pack("<10I", 33333, 0, 0, 0, 0, 0, 1, 0, 8, 8) + b"\x00" * 16
+        hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+        hdrl_list = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+        movi_list = b"LIST" + struct.pack("<I", 4) + b"movi"
+        body = b"AVI " + hdrl_list + movi_list
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        meta = codecs.decode_avi(payload)
+        assert meta["n_frames"] == 0
+
+        from nnanalytics_spark.pipeline.multimodal import sample_frames
+
+        df = spark.createDataFrame(
+            [(1, "video", payload, {"duration_ms": 2000})],
+            "media_id long, kind string, payload binary, meta map<string,int>",
+        )
+        rows = sample_frames(df, every_ms=1000).collect()  # must not IndexError
+        assert all(r["payload"] is not None for r in rows)
+
+    def test_truncated_header_chunk_raises_value_error(self):
+        import struct
+
+        import pytest as _pytest
+
+        from nnanalytics_spark.pipeline import codecs
+
+        # avih chunk declares size=4 — far short of the 40-byte struct
+        avih = b"\x00" * 4
+        hdrl = b"avih" + struct.pack("<I", len(avih)) + avih
+        hdrl_list = b"LIST" + struct.pack("<I", 4 + len(hdrl)) + b"hdrl" + hdrl
+        body = b"AVI " + hdrl_list
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        with _pytest.raises(ValueError):
+            codecs.decode_avi(payload)
