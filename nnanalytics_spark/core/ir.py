@@ -32,7 +32,16 @@ class Query:
     limit: int | None = None
     parent_dir_depth: int = 3
     time_range: str = "weekly"
-    # transforms: (conditions, {field: replacement}) — §2.6 what-if rewrite
+    # transforms: §2.6 what-if rewrite. ``transforms`` is the canonical
+    # POSITION-ALIGNED form — one (conditions, field, output) entry per
+    # URL triple, so `user:eq:a → replica 2; user:eq:b → replica 3` keeps
+    # each condition paired with ITS output (an AND-merge of the
+    # conditions would be unsatisfiable). The two legacy fields remain
+    # for single-transform callers and are ignored when ``transforms``
+    # is non-empty.
+    transforms: list[tuple[list[tuple[str, str, str]], str, int]] = field(
+        default_factory=list
+    )
     transform_conditions: list[tuple[str, str, str]] = field(default_factory=list)
     transform_outputs: dict[str, int] = field(default_factory=dict)
     now_ms: int | None = None

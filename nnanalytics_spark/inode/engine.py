@@ -60,7 +60,7 @@ class INodeEngine:
         """Resolve a registry column, applying transforms (§2.6) if set."""
         spec = reg.COLUMNS[name]
         expr = spec.expr(df)
-        if query.transform_outputs:
+        if query.transforms or query.transform_outputs:
             expr = self._apply_transform(df, name, expr, query)
         return expr
 
@@ -69,26 +69,35 @@ class INodeEngine:
     ) -> Column:
         """Conditional column rewrite before aggregation
         (Transforms.java:58-230): fileReplica → N, and the replica-derived
-        columns recomputed from the transformed replica."""
-        if "fileReplica" not in query.transform_outputs:
-            return expr
-        replacement = query.transform_outputs["fileReplica"]
-        cond = flt.and_chain(
-            [
-                flt.compile_predicate(
-                    reg.COLUMNS[f].expr(df), reg.COLUMNS[f].dtype, op, val, query.now_ms
-                )
-                for f, op, val in query.transform_conditions
-            ]
-        )
-        if cond is None:
-            cond = F.lit(True)
-        if name == "fileReplica":
-            return F.when(cond, F.lit(replacement)).otherwise(expr)
-        if name == "numReplicas":
-            return F.when(cond, F.col("numBlocks") * replacement).otherwise(expr)
-        if name == "diskspaceConsumed":
-            return F.when(cond, F.col("fileSize") * replacement).otherwise(expr)
+        columns recomputed from the transformed replica.
+
+        Each transform triple keeps ITS OWN condition (position-aligned,
+        `query.transforms`); overlapping conditions resolve first-triple-
+        wins via reverse-order when-chaining. The legacy AND-merged pair
+        of fields is honored only when no aligned list is present."""
+        triples = query.transforms or [
+            (query.transform_conditions, fld, out)
+            for fld, out in query.transform_outputs.items()
+        ]
+        for conds, fld, replacement in reversed(triples):
+            if fld != "fileReplica":
+                continue
+            cond = flt.and_chain(
+                [
+                    flt.compile_predicate(
+                        reg.COLUMNS[f].expr(df), reg.COLUMNS[f].dtype, op, val, query.now_ms
+                    )
+                    for f, op, val in conds
+                ]
+            )
+            if cond is None:
+                cond = F.lit(True)
+            if name == "fileReplica":
+                expr = F.when(cond, F.lit(replacement)).otherwise(expr)
+            elif name == "numReplicas":
+                expr = F.when(cond, F.col("numBlocks") * replacement).otherwise(expr)
+            elif name == "diskspaceConsumed":
+                expr = F.when(cond, F.col("fileSize") * replacement).otherwise(expr)
         return expr
 
     def _filtered(self, query: Query) -> DataFrame:

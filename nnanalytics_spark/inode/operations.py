@@ -60,8 +60,14 @@ class OperationRegistry:
     matching the reference's cooperative abort."""
 
     def __init__(self) -> None:
+        import threading
+
         self._ops: dict[int, dict] = {}
         self._next_id = 1
+        # the web layer serves requests from a thread pool: id allocation
+        # and the cursor's read-modify-write must not interleave (Spark
+        # actions inside submit release the GIL for long stretches)
+        self._lock = threading.Lock()
 
     def submit(self, engine, query: Query, op: Operation, batch_size: int = 1000) -> int:
         from pyspark.sql.types import LongType, StructField, StructType
@@ -81,8 +87,9 @@ class OperationRegistry:
             .toDF(schema)
             .localCheckpoint()
         )
-        op_id = self._next_id
-        self._next_id += 1
+        with self._lock:
+            op_id = self._next_id
+            self._next_id += 1
         self._ops[op_id] = {
             "plan": indexed,
             "operation": op.kind,
@@ -113,21 +120,21 @@ class OperationRegistry:
         same batch sees the same rows and each draw costs one scan of the
         checkpointed plan — not a re-sort of the whole target list."""
         st = self._ops[op_id]
-        if st["status"] != "running":
-            return None
-        if st["cursor"] >= st["total"]:
-            st["status"] = "done"
-            return None
-        lo, hi = st["cursor"], st["cursor"] + st["batch_size"]
-        batch = (
+        with self._lock:
+            if st["status"] != "running":
+                return None
+            if st["cursor"] >= st["total"]:
+                st["status"] = "done"
+                return None
+            lo, hi = st["cursor"], st["cursor"] + st["batch_size"]
+            st["cursor"] = min(hi, st["total"])
+            if st["cursor"] >= st["total"]:
+                st["status"] = "done"
+        return (
             st["plan"]
             .filter((F.col("__idx") >= lo) & (F.col("__idx") < hi))
             .drop("__idx")
         )
-        st["cursor"] = min(hi, st["total"])
-        if st["cursor"] >= st["total"]:
-            st["status"] = "done"
-        return batch
 
     def abort(self, op_id: int) -> None:
         if self._ops[op_id]["status"] == "running":

@@ -45,7 +45,15 @@ def ancestors_expr(path_col):
 
 def with_subtree_aggregates(inodes: DataFrame) -> DataFrame:
     """Attach dirSubTreeSize / dirSubTreeNumFiles / dirSubTreeNumDirs to
-    every dir row (files get nulls). Exact, one explode + one shuffle."""
+    every dir row (files get nulls). Exact, one explode + one shuffle.
+
+    A childless dir never appears as anyone's ancestor, so the left join
+    yields NULL for it — but the reference's tree recursion returns 0,
+    and a query like ``dirSubTreeNumFiles:eq:0`` (find empty subtrees, a
+    flagship use case) must MATCH those rows, not NULL them away. Dir
+    rows therefore coalesce the three aggregates to 0; file rows keep
+    NULL (the columns are undefined for files, per the validity matrix).
+    """
     exploded = inodes.select(
         F.explode(ancestors_expr(F.col("path"))).alias("__anc"),
         F.col("type"),
@@ -58,7 +66,15 @@ def with_subtree_aggregates(inodes: DataFrame) -> DataFrame:
         F.sum(F.when(F.col("type") == "file", 1).otherwise(0)).alias("dirSubTreeNumFiles"),
         F.sum(F.when(F.col("type") == "dir", 1).otherwise(0)).alias("dirSubTreeNumDirs"),
     )
-    return inodes.join(per_dir, inodes["path"] == per_dir["__anc"], "left").drop("__anc")
+    joined = inodes.join(per_dir, inodes["path"] == per_dir["__anc"], "left").drop("__anc")
+    is_dir = F.col("type") == "dir"
+    return joined.select(
+        *[c for c in inodes.columns],
+        *[
+            F.when(is_dir, F.coalesce(F.col(c), F.lit(0))).otherwise(F.col(c)).alias(c)
+            for c in ("dirSubTreeSize", "dirSubTreeNumFiles", "dirSubTreeNumDirs")
+        ],
+    )
 
 
 def with_quota_flags(inodes: DataFrame) -> DataFrame:

@@ -78,6 +78,10 @@ def decode_wav(payload: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     n_channels, sample_rate, block_align, bits = fmt
+    if not sample_rate:
+        # malformed-container contract: ValueError (which callers catch),
+        # never ZeroDivisionError from duration_ms below
+        raise ValueError("fmt chunk has zero sample rate")
     n_samples = len(data) // max(block_align, 1)
     return {
         "sample_rate": sample_rate,

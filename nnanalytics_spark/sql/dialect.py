@@ -165,6 +165,17 @@ def parse_select(statement: str, session: SqlSession | None = None) -> ParsedSql
         group_key = m.group("group").split(",")[0].strip()  # first key only
 
     items = [i.strip() for i in m.group("items").split(",")]
+    # the dialect carries exactly one aggregate (the reference's visitor
+    # does too) — silently dropping extra select items would return fewer
+    # columns than requested with a 200, violating this module's
+    # out-of-dialect-constructs-raise contract
+    max_items = 2 if group_key else 1
+    if len(items) > max_items:
+        raise UnsupportedSqlError(
+            "the NNA dialect supports one aggregate per query "
+            f"(got {len(items)} select items); use /histogram3 or native "
+            "Spark SQL views for multi-aggregate queries"
+        )
     agg_item = items[1] if group_key and len(items) > 1 else items[0]
     sums: list[str] = []
     finds: list[str] = []

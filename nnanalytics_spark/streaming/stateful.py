@@ -106,6 +106,13 @@ def streaming_sessionization(
                 ts = int(ts)
                 intervals = _merge(intervals, ts, gap_ms)
                 last = max(last, ts)
+        # fold in the EXISTING state's latest activity: a batch holding
+        # only a within-watermark LATE event would otherwise move the
+        # timeout BACKWARDS — below the current watermark Spark rejects
+        # the timestamp outright (query crash), and just above it the
+        # state would evict early and reset this user's session count
+        if intervals:
+            last = max(last, int(intervals[-1]))
         state.update((intervals,))
         # evict once the watermark passes the last activity + gap: the
         # session set for this user can no longer change

@@ -122,6 +122,7 @@ class AnalyticsWebServer:
         self.save_dir = save_dir
         self.suggestions_dir = suggestions_dir
         self.log_file = log_file
+        self.sql_session = dialect.SqlSession()  # SET knobs persist here
         self.operations = OperationRegistry()
         self.cached_queries = CachedQueryRegistry()
         self._address = (host, port)
@@ -259,7 +260,11 @@ class AnalyticsWebServer:
             statement = _one(params, "sqlStatement") or body
             if not statement:
                 raise ValueError("/sql requires a sqlStatement parameter or body")
-            result = dialect.execute(statement, self.engine)
+            # per-server SqlSession: SET parentDirDepth/timeRange must
+            # persist across requests (SqlParser.java:67-86 keeps them on
+            # the HTTP session) — a fresh session per request would 200
+            # the SET and then silently ignore it on the next SELECT
+            result = dialect.execute(statement, self.engine, self.sql_session)
             if isinstance(result, list):
                 return 200, "application/json", json.dumps(result)
             return 200, "text/plain", render.to_csv(result, header=True)
@@ -272,10 +277,13 @@ class AnalyticsWebServer:
             # scalar from the battery, one shared scan each
             now = self.now_ms or _wall_ms()
             merged = {}
-            for df in (
-                suggestions.file_scalars(self.engine.inodes, now),
-                suggestions.dir_scalars(self.engine.inodes, now),
+            for name, live in (
+                ("fileScalars", lambda: suggestions.file_scalars(self.engine.inodes, now)),
+                ("dirScalars", lambda: suggestions.dir_scalars(self.engine.inodes, now)),
             ):
+                df = self._sweep_cache(name)
+                if df is None:
+                    df = live()
                 merged.update(df.collect()[0].asDict())
             return 200, "application/json", json.dumps(merged, default=str)
         if endpoint == "history":
@@ -483,6 +491,22 @@ class AnalyticsWebServer:
             return 200, "application/json", render.two_level_to_json(df)
         return 200, "application/json", render.to_json(df)
 
+    def _sweep_cache(self, name):
+        """Read a sweep-cached report (run_sweep's parquet) when a
+        suggestions_dir is configured and holds it — the reference
+        serves these endpoints from its 15-minute SuggestionsEngine
+        cache; recomputing the full battery per dashboard poll would
+        pay a complete table scan per request. Returns None when no
+        cache exists (callers fall back to a live computation)."""
+        import os
+
+        if not self.suggestions_dir:
+            return None
+        path = f"{self.suggestions_dir}/{name}"
+        if not os.path.isdir(path):
+            return None
+        return self.engine.inodes.sparkSession.read.parquet(path)
+
     def _suggestion(self, endpoint, params):
         now = self.now_ms
         if now is None:
@@ -491,23 +515,32 @@ class AnalyticsWebServer:
             now = int(time.time() * 1000)
         inodes = self.engine.inodes
         if endpoint == "fileAge":
-            df = suggestions.file_age_histogram(inodes, now)
+            df = self._sweep_cache("fileAge")
+            if df is None:
+                df = suggestions.file_age_histogram(inodes, now)
             return 200, "application/json", render.to_json(df)
         if endpoint == "fileTypes":
-            df = suggestions.file_type_report(inodes)
+            df = self._sweep_cache("fileTypeReport")
+            if df is None:
+                df = suggestions.file_type_report(inodes)
             return 200, "application/json", render.two_level_to_json(df)
         if endpoint == "quotas":
-            df = suggestions.quota_report(inodes)
+            df = self._sweep_cache("quotaReport")
+            if df is None:
+                df = suggestions.quota_report(inodes)
             return 200, "application/json", df.toPandas().to_json(orient="records")
         if endpoint == "directories":
             depth = int(_one(params, "depth") or 3)
             limit = int(_one(params, "limit") or 1000)
             df = suggestions.top_directories(inodes, depth=depth, k=limit)
             return 200, "application/json", render.to_json(df)
-        # /top | /bottom rankings over the per-user report
+        # /top | /bottom rankings over the per-user report (sweep-cached
+        # when available — the ranking itself is a tiny sort over it)
         metric = _one(params, "metric") or "numFiles"
         limit = int(_one(params, "limit") or 10)
-        per_user = suggestions.per_user_report(inodes, now)
+        per_user = self._sweep_cache("perUser")
+        if per_user is None:
+            per_user = suggestions.per_user_report(inodes, now)
         df = suggestions.issue_ranking(per_user, metric, k=limit, top=endpoint == "top")
         return 200, "application/json", render.to_json(df)
 

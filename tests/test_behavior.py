@@ -596,3 +596,65 @@ class TestR3ReviewFixes:
         payload = b"RIFF" + struct.pack("<I", len(body)) + body
         with _pytest.raises(ValueError):
             codecs.decode_avi(payload)
+
+
+class TestR2ReviewFixes:
+    """Regressions for the r1/r2-range review findings."""
+
+    def test_multi_transform_triples_are_position_aligned(self, spark, engine):
+        from nnanalytics_spark.core.url import parse_url
+
+        # user u1 -> replica 2, user u2 -> replica 3: each condition must
+        # keep ITS output (AND-merging them would match nothing)
+        _, q = parse_url(
+            "/histogram?set=files&type=user&sum=numReplicas"
+            "&transformConditions=user:eq:etl;user:eq:web"
+            "&transformFields=fileReplica,fileReplica"
+            "&transformOutputs=2,3",
+            now_ms=0,
+        )
+        assert len(q.transforms) == 2
+        got = {r[0]: r[1] for r in engine.histogram(q).collect()}
+        base = {
+            r[0]: r[1]
+            for r in engine.histogram(
+                parse_url("/histogram?set=files&type=user&sum=numBlocks", now_ms=0)[1]
+            ).collect()
+        }
+        # numReplicas = numBlocks * replica: transformed users match their
+        # own replacement factor exactly
+        assert got["etl"] == base["etl"] * 2
+        assert got["web"] == base["web"] * 3
+
+    def test_sql_set_persists_across_requests(self, spark, engine):
+        from nnanalytics_spark.web.server import AnalyticsWebServer
+
+        srv = AnalyticsWebServer(engine, now_ms=0)
+        status, _, _ = srv.handle("POST", "/sql", "", "SET parentDirDepth = 5", "u")
+        assert status == 200
+        assert srv.sql_session.parent_dir_depth == 5
+
+    def test_dialect_rejects_extra_aggregates(self, spark, engine):
+        import pytest as _pytest
+
+        from nnanalytics_spark.sql import dialect
+
+        with _pytest.raises(dialect.UnsupportedSqlError):
+            dialect.execute(
+                "SELECT user, COUNT(*), SUM(fileSize) FROM files GROUP BY user",
+                engine,
+            )
+
+    def test_wav_zero_sample_rate_is_value_error(self):
+        import struct
+
+        import pytest as _pytest
+
+        from nnanalytics_spark.pipeline import codecs
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 0, 0, 1, 8)  # sample_rate = 0
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+        payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+        with _pytest.raises(ValueError):
+            codecs.decode_wav(payload)

@@ -33,9 +33,13 @@ def test_subtree_aggregates_exact(spark, inodes, inodes_pdf):
         files = sub[sub.type == "file"]
         dirs = sub[sub.type == "dir"]
         size, nfiles, ndirs = got[d]
-        assert (size or 0) == files.fileSize.sum(), d
-        assert (nfiles or 0) == len(files), d
-        assert (ndirs or 0) == len(dirs), d
+        assert size == files.fileSize.sum(), d
+        assert nfiles == len(files), d
+        assert ndirs == len(dirs), d
+    # childless dirs report EXACT zeros (reference tree semantics), not
+    # NULL — eq:0 filters must match them
+    for vals in got.values():
+        assert None not in vals
 
 
 def test_quota_flags_ancestor_walk(spark, inodes, inodes_pdf):
