@@ -1108,8 +1108,8 @@ def q_sql_tpch_q3(spark, sf):
 
 _TPCH_Q5 = """
     SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
-                AS DOUBLE) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey
       AND l_orderkey = o_orderkey
@@ -5435,7 +5435,8 @@ def oracle_sql() -> dict[str, str]:
           CROSS JOIN v
         )
         SELECT doc_id AS id, count(*) AS n_bigrams, SUM(nll) AS sum_nll,
-               round(CAST(SUM(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+               CAST((2 * CAST(SUM(nll) * 1000000 AS BIGINT) + count(*))
+                    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_nll
         FROM scored GROUP BY doc_id
     """
     d["lexical_cosine"] = r"""

@@ -461,11 +461,22 @@ def bigram_lm_scores(
             .alias("nll"),
         )
     )
-    return nll.groupBy("id").agg(
+    # avg = round-half-up(sum/n) computed ENTIRELY in integers
+    # (micro-nll units): the decimal→double cast of sum_nll differs by an
+    # ulp between engines, and a document whose true average sits exactly
+    # on the 6-dp half boundary (sum_micros divisible into n at .5) then
+    # rounds differently. (2s + n) div (2n) is the same integer everywhere.
+    agg = nll.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("nll").alias("sum_nll"),
-        F.round(F.sum("nll").cast("double") / F.count(F.lit(1)), 6).alias("avg_nll"),
     )
+    return agg.withColumn(
+        "__micros", (F.col("sum_nll") * 1_000_000).cast("long")
+    ).withColumn(
+        "avg_nll",
+        F.expr("(2 * __micros + n_bigrams) div (2 * n_bigrams)").cast("double")
+        / 1_000_000.0,
+    ).drop("__micros")
 
 
 def _poly_hash(tok: Column, base: int) -> Column:
