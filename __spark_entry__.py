@@ -2881,6 +2881,13 @@ def q_winsorized_stats(spark, sf):
     return stats.winsorized_stats(_events(spark, sf))
 
 
+def q_ngram_diversity(spark, sf):
+    """Distinct-n corpus diversity per source (text.py:ngram_diversity,
+    Li et al. 2016): distinct bigrams / total bigram occurrences through
+    the skew-safe two-stage distinct shape (no Expand)."""
+    return text.ngram_diversity(_t(spark, sf, "documents"), n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r4 window is SQL-oracle entries ONLY, prioritized:
@@ -2969,6 +2976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_by_group": q_trend_by_group,
         "chi_square": q_chi_square,
         "winsorized_stats": q_winsorized_stats,
+        "ngram_diversity": q_ngram_diversity,
         # --- (2c) r3-green rows rotated out to make room for (2a);
         # recorded credit + oracle-battery guard ---
         "time_histogram_monthly": q_time_histogram_monthly,
@@ -3668,6 +3676,23 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS exact_distinct,
                    TRUE AS within_bound
             FROM events GROUP BY event_type
+        """,
+        "ngram_diversity": """
+            WITH toks AS (
+              SELECT source AS s,
+                     string_split_regex(trim(lower(text)), '\\s+') AS t
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            grams AS (
+              SELECT s, t[i] || ' ' || t[i + 1] AS g
+              FROM toks, LATERAL unnest(range(1, len(t))) AS u(i)
+              WHERE len(t) >= 2
+            )
+            SELECT s AS source, count(*) AS total_ngrams,
+                   count(DISTINCT g) AS distinct_ngrams,
+                   round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 6)
+                     AS diversity
+            FROM grams GROUP BY s
         """,
         "trend_by_group": """
             WITH mn AS (SELECT min(epoch_us(ts)) AS mn FROM events),

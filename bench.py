@@ -135,6 +135,7 @@ HEADLINE = [
     "trend_by_group",
     "chi_square",
     "winsorized_stats",
+    "ngram_diversity",
 ]
 
 

@@ -593,3 +593,52 @@ def count_min_estimates(
         .groupBy(tok_col)
         .agg(F.min("cnt").alias("cms_estimate"))
     )
+
+
+def ngram_diversity(
+    df: DataFrame,
+    n: int = 2,
+    text: str = "text",
+    strata_col: str = "source",
+) -> DataFrame:
+    """Distinct-n diversity per stratum (Li et al. 2016's distinct-n,
+    the standard corpus-diversity signal): distinct n-grams / total
+    n-gram occurrences. Low diversity flags templated/boilerplate-heavy
+    sources before they flood a training mix; the same ratio per
+    TEMPERATURE-re-weighted mixture is the post-hoc check that
+    upsampling didn't collapse variety.
+
+    Skew-safe two-stage distinct (the exact_distinct_two_stage shape):
+    one (stratum, gram)-keyed aggregate collapses duplicate grams
+    map-side, then a |distinct grams|-row rollup derives both the
+    distinct count (rows) and the total (sum of counts) — no Expand, no
+    per-stratum value-set funneling, and the gram strings shuffle once.
+    """
+    toks = df.select(
+        F.col(strata_col).alias("s"), tokens(F.lower(F.col(text))).alias("t")
+    ).filter(F.size("t") >= n)
+    grams = toks.select(
+        "s",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - n + 1),
+                lambda i: F.array_join(F.slice("t", i, n), " "),
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy("s", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_gram.groupBy("s")
+        .agg(
+            F.sum("c").alias("total_ngrams"),
+            F.count(F.lit(1)).alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("s").alias(strata_col),
+            "total_ngrams",
+            "distinct_ngrams",
+            F.round(
+                F.col("distinct_ngrams") / F.col("total_ngrams").cast("double"), 6
+            ).alias("diversity"),
+        )
+    )

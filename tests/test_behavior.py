@@ -658,3 +658,30 @@ class TestR2ReviewFixes:
         payload = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
         with _pytest.raises(ValueError):
             codecs.decode_wav(payload)
+
+
+class TestNgramDiversity:
+    def test_closed_form(self, spark):
+        from nnanalytics_spark.pipeline.text import ngram_diversity
+
+        docs = spark.createDataFrame(
+            [
+                (0, "a b a b a", "tpl"),   # bigrams: ab ba ab ba → 2 distinct / 4
+                (1, "c d e f", "var"),     # 3 distinct / 3
+                (2, "x", "var"),           # < n tokens: contributes nothing
+            ],
+            "doc_id long, text string, source string",
+        )
+        got = {r["source"]: r for r in ngram_diversity(docs, n=2).collect()}
+        assert (got["tpl"]["total_ngrams"], got["tpl"]["distinct_ngrams"]) == (4, 2)
+        assert got["tpl"]["diversity"] == 0.5
+        assert (got["var"]["total_ngrams"], got["var"]["distinct_ngrams"]) == (3, 3)
+
+    def test_plan_has_no_expand(self, spark):
+        from nnanalytics_spark.pipeline.text import ngram_diversity
+
+        docs = spark.createDataFrame(
+            [(0, "a b c", "s")], "doc_id long, text string, source string"
+        )
+        plan = ngram_diversity(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan, plan
