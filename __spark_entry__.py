@@ -12,6 +12,15 @@ Determinism conventions shared by both sides:
 - every ratio/avg/cosine is round(x, 6).
 - relative-time semantics use the fixed anchor NOW_MS (2025-01-01T00:00Z),
   mirroring the reference's injectable-now requirement (SURVEY §7.4).
+- never cast a double PRODUCT to DECIMAL (engines round a half-cent tie
+  differently — Spark via the shortest string repr, DuckDB via the
+  binary value); cast each factor to DECIMAL first and multiply exactly.
+- when a rounded average can land exactly on its rounding boundary
+  (sum divisible into n), compute round-half-up in integers:
+  (2s + n) div (2n) in micro-units, never round(decimal→double / n).
+Both product rules were found by sweeping ALL oracles at sf0.1 (10× the
+driver's gate scale) — tie rows appear with scale, so new oracle
+families should be validated there too, not only at sf0.01.
 """
 
 from __future__ import annotations
