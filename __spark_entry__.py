@@ -2890,6 +2890,69 @@ def q_winsorized_stats(spark, sf):
     return stats.winsorized_stats(_events(spark, sf))
 
 
+_TPCH_Q8 = """
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+def q_sql_tpch_q8(spark, sf):
+    """National market share (TPC-H Q8 shape): an 8-relation join graph
+    with the nation dim joined TWICE under different roles (customer's
+    region gate vs supplier's nationality) — the self-join aliasing +
+    join-reorder stress test; every dim broadcasts, only the fact chain
+    shuffles. Volume uses the per-factor DECIMAL construction so the
+    ratio is tie-free at any scale."""
+    for t in ("part", "supplier", "lineitem", "orders", "customer", "nation", "region"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q8)
+
+
+_TPCH_Q10 = """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-10-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+
+def q_sql_tpch_q10(spark, sf):
+    """Returned-item reporting (TPC-H Q10 shape): quarter + returnflag
+    filters pushed to the scans, customer/nation dims broadcast, top-20
+    by revenue as TakeOrdered with the c_custkey tie-break (revenue is
+    an exact decimal sum, so the k-boundary is engine-independent)."""
+    for t in ("customer", "orders", "lineitem", "nation"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q10)
+
+
 def q_ngram_diversity(spark, sf):
     """Distinct-n corpus diversity per source (text.py:ngram_diversity,
     Li et al. 2016): distinct bigrams / total bigram occurrences through
@@ -2986,6 +3049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square": q_chi_square,
         "winsorized_stats": q_winsorized_stats,
         "ngram_diversity": q_ngram_diversity,
+        "sql_tpch_q8": q_sql_tpch_q8,
+        "sql_tpch_q10": q_sql_tpch_q10,
         # --- (2c) r3-green rows rotated out to make room for (2a);
         # recorded credit + oracle-battery guard ---
         "time_histogram_monthly": q_time_histogram_monthly,
@@ -3432,6 +3497,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_tpch_q3": _TPCH_Q3,
         "sql_tpch_q5": _TPCH_Q5,
+        "sql_tpch_q8": _TPCH_Q8,
+        "sql_tpch_q10": _TPCH_Q10,
         "sql_tpch_q17": _TPCH_Q17,
         "sql_tpch_q18": _TPCH_Q18,
         "sql_tpch_q22": _TPCH_Q22,

@@ -136,6 +136,8 @@ HEADLINE = [
     "chi_square",
     "winsorized_stats",
     "ngram_diversity",
+    "sql_tpch_q8",
+    "sql_tpch_q10",
 ]
 
 

@@ -356,3 +356,18 @@ def test_two_stage_distinct_has_no_expand(spark):
     plan = plan_of(entry.q_two_stage_distinct(spark, SF))
     assert "Expand" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_tpch_q8_double_nation_alias_broadcasts(spark):
+    """The twice-joined nation dim must resolve under both aliases and
+    broadcast along with every other dim — one fact-chain shuffle, no
+    cartesian artifacts."""
+    plan = plan_of(entry.q_sql_tpch_q8(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q10_pushes_quarter_and_flag(spark):
+    plan = plan_of(entry.q_sql_tpch_q10(spark, SF))
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
