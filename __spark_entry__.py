@@ -2890,6 +2890,47 @@ def q_winsorized_stats(spark, sf):
     return stats.winsorized_stats(_events(spark, sf))
 
 
+_TPCH_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))
+                    * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_charge,
+           CAST(floor((2 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                              * 1000000 AS BIGINT) + count(*))
+                      / (2.0 * count(*))) AS DOUBLE) / 1000000.0 AS avg_qty,
+           CAST(floor((2 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              * 1000000 AS BIGINT) + count(*))
+                      / (2.0 * count(*))) AS DOUBLE) / 1000000.0 AS avg_price,
+           CAST(floor((2 * CAST(SUM(CAST(l_discount AS DECIMAL(18,2)))
+                              * 1000000 AS BIGINT) + count(*))
+                      / (2.0 * count(*))) AS DOUBLE) / 1000000.0 AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_tpch_q1(spark, sf):
+    """The canonical pricing summary (TPC-H Q1) as the same ANSI string
+    on both engines: one scan, eight aggregates, all map-side combined.
+    Money sums are exact per-factor DECIMAL products; the three averages
+    use the tie-free integer-micro round-half-up (floor of an exact
+    integer quotient — the quotient is never within 1/(2n) of an integer
+    except AT a tie, where it is exactly one), so no decimal→double
+    1-ulp difference can flip the 6th decimal at any scale."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q1)
+
+
 _TPCH_Q8 = """
     SELECT o_year,
            round(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
@@ -3049,6 +3090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi_square": q_chi_square,
         "winsorized_stats": q_winsorized_stats,
         "ngram_diversity": q_ngram_diversity,
+        "sql_tpch_q1": q_sql_tpch_q1,
         "sql_tpch_q8": q_sql_tpch_q8,
         "sql_tpch_q10": q_sql_tpch_q10,
         # --- (2c) r3-green rows rotated out to make room for (2a);
@@ -3497,6 +3539,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_tpch_q3": _TPCH_Q3,
         "sql_tpch_q5": _TPCH_Q5,
+        "sql_tpch_q1": _TPCH_Q1,
         "sql_tpch_q8": _TPCH_Q8,
         "sql_tpch_q10": _TPCH_Q10,
         "sql_tpch_q17": _TPCH_Q17,

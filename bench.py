@@ -136,6 +136,7 @@ HEADLINE = [
     "chi_square",
     "winsorized_stats",
     "ngram_diversity",
+    "sql_tpch_q1",
     "sql_tpch_q8",
     "sql_tpch_q10",
 ]
