@@ -4074,12 +4074,12 @@ def oracle_sql() -> dict[str, str]:
             sweeps AS (SELECT * FROM (VALUES ({now}), ({now + 7 * 86_400_000})) AS s(ts))
             SELECT s.ts AS "sweepTs",
                    count(*) AS "numFiles",
-                   sum(CASE WHEN size = 0 THEN 1 ELSE 0 END) AS "emptyFiles",
-                   sum(CASE WHEN size > 0 AND size <= 1024 THEN 1 ELSE 0 END) AS "tinyFiles",
-                   sum(CASE WHEN size > 1024 AND size <= 1048576 THEN 1 ELSE 0 END) AS "smallFiles",
-                   sum(CASE WHEN access_time <= s.ts - 31536000000 THEN 1 ELSE 0 END) AS "oldFiles1yr",
-                   sum(CASE WHEN access_time <= s.ts - 63072000000 THEN 1 ELSE 0 END) AS "oldFiles2yr",
-                   sum(size * repl) AS "totalDiskspace"
+                   CAST(sum(CASE WHEN size = 0 THEN 1 ELSE 0 END) AS BIGINT) AS "emptyFiles",
+                   CAST(sum(CASE WHEN size > 0 AND size <= 1024 THEN 1 ELSE 0 END) AS BIGINT) AS "tinyFiles",
+                   CAST(sum(CASE WHEN size > 1024 AND size <= 1048576 THEN 1 ELSE 0 END) AS BIGINT) AS "smallFiles",
+                   CAST(sum(CASE WHEN access_time <= s.ts - 31536000000 THEN 1 ELSE 0 END) AS BIGINT) AS "oldFiles1yr",
+                   CAST(sum(CASE WHEN access_time <= s.ts - 63072000000 THEN 1 ELSE 0 END) AS BIGINT) AS "oldFiles2yr",
+                   CAST(sum(size * repl) AS BIGINT) AS "totalDiskspace"
             FROM sweeps s CROSS JOIN f
             GROUP BY 1 ORDER BY 1
         """,
@@ -4302,8 +4302,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    len(ws) AS n_tokens,
-                   CAST(round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 6)
-                        AS DECIMAL(18,6)) AS score,
+                   CAST(CAST(round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 6)
+                             AS DECIMAL(18,6)) AS DOUBLE) AS score,
                    CAST(round(CAST(list_sum(ws) AS DOUBLE) / len(ws), 6)
                         AS DECIMAL(18,6)) >= 0 AS keep
             FROM d
@@ -4351,7 +4351,8 @@ def oracle_sql() -> dict[str, str]:
                      count(*) OVER (PARTITION BY source) AS group_n
               FROM scored
             )
-            SELECT doc_id, source, n_tokens, score, score >= 0 AS keep, rank
+            SELECT doc_id, source, n_tokens,
+                   CAST(score AS DOUBLE) AS score, score >= 0 AS keep, rank
             FROM ranked WHERE rank <= CEIL(0.25 * group_n)
         """,
         "dsir_weights": r"""
@@ -4379,7 +4380,8 @@ def oracle_sql() -> dict[str, str]:
               FROM per_tok, tot
             )
             SELECT doc_id, count(*) AS n_tokens,
-                   CAST(round(sum(log_ratio), 6) AS DECIMAL(18,6)) AS weight
+                   CAST(CAST(round(sum(log_ratio), 6) AS DECIMAL(18,6))
+                        AS DOUBLE) AS weight
             FROM toks JOIN ratios USING (tok)
             GROUP BY 1
         """,
@@ -4402,7 +4404,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "temperature_mixture": r"""
             WITH sizes AS (
-              SELECT source, count(*) AS n_docs, sum(n_chars) AS size
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS size
               FROM documents GROUP BY 1
             ),
             powed AS (SELECT *, pow(size, 1.0 / 3.333333) AS p FROM sizes),
@@ -4471,7 +4474,8 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d JOIN clusters c ON c.node = d.doc_id
             ),
             kept AS (
-              SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+              SELECT source, count(*) AS n_kept,
+                     CAST(sum(n_chars) AS BIGINT) AS chars_kept
               FROM ranked WHERE rn = 1 GROUP BY 1
             ),
             totals AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
@@ -4503,7 +4507,8 @@ def oracle_sql() -> dict[str, str]:
               JOIN evn ON evn.doc_id = eval_id
               WHERE round(n_common / evn.n_eval, 6) >= 0.05
             )
-            SELECT source, count(*) AS n_kept, sum(n_chars) AS chars_kept
+            SELECT source, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS chars_kept
             FROM documents d
             WHERE d.doc_id % 50 <> 0
               AND d.doc_id NOT IN (SELECT train_id FROM bad)
@@ -5191,7 +5196,8 @@ def oracle_sql() -> dict[str, str]:
         )
 
     feat_cols = ",\n               ".join(
-        f"SUM(CASE WHEN x.b = {j} THEN x.s ELSE 0 END) AS f{j}" for j in range(8)
+        f"CAST(SUM(CASE WHEN x.b = {j} THEN x.s ELSE 0 END) AS BIGINT) AS f{j}"
+        for j in range(8)
     )
     d["hashed_features"] = rf"""
         WITH toks AS (
@@ -5304,8 +5310,9 @@ def oracle_sql() -> dict[str, str]:
                       AS DECIMAL(18,6)) AS kl_term
           FROM st JOIN ct USING (tok) JOIN ns USING (src) CROSS JOIN tot
         )
-        SELECT src AS source, SUM(c_st) AS n_tokens,
-               count(*) AS n_distinct, SUM(kl_term) AS kl_nats
+        SELECT src AS source, CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               CAST(SUM(kl_term) AS DOUBLE) AS kl_nats
         FROM term GROUP BY src
     """
     d["all_pairs_blocked"] = d["embedding_dup_pairs"]
@@ -5513,12 +5520,15 @@ def oracle_sql() -> dict[str, str]:
           SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1
         )
         SELECT count(*) AS n_keys,
-               SUM(cnt) AS n_rows,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
                max(cnt) AS max_per_key,
-               CAST(avg(cnt) AS DECIMAL(18,6)) AS avg_per_key,
-               CAST(quantile_cont(cnt, 0.5) AS DECIMAL(18,6)) AS p50_per_key,
-               CAST(quantile_cont(cnt, 0.99) AS DECIMAL(18,6)) AS p99_per_key,
-               CAST(max(cnt) / avg(cnt) AS DECIMAL(18,6)) AS skew_ratio
+               CAST(CAST(avg(cnt) AS DECIMAL(18,6)) AS DOUBLE) AS avg_per_key,
+               CAST(CAST(quantile_cont(cnt, 0.5) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS p50_per_key,
+               CAST(CAST(quantile_cont(cnt, 0.99) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS p99_per_key,
+               CAST(CAST(max(cnt) / avg(cnt) AS DECIMAL(18,6)) AS DOUBLE)
+                 AS skew_ratio
         FROM c
     """
     d["simhash_pairs"] = f"""
@@ -5578,7 +5588,8 @@ def oracle_sql() -> dict[str, str]:
           JOIN uc ON uc.w = bg.w1
           CROSS JOIN v
         )
-        SELECT doc_id AS id, count(*) AS n_bigrams, SUM(nll) AS sum_nll,
+        SELECT doc_id AS id, count(*) AS n_bigrams,
+               CAST(SUM(nll) AS DOUBLE) AS sum_nll,
                CAST((2 * CAST(SUM(nll) * 1000000 AS BIGINT) + count(*))
                     // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_nll
         FROM scored GROUP BY doc_id
@@ -5618,38 +5629,38 @@ def oracle_sql() -> dict[str, str]:
           FROM orders
         )
         SELECT 'o_orderkey' AS "column", count(o_orderkey) AS n,
-               SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                count(DISTINCT o_orderkey) AS n_distinct,
                CAST(min(o_orderkey) AS VARCHAR) AS min_value,
                CAST(max(o_orderkey) AS VARCHAR) AS max_value
         FROM o
         UNION ALL
         SELECT 'o_custkey', count(o_custkey),
-               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_custkey),
                CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
         FROM o
         UNION ALL
         SELECT 'o_orderstatus', count(o_orderstatus),
-               SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderstatus),
                min(o_orderstatus), max(o_orderstatus)
         FROM o
         UNION ALL
         SELECT 'o_totalprice', count(o_totalprice),
-               SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_totalprice),
                CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
         FROM o
         UNION ALL
         SELECT 'o_orderdate', count(o_orderdate),
-               SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderdate),
                CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
         FROM o
         UNION ALL
         SELECT 'o_orderpriority', count(o_orderpriority),
-               SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                count(DISTINCT o_orderpriority),
                min(o_orderpriority), max(o_orderpriority)
         FROM o

@@ -69,20 +69,25 @@ def key_skew(df: DataFrame, key: str) -> DataFrame:
     Exact interpolated percentiles keep the SQL oracle hashable; at
     extreme key cardinality swap percentile for approx_percentile.
 
-    The four ratio columns are DECIMAL(18,6), not rounded doubles: a
-    fixed decimal stringifies identically in every engine, so a 1-ulp
-    interpolation difference between implementations can never flip a
-    downstream value hash the way double formatting can."""
+    The four ratio columns are computed through an exact DECIMAL(18,6)
+    quantization and then cast to DOUBLE for output: the quantization
+    makes both engines agree on the exact value (a 1-ulp interpolation
+    difference can never survive it), and the final double is the bit
+    pattern nearest that exact decimal in BOTH engines — so the value
+    is identical whether the comparing harness fetches raw values or
+    coerces through pandas (where a DECIMAL column would become
+    ``object``/``Decimal`` on the Spark side but ``float64`` on the
+    DuckDB side and hash-mismatch on rendering)."""
     dec = "decimal(18,6)"
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
     return counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("cnt").alias("n_rows"),
         F.max("cnt").alias("max_per_key"),
-        F.avg("cnt").cast(dec).alias("avg_per_key"),
-        F.percentile("cnt", F.lit(0.5)).cast(dec).alias("p50_per_key"),
-        F.percentile("cnt", F.lit(0.99)).cast(dec).alias("p99_per_key"),
-        (F.max("cnt") / F.avg("cnt")).cast(dec).alias("skew_ratio"),
+        F.avg("cnt").cast(dec).cast("double").alias("avg_per_key"),
+        F.percentile("cnt", F.lit(0.5)).cast(dec).cast("double").alias("p50_per_key"),
+        F.percentile("cnt", F.lit(0.99)).cast(dec).cast("double").alias("p99_per_key"),
+        (F.max("cnt") / F.avg("cnt")).cast(dec).cast("double").alias("skew_ratio"),
     )
 
 

@@ -228,4 +228,12 @@ def run_sweep(inodes: DataFrame, now_ms: int, output_dir: str | None = None) -> 
             df.write.mode("overwrite").parquet(f"{output_dir}/{name}")
         history = reports["fileScalars"].withColumn("sweepTs", F.lit(now_ms))
         history.write.mode("append").parquet(f"{output_dir}/history")
+        # sweep timestamp marker: time-relative reports (fileAge, the
+        # per-age scalars) are only valid near their sweep-time `now`;
+        # readers use this to decide staleness. One-row parquet so it
+        # works on any Hadoop-visible filesystem, not just local disk.
+        spark = inodes.sparkSession
+        spark.createDataFrame([(now_ms,)], "sweepTs long").write.mode(
+            "overwrite"
+        ).parquet(f"{output_dir}/sweepMeta")
     return reports

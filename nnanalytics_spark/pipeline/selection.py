@@ -99,7 +99,14 @@ def dsir_weights(
         .select(
             "doc_id",
             "n_tokens",
-            F.round(F.col("_w"), 6).cast("decimal(18,6)").alias("weight"),
+            # exact 6-dp decimal, then DOUBLE out: the decimal pins the
+            # exact value across engines; the double survives pandas
+            # coercion identically on both sides (a Decimal output
+            # becomes object-vs-float64 there and hash-mismatches)
+            F.round(F.col("_w"), 6)
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("weight"),
         )
     )
 
@@ -171,9 +178,11 @@ def _classifier_cols(dim: int, threshold: float, text: str) -> list:
     score = F.when(n > 0, F.round(total / n, 6)).otherwise(F.lit(0.0)).cast(
         "decimal(18,6)"
     )
+    # keep compares on the exact decimal; the emitted score is the DOUBLE
+    # nearest that decimal in both engines (pandas-coercion-stable)
     return [
         n.alias("n_tokens"),
-        score.alias("score"),
+        score.cast("double").alias("score"),
         (score >= threshold).alias("keep"),
     ]
 
@@ -267,5 +276,6 @@ def source_divergence(
     return term.groupBy(F.col("src").alias("source")).agg(
         F.sum("c_st").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
-        F.sum("kl_term").alias("kl_nats"),
+        # DECIMAL-exact sum, DOUBLE out (pandas-coercion-stable)
+        F.sum("kl_term").cast("double").alias("kl_nats"),
     )

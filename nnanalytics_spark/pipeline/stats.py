@@ -51,9 +51,13 @@ def trend_by_group(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("x").cast(d38)).alias("sx"),
             F.sum(F.col("y").cast(d38)).alias("sy"),
-            F.sum((F.col("x") * F.col("y")).cast(d38)).alias("sxy"),
-            F.sum((F.col("x") * F.col("x")).cast(d38)).alias("sxx"),
-            F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+            # cast each FACTOR to DECIMAL before multiplying: a LONG
+            # product of large cent values wraps silently under
+            # non-ANSI Spark while the oracle errors/differs — the
+            # per-factor rule the module header documents
+            F.sum(F.col("x").cast(d38) * F.col("y").cast(d38)).alias("sxy"),
+            F.sum(F.col("x").cast(d38) * F.col("x").cast(d38)).alias("sxx"),
+            F.sum(F.col("y").cast(d38) * F.col("y").cast(d38)).alias("syy"),
         )
     )
     n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]

@@ -470,13 +470,17 @@ def bigram_lm_scores(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.sum("nll").alias("sum_nll"),
     )
+    # sum_nll goes out as the DOUBLE nearest the exact decimal sum — both
+    # engines cast the identical decimal, and float64 survives pandas
+    # coercion where a Decimal object would not. __micros still derives
+    # from the exact decimal (computed before the cast below).
     return agg.withColumn(
         "__micros", (F.col("sum_nll") * 1_000_000).cast("long")
     ).withColumn(
         "avg_nll",
         F.expr("(2 * __micros + n_bigrams) div (2 * n_bigrams)").cast("double")
         / 1_000_000.0,
-    ).drop("__micros")
+    ).withColumn("sum_nll", F.col("sum_nll").cast("double")).drop("__micros")
 
 
 def _poly_hash(tok: Column, base: int) -> Column:

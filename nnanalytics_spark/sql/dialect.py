@@ -249,6 +249,43 @@ def execute(statement: str, engine, session: SqlSession | None = None) -> DataFr
     return engine.dump_paths(parsed.query)
 
 
+def _split_statements(text: str) -> list[str]:
+    """Split a multi-statement string on top-level ``;`` (quote-aware —
+    a semicolon inside a string literal does not split)."""
+    parts, buf, quote = [], [], None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def execute_statements(text: str, engine) -> DataFrame | list:
+    """Run a (possibly multi-statement) request-scoped string.
+
+    The reference creates a fresh SqlParser per /sql request
+    (WebServerMain.java's CCJSqlParserUtil.parseStatements path), so a
+    ``SET parentDirDepth=2; SELECT ...`` pair applies the SET to the
+    SELECT in the SAME request only — it never leaks into other
+    clients' requests. Returns the last non-SET statement's result
+    (or ``[]`` when the request is SETs only)."""
+    session = SqlSession()
+    result: DataFrame | list = []
+    for statement in _split_statements(text):
+        result = execute(statement, engine, session)
+    return result
+
+
 def register_views(spark, inodes: DataFrame) -> None:
     """Expose files/dirs/all as Spark temp views — native Spark SQL becomes
     a strict superset of the reference dialect."""

@@ -122,7 +122,6 @@ class AnalyticsWebServer:
         self.save_dir = save_dir
         self.suggestions_dir = suggestions_dir
         self.log_file = log_file
-        self.sql_session = dialect.SqlSession()  # SET knobs persist here
         self.operations = OperationRegistry()
         self.cached_queries = CachedQueryRegistry()
         self._address = (host, port)
@@ -260,11 +259,13 @@ class AnalyticsWebServer:
             statement = _one(params, "sqlStatement") or body
             if not statement:
                 raise ValueError("/sql requires a sqlStatement parameter or body")
-            # per-server SqlSession: SET parentDirDepth/timeRange must
-            # persist across requests (SqlParser.java:67-86 keeps them on
-            # the HTTP session) — a fresh session per request would 200
-            # the SET and then silently ignore it on the next SELECT
-            result = dialect.execute(statement, self.engine, self.sql_session)
+            # request-scoped SqlSession: the reference builds a fresh
+            # SqlParser per /sql request (WebServerMain.java), so SET
+            # knobs apply only to later statements in the SAME request
+            # ("SET ...; SELECT ...") — a server-global session would
+            # let one client silently change every other client's
+            # parentDirDepth/timeRange
+            result = dialect.execute_statements(statement, self.engine)
             if isinstance(result, list):
                 return 200, "application/json", json.dumps(result)
             return 200, "text/plain", render.to_csv(result, header=True)
@@ -281,7 +282,7 @@ class AnalyticsWebServer:
                 ("fileScalars", lambda: suggestions.file_scalars(self.engine.inodes, now)),
                 ("dirScalars", lambda: suggestions.dir_scalars(self.engine.inodes, now)),
             ):
-                df = self._sweep_cache(name)
+                df = self._sweep_cache(name, now_ms=now)
                 if df is None:
                     df = live()
                 merged.update(df.collect()[0].asDict())
@@ -491,13 +492,23 @@ class AnalyticsWebServer:
             return 200, "application/json", render.two_level_to_json(df)
         return 200, "application/json", render.to_json(df)
 
-    def _sweep_cache(self, name):
+    #: cache validity horizon — the reference's SuggestionsEngine
+    #: recomputes on a 15-minute cadence, so anything older is stale
+    SWEEP_TTL_MS = 15 * 60 * 1000
+
+    def _sweep_cache(self, name, now_ms=None):
         """Read a sweep-cached report (run_sweep's parquet) when a
-        suggestions_dir is configured and holds it — the reference
-        serves these endpoints from its 15-minute SuggestionsEngine
-        cache; recomputing the full battery per dashboard poll would
-        pay a complete table scan per request. Returns None when no
-        cache exists (callers fall back to a live computation)."""
+        suggestions_dir is configured and holds a FRESH one — the
+        reference serves these endpoints from its 15-minute
+        SuggestionsEngine cache; recomputing the full battery per
+        dashboard poll would pay a complete table scan per request.
+
+        Freshness: time-relative reports (fileAge, the per-age scalar
+        buckets) were computed against the sweep-time ``now``, so a
+        request whose effective ``now`` has drifted past the TTL gets
+        ``None`` (→ live recomputation) instead of silently-stale
+        buckets. Sweeps written before the sweepMeta marker existed are
+        treated as stale for the same reason."""
         import os
 
         if not self.suggestions_dir:
@@ -505,7 +516,21 @@ class AnalyticsWebServer:
         path = f"{self.suggestions_dir}/{name}"
         if not os.path.isdir(path):
             return None
+        if now_ms is not None:
+            sweep_ts = self._sweep_ts()
+            if sweep_ts is None or abs(now_ms - sweep_ts) > self.SWEEP_TTL_MS:
+                return None
         return self.engine.inodes.sparkSession.read.parquet(path)
+
+    def _sweep_ts(self):
+        """Sweep-time ``now`` recorded by run_sweep, or None."""
+        import os
+
+        path = f"{self.suggestions_dir}/sweepMeta"
+        if not os.path.isdir(path):
+            return None
+        rows = self.engine.inodes.sparkSession.read.parquet(path).collect()
+        return rows[0]["sweepTs"] if rows else None
 
     def _suggestion(self, endpoint, params):
         now = self.now_ms
@@ -515,7 +540,7 @@ class AnalyticsWebServer:
             now = int(time.time() * 1000)
         inodes = self.engine.inodes
         if endpoint == "fileAge":
-            df = self._sweep_cache("fileAge")
+            df = self._sweep_cache("fileAge", now_ms=now)
             if df is None:
                 df = suggestions.file_age_histogram(inodes, now)
             return 200, "application/json", render.to_json(df)
@@ -538,7 +563,7 @@ class AnalyticsWebServer:
         # when available — the ranking itself is a tiny sort over it)
         metric = _one(params, "metric") or "numFiles"
         limit = int(_one(params, "limit") or 10)
-        per_user = self._sweep_cache("perUser")
+        per_user = self._sweep_cache("perUser", now_ms=now)
         if per_user is None:
             per_user = suggestions.per_user_report(inodes, now)
         df = suggestions.issue_ranking(per_user, metric, k=limit, top=endpoint == "top")

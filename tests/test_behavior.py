@@ -626,13 +626,44 @@ class TestR2ReviewFixes:
         assert got["etl"] == base["etl"] * 2
         assert got["web"] == base["web"] * 3
 
-    def test_sql_set_persists_across_requests(self, spark, engine):
+    def test_sql_set_is_request_scoped(self, spark, engine):
+        """SET applies to later statements in the SAME request (the
+        reference parses each /sql request with a fresh SqlParser) and
+        never leaks into other requests."""
+        from nnanalytics_spark.sql import dialect
         from nnanalytics_spark.web.server import AnalyticsWebServer
 
         srv = AnalyticsWebServer(engine, now_ms=0)
-        status, _, _ = srv.handle("POST", "/sql", "", "SET parentDirDepth = 5", "u")
+        select = "SELECT parentDir, COUNT(*) FROM files GROUP BY parentDir"
+        status, _, body = srv.handle(
+            "POST", "/sql", "", f"SET parentDirDepth = 1; {select}", "u"
+        )
         assert status == 200
-        assert srv.sql_session.parent_dir_depth == 5
+        depth1_keys = {line.split(",")[0] for line in body.splitlines()[1:]}
+        # every depth-1 parent is a single path segment under /
+        assert depth1_keys and all(k.count("/") == 1 for k in depth1_keys)
+        # a following request with no SET sees the default depth again
+        status2, _, body2 = srv.handle("POST", "/sql", "", select, "u")
+        assert status2 == 200
+        default_keys = {line.split(",")[0] for line in body2.splitlines()[1:]}
+        expected = {
+            r[0]
+            for r in dialect.execute(select, engine, dialect.SqlSession()).collect()
+        }
+        assert default_keys == {str(k) for k in expected}
+        assert default_keys != depth1_keys
+
+    def test_sql_set_only_request_returns_empty(self, spark, engine):
+        from nnanalytics_spark.web.server import AnalyticsWebServer
+
+        srv = AnalyticsWebServer(engine, now_ms=0)
+        status, ctype, body = srv.handle(
+            "POST", "/sql", "", "SET parentDirDepth = 5", "u"
+        )
+        assert status == 200
+        import json as _json
+
+        assert _json.loads(body) == []
 
     def test_dialect_rejects_extra_aggregates(self, spark, engine):
         import pytest as _pytest

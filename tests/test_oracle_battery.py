@@ -45,3 +45,24 @@ def test_oracle_battery(name, spark, duck):
     if ORACLES.get(name) is None:
         # rows-only by design — still guard against silent emptiness
         assert not detail.startswith("0 rows"), f"{name}: went empty"
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", list(QUERIES), ids=list(QUERIES))
+def test_dtype_parity(name, spark, duck):
+    """Pandas-coercion dtype parity (CORRECTNESS_r04 root cause): the
+    driver materializes both sides through pandas before hashing, where
+    DuckDB HUGEINT (SUM over ints) and DECIMAL become float64 while
+    Spark keeps int64 / Decimal — rendering "123" vs "123.0" into a
+    hash mismatch on numerically identical results. Every oracle pair
+    must land in the same render class per column (tools/check_dtypes),
+    so a future query can't reintroduce the bug."""
+    from tools.check_dtypes import column_problems
+
+    sql = ORACLES.get(name)
+    if sql is None:
+        pytest.skip("rows-only entry")
+    spd = QUERIES[name](spark, "/root/testdata/sf0.01").toPandas()
+    dpd = duck.execute(sql).df()
+    probs = column_problems(spd, dpd)
+    assert not probs, f"{name}: {probs}"

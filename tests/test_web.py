@@ -279,6 +279,30 @@ def test_history_endpoint_serves_sweep_archive(spark, engine, tmp_path):
         srv.stop()
 
 
+def test_sweep_cache_staleness(spark, engine, tmp_path):
+    """Time-relative sweep reports are only served within the TTL of
+    their sweep-time ``now``; a drifted request recomputes live
+    (ADVICE r4: a stale fileAge cache silently served wrong buckets)."""
+    from nnanalytics_spark.inode import suggestions
+
+    sweep_dir = str(tmp_path / "sweeps")
+    suggestions.run_sweep(engine.inodes, NOW, output_dir=sweep_dir)
+    srv = AnalyticsWebServer(engine, now_ms=NOW, suggestions_dir=sweep_dir)
+    # fresh: same now → cache served
+    assert srv._sweep_cache("fileAge", now_ms=NOW) is not None
+    # within TTL: still served
+    assert srv._sweep_cache("fileAge", now_ms=NOW + srv.SWEEP_TTL_MS) is not None
+    # drifted past TTL: stale → live fallback
+    assert srv._sweep_cache("fileAge", now_ms=NOW + srv.SWEEP_TTL_MS + 1) is None
+    # time-insensitive readers that pass no now keep the cache
+    assert srv._sweep_cache("quotaReport") is not None
+    # pre-sweepMeta archives (older layout) are treated as stale
+    import shutil
+
+    shutil.rmtree(f"{sweep_dir}/sweepMeta")
+    assert srv._sweep_cache("fileAge", now_ms=NOW) is None
+
+
 def test_refresh_endpoint_swaps_snapshot(spark, tmp_path):
     """ADMIN /refresh re-reads the table and the serving engine sees the
     new namespace (reference /refresh + /reloadNamespace shape)."""

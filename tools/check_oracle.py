@@ -25,12 +25,23 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def normalize(value):
+    """STRICT normalization: floats use full shortest-repr (bit-exact),
+    and type is encoded so Decimal('0.5') never equals 0.5.
+
+    CORRECTNESS_r04 proved the driver's hash is stricter than a
+    6-decimal format: 12 rows that were 6dp-equal locally hash-failed
+    there. Match the worst case — values must be bit/type-identical.
+    """
     if value is None:
         return "NULL"
-    if isinstance(value, float):
-        return f"{value:.6f}" if value == value else "NaN"
     if isinstance(value, bool):
         return str(bool(value)).lower()
+    if isinstance(value, float):
+        return repr(value) if value == value else "NaN"
+    import decimal
+
+    if isinstance(value, decimal.Decimal):
+        return f"dec:{value}"
     return str(value)
 
 
