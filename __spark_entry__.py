@@ -3001,6 +3001,458 @@ def q_ngram_diversity(spark, sf):
     return text.ngram_diversity(_t(spark, sf, "documents"), n=2)
 
 
+# ---------------------------------------------------------------- TPC-H tail
+# Round 5 completes the TPC-H suite: all 22 query SHAPES present (the
+# synthetic schema has no partsupp table and no shipmode/container/
+# commitdate columns, so q2/q9/q11/q12/q16/q20/q21 keep their structural
+# challenge — correlated minima, semi/anti self-joins, nested INs,
+# disjunctive join predicates — re-expressed on the available columns;
+# every other query is near-verbatim). Shared determinism conventions:
+# per-factor DECIMAL money products summed exactly then CAST AS DOUBLE,
+# round(x,6) on ratios, integer counts CAST AS BIGINT (DuckDB SUM over
+# ints yields HUGEINT which pandas-coerces to float64 — the
+# CORRECTNESS_r04 hash-killer), total ORDER BY under every LIMIT.
+
+_TPCH_Q2 = """
+    WITH cost AS (
+      SELECT l_partkey AS pk, l_suppkey AS sk,
+             min(CAST(round(l_extendedprice * 100 / l_quantity) AS BIGINT))
+               AS cost_c
+      FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part
+        WHERE p_size BETWEEN 10 AND 15 AND p_type = 'STANDARD'
+      )
+      GROUP BY 1, 2
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier, nation, region
+      WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT pk, cost_c, s_acctbal, s_name, n_name,
+             min(cost_c) OVER (PARTITION BY pk) AS best_c
+      FROM cost JOIN eu ON sk = s_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, cost_c
+    FROM part JOIN ranked ON p_partkey = pk
+    WHERE cost_c = best_c
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+"""
+
+
+def q_sql_tpch_q2(spark, sf):
+    """Minimum-cost-supplier shape (TPC-H Q2): the correlated 'supplier
+    with MIN supply cost per part' subquery, decorrelated by Catalyst
+    into a per-part min aggregate joined back on equality. No partsupp
+    table in the synthetic schema, so unit cost derives from lineitem
+    (min price-per-unit in exact integer cents — double arithmetic is
+    IEEE-identical across engines, round()ed once). The per-part
+    minimum is a WINDOW MIN over the cost aggregation's own shuffle
+    key, not a second aggregate joined back — a naive best-cost CTE
+    plans the lineitem aggregation TWICE (Spark inlines CTEs), doubling
+    the big-table work at 100 TB. The part filter pushes below the
+    window via the IN semi-join (the min is per-part, so the filter
+    commutes with it); region-filtered supplier dim broadcasts. Total
+    ORDER BY under the LIMIT."""
+    for t in ("part", "supplier", "lineitem", "nation", "region"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q2)
+
+
+_TPCH_Q4 = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND CAST(l_shipdate AS DATE) >
+              CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+
+def q_sql_tpch_q4(spark, sf):
+    """Order-priority checking (TPC-H Q4): the EXISTS probe plans as a
+    LEFT SEMI join on l_orderkey — each order is tested once no matter
+    how many late lines it has, so the lineitem side carries only the
+    key + the date predicate. 'Late' = shipped >60 days after order
+    (the schema has no commit/receipt dates). Quarter filter pushed to
+    the orders scan."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q4)
+
+
+_TPCH_Q6 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+def q_sql_tpch_q6(spark, sf):
+    """Forecasting-revenue-change (TPC-H Q6): the pure scan-aggregate —
+    one table, three pushed-down range predicates, zero joins, zero
+    shuffles past the partial-agg fan-in. The canonical predicate-
+    pushdown / codegen benchmark; at 100 TB this is bounded by scan
+    bandwidth alone. Discount bounds compare the raw parquet doubles
+    (bit-identical in both engines)."""
+    _t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_TPCH_Q6)
+
+
+_TPCH_Q7 = """
+    SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(YEAR FROM CAST(l_shipdate AS DATE)) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01'
+                                         AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_sql_tpch_q7(spark, sf):
+    """Volume-shipping (TPC-H Q7): the twice-aliased nation dim under a
+    DISJUNCTIVE pair predicate — unlike Q8's conjunctive roles, the OR
+    couples the two aliases, so Catalyst keeps it as a join residual on
+    two broadcast joins rather than splitting the scan. Fact chain
+    shuffles once on each key; nation pairs × year out."""
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q7)
+
+
+_TPCH_Q9 = """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(YEAR FROM CAST(o_orderdate AS DATE)) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(1 - l_discount AS DECIMAL(18,2))
+             - CAST(p_retailprice AS DECIMAL(18,2))
+               * CAST(l_quantity AS DECIMAL(18,2))
+               * CAST(0.1 AS DECIMAL(2,1)) AS amount
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+def q_sql_tpch_q9(spark, sf):
+    """Product-type-profit (TPC-H Q9): the LIKE-filtered part dim gates
+    the whole join tree (pushed to the part scan, then broadcast), and
+    profit is an exact all-DECIMAL expression — the unit-cost surrogate
+    is p_retailprice x qty x 0.1 since the schema has no ps_supplycost;
+    every factor is cast to DECIMAL BEFORE multiplying so no double
+    product ever reaches a decimal cast (the r4 scale-stability rule)."""
+    for t in ("part", "supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q9)
+
+
+_TPCH_Q11 = """
+    WITH pv AS (
+      SELECT l_partkey AS p_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(l_quantity AS DECIMAL(18,2))) AS val
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_3'
+      GROUP BY 1
+    ),
+    tot AS (SELECT SUM(val) AS t, count(*) AS n_parts FROM pv)
+    SELECT p_partkey, CAST(val AS DOUBLE) AS value
+    FROM pv, tot
+    WHERE val * n_parts > t * 2
+    ORDER BY value DESC, p_partkey
+"""
+
+
+def q_sql_tpch_q11(spark, sf):
+    """Important-stock identification (TPC-H Q11): a HAVING threshold
+    that is itself an aggregate over the same derived table — the
+    scalar total broadcasts back over the per-part values (one keyed
+    shuffle total; Catalyst reuses the pv aggregation for both
+    branches via the CTE). The fraction is SCALE-ADAPTIVE — parts
+    above twice the MEAN share (TPC-H scales its literal by 1/SF for
+    the same reason; a fixed fraction selects zero parts once the
+    part count grows 10x). Value stays DECIMAL-exact (decimal x int)
+    through the comparison; DOUBLE only on output."""
+    for t in ("lineitem", "supplier", "nation"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q11)
+
+
+_TPCH_Q12 = """
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+      AND CAST(l_shipdate AS DATE) >
+          CAST(o_orderdate AS DATE) + INTERVAL 30 DAY
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+
+def q_sql_tpch_q12(spark, sf):
+    """Shipping-mode priority split (TPC-H Q12 shape; returnflag plays
+    shipmode — the schema has neither shipmode nor receiptdate): the
+    conditional two-way count over a join with a cross-table date
+    predicate. The shipdate range pushes to the lineitem scan; the
+    cross-column lateness predicate evaluates post-join as a residual.
+    Counts CAST AS BIGINT to stay HUGEINT-free in the oracle."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q12)
+
+
+_TPCH_Q13 = """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_sql_tpch_q13(spark, sf):
+    """Customer-distribution (TPC-H Q13): LEFT OUTER join with a filter
+    INSIDE the join condition (it must not become a WHERE — customers
+    with zero qualifying orders survive with c_count = 0), then a
+    histogram of the per-customer counts. Two aggregations, two keyed
+    shuffles; the second input is |customers| rows."""
+    for t in ("customer", "orders"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q13)
+
+
+_TPCH_Q14 = """
+    SELECT round(
+        100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                   * CAST(1 - l_discount AS DECIMAL(18,2))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE),
+        6) AS promo_revenue
+    FROM lineitem, part
+    WHERE l_partkey = p_partkey
+      AND CAST(l_shipdate AS DATE) >= DATE '1997-09-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-10-01'
+"""
+
+
+def q_sql_tpch_q14(spark, sf):
+    """Promotion-effect (TPC-H Q14): conditional-over-total revenue
+    ratio in one aggregate — both sums share one scan and one
+    map-side combine; the month filter reaches the lineitem scan and
+    the part dim broadcasts. Same exact-DECIMAL-then-ratio pattern as
+    Q8's market share."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q14)
+
+
+_TPCH_Q15 = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+def q_sql_tpch_q15(spark, sf):
+    """Top-supplier (TPC-H Q15, view folded to a CTE): the max-equality
+    against a scalar subquery over the SAME derived table — the
+    revenue aggregation computes once, its max broadcasts back as a
+    one-row filter. Equality is tie-safe because total_revenue stays
+    an exact DECIMAL until output."""
+    for t in ("supplier", "lineitem"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q15)
+
+
+_TPCH_Q16 = """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#12' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_sql_tpch_q16(spark, sf):
+    """Parts-supplier-relationship (TPC-H Q16): NOT IN over a scalar
+    key set plans as a broadcast NULL-aware anti join (negative-balance
+    suppliers play the 'customer complaints' exclusion list); the
+    part-attribute filters prune before the join. The distinct count
+    is per narrow (brand, type, size) groups, so the Expand stays
+    cheap. lineitem stands in for partsupp as the part-supplier
+    relation."""
+    for t in ("lineitem", "part", "supplier"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q16)
+
+
+_TPCH_Q19 = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem, part
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+           AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+           AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
+           AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+def q_sql_tpch_q19(spark, sf):
+    """Discounted-revenue (TPC-H Q19): the disjunctive OR-of-ANDs join
+    predicate — Catalyst factors the common p_partkey = l_partkey
+    equality out of the disjunction into a hash-join key and keeps the
+    brand/size/quantity triples as a post-join residual, instead of
+    the nested-loop a naive reading implies. One scalar row out."""
+    for t in ("lineitem", "part"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q19)
+
+
+_TPCH_Q20 = """
+    SELECT s_name, s_acctbal
+    FROM supplier, nation
+    WHERE s_suppkey IN (
+        SELECT ps.sk FROM (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+          GROUP BY 1, 2
+        ) ps
+        WHERE ps.pk IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+          AND ps.sq > (
+            SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                   * CAST(0.2 AS DECIMAL(2,1))
+            FROM lineitem
+            WHERE l_partkey = ps.pk
+              AND CAST(l_shipdate AS DATE) >= DATE '1997-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+          )
+      )
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_5'
+    ORDER BY s_name
+"""
+
+
+def q_sql_tpch_q20(spark, sf):
+    """Potential-part-promotion (TPC-H Q20): nested INs with a
+    CORRELATED aggregate threshold — suppliers who shipped >20% of a
+    red part's annual volume (availqty has no surrogate without
+    partsupp). Catalyst decorrelates the per-part total into an
+    aggregate joined on pk; both IN probes become semi joins. All
+    quantity sums stay DECIMAL through the fraction comparison."""
+    for t in ("supplier", "nation", "lineitem", "part"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q20)
+
+
+_TPCH_Q21 = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND CAST(l1.l_shipdate AS DATE) >
+          CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND CAST(l3.l_shipdate AS DATE) >
+              CAST(o_orderdate AS DATE) + INTERVAL 60 DAY
+      )
+      AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+"""
+
+
+def q_sql_tpch_q21(spark, sf):
+    """Suppliers-who-kept-waiting (TPC-H Q21): the hardest subquery
+    shape in the suite — a semi join AND an anti join of lineitem onto
+    itself per order, the anti side correlated to the OUTER order's
+    date. 'Late' = shipped >60 days after order. Catalyst plans both
+    probes as one-shuffle joins keyed on l_orderkey (the same key the
+    fact join already shuffles on), so the self-joins add no extra
+    exchange of the big table."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_TPCH_Q21)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first 50
     # entries. The r4 window is SQL-oracle entries ONLY, prioritized:
@@ -3093,6 +3545,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_tpch_q8": q_sql_tpch_q8,
         "sql_tpch_q10": q_sql_tpch_q10,
+        # --- (2e) round-5: the TPC-H tail that completes the 22-query
+        # suite (shapes where the synthetic schema lacks columns) ---
+        "sql_tpch_q2": q_sql_tpch_q2,
+        "sql_tpch_q4": q_sql_tpch_q4,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q7": q_sql_tpch_q7,
+        "sql_tpch_q9": q_sql_tpch_q9,
+        "sql_tpch_q11": q_sql_tpch_q11,
+        "sql_tpch_q12": q_sql_tpch_q12,
+        "sql_tpch_q13": q_sql_tpch_q13,
+        "sql_tpch_q14": q_sql_tpch_q14,
+        "sql_tpch_q15": q_sql_tpch_q15,
+        "sql_tpch_q16": q_sql_tpch_q16,
+        "sql_tpch_q19": q_sql_tpch_q19,
+        "sql_tpch_q20": q_sql_tpch_q20,
+        "sql_tpch_q21": q_sql_tpch_q21,
         # --- (2c) r3-green rows rotated out to make room for (2a);
         # recorded credit + oracle-battery guard ---
         "time_histogram_monthly": q_time_histogram_monthly,
@@ -3540,6 +4008,20 @@ def oracle_sql() -> dict[str, str]:
         "sql_tpch_q3": _TPCH_Q3,
         "sql_tpch_q5": _TPCH_Q5,
         "sql_tpch_q1": _TPCH_Q1,
+        "sql_tpch_q2": _TPCH_Q2,
+        "sql_tpch_q4": _TPCH_Q4,
+        "sql_tpch_q6": _TPCH_Q6,
+        "sql_tpch_q7": _TPCH_Q7,
+        "sql_tpch_q9": _TPCH_Q9,
+        "sql_tpch_q11": _TPCH_Q11,
+        "sql_tpch_q12": _TPCH_Q12,
+        "sql_tpch_q13": _TPCH_Q13,
+        "sql_tpch_q14": _TPCH_Q14,
+        "sql_tpch_q15": _TPCH_Q15,
+        "sql_tpch_q16": _TPCH_Q16,
+        "sql_tpch_q19": _TPCH_Q19,
+        "sql_tpch_q20": _TPCH_Q20,
+        "sql_tpch_q21": _TPCH_Q21,
         "sql_tpch_q8": _TPCH_Q8,
         "sql_tpch_q10": _TPCH_Q10,
         "sql_tpch_q17": _TPCH_Q17,

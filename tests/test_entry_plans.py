@@ -371,3 +371,55 @@ def test_tpch_q10_pushes_quarter_and_flag(spark):
     plan = plan_of(entry.q_sql_tpch_q10(spark, SF))
     assert "EqualTo(l_returnflag,R)" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_tpch_q2_single_lineitem_pass_window_min(spark):
+    """The per-part best cost must be a window min on the cost
+    aggregation's own shuffle key — NOT a second aggregate joined back,
+    which would plan the lineitem aggregation twice (Spark inlines
+    CTEs). One lineitem scan, and a Window node instead of a self-join
+    of the cost table."""
+    plan = plan_of(entry.q_sql_tpch_q2(spark, SF))
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
+
+
+def test_tpch_q4_exists_plans_as_semi_join(spark):
+    plan = plan_of(entry.q_sql_tpch_q4(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q6_is_scan_aggregate_only(spark):
+    """Q6 is the pure pushdown benchmark: no join, no hash-partition
+    exchange — just scan, filter, partial/final aggregate."""
+    plan = plan_of(entry.q_sql_tpch_q6(spark, SF))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_tpch_q16_not_in_is_null_aware_anti_join(spark):
+    plan = plan_of(entry.q_sql_tpch_q16(spark, SF))
+    assert "LeftAnti" in plan, plan
+
+
+def test_tpch_q19_or_predicate_factors_join_key(spark):
+    """The OR-of-ANDs predicate shares p_partkey = l_partkey across all
+    three disjuncts; Catalyst must factor it into a hash join key (the
+    brand/size/quantity triples stay as a residual), never a nested
+    loop over lineitem x part."""
+    plan = plan_of(entry.q_sql_tpch_q19(spark, SF))
+    assert "BroadcastHashJoin [l_partkey" in plan or "hashpartitioning(l_partkey" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q21_semi_and_anti_share_order_key(spark):
+    """The waiting-supplier self-probes must plan as one semi and one
+    anti join, both keyed on l_orderkey — the key the fact join already
+    shuffles on — so the double self-join adds no extra big-table
+    exchange."""
+    plan = plan_of(entry.q_sql_tpch_q21(spark, SF))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
