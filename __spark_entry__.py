@@ -3001,6 +3001,124 @@ def q_ngram_diversity(spark, sf):
     return text.ngram_diversity(_t(spark, sf, "documents"), n=2)
 
 
+def q_budget_fill(spark, sf):
+    """Per-domain token-budget fill (selection.budget_fill): each
+    source spends a 20k-char budget on its own documents in
+    deterministic quality order — the doc-selection half of mixture
+    planning (temperature_mixture sets budgets, this spends them).
+    One window running-sum per domain; the oracle replays the
+    identical inclusive-prefix-sum window."""
+    from nnanalytics_spark.pipeline import selection
+
+    return selection.budget_fill(_t(spark, sf, "documents"), char_budget=20_000)
+
+
+def q_matryoshka_eval(spark, sf):
+    """Matryoshka truncation fidelity (similarity.matryoshka_eval,
+    Kusupati et al. 2022): pairwise cosine on full 64-dim vs the
+    16-dim prefix over a fixed probe set — the report that decides
+    whether a truncated first-stage ANN index is good enough. Bounded
+    broadcast self-join; both cosines rounded before the delta so all
+    three doubles are engine-identical."""
+    return similarity.matryoshka_eval(
+        _t(spark, sf, "embeddings"), trunc_dim=16, max_probe_id=40
+    )
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Per-domain top-5 TF-IDF terms (text.tfidf_top_terms): domain-
+    level document frequency, integer-TF x decimal-quantized-IDF exact
+    scores, (score desc, term) ranking — the corpus characterization
+    report. The oracle replays tokenization, IDF quantization, and the
+    ranking window bit-for-bit."""
+    return text.tfidf_top_terms(_t(spark, sf, "documents"), k=5)
+
+
+def q_padding_efficiency(spark, sf):
+    """Context-window padding-waste report (sampling.padding_efficiency):
+    per source, real-vs-padding token ratios for chunk-then-pad (per-doc
+    windows) against the greedy-packing lower bound — the numbers that
+    justify running pack_sequences. Map-side counts + one grouped sum;
+    exact-integer ratios divided in double."""
+    from nnanalytics_spark.pipeline import sampling
+
+    return sampling.padding_efficiency(_t(spark, sf, "documents"), max_len=64)
+
+
+def q_dup_matrix(spark, sf):
+    """Cross-source near-duplication matrix: the verified exact-Jaccard
+    pairs (>=0.6, the ngram_jaccard_pairs operator) rolled up by
+    UNORDERED source pair — the contamination-flow report that tells a
+    corpus team WHICH feeds duplicate into which. Pair id join to the
+    doc table twice (broadcast — pairs are corpus-small), least/
+    greatest normalizes the pair, one grouped count."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+    da = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    db = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+def q_stream_dedup_parity(spark, sf):
+    """Streaming exact-once dedup (the remaining core stateful-streaming
+    operator: watermarked dropDuplicates): the event stream arrives
+    DOUBLED (two file sources over the same log, unioned — every event
+    exactly twice, possibly in different micro-batches), flows through
+    ``withWatermark(...).dropDuplicates([id, event-time])``, and lands
+    in a parquet sink. The query aggregates the SINK — so the hash
+    proves the deduplicated stream on disk equals the batch-distinct
+    oracle. State is keyed by (id, time) and evicted by the watermark:
+    bounded by the lateness horizon, not the stream length."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    def _src():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+
+    doubled = _with_ts_cols(_src()).unionByName(_with_ts_cols(_src()))
+    deduped = (
+        doubled.withColumn("wm", F.timestamp_millis(F.col("ts_ms")))
+        .withWatermark("wm", "1 hour")
+        .dropDuplicates(["event_id", "wm"])
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="nna_stream_dedup_")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(f"{out_dir}/data")
+    return (
+        sunk.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------- TPC-H tail
 # Round 5 completes the TPC-H suite: all 22 query SHAPES present (the
 # synthetic schema has no partsupp table and no shipmode/container/
@@ -3454,79 +3572,30 @@ def q_sql_tpch_q21(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering contract: the driver's CORRECTNESS gate checks the first 50
-    # entries. The r4 window is SQL-oracle entries ONLY, prioritized:
-    # (1) the r3 rows the driver saw red or never saw (profile_table +
-    # key_skew hash-hardened this round; kept in place per VERDICT r3 #1),
-    # (2) queries new or promoted in r4 — (2c) is the late-r4 batch:
-    # streaming watermark/stream-static parity, classifier + quantile
-    # curation, chunking, the GK quantile bound, SemDeDup, bigram-LM,
-    # cluster-aware split, feature hashing, count-min, distributed
-    # Lloyd, source KL. Groups (1)+(2) now fill the window exactly;
-    # (3)-(4) and everything below rotated out with recorded green rows
-    # AND are guarded by tests/test_oracle_battery.py, which re-runs
-    # every oracle pair at sf0.01 under pytest each round.
+    # Ordering contract: the driver's CORRECTNESS gate checks the first
+    # 50 entries only. The r5 window prioritizes rows that have never
+    # produced a green driver row; everything rotated out keeps its
+    # recorded credit and a pytest battery guard (see below).
     return {
-        # --- (1) r3 rows the driver saw red (hash-hardened; kept in the
-        # window per VERDICT r3 #1) plus r3-new rows still collecting
-        # their first green ---
-        "sessionization_parity": q_sessionization_parity,
-        "sweep_roundtrip": q_sweep_roundtrip,
-        "changelog_upsert": q_changelog_upsert,
-        "save_namespace_roundtrip": q_save_namespace_roundtrip,
-        "token_commonness": q_token_commonness,
-        "lexical_cosine": q_lexical_cosine,
+        # --- r5 WINDOW (first 50 = the driver correctness gate) ---
+        # (a) the 12 rows red in CORRECTNESS_r04 — all were dtype
+        # splits under the driver's pandas hashing (HUGEINT/DECIMAL ->
+        # float64 on one side only), fixed this round; they stay in
+        # the window to collect their green driver rows:
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
-        "bucketed_join": q_bucketed_join,
-        "mixture_epochs": q_mixture_epochs,
-        "video_decode": q_video_decode,
-        # --- (2a) new late-r4: behavior analytics, lexical retrieval,
-        # paragraph dedup, shard/compaction layout, subquery TPC-H ---
-        "funnel_steps": q_funnel_steps,
-        "retention_cohorts": q_retention_cohorts,
-        "bm25_topk": q_bm25_topk,
-        "paragraph_dedup": q_paragraph_dedup,
-        "range_shard_layout": q_range_shard_layout,
-        "compaction_roundtrip": q_compaction_roundtrip,
-        "sql_tpch_q17": q_sql_tpch_q17,
-        "sql_tpch_q18": q_sql_tpch_q18,
-        "sql_tpch_q22": q_sql_tpch_q22,
-        # --- (2b) new/promoted in r4 ---
-        "simhash_pairs": q_simhash_pairs,
-        "ann_ivf_full": q_ann_ivf_full,
-        "minhash_recall": q_minhash_recall,
-        "approx_distinct_bound": q_approx_distinct_bound,
-        "fsimage_proto_roundtrip": q_fsimage_proto_roundtrip,
-        "multimodal_feature_hist": q_multimodal_feature_hist,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
-        "dedup_span_removal": q_dedup_span_removal,
-        "gopher_quality": q_gopher_quality,
         "dsir_weights": q_dsir_weights,
-        "dedup_keep_best": q_dedup_keep_best,
         "decontaminate": q_decontaminate,
         "temperature_mixture": q_temperature_mixture,
         "fuzzy_dedup_pipeline": q_fuzzy_dedup_pipeline,
-        "incremental_dedup": q_incremental_dedup,
         "history_roundtrip": q_history_roundtrip,
-        # --- (2c) new in this session ---
-        "watermark_window_parity": q_watermark_window_parity,
         "quality_classifier": q_quality_classifier,
-        "stream_static_join_parity": q_stream_static_join_parity,
         "quality_quantile": q_quality_quantile,
-        "chunk_documents": q_chunk_documents,
-        "approx_quantile_bound": q_approx_quantile_bound,
-        "random_projection": q_random_projection,
-        "semdedup": q_semdedup,
         "bigram_lm": q_bigram_lm,
-        "cluster_split": q_cluster_split,
         "hashed_features": q_hashed_features,
-        "count_min_bound": q_count_min_bound,
-        "kmeans_refine": q_kmeans_refine,
         "source_divergence": q_source_divergence,
-        # --- (2d) late-r4, below the window (battery-guarded; rotate into
-        # the gate next round): fixed-size sampling, dwell gaps, skew-safe
-        # distinct, zone-map pruning, schema evolution ---
+        # (b) rows never driver-checked (added below the window in
+        # r4; rotated in now):
         "sample_k_per_group": q_sample_k_per_group,
         "inter_event_gaps": q_inter_event_gaps,
         "two_stage_distinct": q_two_stage_distinct,
@@ -3545,8 +3614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_tpch_q8": q_sql_tpch_q8,
         "sql_tpch_q10": q_sql_tpch_q10,
-        # --- (2e) round-5: the TPC-H tail that completes the 22-query
-        # suite (shapes where the synthetic schema lacks columns) ---
+        # (c) round-5 TPC-H tail — completes the 22-query suite:
         "sql_tpch_q2": q_sql_tpch_q2,
         "sql_tpch_q4": q_sql_tpch_q4,
         "sql_tpch_q6": q_sql_tpch_q6,
@@ -3561,8 +3629,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_tpch_q20": q_sql_tpch_q20,
         "sql_tpch_q21": q_sql_tpch_q21,
-        # --- (2c) r3-green rows rotated out to make room for (2a);
-        # recorded credit + oracle-battery guard ---
+        # (d) round-5 pipeline additions:
+        "budget_fill": q_budget_fill,
+        "matryoshka_eval": q_matryoshka_eval,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "padding_efficiency": q_padding_efficiency,
+        "dup_matrix": q_dup_matrix,
+        "stream_dedup_parity": q_stream_dedup_parity,
+        # --- past the 50-row window: green rows with recorded
+        # driver credit. tests/test_oracle_battery.py re-runs EVERY
+        # oracle pair (value hash + pandas dtype-class parity) at
+        # sf0.01 under pytest, so rotation cannot rot silently. ---
+        "sessionization_parity": q_sessionization_parity,
+        "sweep_roundtrip": q_sweep_roundtrip,
+        "changelog_upsert": q_changelog_upsert,
+        "save_namespace_roundtrip": q_save_namespace_roundtrip,
+        "token_commonness": q_token_commonness,
+        "lexical_cosine": q_lexical_cosine,
+        "bucketed_join": q_bucketed_join,
+        "mixture_epochs": q_mixture_epochs,
+        "video_decode": q_video_decode,
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
+        "bm25_topk": q_bm25_topk,
+        "paragraph_dedup": q_paragraph_dedup,
+        "range_shard_layout": q_range_shard_layout,
+        "compaction_roundtrip": q_compaction_roundtrip,
+        "sql_tpch_q17": q_sql_tpch_q17,
+        "sql_tpch_q18": q_sql_tpch_q18,
+        "sql_tpch_q22": q_sql_tpch_q22,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_ivf_full": q_ann_ivf_full,
+        "minhash_recall": q_minhash_recall,
+        "approx_distinct_bound": q_approx_distinct_bound,
+        "fsimage_proto_roundtrip": q_fsimage_proto_roundtrip,
+        "multimodal_feature_hist": q_multimodal_feature_hist,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "dedup_span_removal": q_dedup_span_removal,
+        "gopher_quality": q_gopher_quality,
+        "dedup_keep_best": q_dedup_keep_best,
+        "incremental_dedup": q_incremental_dedup,
+        "watermark_window_parity": q_watermark_window_parity,
+        "stream_static_join_parity": q_stream_static_join_parity,
+        "chunk_documents": q_chunk_documents,
+        "approx_quantile_bound": q_approx_quantile_bound,
+        "random_projection": q_random_projection,
+        "semdedup": q_semdedup,
+        "cluster_split": q_cluster_split,
+        "count_min_bound": q_count_min_bound,
+        "kmeans_refine": q_kmeans_refine,
         "time_histogram_monthly": q_time_histogram_monthly,
         "time_histogram_weekly": q_time_histogram_weekly,
         "time_histogram_yearly": q_time_histogram_yearly,
@@ -3572,11 +3687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_sort_by_value": q_url_sort_by_value,
         "all_pairs_blocked": q_all_pairs_blocked,
         "image_resize_decode": q_image_resize_decode,
-        # --- (3) SQL-oracle, past the window in r2 (locally hash-green) ---
         "dup_ngram_stats": q_dup_ngram_stats,
         "embedding_norm_stats": q_embedding_norm_stats,
         "embedding_quantization": q_embedding_quantization,
-        # --- (4) r3-green regression watch ---
         "quota_report": q_quota_report,
         "issue_ranking": q_issue_ranking,
         "file_type_report": q_file_type_report,
@@ -3588,9 +3701,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "contamination": q_contamination,
         "embedding_dup_pairs": q_embedding_dup_pairs,
-        # ---------------- past the 50-row window ----------------
-        # green SQL-oracle rows rotated out to make room; the pytest
-        # oracle battery re-checks every one of these at sf0.01:
         "ann_topk": q_ann_topk,
         "ann_batch_topk": q_ann_batch_topk,
         "centroid_eval": q_centroid_eval,
@@ -3624,12 +3734,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "multimodal_decode": q_multimodal_decode,
         "text_repetition": q_text_repetition,
-        # rows-only checks (no SQL twin — engine-specific hashing):
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "simhash_blocks": q_simhash_blocks,
         "ann_ivf_topk": q_ann_ivf_topk,
-        # --- r1-green tail (stable) ---
         "filter_sum": q_filter_sum,
         "filter_string_ops": q_filter_string_ops,
         "filter_date_ops": q_filter_date_ops,
@@ -6012,6 +6120,157 @@ def oracle_sql() -> dict[str, str]:
                CAST(CAST(max(cnt) / avg(cnt) AS DECIMAL(18,6)) AS DOUBLE)
                  AS skew_ratio
         FROM c
+    """
+    d["budget_fill"] = """
+        WITH ranked AS (
+          SELECT source, doc_id, n_chars,
+                 SUM(n_chars) OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS cum
+          FROM documents
+        ),
+        kept AS (
+          SELECT source, count(*) AS n_kept,
+                 CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+          FROM ranked WHERE cum <= 20000 GROUP BY 1
+        ),
+        tot AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        SELECT t.source, t.n_docs,
+               coalesce(k.n_kept, 0) AS n_kept,
+               coalesce(k.chars_kept, 0) AS chars_kept,
+               round(coalesce(k.chars_kept, 0) / 20000.0, 6) AS budget_frac
+        FROM tot t LEFT JOIN kept k USING (source)
+        ORDER BY source
+    """
+    d["matryoshka_eval"] = """
+        WITH v AS (
+          SELECT vec_id AS pid,
+                 [CAST(x AS DOUBLE) for x in embedding] AS e,
+                 [CAST(x AS DOUBLE) for x in embedding[1:16]] AS t
+          FROM embeddings WHERE vec_id < 40
+        ),
+        n AS (
+          SELECT pid, e, t,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS ne,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in t]),
+                                  (a, b) -> a + b)) AS nt
+          FROM n0
+        ),
+        c AS (
+          SELECT a.pid AS id_a, b.pid AS id_b,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                         (x, y) -> x + y) / (a.ne * b.ne), 6) AS cos_full,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.t[i] * b.t[i] for i in range(1, len(a.t) + 1)]),
+                         (x, y) -> x + y) / (a.nt * b.nt), 6) AS cos_trunc
+          FROM n a JOIN n b ON a.pid < b.pid
+        )
+        SELECT id_a, id_b, cos_full, cos_trunc,
+               round(abs(cos_full - cos_trunc), 6) AS abs_delta
+        FROM c
+    """.replace("n0", "v")
+    d["tfidf_top_terms"] = r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        ng AS (SELECT count(DISTINCT source) AS n FROM documents),
+        idf AS (
+          SELECT term,
+                 CAST(round(ln(CAST(n AS DOUBLE) / count(*)), 9)
+                      AS DECIMAL(20,9)) AS idf
+          FROM tf, ng GROUP BY term, n
+        ),
+        ranked AS (
+          SELECT tf.source, tf.term, tf.tf,
+                 CAST(tf.tf AS DECIMAL(10,0)) * idf.idf AS s,
+                 row_number() OVER (
+                   PARTITION BY tf.source
+                   ORDER BY CAST(tf.tf AS DECIMAL(10,0)) * idf.idf DESC,
+                            tf.term) AS rank
+          FROM tf JOIN idf USING (term)
+        )
+        SELECT source, rank, term, tf, CAST(s AS DOUBLE) AS tfidf
+        FROM ranked WHERE rank <= 5 ORDER BY source, rank
+    """
+    d["padding_efficiency"] = r"""
+        WITH d AS (
+          SELECT source,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 END AS n_tok
+          FROM documents
+        ),
+        g AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+                 CAST(SUM(CASE WHEN n_tok > 0
+                               THEN CAST(ceil(n_tok / 64.0) AS BIGINT)
+                               ELSE 0 END) AS BIGINT) AS padded_windows
+          FROM d GROUP BY 1
+        )
+        SELECT source, n_docs, total_tokens, padded_windows,
+               CAST(ceil(total_tokens / 64.0) AS BIGINT) AS packed_windows,
+               round(total_tokens /
+                     CAST(padded_windows * 64 AS DOUBLE), 6)
+                 AS padded_efficiency,
+               round(total_tokens /
+                     CAST(CAST(ceil(total_tokens / 64.0) AS BIGINT) * 64
+                          AS DOUBLE), 6) AS packed_efficiency
+        FROM g ORDER BY source
+    """
+    d["dup_matrix"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN dfc USING (shingle) WHERE dfc.df <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+        )
+        SELECT least(da.source, db.source) AS source_lo,
+               greatest(da.source, db.source) AS source_hi,
+               count(*) AS n_pairs
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["stream_dedup_parity"] = """
+        SELECT event_type, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM events GROUP BY 1 ORDER BY 1
     """
     d["simhash_pairs"] = f"""
         WITH s AS (

@@ -139,6 +139,27 @@ HEADLINE = [
     "sql_tpch_q1",
     "sql_tpch_q8",
     "sql_tpch_q10",
+    # round-5: the TPC-H tail + new pipeline operators
+    "sql_tpch_q2",
+    "sql_tpch_q4",
+    "sql_tpch_q6",
+    "sql_tpch_q7",
+    "sql_tpch_q9",
+    "sql_tpch_q11",
+    "sql_tpch_q12",
+    "sql_tpch_q13",
+    "sql_tpch_q14",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q19",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "budget_fill",
+    "matryoshka_eval",
+    "tfidf_top_terms",
+    "padding_efficiency",
+    "dup_matrix",
+    "stream_dedup_parity",
 ]
 
 

@@ -303,3 +303,44 @@ def sample_k_per_group(
         .filter(F.col("rn") <= k)
         .select(group, id_col, "rn")
     )
+
+
+def padding_efficiency(df: DataFrame, max_len: int = 64) -> DataFrame:
+    """Padding-waste report for context-window planning: if every
+    document were padded to its own ceil(n/L) windows of length L
+    (chunk-then-pad, the no-packing baseline), how many tokens are
+    real vs padding — and how close could greedy packing get (the
+    lower bound ceil(total/L) windows)? Per source: doc count, token
+    total, both window counts, and the two efficiency ratios. This is
+    the report that justifies running pack_sequences at all.
+
+    Map-side token counts + one grouped sum; the ratios divide exact
+    integers in double (IEEE-identical across engines), rounded to 6.
+    """
+    from nnanalytics_spark.pipeline.text import tokens
+
+    n = F.size(tokens(F.lower(F.col("text"))))
+    per_doc = df.select(
+        "source",
+        n.alias("n_tok"),
+        F.when(n > 0, F.ceil(n / F.lit(max_len))).otherwise(F.lit(0)).alias("bins"),
+    )
+    g = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("bins").alias("padded_windows"),
+    )
+    ideal = F.ceil(F.col("total_tokens") / F.lit(max_len))
+    return g.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "padded_windows",
+        ideal.alias("packed_windows"),
+        F.round(
+            F.col("total_tokens") / (F.col("padded_windows") * max_len), 6
+        ).alias("padded_efficiency"),
+        F.round(F.col("total_tokens") / (ideal * max_len), 6).alias(
+            "packed_efficiency"
+        ),
+    ).orderBy("source")

@@ -279,3 +279,54 @@ def source_divergence(
         # DECIMAL-exact sum, DOUBLE out (pandas-coercion-stable)
         F.sum("kl_term").cast("double").alias("kl_nats"),
     )
+
+
+def budget_fill(
+    df: DataFrame,
+    char_budget: int,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain token-budget fill — the selection step that follows
+    mixture planning (temperature_mixture decides each domain's BUDGET;
+    this decides which documents spend it): within each domain, take
+    documents in quality order until the cumulative size exceeds the
+    budget. Quality here = (size desc, id asc) — swap in a classifier
+    score column upstream without changing the shape.
+
+    One window running-sum per domain (a single keyed exchange; the
+    running sum needs no second pass because the INCLUSIVE prefix sum
+    decides membership: a doc is kept iff its own arrival still fits).
+    Report per domain: docs seen/kept, chars kept, budget utilization.
+    At 100 TB the window sort is per-domain and spills gracefully;
+    domains are independent so skew is bounded by the largest domain.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(size_col).desc(), F.col(id_col)
+    )
+    cum = F.sum(size_col).over(w)
+    kept = df.select(group_col, size_col, id_col).withColumn("_cum", cum).filter(
+        F.col("_cum") <= char_budget
+    )
+    totals = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    report = kept.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(size_col).alias("chars_kept"),
+    )
+    return (
+        totals.join(report, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("chars_kept", F.lit(0)).alias("chars_kept"),
+            # integer/int division in double is IEEE-identical cross-engine
+            F.round(
+                F.coalesce("chars_kept", F.lit(0)) / F.lit(char_budget), 6
+            ).alias("budget_frac"),
+        )
+        .orderBy(group_col)
+    )

@@ -858,3 +858,42 @@ def kmeans_refine(
             ],
         )
     )
+
+
+def matryoshka_eval(
+    df: DataFrame,
+    trunc_dim: int = 16,
+    max_probe_id: int = 40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation fidelity (Kusupati et al. 2022): how well
+    do the first ``trunc_dim`` dimensions preserve pairwise cosine
+    geometry? All pairs among a FIXED probe set get (cos on full dims,
+    cos on the truncated prefix, absolute delta) — the report that
+    decides whether the cheap truncated index is good enough for
+    first-stage retrieval.
+
+    The probe set is bounded by construction (ids < max_probe_id), so
+    the all-pairs block is O(probes^2) regardless of corpus size — at
+    100 TB you sample the probes; the plan (tiny broadcast self-join,
+    codegen fold for both dots) is unchanged. Both cosines are rounded
+    before the delta so all three doubles are engine-identical."""
+    v = (
+        df.filter(F.col(id_col) < max_probe_id)
+        .select(F.col(id_col).alias("pid"), F.col(vec_col).cast("array<double>").alias("e"))
+        .withColumn("t", F.slice("e", 1, trunc_dim))
+    )
+    a, b = v.alias("a"), v.alias("b")
+    cf = F.round(cosine(F.col("a.e"), F.col("b.e")), 6)
+    ct = F.round(cosine(F.col("a.t"), F.col("b.t")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("a.pid") < F.col("b.pid"))
+        .select(
+            F.col("a.pid").alias("id_a"),
+            F.col("b.pid").alias("id_b"),
+            cf.alias("cos_full"),
+            ct.alias("cos_trunc"),
+            F.round(F.abs(cf - ct), 6).alias("abs_delta"),
+        )
+    )

@@ -646,3 +646,65 @@ def ngram_diversity(
             ).alias("diversity"),
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, k: int = 5, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Per-domain top-k TF-IDF terms — the corpus-characterization
+    report (what vocabulary distinguishes each source from the rest).
+    TF = term occurrences within the domain; IDF = ln(n_domains / df)
+    over DOMAIN-level document frequency. One tokenize + two keyed
+    aggregates riding the same (term) key, a broadcast of the tiny
+    per-term IDF table, and a per-domain top-k window over |domain
+    vocabulary| rows.
+
+    Scores stay exact: integer TF x DECIMAL(20,9)-quantized IDF, so
+    the (score desc, term) ranking ties identically in any engine;
+    the emitted score is the nearest DOUBLE of that exact decimal."""
+    toks = df.select(
+        group_col, F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # n_domains rides the plan as a broadcast scalar — no driver action
+    n_groups = df.select(group_col).distinct().agg(
+        F.count(F.lit(1)).alias("_ng")
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "term",
+            F.round(F.log(F.col("_ng").cast("double") / F.col("df")), 9)
+            .cast("decimal(20,9)")
+            .alias("idf"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    scored = tf.join(F.broadcast(idf), "term").select(
+        group_col,
+        "term",
+        "tf",
+        # tf cast to DECIMAL(10,0) first: a LONG operand is decimal(20,0)
+        # and (20,0)x(20,9) overflows precision 38, making Spark silently
+        # REDUCE the scale to 6 (allowPrecisionLoss) — the oracle keeps
+        # scale 9 and the hash diverges in the 7th decimal
+        (F.col("tf").cast("decimal(10,0)") * F.col("idf")).alias("_score"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            group_col,
+            "rank",
+            "term",
+            "tf",
+            F.col("_score").cast("double").alias("tfidf"),
+        )
+        .orderBy(group_col, "rank")
+    )

@@ -26,6 +26,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def list_parquet_files(spark: SparkSession, path: str) -> list[str]:
+    """List ``*.parquet`` directly under ``path`` via the Hadoop
+    FileSystem API — resolves whatever filesystem the path's scheme
+    names (hdfs://, s3a://, file:/), exactly as a Spark scan would.
+    ``os.listdir`` only ever sees the driver's local disk, which
+    silently breaks every layout helper on distributed storage.
+
+    Local paths come back as plain paths (not ``file:`` URIs) so
+    executor-side pyarrow opens them unchanged; remote schemes come
+    back as full URIs, which pyarrow routes through
+    ``pyarrow.fs.FileSystem.from_uri`` (s3 native; hdfs needs libhdfs
+    on the workers — the documented deployment requirement for the
+    footer-reading helpers on HDFS)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = []
+    for status in fs.listStatus(hpath):
+        p = status.getPath()
+        if not p.getName().endswith(".parquet"):
+            continue
+        uri = p.toUri()
+        scheme = uri.getScheme()
+        out.append(uri.getPath() if scheme in (None, "file") else p.toString())
+    return sorted(out)
+
+
 def write_inode_table(inodes: DataFrame, path: str, path_partitions: int = 32) -> None:
     """Write the inode table in the scale layout: type-partitioned,
     range-distributed and sorted by path."""
@@ -99,13 +126,9 @@ def verify_shard_layout(spark: SparkSession, path: str, key: str) -> DataFrame:
     Returns ONE row: (n_shards, total_rows, distinct_keys, all_sorted,
     overlap_pairs) — the last two must be (true, 0) for a valid layout.
     """
-    import os
-
     from pyspark.sql import functions as F
 
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    files = list_parquet_files(spark, path)
     files_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
         max(1, len(files))
     )
@@ -164,10 +187,8 @@ def compact_small_files(
     files). ``coalesce`` (NOT repartition) merges read splits without a
     shuffle: each output task concatenates whole input files. Returns
     (files_before, files_after)."""
-    import os
-
     def _count(p: str) -> int:
-        return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+        return len(list_parquet_files(spark, p))
 
     df = spark.read.parquet(in_path)
     # coalesce can only REDUCE partition count, and the scan may already
@@ -197,13 +218,7 @@ def zone_map(spark: SparkSession, path: str, key: str) -> DataFrame:
     out over tasks, each reads ~8 KB of footer. The map itself should be
     cached or persisted next to the table — it is the poor-man's manifest.
     """
-    import os
-
-    from pyspark.sql import functions as F  # noqa: F401 — parity with callers
-
-    files = sorted(
-        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
-    )
+    files = list_parquet_files(spark, path)
     files_df = spark.createDataFrame([(f,) for f in files], "file string").repartition(
         max(1, len(files))
     )

@@ -1,0 +1,100 @@
+"""Round-5 operator unit tests: budget fill, matryoshka eval, TF-IDF
+top terms, padding efficiency (semantics beyond the oracle hash)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.pipeline import sampling, selection, similarity, text
+
+
+def test_budget_fill_greedy_order_and_exhaustion(spark):
+    df = spark.createDataFrame(
+        [(1, "s1", 50), (2, "s1", 40), (3, "s1", 30), (4, "s2", 200), (5, "s3", 10)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = {r["source"]: r for r in selection.budget_fill(df, char_budget=100).collect()}
+    # s1: 50 + 40 fit (cum 90), 30 would overflow (cum 120) -> 2 kept
+    assert (out["s1"]["n_kept"], out["s1"]["chars_kept"]) == (2, 90)
+    assert out["s1"]["budget_frac"] == 0.9
+    # s2: the single doc exceeds the budget on arrival -> nothing kept
+    assert (out["s2"]["n_kept"], out["s2"]["chars_kept"]) == (0, 0)
+    assert out["s2"]["n_docs"] == 1
+    # s3: fits entirely
+    assert (out["s3"]["n_kept"], out["s3"]["chars_kept"]) == (1, 10)
+
+
+def test_budget_fill_quality_order_is_size_desc_id_asc(spark):
+    # equal sizes: lower doc_id wins the last slot
+    df = spark.createDataFrame(
+        [(9, "s", 60), (2, "s", 60), (5, "s", 60)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = selection.budget_fill(df, char_budget=120).collect()[0]
+    assert (out["n_kept"], out["chars_kept"]) == (2, 120)
+
+
+def test_matryoshka_identical_prefix_zero_delta(spark):
+    # vectors that agree on the first 2 dims but diverge later
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in similarity.matryoshka_eval(df, trunc_dim=2, max_probe_id=10).collect()
+    }
+    assert len(out) == 3
+    # identical vectors: both cosines 1, delta 0
+    assert out[(0, 1)]["cos_full"] == 1.0 and out[(0, 1)]["abs_delta"] == 0.0
+    # (0,2): truncated prefix identical -> cos_trunc 1, full cosine lower
+    assert out[(0, 2)]["cos_trunc"] == 1.0
+    assert out[(0, 2)]["cos_full"] < 1.0
+    assert out[(0, 2)]["abs_delta"] == round(1.0 - out[(0, 2)]["cos_full"], 6)
+
+
+def test_tfidf_distinguishing_term_ranks_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha shared", "s1"),
+            (2, "beta shared shared", "s2"),
+            (3, "shared gamma", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {(r["source"], r["rank"]): r for r in text.tfidf_top_terms(df, k=2).collect()}
+    # 'shared' occurs in all 3 sources -> idf = ln(1) = 0 -> never rank 1
+    assert out[("s1", 1)]["term"] == "alpha"
+    assert out[("s2", 1)]["term"] == "beta"
+    assert out[("s3", 1)]["term"] == "gamma"
+    for key, r in out.items():
+        if r["term"] == "shared":
+            assert r["tfidf"] == 0.0
+
+
+def test_padding_efficiency_hand_computed(spark):
+    # L=4: doc of 6 tokens -> 2 windows (8 slots); doc of 4 -> 1 window
+    df = spark.createDataFrame(
+        [(1, "a b c d e f", "s"), (2, "a b c d", "s"), (3, "", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = sampling.padding_efficiency(df, max_len=4).collect()[0]
+    assert out["n_docs"] == 3
+    assert out["total_tokens"] == 10
+    assert out["padded_windows"] == 3  # 2 + 1 + 0
+    assert out["packed_windows"] == 3  # ceil(10/4)
+    assert out["padded_efficiency"] == round(10 / 12, 6)
+    assert out["packed_efficiency"] == round(10 / 12, 6)
+
+
+def test_budget_fill_report_covers_all_sources(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = selection.budget_fill(docs, char_budget=20_000)
+    n_sources = docs.select("source").distinct().count()
+    rows = out.collect()
+    assert len(rows) == n_sources
+    assert all(r["n_kept"] <= r["n_docs"] for r in rows)
+    assert all(0.0 <= r["budget_frac"] <= 1.0 for r in rows)
