@@ -160,6 +160,11 @@ HEADLINE = [
     "padding_efficiency",
     "dup_matrix",
     "stream_dedup_parity",
+    # round-5b: iterative graph + agreement stats + collocations + PQ
+    "pagerank_topk",
+    "cohens_kappa",
+    "token_cooccurrence",
+    "pq_report",
 ]
 
 

@@ -81,3 +81,58 @@ def lexical_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def token_cooccurrence(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 40,
+    top_pairs: int = 50,
+) -> DataFrame:
+    """Document-level token co-occurrence counts — the exact-count
+    prep for PMI / collocation scoring (the association stage of a
+    phrase-mining or tokenizer-vocab pipeline). Emits the ``top_pairs``
+    most co-occurring unordered token pairs with their joint and
+    marginal document frequencies; the (deliberately float-free) counts
+    are everything PMI needs: pmi = ln(n_ab * n_docs / (n_a * n_b)).
+
+    Scale shape: marginal document frequencies come from one keyed
+    aggregate; the vocabulary is then capped to the ``top_vocab`` most
+    frequent tokens (deterministic (df desc, token) order), which rides
+    every executor as a broadcast semi-join — so the per-document
+    pair explosion is bounded by C(top_vocab, 2) regardless of document
+    length, and the pair aggregate's key space by top_vocab². The
+    doc-keyed self-join shuffles postings once on the 8-byte doc id.
+    Counts are df-style (per-doc distinct), so a token repeated in one
+    document still counts one co-occurrence — that is what makes the
+    marginals consistent with the joint.
+    """
+    post = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(F.lower(F.col(text)))).alias("tok"))
+        .distinct()
+    )
+    vocab = (
+        post.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .orderBy(F.col("n_tok").desc(), "tok")
+        .limit(top_vocab)
+    )
+    kept = post.join(F.broadcast(vocab), "tok")
+    a = kept.select(F.col("id"), F.col("tok").alias("tok_a"), F.col("n_tok").alias("n_a"))
+    b = kept.select(F.col("id"), F.col("tok").alias("tok_b"), F.col("n_tok").alias("n_b"))
+    pairs = (
+        a.join(b, "id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_ab"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    return (
+        pairs.orderBy(F.col("n_ab").desc(), "tok_a", "tok_b")
+        .limit(top_pairs)
+        .select("tok_a", "tok_b", "n_ab", "n_a", "n_b")
+    )

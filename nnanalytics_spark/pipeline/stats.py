@@ -155,3 +155,54 @@ def winsorized_stats(
         F.round(F.min("v"), 6).alias("clamp_lo"),
         F.round(F.max("v"), 6).alias("clamp_hi"),
     )
+
+
+def cohens_kappa(df: DataFrame, rater_a, rater_b) -> DataFrame:
+    """Cohen's kappa between two boolean raters — the agreement gate a
+    labeling pipeline runs before trusting auto-labels (rater vs rater,
+    heuristic vs classifier, model vs model).
+
+    One conditional-aggregate scan collects the whole 2x2 confusion
+    table (n, a1, b1, n11, n00); kappa then has a closed RATIONAL form:
+
+        kappa = (n*agree - a1*b1 - a0*b0) / (n*n - a1*b1 - a0*b0)
+
+    with agree = n11 + n00, a0 = n - a1, b0 = n - b1 — so it is emitted
+    as exact integer MICROS, not a float. Because kappa can be negative
+    and Spark's ``DIV`` truncates while other engines floor, the micro
+    division runs on the +4-shifted value (kappa >= -4 holds whenever
+    pe <= 0.8, far beyond any sane rater pair; the shift cancels exactly
+    after the division since it adds an integer multiple of the
+    denominator). All operands stay far inside int64 for n up to ~10^6
+    per group; past that, cast the products to DECIMAL(38,0) — the
+    moment discipline at the top of this module.
+    """
+    a = rater_a.cast("boolean")
+    b = rater_b.cast("boolean")
+    conf = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(a.cast("long")).alias("a1"),
+        F.sum(b.cast("long")).alias("b1"),
+        F.sum((a & b).cast("long")).alias("n11"),
+        F.sum((~a & ~b).cast("long")).alias("n00"),
+    )
+    chance = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    rational = conf.select(
+        "n",
+        "a1",
+        "b1",
+        "n11",
+        "n00",
+        (F.col("n") * (F.col("n11") + F.col("n00")) - chance).alias("num"),
+        (F.col("n") * F.col("n") - chance).alias("den"),
+    )
+    return rational.select(
+        "n",
+        "a1",
+        "b1",
+        "n11",
+        "n00",
+        F.expr("(1000000 * (num + 4 * den)) DIV den - 4000000").alias("kappa_micros"),
+    )

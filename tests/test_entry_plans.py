@@ -423,3 +423,49 @@ def test_tpch_q21_semi_and_anti_share_order_key(spark):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_pagerank_round_is_single_inflow_exchange(spark):
+    """Each PageRank round must be shuffle-shaped as: contribution join
+    (on the 8-byte node id) -> ONE inflow hash-aggregate with a partial
+    (map-side) phase. The plan after 5 rounds must also stay flat —
+    lazy localCheckpoints cut lineage, so no 5-round operator tower."""
+    from pyspark.sql import functions as F
+
+    from nnanalytics_spark.pipeline import graph
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    edges = (
+        docs.select(
+            F.col("doc_id").alias("src"),
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("k"),
+        )
+        .select("src", ((F.col("src") * 17 + F.col("k") * 31) % n).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = graph.pagerank(edges, iterations=5)
+    plan = plan_of(ranks)
+    # the FINAL round's plan reads checkpointed RDDs, not re-derived
+    # rounds: exactly one partial/final aggregate pair for the inflow
+    assert plan.count("HashAggregate") <= 4, plan
+    assert "Scan ExistingRDD" in plan, plan
+
+
+def test_token_cooccurrence_broadcasts_vocab(spark):
+    df = entry.q_token_cooccurrence(spark, SF)
+    plan = plan_of(df)
+    # the top-40 vocab must ride a broadcast, never a shuffled join side
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_report_is_mapside_before_final_agg(spark):
+    """PQ encode+error runs in ONE Arrow-batched map-side pass: no
+    exchange may appear below the mapInPandas (payload vectors never
+    shuffle); the only shuffle is the 8-row per-subspace aggregate."""
+    df = entry.q_pq_report(spark, SF)
+    plan = plan_of(df)
+    map_at = plan.index("MapInPandas")
+    below = plan[map_at:]
+    assert "Exchange" not in below, plan
