@@ -3637,6 +3637,38 @@ def q_pq_report(spark, sf):
     return similarity.pq_report(emb, books)
 
 
+def q_bpe_merge_step(spark, sf):
+    """One BPE-training counting round (text.bpe_merge_candidates,
+    Sennrich et al. 2016): corpus-weighted adjacent character-pair
+    counts with the (count desc, a, b) deterministic top-20. The corpus
+    collapses to the distinct-word table before any pair fanout, so the
+    explode cost is vocabulary- not corpus-bounded. All-integer output;
+    the oracle replays word counting, pair explosion, and the ranking
+    cut exactly."""
+    return text.bpe_merge_candidates(_t(spark, sf, "documents"), k=20)
+
+
+def q_char_entropy(spark, sf):
+    """Per-document character-entropy quality signal
+    (text.char_entropy_scores): -sum p ln p in nats with each term
+    rounded to DECIMAL(18,6) before the order-free decimal sum (the
+    bigram_lm hardening). Top-20 most-entropic docs by (entropy desc,
+    doc_id) so the row set is small and the cut deterministic."""
+    ent = text.char_entropy_scores(_t(spark, sf, "documents"))
+    return ent.orderBy(F.col("entropy_nats").desc(), "doc_id").limit(20)
+
+
+def q_zipf_slope(spark, sf):
+    """Corpus Zipf-fit diagnostic (stats.zipf_slope): OLS of ln(count)
+    on ln(rank) over the top-500 vocabulary, moments summed as exact
+    decimals of 9-dp-quantized logs — one tokenize pass, a distributed
+    TakeOrdered vocabulary cut, and a one-row moment aggregate. The
+    oracle replays the full fit including the quantization."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.zipf_slope(_t(spark, sf, "documents"), top_n=500)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -3707,6 +3739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohens_kappa": q_cohens_kappa,
         "token_cooccurrence": q_token_cooccurrence,
         "pq_report": q_pq_report,
+        "bpe_merge_step": q_bpe_merge_step,
+        "char_entropy": q_char_entropy,
+        "zipf_slope": q_zipf_slope,
         # --- past the 50-row window: green rows with recorded
         # driver credit. tests/test_oracle_battery.py re-runs EVERY
         # oracle pair (value hash + pandas dtype-class parity) at
@@ -6439,6 +6474,95 @@ def oracle_sql() -> dict[str, str]:
                TRUE AS improved
         FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) t(sub)
         ORDER BY t.sub
+    """
+    d["bpe_merge_step"] = r"""
+        WITH words AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        wc AS (
+          SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY w
+        ),
+        pairs AS (
+          SELECT unnest([{'a': w[i:i], 'b': w[i+1:i+1]}
+                         for i in range(1, length(w))]) AS p,
+                 c
+          FROM wc
+        ),
+        agg AS (
+          SELECT p.a AS a, p.b AS b, CAST(sum(c) AS BIGINT) AS pair_count
+          FROM pairs GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY pair_count DESC, a, b)
+                         AS INTEGER) AS rank
+          FROM agg
+        )
+        SELECT rank, a, b, pair_count FROM ranked WHERE rank <= 20
+        ORDER BY rank
+    """
+    d["char_entropy"] = r"""
+        WITH chars AS (
+          SELECT doc_id, length(text) AS n,
+                 unnest([text[i:i] for i in range(1, length(text) + 1)]) AS ch
+          FROM documents WHERE length(text) > 0
+        ),
+        counts AS (
+          SELECT doc_id, n, ch, count(*) AS c FROM chars GROUP BY 1, 2, 3
+        ),
+        terms AS (
+          SELECT doc_id, n,
+                 CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                            * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) AS term
+          FROM counts
+        ),
+        ent AS (
+          SELECT doc_id, n AS n_chars, CAST(SUM(term) AS DOUBLE) AS entropy_nats
+          FROM terms GROUP BY 1, 2
+        )
+        SELECT doc_id, n_chars, entropy_nats FROM ent
+        ORDER BY entropy_nats DESC, doc_id LIMIT 20
+    """
+    d["zipf_slope"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        tf AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        top AS (SELECT * FROM tf ORDER BY c DESC, term LIMIT 500),
+        ranked AS (
+          SELECT c, row_number() OVER (ORDER BY c DESC, term) AS r FROM top
+        ),
+        q AS (
+          SELECT CAST(round(ln(CAST(r AS DOUBLE)), 9) AS DECIMAL(12,9)) AS x,
+                 CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(12,9)) AS y
+          FROM ranked
+        ),
+        m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(38,18))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(38,18))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,18))) AS syy
+          FROM q
+        )
+        SELECT n,
+               round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS slope,
+               round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                 AS r2
+        FROM m
     """
     d["simhash_pairs"] = f"""
         WITH s AS (

@@ -206,3 +206,69 @@ def cohens_kappa(df: DataFrame, rater_a, rater_b) -> DataFrame:
         "n00",
         F.expr("(1000000 * (num + 4 * den)) DIV den - 4000000").alias("kappa_micros"),
     )
+
+
+def zipf_slope(
+    docs: DataFrame, top_n: int = 500, text_col: str = "text"
+) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    ln(count) on ln(rank) for the top_n terms, plus the fit's Pearson
+    r². Natural-language corpora sit near slope −1; template/boilerplate
+    corpora flatten toward 0 and machine noise steepens — a one-row
+    corpus-health diagnostic for training-data curation.
+
+    Plan: one tokenize + term-keyed count (vocabulary-bounded key
+    space, map-side combine), a rank window over that vocab-sized
+    table with the engine-independent (count desc, term) tie-break,
+    then one moment aggregate over top_n rows. ln(rank) and ln(count)
+    are rounded to 9 dp and quantized to DECIMAL(20,9) BEFORE the
+    moment products (the trend_by_group discipline), so Σx, Σy, Σxy,
+    Σx², Σy² are exact and add-order-free; slope and r² emerge as the
+    IEEE quotient of two exactly-determined doubles — identical in any
+    engine."""
+    from pyspark.sql.window import Window
+
+    from .text import tokens
+
+    tf = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # orderBy+limit plans as a distributed TakeOrdered (per-partition
+    # top-n, driver merge of n-row heads) — the global row_number window
+    # then only ever sees top_n rows, never the full vocabulary in one
+    # task. (c desc, term) is a total order, so the cut is deterministic.
+    top = tf.orderBy(F.col("c").desc(), "term").limit(top_n)
+    w = Window.orderBy(F.col("c").desc(), "term")
+    ranked = top.withColumn("r", F.row_number().over(w))
+    # ln(rank), ln(count) < ~30, so DECIMAL(12,9) holds them exactly and
+    # the product stays at precision 25/scale 18 — inside 38 on BOTH
+    # engines, so neither silently reduces scale (the tfidf_top_terms
+    # overflow trap).
+    d129 = "decimal(12,9)"
+    x = F.round(F.log(F.col("r").cast("double")), 9).cast(d129)
+    y = F.round(F.log(F.col("c").cast("double")), 9).cast(d129)
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast("decimal(38,18)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,18)")).alias("sxx"),
+        F.sum((y * y).cast("decimal(38,18)")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return m.select(
+        "n",
+        F.round(cov / varx, 6).alias("slope"),
+        F.round((cov * cov) / (varx * vary), 6).alias("r2"),
+    )

@@ -708,3 +708,91 @@ def tfidf_top_terms(
         )
         .orderBy(group_col, "rank")
     )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """One counting round of BPE tokenizer training (Sennrich et al.
+    2016): the frequency of every adjacent symbol pair across the
+    corpus, weighted by word frequency — the statistic whose argmax
+    becomes the next merge rule. The reference engines ship nothing
+    like a tokenizer trainer; a training-data pipeline needs one, and
+    the count step is the part that must run at corpus scale (the merge
+    loop itself is a driver-side iteration over a vocab-sized table).
+
+    Plan shape for 100 TB: the corpus collapses to the DISTINCT-WORD
+    table first (one token-keyed aggregate with map-side combine — the
+    key space is vocabulary-bounded, not corpus-bounded), and pair
+    explosion happens on that vocab table, so the quadratic-ish char
+    fanout multiplies |vocab| x word-length, never corpus size. One
+    further pair-keyed aggregate (alphabet² keys) and a top-k window
+    over that tiny table. All-integer output; (count desc, a, b)
+    tie-break makes the k-boundary engine-independent."""
+    words = df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+    wc = (
+        words.filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.col("w").substr(i, F.lit(1)).alias("a"),
+                    F.col("w").substr(i + 1, F.lit(1)).alias("b"),
+                ),
+            )
+        ).alias("p"),
+        "c",
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "c")
+    agg = pairs.groupBy("a", "b").agg(F.sum("c").alias("pair_count"))
+    from pyspark.sql.window import Window
+
+    # distributed TakeOrdered prune before the single-partition ranking
+    # window — the window only ever sees k rows (pair space is
+    # alphabet², small today, but a CJK corpus makes it millions).
+    top = agg.orderBy(F.col("pair_count").desc(), "a", "b").limit(k)
+    w = Window.orderBy(F.col("pair_count").desc(), "a", "b")
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("rank", "a", "b", "pair_count")
+        .orderBy("rank")
+    )
+
+
+def char_entropy_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document Shannon character entropy (nats) — the classic
+    gibberish/boilerplate separator: encrypted or base64 blobs score
+    near ln(alphabet), repeated-character spam scores near 0; natural
+    text sits in a narrow band. Used as a cheap pre-filter before
+    model-based quality scoring.
+
+    Plan: one map-side explode of text into characters, a (doc, char)
+    keyed count (the shuffle carries |docs| x |alphabet| rows, with
+    map-side combine collapsing repeats before the wire), and one
+    per-doc aggregate. Each -p·ln(p) term is rounded to 6 dp and summed
+    as DECIMAL(18,6), so the per-doc total is add-order-independent and
+    a DuckDB oracle hash-matches it bit-for-bit (the bigram_lm_scores
+    hardening); the emitted entropy is the nearest DOUBLE of that exact
+    decimal."""
+    chars = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n"),
+        F.explode(F.split(F.col(text_col), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("id", "n", "ch").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        counts.groupBy("id", "n")
+        .agg(F.sum(term).alias("ent"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n").alias("n_chars"),
+            F.col("ent").cast("double").alias("entropy_nats"),
+        )
+    )

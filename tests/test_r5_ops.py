@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from nnanalytics_spark.pipeline import sampling, selection, similarity, text
+from nnanalytics_spark.pipeline import stats as stats_mod
 
 
 def test_budget_fill_greedy_order_and_exhaustion(spark):
@@ -98,3 +99,51 @@ def test_budget_fill_report_covers_all_sources(spark):
     assert len(rows) == n_sources
     assert all(r["n_kept"] <= r["n_docs"] for r in rows)
     assert all(0.0 <= r["budget_frac"] <= 1.0 for r in rows)
+
+
+def test_bpe_merge_candidates_counts_and_rank(spark):
+    # "abab" x2 + "ba": pairs weighted by word frequency.
+    df = spark.createDataFrame(
+        [(1, "abab abab ba"), (2, "abab")],
+        "doc_id long, text string",
+    )
+    out = {(r["a"], r["b"]): r for r in text.bpe_merge_candidates(df, k=10).collect()}
+    # abab appears 3x across the corpus: pairs ab, ba, ab -> ab: 6, ba: 3
+    # plus the standalone word "ba" -> ba: 4
+    assert out[("a", "b")]["pair_count"] == 6
+    assert out[("b", "a")]["pair_count"] == 4
+    assert out[("a", "b")]["rank"] == 1
+    assert out[("b", "a")]["rank"] == 2
+
+
+def test_bpe_merge_candidates_ignores_single_char_words(spark):
+    df = spark.createDataFrame([(1, "a b c dd")], "doc_id long, text string")
+    rows = text.bpe_merge_candidates(df, k=10).collect()
+    assert [(r["a"], r["b"], r["pair_count"]) for r in rows] == [("d", "d", 1)]
+
+
+def test_char_entropy_uniform_and_degenerate(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abcd")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in text.char_entropy_scores(df).collect()}
+    # single repeated char -> entropy 0
+    assert out[1]["entropy_nats"] == 0.0
+    # 4 distinct chars, uniform -> ln(4), each term rounded to 6dp
+    expect = 4 * round(0.25 * math.log(4), 6)
+    assert abs(out[2]["entropy_nats"] - expect) < 1e-9
+    assert out[2]["n_chars"] == 4
+
+
+def test_zipf_slope_exact_power_law(spark):
+    # counts c = 12 // r give ln c ~ -1 * ln r + ln 12: slope near -1
+    rows = [(f"t{r}", " ".join([f"t{r}"] * (12 // r))) for r in range(1, 5)]
+    df = spark.createDataFrame(
+        [(i, t[1]) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    out = stats_mod.zipf_slope(df, top_n=10).collect()[0]
+    assert out["n"] == 4
+    assert -1.2 < out["slope"] < -0.8
+    assert out["r2"] > 0.95
