@@ -3669,6 +3669,69 @@ def q_zipf_slope(spark, sf):
     return stats.zipf_slope(_t(spark, sf, "documents"), top_n=500)
 
 
+def q_quantile_rollup(spark, sf):
+    """Incremental QUANTILE maintenance (core/aggregates.py:
+    quantile_partial + merge_quantile_partials + bucket_quantiles) —
+    the percentile analog of incremental_rollup/hll_rollup: the event
+    log arrives as three batches; each refresh folds a fixed-width
+    histogram into parquet state (count addition per (key, bucket) —
+    O(|batch|+|state|), never a history rescan); p50/p99 read out of
+    the state as exact bucket upper edges. After all three merges the
+    state's quantiles must hash-equal the closed-form full-log
+    histogram quantiles the oracle computes."""
+    import tempfile
+
+    from nnanalytics_spark.core.aggregates import (
+        bucket_quantiles,
+        merge_quantile_partials,
+        quantile_partial,
+    )
+
+    base = tempfile.mkdtemp(prefix="nna_qstate_")
+    ev = _events(spark, sf).select("event_id", "event_type", "value")
+    state = quantile_partial(
+        ev.filter(F.col("event_id") % 3 == 0), "event_type", "value", width=5.0
+    )
+    for i in (1, 2):
+        state.write.mode("overwrite").parquet(f"{base}/state{i}")
+        stored = spark.read.parquet(f"{base}/state{i}")
+        batch = quantile_partial(
+            ev.filter(F.col("event_id") % 3 == i), "event_type", "value", width=5.0
+        )
+        state = merge_quantile_partials(stored, batch, "event_type")
+    return bucket_quantiles(state, "event_type", qs=(0.5, 0.99), width=5.0)
+
+
+def q_partition_prune(spark, sf):
+    """Hive-style directory partitioning round-trip (layout.py:
+    write_partitioned + read_partition_pruned): events written
+    partitioned by event_type, one partition read back with an equality
+    predicate. pruned_scan is computed from the ACTUAL file list the
+    scan resolved (every surviving file must live under
+    event_type=click/), so a planner that stopped pruning reds the row;
+    the aggregate must match the closed-form answer on the raw table."""
+    import tempfile
+
+    from nnanalytics_spark.sources import layout
+
+    base = tempfile.mkdtemp(prefix="nna_part_")
+    ev = _events(spark, sf).select("event_id", "event_type", "value")
+    layout.write_partitioned(ev, base, "event_type")
+    pruned = layout.read_partition_pruned(spark, base, event_type="click")
+    # inputFiles() reports the relation BEFORE partition pruning, so the
+    # honest signal is the physical scan: directory pruning shows up as
+    # a PartitionFilters entry on the FileScan (a broken partitioned
+    # read would surface event_type as a data column + PushedFilters).
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    ok = any("click" in ln for ln in scan_lines)
+    return pruned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100)).alias("value_cents"),
+        F.lit(ok).alias("pruned_scan"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -3742,6 +3805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_step": q_bpe_merge_step,
         "char_entropy": q_char_entropy,
         "zipf_slope": q_zipf_slope,
+        "quantile_rollup": q_quantile_rollup,
+        "partition_prune": q_partition_prune,
         # --- past the 50-row window: green rows with recorded
         # driver credit. tests/test_oracle_battery.py re-runs EVERY
         # oracle pair (value hash + pandas dtype-class parity) at
@@ -6563,6 +6628,40 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                  AS r2
         FROM m
+    """
+    d["quantile_rollup"] = r"""
+        WITH b AS (
+          SELECT event_type, CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bucket,
+                 CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bucket)
+                      AS BIGINT) AS cum,
+                 CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+          FROM b
+        ),
+        p50 AS (
+          SELECT event_type, min(bucket) AS b FROM cum
+          WHERE cum >= ceil(0.5 * n) GROUP BY 1
+        ),
+        p99 AS (
+          SELECT event_type, min(bucket) AS b FROM cum
+          WHERE cum >= ceil(0.99 * n) GROUP BY 1
+        )
+        SELECT p50.event_type,
+               (p50.b + 1) * CAST(5.0 AS DOUBLE) AS p50_upper,
+               (p99.b + 1) * CAST(5.0 AS DOUBLE) AS p99_upper
+        FROM p50 JOIN p99 USING (event_type)
+        ORDER BY event_type
+    """
+    d["partition_prune"] = r"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS value_cents,
+               TRUE AS pruned_scan
+        FROM events WHERE event_type = 'click' GROUP BY event_type
     """
     d["simhash_pairs"] = f"""
         WITH s AS (

@@ -147,3 +147,69 @@ def hll_estimate(state, key: str, alias: str = "approx_distinct"):
     return state.select(
         F.col(key), F.hll_sketch_estimate(F.col("hll")).alias(alias)
     )
+
+
+def quantile_partial(df, key: str, value: str, width: float = 5.0):
+    """Per-batch mergeable quantile state: (key, bucket, cnt) with
+    bucket = floor(value / width) — the fixed-width-histogram analog of
+    ``partial_aggregate`` for percentiles. Exact quantiles cannot be
+    maintained incrementally without keeping every value; a bucketed
+    histogram is |keys| x |occupied buckets| rows, merges by count
+    addition, and bounds any quantile estimate within one bucket width
+    of the true value. (Spark's percentile_approx sketch is NOT exposed
+    as mergeable partial state in SQL, so the histogram is the
+    engine-portable mergeable representation.)"""
+    from pyspark.sql import functions as F
+
+    bucket = F.floor(F.col(value) / F.lit(width)).cast("long")
+    return df.groupBy(F.col(key), bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def merge_quantile_partials(state, batch, key: str):
+    """Fold a batch's histogram into the stored state — count addition
+    per (key, bucket); O(|state| + |batch|) rows per refresh, never a
+    history rescan."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.unionByName(batch)
+        .groupBy(key, "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def bucket_quantiles(state, key: str, qs=(0.5, 0.99), width: float = 5.0):
+    """Read quantiles out of the histogram state: for each q, the
+    smallest bucket whose cumulative count reaches ceil(q * n); emitted
+    as the bucket's inclusive upper edge (an exact multiple of width).
+    One window prefix-sum per key over |key, bucket| rows — the state
+    table, not the event log. All-integer rank arithmetic, so the
+    selected bucket is engine-independent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(key)
+    cum = state.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(tot)
+    )
+    out = None
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        hit = (
+            cum.filter(F.col("cum") >= rank)
+            .groupBy(key)
+            .agg(F.min("bucket").alias("b"))
+            .select(
+                key,
+                ((F.col("b") + 1) * F.lit(width)).alias(
+                    f"p{int(q * 100)}_upper"
+                ),
+            )
+        )
+        out = hit if out is None else out.join(hit, key)
+    return out

@@ -290,3 +290,33 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(path)
     )
+
+
+def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
+    """Hive-style directory-partitioned parquet write (.../col=value/).
+
+    Directory partitioning is the coarsest and cheapest pruning lever at
+    100 TB: a filter on a partition column never opens a single
+    non-matching file — the planner drops whole directories from the
+    scan (PartitionFilters in the plan, asserted in test_sources.py).
+    Complements bucketing (join co-location) and zone maps (file-level
+    min/max skipping): partition on low-cardinality ingest-stable keys
+    (date, source, event_type); high-cardinality keys belong in bucket
+    or sort order instead, or the file count explodes."""
+    df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+
+
+def read_partition_pruned(
+    spark: SparkSession, path: str, **equals: object
+) -> DataFrame:
+    """Read a partitioned layout with equality predicates on partition
+    columns applied as a real pruned scan. Returns the filtered frame;
+    `DataFrame.inputFiles()` on it lists only surviving partition
+    directories' files, which is how callers (and the driver row)
+    verify pruning happened rather than trusting the filter."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    for col, val in equals.items():
+        df = df.filter(F.col(col) == F.lit(val))
+    return df

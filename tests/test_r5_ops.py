@@ -147,3 +147,48 @@ def test_zipf_slope_exact_power_law(spark):
     assert out["n"] == 4
     assert -1.2 < out["slope"] < -0.8
     assert out["r2"] > 0.95
+
+
+def test_quantile_partial_merge_equals_full(spark):
+    from nnanalytics_spark.core.aggregates import (
+        bucket_quantiles,
+        merge_quantile_partials,
+        quantile_partial,
+    )
+
+    rows = [(i, "a", float(i % 37)) for i in range(200)] + [
+        (i, "b", float(i % 11)) for i in range(200, 300)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, k string, value double")
+    full = quantile_partial(df, "k", "value", width=5.0)
+    merged = merge_quantile_partials(
+        quantile_partial(df.filter(F.col("event_id") % 2 == 0), "k", "value", 5.0),
+        quantile_partial(df.filter(F.col("event_id") % 2 == 1), "k", "value", 5.0),
+        "k",
+    )
+    q_full = {r["k"]: (r["p50_upper"], r["p99_upper"])
+              for r in bucket_quantiles(full, "k", (0.5, 0.99), 5.0).collect()}
+    q_merged = {r["k"]: (r["p50_upper"], r["p99_upper"])
+                for r in bucket_quantiles(merged, "k", (0.5, 0.99), 5.0).collect()}
+    assert q_full == q_merged
+    # bucket upper edge bounds the true quantile from above, within width
+    import numpy as np
+
+    vals = np.array([v for _, k, v in rows if k == "a"])
+    true_p50 = np.quantile(vals, 0.5)
+    assert true_p50 <= q_full["a"][0] <= true_p50 + 5.0 + 1e-9
+
+
+def test_partitioned_write_prunes_scan(spark, tmp_path):
+    from nnanalytics_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0), (3, "x", 3.0)],
+        "id long, part string, v double",
+    )
+    path = str(tmp_path / "part")
+    layout.write_partitioned(df, path, "part")
+    pruned = layout.read_partition_pruned(spark, path, part="x")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "x" in plan
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 3]
