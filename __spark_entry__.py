@@ -984,13 +984,27 @@ def _ivf_index(spark, sf):
 
 
 def q_ann_ivf_topk(spark, sf):
-    """IVF-probed approximate top-10 for the vec_id=0 vector over the
-    PERSISTED index (nprobe=4 of 16 — a genuinely partition-pruned scan,
-    asserted in test_entry_plans; rows-only: partial-probe recall depends
-    on cell layout)."""
+    """IVF-probed approximate top-10 for the vec_id=0 vector over a
+    PERSISTED index with PINNED centroids (the vec_id 1..8 vectors) and
+    round-6 tie-broken assignment/probe/cut ordering — nprobe=4 of 8 is
+    a genuinely partition-pruned scan (asserted in test_entry_plans)
+    AND fully oracle-checkable: the SQL twin replays cell assignment,
+    probe ranking, and the pruned top-k closed-form, so the partial
+    probe itself is hash-verified (was rows-only when the cells came
+    from sampled float k-means no other engine could reproduce)."""
+    if ("pinned", sf) not in _IVF_INDEX:
+        import tempfile
+
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        path = tempfile.mkdtemp(prefix="nna_ivfp_")
+        _IVF_INDEX[("pinned", sf)] = similarity.ivf_build_pinned(
+            emb, path, centroid_ids=list(range(1, 9))
+        )
     emb = _t(spark, sf, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return similarity.ivf_search(spark, _ivf_index(spark, sf), qvec, k=10, nprobe=4)
+    return similarity.ivf_search_rounded(
+        spark, _IVF_INDEX[("pinned", sf)], qvec, k=10, nprobe=4
+    )
 
 
 def q_ann_ivf_full(spark, sf):
@@ -3702,6 +3716,64 @@ def q_quantile_rollup(spark, sf):
     return bucket_quantiles(state, "event_type", qs=(0.5, 0.99), width=5.0)
 
 
+def q_stream_rollup_parity(spark, sf):
+    """Streaming INCREMENTAL VIEW MAINTENANCE (foreachBatch + the
+    mergeable partials of core/aggregates.py): the event log is split
+    into three files and streamed one file per micro-batch; each batch
+    folds its partial_aggregate into a parquet state table via
+    merge_partial_aggregates — the canonical 'keep a 100 TB rollup
+    fresh from a stream without rescanning history' pattern
+    (readStream -> foreachBatch -> state merge, O(|batch|+|keys|) per
+    trigger). The final state must hash-equal the closed-form full-log
+    rollup. Merge order across micro-batches is irrelevant by
+    construction (counts + DECIMAL sums), which is exactly the property
+    that makes the pattern safe under redelivery."""
+    import tempfile
+
+    from nnanalytics_spark.core.aggregates import (
+        merge_partial_aggregates,
+        partial_aggregate,
+    )
+
+    base = tempfile.mkdtemp(prefix="nna_stream_rollup_")
+    ev = _events(spark, sf).select("event_id", "event_type", "value")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{base}/in/batch{i}")
+    src_schema = spark.read.parquet(f"{base}/in/batch0").schema
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in/batch*")
+    )
+    state = {"path": None, "version": 0}
+
+    def fold(batch_df, _batch_id):
+        agg = partial_aggregate(batch_df, "event_type", "value")
+        if state["path"] is not None:
+            stored = batch_df.sparkSession.read.parquet(state["path"])
+            agg = merge_partial_aggregates(stored, agg, "event_type")
+        state["version"] += 1
+        new_path = f"{base}/state_v{state['version']}"
+        agg.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = spark.read.parquet(state["path"])
+    return final.select(
+        "event_type", "cnt", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
 def q_partition_prune(spark, sf):
     """Hive-style directory partitioning round-trip (layout.py:
     write_partitioned + read_partition_pruned): events written
@@ -3807,6 +3879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_slope": q_zipf_slope,
         "quantile_rollup": q_quantile_rollup,
         "partition_prune": q_partition_prune,
+        "stream_rollup_parity": q_stream_rollup_parity,
         # --- past the 50-row window: green rows with recorded
         # driver credit. tests/test_oracle_battery.py re-runs EVERY
         # oracle pair (value hash + pandas dtype-class parity) at
@@ -6628,6 +6701,68 @@ def oracle_sql() -> dict[str, str]:
                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
                  AS r2
         FROM m
+    """
+    # ann_ivf_topk: pinned-centroid IVF partial probe, fully closed-form.
+    # Assignment/probe/cut all use round-6 sims with (sim DESC, cell/id
+    # ASC) tie-breaks — the semdedup determinism trick applied to ANN.
+    d["ann_ivf_topk"] = """
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        q AS (SELECT e AS qe, nrm AS qnrm FROM n WHERE vec_id = 0),
+        seeds AS (
+          SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+                 e AS se, nrm AS snrm
+          FROM n WHERE vec_id BETWEEN 1 AND 8
+        ),
+        corpus AS (SELECT * FROM n WHERE vec_id <> 0),
+        sims AS (
+          SELECT a.vec_id, s.cell,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.e[i] * s.se[i] for i in range(1, len(a.e) + 1)]),
+                         (x, y) -> x + y) / (a.nrm * s.snrm), 6) AS cs
+          FROM corpus a CROSS JOIN seeds s
+        ),
+        assigned AS (
+          SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cs DESC, cell ASC) AS rn
+            FROM sims
+          ) WHERE rn = 1
+        ),
+        probe AS (
+          SELECT cell FROM (
+            SELECT s.cell,
+                   round(list_reduce(list_prepend(0.0,
+                           [s.se[i] * q.qe[i] for i in range(1, len(s.se) + 1)]),
+                           (x, y) -> x + y) / (s.snrm * q.qnrm), 6) AS cs
+            FROM seeds s, q
+          ) ORDER BY cs DESC, cell ASC LIMIT 4
+        ),
+        scored AS (
+          SELECT c.vec_id,
+                 round(list_reduce(list_prepend(0.0,
+                         [c.e[i] * q.qe[i] for i in range(1, len(c.e) + 1)]),
+                         (x, y) -> x + y) / (c.nrm * q.qnrm), 6) AS cos_sim
+          FROM corpus c, q
+          JOIN assigned a ON a.vec_id = c.vec_id
+          WHERE a.cell IN (SELECT cell FROM probe)
+        )
+        SELECT vec_id, cos_sim FROM scored
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+    d["stream_rollup_parity"] = """
+        SELECT event_type, count(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY event_type
     """
     d["quantile_rollup"] = r"""
         WITH b AS (

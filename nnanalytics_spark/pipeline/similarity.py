@@ -1005,3 +1005,74 @@ def pq_report(
         )
         .orderBy("sub")
     )
+
+
+def ivf_build_pinned(
+    df: DataFrame,
+    path: str,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """IVF index with PINNED centroids (the corpus vectors named by
+    centroid_ids, in id order) and the round-6 tie-broken assignment of
+    ``assign_cells_rounded`` — the oracle-reproducible sibling of
+    ``ivf_build``: sampled-k-means cells depend on float Lloyd
+    iterations no second engine can replay, while pinned cells make the
+    whole index closed-form, so a partial-probe search can be
+    hash-verified end to end (the semdedup clustering trick applied to
+    the ANN index). Same layout: centroids parquet + assignments
+    partitioned by cell (searches prune directories)."""
+    spark = df.sparkSession
+    seeds = (
+        df.filter(F.col(id_col).isin([int(i) for i in centroid_ids]))
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .collect()
+    )
+    centroids = [r["v"] for r in seeds]
+    spark.createDataFrame(
+        [(int(i), c) for i, c in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assign_cells_rounded(df, centroids, id_col, vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/assignments")
+    return path
+
+
+def ivf_search_rounded(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Partition-pruned top-k against an ivf_build_pinned index with
+    engine-independent ordering everywhere: probe cells ranked by
+    (round(cos, 6) DESC, cell ASC), candidates scored with round-6
+    cosine, final cut by (cos_sim DESC, id ASC). Every tie resolves
+    identically in any engine, so the result of a PARTIAL probe — not
+    just the nprobe==nlist degenerate case — is oracle-checkable."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    centroids = np.array([r["centroid"] for r in cents], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cent_sims = np.round(
+        (centroids @ q) / (np.linalg.norm(centroids, axis=1) * np.linalg.norm(q)), 6
+    )
+    # sort by (-sim, cell): np.lexsort keys are last-significant-first
+    order = np.lexsort((np.arange(len(cent_sims)), -cent_sims))
+    probe_cells = [int(c) for c in order[:nprobe]]
+
+    candidates = spark.read.parquet(f"{path}/assignments").filter(
+        F.col("cell").isin(probe_cells)
+    )
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = candidates.select(
+        F.col("id").alias(id_col),
+        F.round(cosine(F.col("v"), qcol), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), id_col).limit(k)
