@@ -3774,6 +3774,101 @@ def q_stream_rollup_parity(spark, sf):
     )
 
 
+def q_stream_stream_join_parity(spark, sf):
+    """STREAM-STREAM interval join (the attribution shape: each purchase
+    joins every click by the same user in the preceding hour), the one
+    core Structured Streaming join surface the parity suite didn't yet
+    pin (dedup, stream-static join, windowed agg, sessionization, and
+    foreachBatch rollup all are). Two watermarked streams over the same
+    log; the time-range predicate lets Spark bound BOTH state stores by
+    the lateness horizon + range span instead of buffering streams
+    forever. The joined rows land in a parquet sink and the query
+    aggregates the SINK, so the hash covers the streamed join output on
+    disk against the closed-form batch join the oracle replays with
+    exact millisecond arithmetic."""
+    import tempfile
+
+    raw_schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def _src():
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+
+    clicks = (
+        _with_ts_cols(_src())
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.timestamp_millis(F.col("ts_ms")).alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        _with_ts_cols(_src())
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("value").alias("p_value"),
+            F.timestamp_millis(F.col("ts_ms")).alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "p_user = c_user AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts"
+        ),
+        "inner",
+    ).select("p_id", "p_user", "p_value")
+    out_dir = tempfile.mkdtemp(prefix="nna_ss_join_")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{out_dir}/data")
+        .option("checkpointLocation", f"{out_dir}/ckpt")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sunk = spark.read.parquet(f"{out_dir}/data")
+    return sunk.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases"),
+        F.countDistinct("p_user").alias("n_users"),
+        F.sum(F.floor(F.col("p_value") * 100)).alias("pair_value_cents"),
+    )
+
+
+def q_ks_test(spark, sf):
+    """Two-sample Kolmogorov-Smirnov drift statistic (stats.ks_two_sample)
+    between click and purchase value distributions: D as an EXACT integer
+    fraction (max |cum_a*n_b - cum_b*n_a|, n_a*n_b) plus its IEEE double
+    quotient — the bit-stable form of an ECDF sup that a float
+    subtraction can't give. One keyed count + a prefix-sum window over
+    the bounded cents grid."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.ks_two_sample(_events(spark, sf))
+
+
+def q_edit_distance_pairs(spark, sf):
+    """Candidate near-dups verified by EXACT thresholded edit distance
+    (dedup.edit_distance_pairs): rare-shingle candidates -> length-band
+    prefilter -> levenshtein with early-exit threshold 32. Both engines
+    implement classic Levenshtein natively, so the verified distances
+    hash-match exactly — character-level ground truth the set-based
+    Jaccard queries can't see. Top-50 by (dist, id_a, id_b)."""
+    return dedup.edit_distance_pairs(
+        _t(spark, sf, "documents"), max_dist=32, n=2, max_shingle_df=100
+    ).limit(50)
+
+
 def q_partition_prune(spark, sf):
     """Hive-style directory partitioning round-trip (layout.py:
     write_partitioned + read_partition_pruned): events written
@@ -3828,7 +3923,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "source_divergence": q_source_divergence,
         # (b) rows never driver-checked (added below the window in
-        # r4; rotated in now):
+        # r4; rotated in now). Eleven routine TPC-H-tail shapes
+        # (q4,q6,q11-q16,q19-q21) wait past the window for r6 — the
+        # window instead takes the r4 past-window operators and every
+        # r5 addition, all higher-novelty:
         "sample_k_per_group": q_sample_k_per_group,
         "inter_event_gaps": q_inter_event_gaps,
         "two_stage_distinct": q_two_stage_distinct,
@@ -3849,27 +3947,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q10": q_sql_tpch_q10,
         # (c) round-5 TPC-H tail — completes the 22-query suite:
         "sql_tpch_q2": q_sql_tpch_q2,
-        "sql_tpch_q4": q_sql_tpch_q4,
-        "sql_tpch_q6": q_sql_tpch_q6,
-        "sql_tpch_q7": q_sql_tpch_q7,
-        "sql_tpch_q9": q_sql_tpch_q9,
-        "sql_tpch_q11": q_sql_tpch_q11,
-        "sql_tpch_q12": q_sql_tpch_q12,
-        "sql_tpch_q13": q_sql_tpch_q13,
-        "sql_tpch_q14": q_sql_tpch_q14,
-        "sql_tpch_q15": q_sql_tpch_q15,
-        "sql_tpch_q16": q_sql_tpch_q16,
-        "sql_tpch_q19": q_sql_tpch_q19,
-        "sql_tpch_q20": q_sql_tpch_q20,
-        "sql_tpch_q21": q_sql_tpch_q21,
         # (d) round-5 pipeline additions:
         "budget_fill": q_budget_fill,
         "matryoshka_eval": q_matryoshka_eval,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "padding_efficiency": q_padding_efficiency,
         "dup_matrix": q_dup_matrix,
         "stream_dedup_parity": q_stream_dedup_parity,
-        # --- end of the 50-row gate window ---
+        # (c) promoted into the window: the r4 past-window operators
+        # and every r5 addition (incl. ann_ivf_topk, hash-checkable for
+        # the first time via the pinned-centroid index):
         "pagerank_topk": q_pagerank_topk,
         "cohens_kappa": q_cohens_kappa,
         "token_cooccurrence": q_token_cooccurrence,
@@ -3880,6 +3966,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_rollup": q_quantile_rollup,
         "partition_prune": q_partition_prune,
         "stream_rollup_parity": q_stream_rollup_parity,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "ks_test": q_ks_test,
+        "stream_stream_join_parity": q_stream_stream_join_parity,
+        # --- end of the 50-row gate window ---
+        # deferred to the r6 window (battery-guarded meanwhile):
+        "padding_efficiency": q_padding_efficiency,
+        "sql_tpch_q7": q_sql_tpch_q7,
+        "sql_tpch_q9": q_sql_tpch_q9,
+        "sql_tpch_q4": q_sql_tpch_q4,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q11": q_sql_tpch_q11,
+        "sql_tpch_q12": q_sql_tpch_q12,
+        "sql_tpch_q13": q_sql_tpch_q13,
+        "sql_tpch_q14": q_sql_tpch_q14,
+        "sql_tpch_q15": q_sql_tpch_q15,
+        "sql_tpch_q16": q_sql_tpch_q16,
+        "sql_tpch_q19": q_sql_tpch_q19,
+        "sql_tpch_q20": q_sql_tpch_q20,
+        "sql_tpch_q21": q_sql_tpch_q21,
         # --- past the 50-row window: green rows with recorded
         # driver credit. tests/test_oracle_battery.py re-runs EVERY
         # oracle pair (value hash + pandas dtype-class parity) at
@@ -3981,7 +4087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "simhash_blocks": q_simhash_blocks,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "filter_sum": q_filter_sum,
         "filter_string_ops": q_filter_string_ops,
         "filter_date_ops": q_filter_date_ops,
@@ -6758,6 +6863,87 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cos_sim FROM scored
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+    d["stream_stream_join_parity"] = """
+        WITH p AS (
+          SELECT event_id, user_id, value, epoch_ms(ts) AS ms
+          FROM events WHERE event_type = 'purchase'
+        ),
+        c AS (
+          SELECT user_id, epoch_ms(ts) AS ms
+          FROM events WHERE event_type = 'click'
+        ),
+        j AS (
+          SELECT p.event_id, p.user_id, p.value
+          FROM p JOIN c ON c.user_id = p.user_id
+           AND c.ms >= p.ms - 3600000 AND c.ms <= p.ms
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT event_id) AS BIGINT) AS n_purchases,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS pair_value_cents
+        FROM j
+    """
+    d["ks_test"] = """
+        WITH f AS (
+          SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+                 (event_type = 'click') AS is_a
+          FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        counts AS (
+          SELECT cents,
+                 CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+                 CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+          FROM f GROUP BY cents
+        ),
+        cum AS (
+          SELECT CAST(SUM(ca) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+                 CAST(SUM(cb) OVER (ORDER BY cents) AS BIGINT) AS cum_b
+          FROM counts
+        ),
+        tot AS (
+          SELECT CAST(max(cum_a) AS BIGINT) AS n_a,
+                 CAST(max(cum_b) AS BIGINT) AS n_b
+          FROM cum
+        )
+        SELECT t.n_a, t.n_b,
+               CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS BIGINT)
+                 AS d_num,
+               t.n_a * t.n_b AS d_den,
+               CAST(max(abs(c.cum_a * t.n_b - c.cum_b * t.n_a)) AS DOUBLE)
+                 / CAST(t.n_a * t.n_b AS DOUBLE) AS d_stat
+        FROM cum c, tot t GROUP BY t.n_a, t.n_b
+    """
+    d["edit_distance_pairs"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+1], ' ')
+                                       for i in range(1, len(t))])) AS shingle
+          FROM toks
+        ),
+        dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN dfc USING (shingle) WHERE dfc.df <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        v AS (
+          SELECT c.id_a, c.id_b, levenshtein(da.text, db.text) AS ed
+          FROM cand c
+          JOIN documents da ON da.doc_id = c.id_a
+          JOIN documents db ON db.doc_id = c.id_b
+          WHERE abs(length(da.text) - length(db.text)) <= 32
+        )
+        SELECT id_a, id_b, CAST(ed AS INTEGER) AS edit_dist FROM v
+        WHERE ed <= 32 ORDER BY edit_dist, id_a, id_b LIMIT 50
     """
     d["stream_rollup_parity"] = """
         SELECT event_type, count(*) AS cnt,

@@ -165,6 +165,17 @@ HEADLINE = [
     "cohens_kappa",
     "token_cooccurrence",
     "pq_report",
+    # round-5c: tokenizer/corpus-health + pruned-probe ANN (state/fixture
+    # round-trips — quantile_rollup, partition_prune, stream_rollup_parity
+    # — excluded: they time parquet state writes, not plans; min-of-2
+    # makes ann_ivf_topk measure the pruned search, not the index build)
+    "bpe_merge_step",
+    "char_entropy",
+    "zipf_slope",
+    "ann_ivf_topk",
+    "edit_distance_pairs",
+    "ks_test",
+    "stream_stream_join_parity",
 ]
 
 

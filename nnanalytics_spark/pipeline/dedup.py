@@ -885,3 +885,66 @@ def paragraph_dedup(
             F.md5(F.coalesce(F.col("new_text"), F.lit(""))).alias("text_md5"),
         )
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Near-dup pairs verified by EXACT edit distance: candidates from
+    the bounded inverted shingle index (pairs sharing any rare
+    n-word-gram, df <= max_shingle_df — the ngram_jaccard_pairs
+    candidate generator), then two cheap admissible prefilters
+    (|len_a − len_b| <= max_dist; both already candidates), then
+    ``levenshtein(text_a, text_b, max_dist)`` — Spark's thresholded
+    variant runs the banded O(d·min(m,n)) algorithm and bails at
+    max_dist+1 instead of filling the full O(m·n) matrix, which is what
+    makes exact verification affordable on document-length strings.
+    Set-based Jaccard misses transpositions/small edits inside shingles;
+    edit distance is the character-level ground truth the fuzzy-dedup
+    literature verifies against.
+
+    Plan: candidate pairs (bounded by the df cap) shuffle WITHOUT text;
+    texts join in afterwards keyed by id — at 100 TB the pair table is
+    corpus-small, so AQE broadcasts it against the doc table and the
+    full text column never shuffles."""
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+        .select("id", F.xxhash64("shingle").alias("sg"))
+    )
+    from pyspark.sql import Window as W
+
+    dfw = sh.withColumn("dfc", F.count(F.lit(1)).over(W.partitionBy("sg")))
+    rare = dfw.filter(F.col("dfc") <= max_shingle_df).drop("dfc")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(text).alias("text_a"),
+        F.length(text).alias("len_a"),
+    )
+    tb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(text).alias("text_b"),
+        F.length(text).alias("len_b"),
+    )
+    joined = (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+    )
+    dist = F.levenshtein("text_a", "text_b", max_dist)
+    return (
+        joined.select("id_a", "id_b", dist.alias("edit_dist"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+        .orderBy("edit_dist", "id_a", "id_b")
+    )

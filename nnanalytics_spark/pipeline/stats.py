@@ -272,3 +272,67 @@ def zipf_slope(
         F.round(cov / varx, 6).alias("slope"),
         F.round((cov * cov) / (varx * vary), 6).alias("r2"),
     )
+
+
+def ks_two_sample(
+    events: DataFrame,
+    group_a: str = "click",
+    group_b: str = "purchase",
+    group: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between two groups'
+    value distributions — the drift/shift detector behind "did this
+    source's quality-score distribution move?" monitoring. D is the sup
+    of |F_a − F_b| over observed values; computed EXACTLY as integers:
+    D = max |cum_a·n_b − cum_b·n_a| / (n_a·n_b), so the emitted numbers
+    are engine-identical (a float-ECDF subtraction is not).
+
+    Values are quantized to cents (floor(value·100)) first — the KS
+    sup over a quantized grid equals the sup of the quantized ECDFs,
+    and integer grid points are exact join/window keys. Plan: one
+    filtered scan to (cents, is_a) counts (map-side combine), a
+    prefix-sum window over |distinct cents| rows ordered by cents, one
+    max. The window is unpartitioned but value-domain-bounded — cents
+    of a bounded metric, not corpus rows; for unbounded domains,
+    pre-bucket to a fixed grid first (same sup-equality argument)."""
+    from pyspark.sql.window import Window
+
+    f = events.filter(F.col(group).isin([group_a, group_b])).select(
+        F.floor(F.col(value) * 100).alias("cents"),
+        (F.col(group) == group_a).alias("is_a"),
+    )
+    counts = f.groupBy("cents").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    # the numerator needs the totals n_a/n_b at every row: carry them as
+    # an unbounded-window max over the same (single-partition, bounded)
+    # cumulative table rather than a second scan of the log
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    with_tot = cum.select(
+        "cum_a",
+        "cum_b",
+        F.max("cum_a").over(wt).alias("n_a"),
+        F.max("cum_b").over(wt).alias("n_b"),
+    )
+    num = with_tot.groupBy("n_a", "n_b").agg(
+        F.max(
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+        ).alias("d_num")
+    )
+    return num.select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (F.col("n_a") * F.col("n_b")).alias("d_den"),
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("d_stat"),
+    )

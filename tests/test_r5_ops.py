@@ -192,3 +192,56 @@ def test_partitioned_write_prunes_scan(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "x" in plan
     assert sorted(r["id"] for r in pruned.collect()) == [1, 3]
+
+
+def test_edit_distance_pairs_exact_distances(spark):
+    from nnanalytics_spark.pipeline import dedup
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumped over the lazy dog"),   # dist 2
+        (3, "the quick brown fox jumps over the lazy cat"),    # dist 3 vs 1
+        (4, "completely unrelated text with no overlap here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in dedup.edit_distance_pairs(df, max_dist=10, max_shingle_df=10).collect()}
+    assert out[(1, 2)] == 2
+    assert out[(1, 3)] == 3
+    assert (1, 4) not in out and (2, 4) not in out
+
+
+def test_edit_distance_pairs_threshold_excludes(spark):
+    from nnanalytics_spark.pipeline import dedup
+
+    docs = [
+        (1, "aaa bbb ccc ddd"),
+        (2, "aaa bbb xxx yyy zzz www qqq rrr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # shares the shingle 'aaa bbb' -> candidate, but distance > 4
+    out = dedup.edit_distance_pairs(df, max_dist=4, max_shingle_df=10).collect()
+    assert out == []
+
+
+def test_ks_two_sample_known_value(spark):
+    rows = (
+        [(i, "click", 1.0) for i in range(4)]
+        + [(i + 10, "purchase", 1.0) for i in range(2)]
+        + [(i + 20, "purchase", 2.0) for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = stats_mod.ks_two_sample(df).collect()[0]
+    # F_a(100c) = 1, F_b(100c) = 0.5 -> D = 0.5 exactly
+    assert (out["n_a"], out["n_b"]) == (4, 4)
+    assert out["d_num"] == 8 and out["d_den"] == 16
+    assert out["d_stat"] == 0.5
+
+
+def test_ks_two_sample_identical_distributions(spark):
+    df = spark.createDataFrame(
+        [(k, t, float(k % 5)) for k in range(50) for t in ("click", "purchase")],
+        "event_id long, event_type string, value double",
+    )
+    out = stats_mod.ks_two_sample(df).collect()[0]
+    assert out["d_num"] == 0 and out["d_stat"] == 0.0
