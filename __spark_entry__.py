@@ -3923,10 +3923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": q_hashed_features,
         "source_divergence": q_source_divergence,
         # (b) rows never driver-checked (added below the window in
-        # r4; rotated in now). Eleven routine TPC-H-tail shapes
-        # (q4,q6,q11-q16,q19-q21) wait past the window for r6 — the
-        # window instead takes the r4 past-window operators and every
-        # r5 addition, all higher-novelty:
+        # r4; rotated in now). Thirteen routine shapes (TPC-H tail
+        # q4,q6,q7,q9,q11-q16,q19-q21 + padding_efficiency) wait past
+        # the window for r6 — the window instead takes the r4
+        # past-window operators and every r5 addition, all
+        # higher-novelty:
         "sample_k_per_group": q_sample_k_per_group,
         "inter_event_gaps": q_inter_event_gaps,
         "two_stage_distinct": q_two_stage_distinct,

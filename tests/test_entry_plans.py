@@ -469,3 +469,28 @@ def test_pq_report_is_mapside_before_final_agg(spark):
     map_at = plan.index("MapInPandas")
     below = plan[map_at:]
     assert "Exchange" not in below, plan
+
+
+def test_zipf_slope_uses_takeordered_not_global_window(spark):
+    # the vocabulary cut must plan as a distributed TakeOrdered; the
+    # single-partition rank window is only ever fed top_n rows
+    df = entry.q_zipf_slope(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bpe_merge_step_prunes_before_rank_window(spark):
+    df = entry.q_bpe_merge_step(spark, SF)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_edit_distance_pairs_uses_thresholded_levenshtein(spark):
+    # the banded early-exit form (3-arg levenshtein) — a full-matrix
+    # levenshtein on document-length strings would be the scale bug
+    df = entry.q_edit_distance_pairs(spark, SF)
+    plan = plan_of(df)
+    assert "levenshtein" in plan, plan
+    import re
+
+    assert re.search(r"levenshtein\([^)]*32\)", plan), plan
