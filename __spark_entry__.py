@@ -3845,6 +3845,28 @@ def q_stream_stream_join_parity(spark, sf):
     )
 
 
+def q_audio_rms_features(spark, sf):
+    """AUDIO feature extraction promoted to hash-checked (completing the
+    modality set: PNG histogram went in r4, video metadata in r3): the
+    per-segment RMS that codecs.wav_features computes over decoded PCM
+    is SQL-predictable because the WAV samples are exactly the
+    document's ASCII bytes — the oracle replays np.array_split's
+    first-(n mod 8)-segments-get-one-extra partitioning and the
+    sqrt(mean((c-128)^2))/128 arithmetic from character codes. Integer
+    segment sums are order-free, so the doubles agree bit-for-bit."""
+    from nnanalytics_spark.pipeline import multimodal
+
+    d = _t(spark, sf, "documents")
+    media = multimodal.media_from_documents(d, parallelism=_fanout(spark)).filter(
+        F.col("kind") == "audio"
+    )
+    out = multimodal.extract_features(media)
+    return out.select(
+        "media_id",
+        *[F.round(F.element_at("feature", i + 1), 6).alias(f"rms{i}") for i in range(8)],
+    )
+
+
 def q_ks_test(spark, sf):
     """Two-sample Kolmogorov-Smirnov drift statistic (stats.ks_two_sample)
     between click and purchase value distributions: D as an EXACT integer
@@ -3952,7 +3974,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_fill": q_budget_fill,
         "matryoshka_eval": q_matryoshka_eval,
         "tfidf_top_terms": q_tfidf_top_terms,
-        "dup_matrix": q_dup_matrix,
         "stream_dedup_parity": q_stream_dedup_parity,
         # (c) promoted into the window: the r4 past-window operators
         # and every r5 addition (incl. ann_ivf_topk, hash-checkable for
@@ -3971,8 +3992,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance_pairs": q_edit_distance_pairs,
         "ks_test": q_ks_test,
         "stream_stream_join_parity": q_stream_stream_join_parity,
+        "audio_rms_features": q_audio_rms_features,
         # --- end of the 50-row gate window ---
         # deferred to the r6 window (battery-guarded meanwhile):
+        "dup_matrix": q_dup_matrix,
         "padding_efficiency": q_padding_efficiency,
         "sql_tpch_q7": q_sql_tpch_q7,
         "sql_tpch_q9": q_sql_tpch_q9,
@@ -6864,6 +6887,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cos_sim FROM scored
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+    d["audio_rms_features"] = """
+        WITH a AS (
+          SELECT doc_id, text, length(text) AS n
+          FROM documents WHERE doc_id % 2 = 1
+        ),
+        ch AS (
+          SELECT doc_id, n,
+                 unnest([{'i': i, 'c': unicode(text[i:i])}
+                         for i in range(1, n + 1)]) AS p
+          FROM a
+        ),
+        seg AS (
+          SELECT doc_id, n,
+                 CASE WHEN (p.i - 1) < (n % 8) * (n // 8 + 1)
+                      THEN (p.i - 1) // (n // 8 + 1)
+                      ELSE (n % 8) + ((p.i - 1) - (n % 8) * (n // 8 + 1)) // (n // 8)
+                 END AS s,
+                 (p.c - 128) * (p.c - 128) AS sq
+          FROM ch
+        ),
+        r AS (
+          SELECT doc_id, s, CAST(sum(sq) AS BIGINT) AS ss, count(*) AS cnt
+          FROM seg GROUP BY 1, 2
+        )
+        SELECT a.doc_id AS media_id,
+               coalesce(max(CASE WHEN s = 0 THEN round(sqrt(CAST(ss AS DOUBLE) / cnt) / 128, 6) END), 0.0) AS rms0,
+               coalesce(max(CASE WHEN s = 1 THEN round(sqrt(CAST(ss AS DOUBLE) / cnt) / 128, 6) END), 0.0) AS rms1,
+               coalesce(max(CASE WHEN s = 2 THEN round(sqrt(CAST(ss AS DOUBLE) / cnt) / 128, 6) END), 0.0) AS rms2,
+               coalesce(max(CASE WHEN s = 3 THEN round(sqrt(CAST(ss AS DOUBLE) / cnt) / 128, 6) END), 0.0) AS rms3,
+               coalesce(max(CASE WHEN s = 4 THEN round(sqrt(CAST(ss AS DOUBLE) / cnt) / 128, 6) END), 0.0) AS rms4,
+               coalesce(max(CASE WHEN s = 5 THEN round(sqrt(CAST(ss AS DOUBLE) / cnt) / 128, 6) END), 0.0) AS rms5,
+               coalesce(max(CASE WHEN s = 6 THEN round(sqrt(CAST(ss AS DOUBLE) / cnt) / 128, 6) END), 0.0) AS rms6,
+               coalesce(max(CASE WHEN s = 7 THEN round(sqrt(CAST(ss AS DOUBLE) / cnt) / 128, 6) END), 0.0) AS rms7
+        FROM a LEFT JOIN r ON r.doc_id = a.doc_id
+        GROUP BY a.doc_id
     """
     d["stream_stream_join_parity"] = """
         WITH p AS (
