@@ -3110,17 +3110,24 @@ def q_stream_dedup_parity(spark, sf):
         .select("event_id", "user_id", "event_type", "value")
     )
     out_dir = tempfile.mkdtemp(prefix="nna_stream_dedup_")
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{out_dir}/data")
-        .option("checkpointLocation", f"{out_dir}/ckpt")
-        .start()
-    )
+    # dropDuplicates keeps one state store per shuffle partition — same
+    # fan-out economics as sessionization_parity; pin for the stream
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     sunk = spark.read.parquet(f"{out_dir}/data")
     return (
         sunk.groupBy("event_type")
@@ -3825,17 +3832,26 @@ def q_stream_stream_join_parity(spark, sf):
         "inner",
     ).select("p_id", "p_user", "p_value")
     out_dir = tempfile.mkdtemp(prefix="nna_ss_join_")
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{out_dir}/data")
-        .option("checkpointLocation", f"{out_dir}/ckpt")
-        .start()
-    )
+    # stream-stream joins keep one state store PER SIDE per shuffle
+    # partition, captured at stream start — the sessionization_parity
+    # pinning, doubled in weight here (measured 6.1 s -> the pin is the
+    # difference between 64 and 16 state stores + Arrow workers)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     sunk = spark.read.parquet(f"{out_dir}/data")
     return sunk.agg(
         F.count(F.lit(1)).alias("n_pairs"),

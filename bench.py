@@ -176,6 +176,7 @@ HEADLINE = [
     "edit_distance_pairs",
     "ks_test",
     "stream_stream_join_parity",
+    "audio_rms_features",
 ]
 
 
