@@ -3883,6 +3883,31 @@ def q_audio_rms_features(spark, sf):
     )
 
 
+def q_pivot_matrix(spark, sf):
+    """Native pivot crosstab (behavior.pivot_counts): hour-of-day x
+    event-type count matrix in ONE hash aggregate (pinned pivot values
+    keep it single-pass and schema-deterministic). The oracle is the
+    classic conditional-aggregation twin."""
+    from nnanalytics_spark.pipeline import behavior
+
+    ev = _events(spark, sf).withColumn(
+        "hod", (F.floor(F.col("ts_us") / 3_600_000_000) % 24).cast("long")
+    )
+    return behavior.pivot_counts(
+        ev, "hod", "event_type", ["click", "error", "purchase", "signup", "view"]
+    )
+
+
+def q_resample_hourly(spark, sf):
+    """Dense zero-filled hourly series per type (behavior.
+    resample_hourly): sequence-exploded hour spine x distinct groups,
+    observed counts LEFT-joined on — the resample every trend consumer
+    needs before lag arithmetic. Oracle: generate_series twin."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.resample_hourly(_events(spark, sf))
+
+
 def q_ks_test(spark, sf):
     """Two-sample Kolmogorov-Smirnov drift statistic (stats.ks_two_sample)
     between click and purchase value distributions: D as an EXACT integer
@@ -4011,6 +4036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rms_features": q_audio_rms_features,
         # --- end of the 50-row gate window ---
         # deferred to the r6 window (battery-guarded meanwhile):
+        "pivot_matrix": q_pivot_matrix,
+        "resample_hourly": q_resample_hourly,
         "dup_matrix": q_dup_matrix,
         "padding_efficiency": q_padding_efficiency,
         "sql_tpch_q7": q_sql_tpch_q7,
@@ -6959,6 +6986,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS pair_value_cents
         FROM j
+    """
+    d["pivot_matrix"] = """
+        SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        FROM events GROUP BY 1
+    """
+    d["resample_hourly"] = """
+        WITH b AS (
+          SELECT epoch_us(min(ts)) // 3600000000 AS h0,
+                 epoch_us(max(ts)) // 3600000000 AS h1
+          FROM events
+        ),
+        spine AS (
+          SELECT g.event_type, gs.h
+          FROM (SELECT DISTINCT event_type FROM events) g,
+               b, LATERAL (SELECT unnest(generate_series(b.h0, b.h1)) AS h) gs
+        ),
+        c AS (
+          SELECT event_type, epoch_us(ts) // 3600000000 AS h, count(*) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT s.event_type, CAST(s.h AS BIGINT) AS hour,
+               CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+        FROM spine s LEFT JOIN c ON c.event_type = s.event_type AND c.h = s.h
     """
     d["ks_test"] = """
         WITH f AS (

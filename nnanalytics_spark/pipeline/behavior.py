@@ -232,3 +232,62 @@ def event_transitions(
         "cnt",
         F.round(F.col("cnt") / out_total, 6).alias("p"),
     )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row: str,
+    col: str,
+    values: Sequence[str],
+) -> DataFrame:
+    """Crosstab report via Spark's native pivot: one wide row per
+    ``row`` value, one count column per pinned ``col`` value, zeros
+    filled. ``values`` must be pinned explicitly — that is what keeps
+    the plan ONE pass (omitting it makes Spark run a distinct-scan
+    first) and the output schema deterministic for an external oracle.
+    Physically a pivot is a single hash aggregate whose buffer holds
+    |values| counters per row key — map-side combined, one shuffle on
+    the row key, no explode."""
+    out = df.groupBy(row).pivot(col, list(values)).count()
+    return out.select(
+        row, *[F.coalesce(F.col(v), F.lit(0)).alias(v) for v in values]
+    )
+
+
+def resample_hourly(
+    events: DataFrame,
+    group: str = "event_type",
+    ts_us: str = "ts_us",
+) -> DataFrame:
+    """Dense hourly time series per group with gaps ZERO-FILLED — the
+    resample step every monitoring/trend consumer needs before window
+    arithmetic (a lag over a sparse series silently skips empty hours).
+
+    The hour spine is sequence(global_min_hour .. global_max_hour)
+    cross-joined with the distinct group set — |hours| x |groups| rows
+    generated ON the executors from two broadcast scalars, never
+    collected; observed counts LEFT-join onto the spine by (group,
+    hour). The count aggregate and the spine join key on the same
+    (group, hour), so AQE reuses one exchange. At 100 TB the spine is
+    calendar-sized (thousands of rows per group), trivially smaller
+    than the log it indexes."""
+    hour = F.floor(F.col(ts_us) / 3_600_000_000).cast("long")
+    counts = events.select(F.col(group).alias("g"), hour.alias("h")).groupBy(
+        "g", "h"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    bounds = events.agg(
+        F.floor(F.min(ts_us) / 3_600_000_000).cast("long").alias("h0"),
+        F.floor(F.max(ts_us) / 3_600_000_000).cast("long").alias("h1"),
+    )
+    groups = events.select(F.col(group).alias("g")).distinct()
+    spine = groups.crossJoin(F.broadcast(bounds)).select(
+        "g", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    return (
+        spine.join(counts, ["g", "h"], "left")
+        .select(
+            F.col("g").alias(group),
+            F.col("h").alias("hour"),
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        )
+    )

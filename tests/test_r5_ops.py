@@ -245,3 +245,69 @@ def test_ks_two_sample_identical_distributions(spark):
     )
     out = stats_mod.ks_two_sample(df).collect()[0]
     assert out["d_num"] == 0 and out["d_stat"] == 0.0
+
+
+def test_pivot_counts_zero_fill_and_single_pass(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b")], "k long, t string"
+    )
+    out = {r["k"]: r for r in behavior.pivot_counts(df, "k", "t", ["a", "b", "c"]).collect()}
+    assert (out[1]["a"], out[1]["b"], out[1]["c"]) == (2, 0, 0)
+    assert (out[2]["a"], out[2]["b"], out[2]["c"]) == (0, 1, 0)
+    # single hash-aggregate plan: no second scan for pivot values
+    plan = behavior.pivot_counts(df, "k", "t", ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan") == 1, plan
+
+
+def test_resample_hourly_fills_gaps_with_zeros(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    h = 3_600_000_000
+    df = spark.createDataFrame(
+        [(0, "x", 0 * h), (1, "x", 3 * h), (2, "y", 1 * h)],
+        "event_id long, event_type string, ts_us long",
+    )
+    out = {(r["event_type"], r["hour"]): r["cnt"]
+           for r in behavior.resample_hourly(df).collect()}
+    # spine covers global hours 0..3 for BOTH groups, zeros in gaps
+    assert len(out) == 8
+    assert out[("x", 0)] == 1 and out[("x", 1)] == 0 and out[("x", 3)] == 1
+    assert out[("y", 1)] == 1 and out[("y", 0)] == 0 and out[("y", 3)] == 0
+
+
+def test_quantile_merge_associativity_property(spark):
+    """Merging partials in ANY grouping must equal the one-shot
+    histogram — the property that makes the state safe under stream
+    redelivery/reordering."""
+    from nnanalytics_spark.core.aggregates import (
+        merge_quantile_partials,
+        quantile_partial,
+    )
+
+    rows = [(i, "k", float((i * 37) % 101) - 13.0) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, k string, value double")
+    full = {(r["k"], r["bucket"]): r["cnt"]
+            for r in quantile_partial(df, "k", "value", 7.0).collect()}
+    p0 = quantile_partial(df.filter("id % 3 = 0"), "k", "value", 7.0)
+    p1 = quantile_partial(df.filter("id % 3 = 1"), "k", "value", 7.0)
+    p2 = quantile_partial(df.filter("id % 3 = 2"), "k", "value", 7.0)
+    m = merge_quantile_partials(merge_quantile_partials(p0, p1, "k"), p2, "k")
+    m2 = merge_quantile_partials(p2, merge_quantile_partials(p1, p0, "k"), "k")
+    got = {(r["k"], r["bucket"]): r["cnt"] for r in m.collect()}
+    got2 = {(r["k"], r["bucket"]): r["cnt"] for r in m2.collect()}
+    assert got == full == got2
+
+
+def test_ks_bounds_property(spark):
+    """0 <= D <= 1 and d_num <= d_den for arbitrary group contents."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, rng.choice(["click", "purchase"]), rng.uniform(-5, 50))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = stats_mod.ks_two_sample(df).collect()[0]
+    assert 0 <= out["d_num"] <= out["d_den"]
+    assert 0.0 <= out["d_stat"] <= 1.0
