@@ -3883,6 +3883,32 @@ def q_audio_rms_features(spark, sf):
     )
 
 
+def q_weighted_sample(spark, sf):
+    """Deterministic weighted sampling without replacement
+    (sampling.weighted_sample_k, Efraimidis-Spirakis A-ES): top-5 docs
+    per source with probability proportional to n_chars, rand()-free —
+    u from the Knuth id hash, key = ln(u)/w rounded to 9 dp with id
+    tie-break. The oracle replays hash, key, and the per-group cut."""
+    from nnanalytics_spark.pipeline import sampling
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return sampling.weighted_sample_k(
+        d, k=5, weight=F.col("n_chars").cast("double"), group_col="source"
+    )
+
+
+def q_quantile_normalize(spark, sf):
+    """Rank-based per-source score normalization
+    (sampling.quantile_normalize): n_chars mapped to the exact
+    (rank-1)/(n-1) uniform within each source with deterministic
+    (value, id) tie ordering — the primitive that makes heterogeneous
+    quality scores comparable before mixing."""
+    from nnanalytics_spark.pipeline import sampling
+
+    d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    return sampling.quantile_normalize(d, "n_chars")
+
+
 def q_pivot_matrix(spark, sf):
     """Native pivot crosstab (behavior.pivot_counts): hour-of-day x
     event-type count matrix in ONE hash aggregate (pinned pivot values
@@ -4037,6 +4063,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- end of the 50-row gate window ---
         # deferred to the r6 window (battery-guarded meanwhile):
         "pivot_matrix": q_pivot_matrix,
+        "weighted_sample": q_weighted_sample,
+        "quantile_normalize": q_quantile_normalize,
         "resample_hourly": q_resample_hourly,
         "dup_matrix": q_dup_matrix,
         "padding_efficiency": q_padding_efficiency,
@@ -6986,6 +7014,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS pair_value_cents
         FROM j
+    """
+    d["weighted_sample"] = """
+        WITH keyed AS (
+          SELECT doc_id, source, n_chars,
+                 round(ln((((doc_id % 1000000) * (2654435761 % 1000000))
+                            % 1000000 + 0.5) / 1000000.0)
+                       / CAST(n_chars AS DOUBLE), 9) AS k
+          FROM documents
+        ),
+        ranked AS (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY k DESC, doc_id) AS rn
+          FROM keyed
+        )
+        SELECT doc_id, source, n_chars FROM ranked WHERE rn <= 5
+    """
+    d["quantile_normalize"] = """
+        SELECT doc_id, source, n_chars,
+               CASE WHEN count(*) OVER (PARTITION BY source) > 1
+                    THEN CAST(row_number() OVER (PARTITION BY source
+                                                 ORDER BY n_chars, doc_id) - 1
+                              AS DOUBLE)
+                         / (count(*) OVER (PARTITION BY source) - 1)
+                    ELSE 0.0 END AS q_norm
+        FROM documents
     """
     d["pivot_matrix"] = """
         SELECT (epoch_us(ts) // 3600000000) % 24 AS hod,

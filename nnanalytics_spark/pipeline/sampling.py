@@ -344,3 +344,76 @@ def padding_efficiency(df: DataFrame, max_len: int = 64) -> DataFrame:
             "packed_efficiency"
         ),
     ).orderBy("source")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight: Column | str,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, rand()-free: the
+    Efraimidis–Spirakis A-ES scheme (2006) — each row draws a key
+    u^(1/w) with u uniform in (0,1) and the k largest keys win, which
+    provably samples with probability proportional to weight. Training
+    pipelines use it to bias corpus sampling toward quality scores
+    while staying reproducible run-to-run.
+
+    u derives from the id hash (pmod(id·KNUTH, M)+0.5)/M — same
+    determinism contract as stratified_sample — and the key comparison
+    uses ln(u)/w (monotone transform; avoids pow underflow at tiny
+    weights). Keys are rounded to 9 dp with an id tie-break, so the cut
+    is engine-exact. Plan: map-side key computation + a per-group
+    row_number window; groups are the sampling strata, so the window
+    partitions by them — global k uses the distributed-TakeOrdered
+    variant below."""
+    from pyspark.sql.window import Window
+
+    m = 1_000_000
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (_bucket(F.col(id_col), m) + F.lit(0.5)) / F.lit(float(m))
+    key = F.round(F.log(u) / w, 9)
+    if group_col is None:
+        ranked = (
+            df.withColumn("_key", key)
+            .orderBy(F.col("_key").desc(), F.col(id_col))
+            .limit(k)
+        )
+        return ranked.drop("_key")
+    win = Window.partitionBy(group_col).orderBy(F.col("_key").desc(), F.col(id_col))
+    return (
+        df.withColumn("_key", key)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") <= k)
+        .drop("_key", "_rn")
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rank-based score normalization per group: percent_rank of
+    ``value`` within each group, with a deterministic (value, id)
+    ordering so ties resolve identically everywhere. The curation
+    primitive for mixing heterogeneous quality scores — a fastText
+    score from one source and a length heuristic from another become
+    comparable once both are uniform on [0,1] within their source.
+    One window per group over (value, id); emitted as the exact
+    (rank-1)/(n-1) rational cast to double."""
+    from pyspark.sql.window import Window
+
+    win = Window.partitionBy(group_col).orderBy(F.col(value), F.col(id_col))
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    rn = F.row_number().over(win)
+    return df.select(
+        id_col,
+        group_col,
+        value,
+        F.when(n > 1, (rn - 1).cast("double") / (n - 1).cast("double"))
+        .otherwise(0.0)
+        .alias("q_norm"),
+    )

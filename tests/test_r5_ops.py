@@ -311,3 +311,45 @@ def test_ks_bounds_property(spark):
     out = stats_mod.ks_two_sample(df).collect()[0]
     assert 0 <= out["d_num"] <= out["d_den"]
     assert 0.0 <= out["d_stat"] <= 1.0
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    # 200 light docs (w=1) + 200 heavy docs (w=50): the heavy half must
+    # dominate a k=40 sample, and two runs must agree exactly
+    rows = [(i, "s", 1.0 if i < 200 else 50.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    got1 = sorted(r["doc_id"] for r in
+                  sampling.weighted_sample_k(df, 40, "w", group_col="source").collect())
+    got2 = sorted(r["doc_id"] for r in
+                  sampling.weighted_sample_k(df, 40, "w", group_col="source").collect())
+    assert got1 == got2 and len(got1) == 40
+    heavy = sum(1 for i in got1 if i >= 200)
+    assert heavy >= 30  # ~50x weight -> overwhelmingly heavy picks
+
+
+def test_weighted_sample_global_k(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(50)], "doc_id long, w double"
+    )
+    out = sampling.weighted_sample_k(df, 10, "w")
+    assert out.count() == 10
+    assert "TakeOrderedAndProject" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quantile_normalize_uniform_and_ties(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    df = spark.createDataFrame(
+        [(1, "s", 10), (2, "s", 20), (3, "s", 20), (4, "s", 40), (5, "t", 7)],
+        "doc_id long, source string, v long",
+    )
+    out = {r["doc_id"]: r["q_norm"] for r in sampling.quantile_normalize(df, "v").collect()}
+    assert out[1] == 0.0 and out[4] == 1.0
+    # ties resolve by id: doc 2 before doc 3
+    assert out[2] == 1/3 and out[3] == 2/3
+    # singleton group -> 0.0, never a 0/0
+    assert out[5] == 0.0
