@@ -3883,6 +3883,18 @@ def q_audio_rms_features(spark, sf):
     )
 
 
+def q_scd2_intervals(spark, sf):
+    """SCD type-2 reconstruction (behavior.scd2_intervals): per-user
+    event-type validity intervals via the gaps-and-islands rank
+    difference — two windows sharing one exchange+sort, lead() over
+    |intervals| rows, NULL-open current interval. Top-200 by
+    (user, valid_from) for a bounded deterministic row set."""
+    from nnanalytics_spark.pipeline import behavior
+
+    iv = behavior.scd2_intervals(_events(spark, sf))
+    return iv.orderBy("user_id", "valid_from_us").limit(200)
+
+
 def q_weighted_sample(spark, sf):
     """Deterministic weighted sampling without replacement
     (sampling.weighted_sample_k, Efraimidis-Spirakis A-ES): top-5 docs
@@ -4064,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferred to the r6 window (battery-guarded meanwhile):
         "pivot_matrix": q_pivot_matrix,
         "weighted_sample": q_weighted_sample,
+        "scd2_intervals": q_scd2_intervals,
         "quantile_normalize": q_quantile_normalize,
         "resample_hourly": q_resample_hourly,
         "dup_matrix": q_dup_matrix,
@@ -7014,6 +7027,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                CAST(SUM(FLOOR(value * 100)) AS BIGINT) AS pair_value_cents
         FROM j
+    """
+    d["scd2_intervals"] = """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+          FROM events
+        ),
+        runs AS (
+          SELECT user_id, event_type, t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY t, event_id)
+                 - row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY t, event_id) AS island
+          FROM e
+        ),
+        iv AS (
+          SELECT user_id, event_type, min(t) AS valid_from_us
+          FROM runs GROUP BY user_id, event_type, island
+        )
+        SELECT user_id, event_type, valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY valid_from_us) AS valid_to_us
+        FROM iv
+        ORDER BY user_id, valid_from_us LIMIT 200
     """
     d["weighted_sample"] = """
         WITH keyed AS (

@@ -291,3 +291,47 @@ def resample_hourly(
             F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
         )
     )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key: str = "user_id",
+    state: str = "event_type",
+    ts_us: str = "ts_us",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Slowly-Changing-Dimension type-2 reconstruction from a changelog:
+    each (key, state) run becomes one validity interval
+    [valid_from_us, valid_to_us), with NULL valid_to on the open
+    current interval — how a warehouse materializes "what was this
+    entity's attribute at time T" from an event stream, queryable with
+    a plain BETWEEN instead of an as-of join per lookup.
+
+    Run-collapsing uses the classic gaps-and-islands rank difference
+    (row_number over key MINUS row_number over (key, state) is constant
+    within a run). Hash-partitioning on the key alone satisfies the
+    (key, state) window's distribution requirement too (co-location by
+    key implies co-location by any superset), so Catalyst plans ONE
+    exchange feeding two in-partition sorts — verified in
+    test_r5_ops.py — and the lead() for valid_to plus the final
+    interval window ride that same partitioning over |intervals| rows,
+    not |events|. Deterministic (ts, event_id) ordering makes
+    simultaneous events engine-stable."""
+    from pyspark.sql.window import Window
+
+    w_key = Window.partitionBy(key).orderBy(ts_us, order_tiebreak)
+    w_run = Window.partitionBy(key, state).orderBy(ts_us, order_tiebreak)
+    runs = events.select(
+        key,
+        state,
+        F.col(ts_us).alias("t"),
+        (F.row_number().over(w_key) - F.row_number().over(w_run)).alias("island"),
+    )
+    iv = runs.groupBy(key, state, "island").agg(F.min("t").alias("valid_from_us"))
+    w_iv = Window.partitionBy(key).orderBy("valid_from_us")
+    return iv.select(
+        key,
+        state,
+        "valid_from_us",
+        F.lead("valid_from_us").over(w_iv).alias("valid_to_us"),
+    )

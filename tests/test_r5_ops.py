@@ -353,3 +353,40 @@ def test_quantile_normalize_uniform_and_ties(spark):
     assert out[2] == 1/3 and out[3] == 2/3
     # singleton group -> 0.0, never a 0/0
     assert out[5] == 0.0
+
+
+def test_scd2_intervals_runs_and_open_interval(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    df = spark.createDataFrame(
+        [
+            (1, 7, "a", 100), (2, 7, "a", 200), (3, 7, "b", 300),
+            (4, 7, "a", 400), (5, 8, "x", 50),
+        ],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+    rows = sorted(
+        behavior.scd2_intervals(df).collect(),
+        key=lambda r: (r["user_id"], r["valid_from_us"]),
+    )
+    u7 = [(r["event_type"], r["valid_from_us"], r["valid_to_us"])
+          for r in rows if r["user_id"] == 7]
+    # a-run [100,300), b-run [300,400), a AGAIN [400, open) — the rank
+    # difference must split the two a-runs, not merge them
+    assert u7 == [("a", 100, 300), ("b", 300, 400), ("a", 400, None)]
+    u8 = [(r["event_type"], r["valid_from_us"], r["valid_to_us"])
+          for r in rows if r["user_id"] == 8]
+    assert u8 == [("x", 50, None)]
+
+
+def test_scd2_single_exchange_for_both_windows(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    df = spark.createDataFrame(
+        [(1, 7, "a", 100)], "event_id long, user_id long, event_type string, ts_us long"
+    )
+    plan = behavior.scd2_intervals(df)._jdf.queryExecution().executedPlan().toString()
+    # one hashpartitioning(user_id) exchange serves BOTH run-splitting
+    # windows (subset partitioning satisfies the (key, state)
+    # requirement) and the downstream interval windows
+    assert plan.count("Exchange") == 1, plan
