@@ -3883,6 +3883,20 @@ def q_audio_rms_features(spark, sf):
     )
 
 
+def q_triangle_counts(spark, sf):
+    """Triangle participation per node (graph.triangle_counts) over the
+    exact near-dup pair graph (ngram Jaccard >= 0.6): the clique-density
+    diagnostic that says whether transitive dedup clustering is safe.
+    Oriented wedge construction finds each a<b<c exactly once via two
+    vertex-keyed equi-joins; the oracle replays edges, wedges, and the
+    closing probe."""
+    from nnanalytics_spark.pipeline import graph
+
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+    return graph.triangle_counts(pairs.select("id_a", "id_b")).orderBy("node")
+
+
 def q_scd2_intervals(spark, sf):
     """SCD type-2 reconstruction (behavior.scd2_intervals): per-user
     event-type validity intervals via the gaps-and-islands rank
@@ -4077,6 +4091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_matrix": q_pivot_matrix,
         "weighted_sample": q_weighted_sample,
         "scd2_intervals": q_scd2_intervals,
+        "triangle_counts": q_triangle_counts,
         "quantile_normalize": q_quantile_normalize,
         "resample_hourly": q_resample_hourly,
         "dup_matrix": q_dup_matrix,
@@ -6721,6 +6736,52 @@ def oracle_sql() -> dict[str, str]:
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["triangle_counts"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN dfc USING (shingle) WHERE dfc.df <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+          GROUP BY 1, 2
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+        ),
+        tri AS (
+          SELECT e1.a AS a, e1.b AS b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e1.b = e2.a
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+          SELECT unnest([a, b, c]) AS node FROM tri
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS triangles
+        FROM corners GROUP BY node ORDER BY node
     """
     d["stream_dedup_parity"] = """
         SELECT event_type, count(*) AS n_events,

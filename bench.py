@@ -177,6 +177,11 @@ HEADLINE = [
     "ks_test",
     "stream_stream_join_parity",
     "audio_rms_features",
+    "pivot_matrix",
+    "resample_hourly",
+    "weighted_sample",
+    "quantile_normalize",
+    "scd2_intervals",
 ]
 
 

@@ -109,3 +109,33 @@ def degree_stats(edges: DataFrame) -> DataFrame:
         F.sum("outc").cast("long").alias("out_degree"),
         F.sum("inc").cast("long").alias("in_degree"),
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts — the local-density
+    diagnostic for a near-dup pair graph (a clique-y duplicate cluster
+    closes many triangles; a chain of borderline matches closes none,
+    which tells a curation team whether transitive dedup is safe).
+
+    Input: undirected edges as (id_a, id_b) with id_a < id_b. The
+    count uses the oriented wedge construction: every triangle
+    a<b<c is found EXACTLY once by joining (a,b)+(b,c) on the middle
+    vertex and probing the closing edge (a,c). Two equi-joins on edge
+    keys — at 100 TB-scale graphs the join keys are vertex ids, so
+    both joins hash-partition on vertices and the wedge table is
+    bounded by Σ deg(v)² (the standard bound; bound the hot-vertex
+    degree upstream the same way ngram_jaccard bounds hot shingles).
+    Per-node counts then explode each triangle's three corners and
+    aggregate."""
+    e = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c")
+    )
+    closing = e.select(F.col("a").alias("ca"), F.col("b").alias("cb"))
+    tri = wedges.join(
+        closing, (F.col("a") == F.col("ca")) & (F.col("c") == F.col("cb"))
+    ).select("a", "b", "c")
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))

@@ -129,3 +129,21 @@ def test_pq_train_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError):
         similarity.pq_train(df, m=2, k=2, sample=4)
+
+
+def test_triangle_counts_exact(spark):
+    from nnanalytics_spark.pipeline import graph
+
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) + pendant edge 4-5
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["node"]: r["triangles"] for r in graph.triangle_counts(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    assert 5 not in out  # pendant vertex closes nothing
+
+
+def test_triangle_counts_no_triangles_in_path(spark):
+    from nnanalytics_spark.pipeline import graph
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    assert graph.triangle_counts(df).collect() == []
