@@ -3883,6 +3883,17 @@ def q_audio_rms_features(spark, sf):
     )
 
 
+def q_path_ngrams(spark, sf):
+    """Top-20 user-journey trigrams (behavior.path_ngrams): the n-1
+    lead() windows share one key-partitioned sort, incomplete tail
+    windows drop map-side, and the |types|^n path table takes a
+    deterministic (count desc, path) TakeOrdered cut. Oracle replays
+    the ordering, window tail semantics, and the cut."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.path_ngrams(_events(spark, sf), n=3, k=20)
+
+
 def q_triangle_counts(spark, sf):
     """Triangle participation per node (graph.triangle_counts) over the
     exact near-dup pair graph (ngram Jaccard >= 0.6): the clique-density
@@ -4092,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "scd2_intervals": q_scd2_intervals,
         "triangle_counts": q_triangle_counts,
+        "path_ngrams": q_path_ngrams,
         "quantile_normalize": q_quantile_normalize,
         "resample_hourly": q_resample_hourly,
         "dup_matrix": q_dup_matrix,
@@ -6736,6 +6748,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["path_ngrams"] = """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+          FROM events
+        ),
+        steps AS (
+          SELECT event_type AS s1,
+                 lead(event_type, 1) OVER w AS s2,
+                 lead(event_type, 2) OVER w AS s3
+          FROM e
+          WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+        ),
+        paths AS (
+          SELECT s1 || '>' || s2 || '>' || s3 AS path, count(*) AS cnt
+          FROM steps WHERE s3 IS NOT NULL GROUP BY 1
+        ),
+        top AS (SELECT * FROM paths ORDER BY cnt DESC, path LIMIT 20)
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, path) AS INTEGER)
+                 AS rank,
+               path, cnt
+        FROM top ORDER BY rank
     """
     d["triangle_counts"] = r"""
         WITH toks AS (

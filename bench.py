@@ -182,6 +182,8 @@ HEADLINE = [
     "weighted_sample",
     "quantile_normalize",
     "scd2_intervals",
+    "triangle_counts",
+    "path_ngrams",
 ]
 
 

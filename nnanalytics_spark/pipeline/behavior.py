@@ -335,3 +335,42 @@ def scd2_intervals(
         "valid_from_us",
         F.lead("valid_from_us").over(w_iv).alias("valid_to_us"),
     )
+
+
+def path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    key: str = "user_id",
+    state: str = "event_type",
+    ts_us: str = "ts_us",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Top-k most common length-n event paths across user journeys —
+    the "what do users actually do" product-analytics staple, and for
+    training-data work the behavioral analog of text n-grams (mining
+    interaction logs for common action sequences).
+
+    One key-partitioned sort (shared by the n-1 lead() windows — same
+    single-exchange economics as scd2_intervals), a map-side filter of
+    incomplete windows at each journey's tail, a path-keyed count
+    (path space is |event types|^n, tiny), and the deterministic
+    (count desc, path) TakeOrdered cut."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(ts_us, order_tiebreak)
+    steps = [F.col(state)] + [F.lead(state, i).over(w) for i in range(1, n)]
+    paths = (
+        events.select(F.concat_ws(">", *steps).alias("path"),
+                      steps[-1].isNotNull().alias("_complete"))
+        .filter(F.col("_complete"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top = paths.orderBy(F.col("cnt").desc(), "path").limit(k)
+    w_rank = Window.orderBy(F.col("cnt").desc(), "path")
+    return (
+        top.withColumn("rank", F.row_number().over(w_rank))
+        .select("rank", "path", "cnt")
+        .orderBy("rank")
+    )

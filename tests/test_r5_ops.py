@@ -390,3 +390,16 @@ def test_scd2_single_exchange_for_both_windows(spark):
     # windows (subset partitioning satisfies the (key, state)
     # requirement) and the downstream interval windows
     assert plan.count("Exchange") == 1, plan
+
+
+def test_path_ngrams_counts_and_tail_handling(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    # user 7: a->b->c->b  (trigrams a>b>c, b>c>b); user 8: x->y (none)
+    df = spark.createDataFrame(
+        [(1, 7, "a", 100), (2, 7, "b", 200), (3, 7, "c", 300), (4, 7, "b", 400),
+         (5, 8, "x", 10), (6, 8, "y", 20)],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+    out = {r["path"]: r["cnt"] for r in behavior.path_ngrams(df, n=3, k=10).collect()}
+    assert out == {"a>b>c": 1, "b>c>b": 1}
