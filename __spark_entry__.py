@@ -3883,6 +3883,28 @@ def q_audio_rms_features(spark, sf):
     )
 
 
+def q_cooccurrence_lift(spark, sf):
+    """Event-type association inside (user, hour) baskets
+    (behavior.cooccurrence_lift): support counts + lift from exact
+    integers — the basket-analysis/collocation primitive on event
+    logs. Distinct-type baskets collapse the log first, pair fanout is
+    C(|types|,2) per basket, marginals broadcast. Oracle replays
+    baskets, the guarded pair explosion, and the lift arithmetic."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.cooccurrence_lift(_events(spark, sf), window_hours=1)
+
+
+def q_growth_accounting(spark, sf):
+    """Weekly growth accounting (behavior.growth_accounting): new /
+    returning / resurrected decomposition + cumulative user base from
+    exact date integers — per-user lag windows over |user,week| rows,
+    weekly rollup, running-new window over |weeks| rows."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.growth_accounting(_events(spark, sf))
+
+
 def q_path_ngrams(spark, sf):
     """Top-20 user-journey trigrams (behavior.path_ngrams): the n-1
     lead() windows share one key-partitioned sort, incomplete tail
@@ -4104,6 +4126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_intervals": q_scd2_intervals,
         "triangle_counts": q_triangle_counts,
         "path_ngrams": q_path_ngrams,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "growth_accounting": q_growth_accounting,
         "quantile_normalize": q_quantile_normalize,
         "resample_hourly": q_resample_hourly,
         "dup_matrix": q_dup_matrix,
@@ -6748,6 +6772,67 @@ def oracle_sql() -> dict[str, str]:
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["cooccurrence_lift"] = """
+        WITH baskets AS (
+          SELECT user_id, epoch_us(ts) // 3600000000 AS w,
+                 list_sort(list_distinct(list(event_type))) AS types
+          FROM events GROUP BY 1, 2
+        ),
+        nb AS (SELECT count(*) AS nb FROM baskets),
+        marg AS (
+          SELECT t, count(*) AS m
+          FROM (SELECT unnest(types) AS t FROM baskets) GROUP BY t
+        ),
+        pairs AS (
+          SELECT p.a, p.b FROM (
+            SELECT unnest(flatten(list_transform(
+                     range(1, len(types)),
+                     i -> list_transform(
+                       range(i + 1, len(types) + 1),
+                       j -> {'a': types[i], 'b': types[j]})))) AS p
+            FROM baskets WHERE len(types) >= 2
+          )
+        ),
+        counts AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS both FROM pairs GROUP BY 1, 2
+        )
+        SELECT c.a, c.b, c.both,
+               CAST(ma.m AS BIGINT) AS ma, CAST(mb.m AS BIGINT) AS mb,
+               round((CAST(c.both AS DOUBLE) * nb.nb)
+                     / (CAST(ma.m AS DOUBLE) * mb.m), 6) AS lift
+        FROM counts c
+        JOIN marg ma ON ma.t = c.a
+        JOIN marg mb ON mb.t = c.b, nb
+        ORDER BY a, b
+    """
+    d["growth_accounting"] = """
+        WITH act AS (
+          SELECT DISTINCT user_id AS u,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS wk
+          FROM events
+        ),
+        tagged AS (
+          SELECT u, wk,
+                 row_number() OVER (PARTITION BY u ORDER BY wk) = 1 AS is_new,
+                 lag(wk) OVER (PARTITION BY u ORDER BY wk) = wk - 1 AS is_returning
+          FROM act
+        ),
+        weekly AS (
+          SELECT wk,
+                 CAST(count(*) AS BIGINT) AS active,
+                 CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+                 CAST(SUM(CASE WHEN NOT is_new AND is_returning THEN 1 ELSE 0 END)
+                      AS BIGINT) AS "returning",
+                 CAST(SUM(CASE WHEN NOT is_new
+                                AND NOT coalesce(is_returning, FALSE)
+                               THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+          FROM tagged GROUP BY wk
+        )
+        SELECT wk, active, new_users, "returning", resurrected,
+               CAST(SUM(new_users) OVER (ORDER BY wk) AS BIGINT)
+                 AS cumulative_users
+        FROM weekly ORDER BY wk
     """
     d["path_ngrams"] = """
         WITH e AS (

@@ -184,6 +184,8 @@ HEADLINE = [
     "scd2_intervals",
     "triangle_counts",
     "path_ngrams",
+    "cooccurrence_lift",
+    "growth_accounting",
 ]
 
 

@@ -374,3 +374,129 @@ def path_ngrams(
         .select("rank", "path", "cnt")
         .orderBy("rank")
     )
+
+
+def cooccurrence_lift(
+    events: DataFrame,
+    user: str = "user_id",
+    ts_us: str = "ts_us",
+    event_type: str = "event_type",
+    window_hours: int = 1,
+) -> DataFrame:
+    """Market-basket association over event streams: for every pair of
+    event types co-occurring inside the same (user, time-window)
+    basket, support counts and LIFT = P(a∧b) / (P(a)·P(b)) — the
+    "users who error also repurchase?" diagnostic, and for training-
+    data work the session-level analog of token collocations.
+
+    Baskets are (user, floor(ts/window)) with DISTINCT types — one
+    keyed aggregate collapsing the log to |baskets| rows whose type
+    sets are bounded by |types| (array, not rows). Pairs explode from
+    each basket's sorted type array (C(|types|,2) per basket, tiny),
+    then one pair-keyed count; marginals ride a second pass over the
+    basket table. Lift emerges as a double from exact integer counts."""
+    bucket = F.floor(F.col(ts_us) / F.lit(window_hours * 3_600_000_000)).alias("w")
+    baskets = (
+        events.groupBy(F.col(user).alias("u"), bucket)
+        .agg(F.array_sort(F.collect_set(event_type)).alias("types"))
+    )
+    n_baskets = baskets.select(F.count(F.lit(1)).alias("nb"))
+    marg = baskets.select(F.explode("types").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    # i runs 1..size-1 and j i+1..size, both guarded: Spark's sequence()
+    # silently DESCENDS when start > stop, which would fabricate
+    # self-pairs on the boundary — singleton baskets take the empty
+    # branch instead
+    empty = F.array().cast("array<struct<a:string,b:string>>")
+    pair_arr = F.when(
+        F.size("types") >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), F.size("types") - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.size("types")),
+                    lambda j: F.struct(
+                        F.element_at("types", i).alias("a"),
+                        F.element_at("types", j).alias("b"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(empty)
+    pairs = baskets.select(F.explode(pair_arr).alias("p"))
+    counts = pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b")).agg(
+        F.count(F.lit(1)).alias("both")
+    )
+    ma = marg.select(F.col("t").alias("a"), F.col("m").alias("ma"))
+    mb = marg.select(F.col("t").alias("b"), F.col("m").alias("mb"))
+    return (
+        counts.join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "a",
+            "b",
+            "both",
+            "ma",
+            "mb",
+            F.round(
+                (F.col("both").cast("double") * F.col("nb"))
+                / (F.col("ma").cast("double") * F.col("mb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def growth_accounting(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    bucket_days: int = 7,
+) -> DataFrame:
+    """Weekly growth accounting: per activity week, NEW users (first
+    ever activity that week), RETURNING (also active the previous
+    week), RESURRECTED (active before, but not the previous week), and
+    the cumulative user base — the standard MAU-decomposition every
+    growth dashboard runs, all from exact integer date arithmetic.
+
+    Three aggregates over (user, week): the distinct activity table,
+    each user's first week (rides the same exchange), and a lag window
+    per user over |user, week| rows. The weekly rollup plus a running
+    cumulative-new window finish over |weeks| rows."""
+    from pyspark.sql.window import Window
+
+    day0 = F.lit("1970-01-01").cast("date")
+    week = F.floor(F.datediff(F.to_date(F.col(ts).cast("timestamp")), day0) / bucket_days)
+    act = events.select(F.col(user).alias("u"), week.alias("wk")).distinct()
+    w_u = Window.partitionBy("u").orderBy("wk")
+    tagged = act.select(
+        "u",
+        "wk",
+        (F.row_number().over(w_u) == 1).alias("is_new"),
+        (F.lag("wk").over(w_u) == F.col("wk") - 1).alias("is_returning"),
+    )
+    weekly = tagged.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("active"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("new_users"),
+        F.sum(
+            F.when(~F.col("is_new") & F.col("is_returning"), 1).otherwise(0)
+        ).alias("returning"),
+        F.sum(
+            F.when(
+                ~F.col("is_new") & ~F.coalesce(F.col("is_returning"), F.lit(False)),
+                1,
+            ).otherwise(0)
+        ).alias("resurrected"),
+    )
+    w_cum = Window.orderBy("wk").rowsBetween(Window.unboundedPreceding, 0)
+    return weekly.select(
+        "wk",
+        "active",
+        "new_users",
+        "returning",
+        "resurrected",
+        F.sum("new_users").over(w_cum).alias("cumulative_users"),
+    ).orderBy("wk")

@@ -403,3 +403,48 @@ def test_path_ngrams_counts_and_tail_handling(spark):
     )
     out = {r["path"]: r["cnt"] for r in behavior.path_ngrams(df, n=3, k=10).collect()}
     assert out == {"a>b>c": 1, "b>c>b": 1}
+
+
+def test_cooccurrence_lift_exact(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    h = 3_600_000_000
+    # basket1 (u7,w0): {a,b}; basket2 (u7,w1): {a}; basket3 (u8,w0): {a,b}
+    df = spark.createDataFrame(
+        [(1, 7, "a", 10), (2, 7, "b", 20), (3, 7, "a", h + 5),
+         (4, 8, "a", 30), (5, 8, "b", 40)],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+    out = behavior.cooccurrence_lift(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # P(ab)=2/3, P(a)=3/3, P(b)=2/3 -> lift = (2*3)/(3*2) = 1.0
+    assert (r["a"], r["b"], r["both"], r["ma"], r["mb"]) == ("a", "b", 2, 3, 2)
+    assert r["lift"] == 1.0
+
+
+def test_cooccurrence_singleton_baskets_no_self_pairs(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    df = spark.createDataFrame(
+        [(1, 7, "a", 10), (2, 8, "b", 20)],
+        "event_id long, user_id long, event_type string, ts_us long",
+    )
+    assert behavior.cooccurrence_lift(df).collect() == []
+
+
+def test_growth_accounting_decomposition(spark):
+    from nnanalytics_spark.pipeline import behavior
+    import datetime as dt
+
+    def d(day):
+        return dt.datetime(1970, 1, 1) + dt.timedelta(days=day)
+
+    # u1 active wk0, wk1 (returning), wk3 (resurrected); u2 new in wk1
+    rows = [(1, 1, d(0)), (2, 1, d(8)), (3, 1, d(22)), (4, 2, d(9))]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["wk"]: r for r in behavior.growth_accounting(df).collect()}
+    assert (out[0]["new_users"], out[0]["active"]) == (1, 1)
+    assert (out[1]["new_users"], out[1]["returning"], out[1]["resurrected"]) == (1, 1, 0)
+    assert (out[3]["new_users"], out[3]["returning"], out[3]["resurrected"]) == (0, 0, 1)
+    assert out[3]["cumulative_users"] == 2
