@@ -275,11 +275,14 @@ def resample_hourly(
     counts = events.select(F.col(group).alias("g"), hour.alias("h")).groupBy(
         "g", "h"
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    bounds = events.agg(
-        F.floor(F.min(ts_us) / 3_600_000_000).cast("long").alias("h0"),
-        F.floor(F.max(ts_us) / 3_600_000_000).cast("long").alias("h1"),
+    # bounds and the group set both derive from the ALREADY-AGGREGATED
+    # counts table (|groups|·|hours| rows), so the 100 TB log is
+    # scanned exactly once — hour bounds are preserved by the rollup
+    # because every observed (g, h) survives it
+    bounds = counts.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
     )
-    groups = events.select(F.col(group).alias("g")).distinct()
+    groups = counts.select("g").distinct()
     spine = groups.crossJoin(F.broadcast(bounds)).select(
         "g", F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
     )
