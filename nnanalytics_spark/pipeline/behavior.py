@@ -275,10 +275,13 @@ def resample_hourly(
     counts = events.select(F.col(group).alias("g"), hour.alias("h")).groupBy(
         "g", "h"
     ).agg(F.count(F.lit(1)).alias("cnt"))
-    # bounds and the group set both derive from the ALREADY-AGGREGATED
-    # counts table (|groups|·|hours| rows), so the 100 TB log is
-    # scanned exactly once — hour bounds are preserved by the rollup
-    # because every observed (g, h) survives it
+    # bounds and the group set derive from the ALREADY-AGGREGATED counts
+    # table (|groups|·|hours| rows). The lazy localCheckpoint is what
+    # actually enforces ONE log scan: without it Catalyst collapses
+    # aggregate-over-aggregate back into three direct scans of the raw
+    # log (verified in the plan — the same reason dup_clusters
+    # checkpoints between propagation rounds).
+    counts = counts.localCheckpoint(eager=False)
     bounds = counts.agg(
         F.min("h").alias("h0"), F.max("h").alias("h1")
     )
