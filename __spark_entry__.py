@@ -3883,6 +3883,22 @@ def q_audio_rms_features(spark, sf):
     )
 
 
+def q_tokenizer_fertility(spark, sf):
+    """Tokenizer fertility per source (text.tokenizer_fertility):
+    chars/word, chars/subword, subwords-per-word from exact integer
+    sums in one scan + one grouped sum — the cost diagnostic that says
+    which sources the tokenizer fragments."""
+    return text.tokenizer_fertility(_t(spark, sf, "documents"))
+
+
+def q_doc_length_histogram(spark, sf):
+    """Power-of-two token-length histogram per source
+    (text.doc_length_histogram): bucket = floor(log2(tokens)) via
+    integer binary-string length, so boundaries are exact on any
+    engine; exposes truncation and fragment mass."""
+    return text.doc_length_histogram(_t(spark, sf, "documents"))
+
+
 def q_cooccurrence_lift(spark, sf):
     """Event-type association inside (user, hour) baskets
     (behavior.cooccurrence_lift): support counts + lift from exact
@@ -4127,6 +4143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_counts": q_triangle_counts,
         "path_ngrams": q_path_ngrams,
         "cooccurrence_lift": q_cooccurrence_lift,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "doc_length_histogram": q_doc_length_histogram,
         "growth_accounting": q_growth_accounting,
         "quantile_normalize": q_quantile_normalize,
         "resample_hourly": q_resample_hourly,
@@ -6772,6 +6790,44 @@ def oracle_sql() -> dict[str, str]:
         JOIN documents da ON da.doc_id = id_a
         JOIN documents db ON db.doc_id = id_b
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    d["tokenizer_fertility"] = r"""
+        WITH d AS (
+          SELECT source,
+                 length(text) AS chars,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS words,
+                 len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]')) AS subwords
+          FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(chars) AS BIGINT) AS chars,
+               CAST(SUM(words) AS BIGINT) AS words,
+               CAST(SUM(subwords) AS BIGINT) AS subwords,
+               round(CAST(SUM(chars) AS DOUBLE) / SUM(words), 6)
+                 AS chars_per_word,
+               round(CAST(SUM(chars) AS DOUBLE) / SUM(subwords), 6)
+                 AS chars_per_subword,
+               round(CAST(SUM(subwords) AS DOUBLE) / SUM(words), 6)
+                 AS fertility
+        FROM d GROUP BY source ORDER BY source
+    """
+    d["doc_length_histogram"] = r"""
+        WITH d AS (
+          SELECT source,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                 END AS n
+          FROM documents
+        )
+        SELECT source,
+               CASE WHEN n <= 0 THEN -1
+                    ELSE CAST(length(bin(n)) - 1 AS INTEGER) END AS log2_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM d GROUP BY 1, 2 ORDER BY source, log2_bucket
     """
     d["cooccurrence_lift"] = """
         WITH baskets AS (

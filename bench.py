@@ -186,6 +186,8 @@ HEADLINE = [
     "path_ngrams",
     "cooccurrence_lift",
     "growth_accounting",
+    "tokenizer_fertility",
+    "doc_length_histogram",
 ]
 
 

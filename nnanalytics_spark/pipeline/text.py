@@ -796,3 +796,66 @@ def char_entropy_scores(
             F.col("ent").cast("double").alias("entropy_nats"),
         )
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Tokenizer fertility report per source: characters per whitespace
+    token, characters per BPE-ish subword, and subwords per word — the
+    standard "how many pieces does the tokenizer cut a word into"
+    diagnostic that decides which sources inflate training cost (high
+    fertility = morphology/noise the vocab doesn't cover). One
+    expression-only scan + one grouped sum; ratios are IEEE quotients
+    of exact integer sums."""
+    per_doc = df.select(
+        group_col,
+        F.length(text_col).alias("chars"),
+        token_count(F.col(text_col)).alias("words"),
+        subword_count(F.col(text_col)).alias("subwords"),
+    )
+    g = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("chars").alias("chars"),
+        F.sum("words").alias("words"),
+        F.sum("subwords").alias("subwords"),
+    )
+    return g.select(
+        group_col,
+        "n_docs",
+        "chars",
+        "words",
+        "subwords",
+        F.round(F.col("chars").cast("double") / F.col("words"), 6).alias(
+            "chars_per_word"
+        ),
+        F.round(F.col("chars").cast("double") / F.col("subwords"), 6).alias(
+            "chars_per_subword"
+        ),
+        F.round(F.col("subwords").cast("double") / F.col("words"), 6).alias(
+            "fertility"
+        ),
+    ).orderBy(group_col)
+
+
+def doc_length_histogram(
+    df: DataFrame, text_col: str = "text", group_col: str = "source"
+) -> DataFrame:
+    """Power-of-two token-length histogram per source — the curation
+    view that exposes truncation risk (mass above the context window)
+    and fragment pollution (mass in the 0-8 bucket). Bucket =
+    floor(log2(tokens)) via integer bit-length arithmetic, so bucket
+    boundaries are exact on any engine; one scan, one small keyed
+    aggregate."""
+    n = token_count(F.col(text_col))
+    # floor(log2(n)) computed integrally: length of the binary string
+    # minus 1 — no float log at the bucket boundary
+    bucket = F.when(n <= 0, F.lit(-1)).otherwise(
+        F.length(F.conv(n.cast("string"), 10, 2)) - 1
+    )
+    return (
+        df.select(F.col(group_col), bucket.alias("log2_bucket"))
+        .groupBy(group_col, "log2_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(group_col, "log2_bucket")
+    )

@@ -448,3 +448,23 @@ def test_growth_accounting_decomposition(spark):
     assert (out[1]["new_users"], out[1]["returning"], out[1]["resurrected"]) == (1, 1, 0)
     assert (out[3]["new_users"], out[3]["returning"], out[3]["resurrected"]) == (0, 0, 1)
     assert out[3]["cumulative_users"] == 2
+
+
+def test_tokenizer_fertility_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world-42", "s")], "doc_id long, text string, source string"
+    )
+    out = text.tokenizer_fertility(df).collect()[0]
+    # words: [hello, world-42]; subwords: hello|world|-|42 = 4
+    assert (out["words"], out["subwords"], out["chars"]) == (2, 4, 14)
+    assert out["fertility"] == 2.0
+
+
+def test_doc_length_histogram_buckets(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "s"), (2, "a b", "s"), (3, "a b c d", "s"), (4, "", "s")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["log2_bucket"]: r["n_docs"] for r in text.doc_length_histogram(df).collect()}
+    # 1 token -> bucket 0; 2 -> 1; 4 -> 2; empty -> -1
+    assert out == {-1: 1, 0: 1, 1: 1, 2: 1}
