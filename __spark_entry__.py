@@ -3918,7 +3918,11 @@ def q_growth_accounting(spark, sf):
     weekly rollup, running-new window over |weeks| rows."""
     from nnanalytics_spark.pipeline import behavior
 
-    return behavior.growth_accounting(_events(spark, sf))
+    # ts_exact, not raw ts: on the legacy TIMESTAMP(NANOS)-as-long
+    # variant a bare cast('timestamp') reads nanos as SECONDS (the same
+    # trap retention_cohorts/hourly_anomalies already route around)
+    ev = _events(spark, sf).withColumn("ts_exact", F.timestamp_micros(F.col("ts_us")))
+    return behavior.growth_accounting(ev, ts="ts_exact")
 
 
 def q_path_ngrams(spark, sf):
@@ -3943,7 +3947,12 @@ def q_triangle_counts(spark, sf):
 
     docs = _t(spark, sf, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
-    return graph.triangle_counts(pairs.select("id_a", "id_b")).orderBy("node")
+    # triangle_counts references the edge list THREE times (e1, e2,
+    # closing probe) on different join keys, so without a lineage cut
+    # the whole shingle-index + Jaccard pipeline re-executes 3x — the
+    # dup_clusters/resample localCheckpoint pattern
+    edges = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
+    return graph.triangle_counts(edges).orderBy("node")
 
 
 def q_scd2_intervals(spark, sf):
@@ -3955,7 +3964,7 @@ def q_scd2_intervals(spark, sf):
     from nnanalytics_spark.pipeline import behavior
 
     iv = behavior.scd2_intervals(_events(spark, sf))
-    return iv.orderBy("user_id", "valid_from_us").limit(200)
+    return iv.orderBy("user_id", "valid_from_us", "event_type").limit(200)
 
 
 def q_weighted_sample(spark, sf):
@@ -7283,9 +7292,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT user_id, event_type, valid_from_us,
                lead(valid_from_us) OVER (PARTITION BY user_id
-                                         ORDER BY valid_from_us) AS valid_to_us
+                                         ORDER BY valid_from_us, event_type)
+                 AS valid_to_us
         FROM iv
-        ORDER BY user_id, valid_from_us LIMIT 200
+        ORDER BY user_id, valid_from_us, event_type LIMIT 200
     """
     d["weighted_sample"] = """
         WITH keyed AS (

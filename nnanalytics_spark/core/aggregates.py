@@ -207,7 +207,8 @@ def bucket_quantiles(state, key: str, qs=(0.5, 0.99), width: float = 5.0):
             .select(
                 key,
                 ((F.col("b") + 1) * F.lit(width)).alias(
-                    f"p{int(q * 100)}_upper"
+                    # round, not truncate: int(0.29*100) == 28 under IEEE
+                    f"p{int(round(q * 100))}_upper"
                 ),
             )
         )

@@ -334,7 +334,10 @@ def scd2_intervals(
         (F.row_number().over(w_key) - F.row_number().over(w_run)).alias("island"),
     )
     iv = runs.groupBy(key, state, "island").agg(F.min("t").alias("valid_from_us"))
-    w_iv = Window.partitionBy(key).orderBy("valid_from_us")
+    # state as tiebreak: two simultaneous events of DIFFERENT types give
+    # two runs with the same valid_from_us — without it lead() (and any
+    # downstream cut) is engine-nondeterministic
+    w_iv = Window.partitionBy(key).orderBy("valid_from_us", state)
     return iv.select(
         key,
         state,
@@ -405,6 +408,10 @@ def cooccurrence_lift(
     baskets = (
         events.groupBy(F.col(user).alias("u"), bucket)
         .agg(F.array_sort(F.collect_set(event_type)).alias("types"))
+        # three consumers (pairs, marginals, n_baskets) — the lazy
+        # localCheckpoint keeps it ONE log scan (Catalyst would
+        # otherwise replay the aggregate per branch; the resample fix)
+        .localCheckpoint(eager=False)
     )
     n_baskets = baskets.select(F.count(F.lit(1)).alias("nb"))
     marg = baskets.select(F.explode("types").alias("t")).groupBy("t").agg(

@@ -911,7 +911,13 @@ def edit_distance_pairs(
     Plan: candidate pairs (bounded by the df cap) shuffle WITHOUT text;
     texts join in afterwards keyed by id — at 100 TB the pair table is
     corpus-small, so AQE broadcasts it against the doc table and the
-    full text column never shuffles."""
+    full text column never shuffles.
+
+    NOTE: the candidate stage below intentionally mirrors
+    ngram_jaccard_pairs' rare-shingle generator (explode -> xxhash64 ->
+    window df cap -> sg self-join); if the cap semantics or hash key
+    change THERE, change them HERE and in the edit_distance_pairs /
+    triangle_counts DuckDB oracles too."""
     sh = (
         df.select(F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh"))
         .select("id", F.explode("sh").alias("shingle"))
