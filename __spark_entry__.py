@@ -912,9 +912,37 @@ def q_contamination(spark, sf):
     return dedup.contamination_pairs(train, evals, min_overlap_frac=0.05)
 
 
+# Engine-portable per-token hash shared by q_simhash_blocks and its
+# oracle: polynomial rolling hash over the token's code points modulo a
+# prime just under 2^57 (state*31+255 stays within a signed 64-bit long,
+# and the resulting signatures are non-negative so the oracle needs no
+# unsigned-shift gymnastics — bits 57-63 are structurally zero).
+_SIMHASH_POLY_MOD = 144115188075855859
+
+
+def _poly_token_hash(tok):
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _SIMHASH_POLY_MOD,
+    )
+
+
 def q_simhash_blocks(spark, sf):
-    """SimHash near-dup pairs (xxhash64-based, rows-only check)."""
-    return dedup.simhash_near_pairs(_t(spark, sf, "documents"), max_hamming=10)
+    """The FULL text->signature->pairs SimHash path, hash-checked end to
+    end (VERDICT r5 #6 — this row was rows-only while the token hash was
+    xxhash64, which no SQL engine reproduces): signatures built by
+    pipeline/dedup.py:simhash_signatures over an engine-portable
+    polynomial token hash, then blocked pairing at blocks=6 (the
+    remainder-width last block) with max_hamming=2 — blocks >= h+1, so
+    the pigeonhole recall guarantee makes the blocked result EQUAL the
+    brute-force xor/bit_count join the oracle runs."""
+    sigs = dedup.simhash_signatures(
+        _t(spark, sf, "documents"), token_hash=_poly_token_hash
+    )
+    return dedup.simhash_pairs_from_sigs(sigs, max_hamming=2, blocks=6).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # Signature construction shared by q_simhash_pairs and its oracle: pure
@@ -945,6 +973,27 @@ def q_simhash_pairs(spark, sf):
         ).alias("sig"),
     )
     return dedup.simhash_pairs_from_sigs(sigs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs_multiblock(spark, sf):
+    """The SAME pair contract as simhash_pairs under a 6-block split
+    (VERDICT r5 #3): block partitioning is a fan-out dial, not a
+    semantics dial — any blocks >= max_hamming+1 satisfies pigeonhole,
+    so the 6x(10,10,10,10,10,14)-bit run must emit the identical pair
+    set the 4x16 quadrant run (and the oracle's brute-force join) emits,
+    including pairs whose flipped bits straddle the remainder block."""
+    i = F.col("doc_id")
+    sigs = _t(spark, sf, "documents").select(
+        i.alias("id"),
+        (
+            F.expr("doc_id div 10") * F.lit(_SIMHASH_GROUP_MULT)
+            + (i % 10)
+            + (i % 2) * F.lit(1 << 50)
+        ).alias("sig"),
+    )
+    return dedup.simhash_pairs_from_sigs(sigs, max_hamming=3, blocks=6).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_embedding_dup_pairs(spark, sf):
@@ -1970,6 +2019,30 @@ def q_fsimage_proto_roundtrip(spark, sf):
     _ship_package(spark)
     tmp = tempfile.mkdtemp(prefix="fsimage_bin_")
     img = fsimage.write_fsimage_binary(tmp, n_dirs=4, files_per_dir=25)
+    ino = fsimage.read_fsimage_binary(spark, img, batch=16)
+    return ino.filter(F.col("type") == "file").select(
+        "id", "type", "path", "name", "user", "group", "permission",
+        "accessTime", "modTime", "fileSize", "fileReplica", "numBlocks",
+    )
+
+
+def q_fsimage_gzip_roundtrip(spark, sf):
+    """Compressed binary FSImage ingestion (VERDICT r5 #2): the writer
+    stamps FileSummary.codec=GzipCodec and gzips each section as its own
+    stream — the exact on-disk shape `dfs.image.compress=true` produces
+    (NameNodeLoader.java:361 loads these via FSImageUtil's codec wiring).
+    The reader inflates the three needed sections once, streaming, into
+    a sidecar and runs the SAME boundary-scan + parallel mapInPandas
+    decode — so the range() oracle still predicts every row. Different
+    namespace size than fsimage_proto_roundtrip so the two rows can't
+    shadow each other."""
+    import tempfile
+
+    from nnanalytics_spark.sources import fsimage
+
+    _ship_package(spark)
+    tmp = tempfile.mkdtemp(prefix="fsimage_gz_")
+    img = fsimage.write_fsimage_binary(tmp, n_dirs=5, files_per_dir=17, codec="gzip")
     ino = fsimage.read_fsimage_binary(spark, img, batch=16)
     return ino.filter(F.col("type") == "file").select(
         "id", "type", "path", "name", "user", "group", "permission",
@@ -4146,6 +4219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_rms_features": q_audio_rms_features,
         # --- end of the 50-row gate window ---
         # deferred to the r6 window (battery-guarded meanwhile):
+        "fsimage_gzip_roundtrip": q_fsimage_gzip_roundtrip,
+        "simhash_pairs_multiblock": q_simhash_pairs_multiblock,
         "pivot_matrix": q_pivot_matrix,
         "weighted_sample": q_weighted_sample,
         "scd2_intervals": q_scd2_intervals,
@@ -6097,6 +6172,7 @@ def oracle_sql() -> dict[str, str]:
         # the binary reader parses a different container written by an
         # independent encoder, but the namespace is the same closed form
         "fsimage_proto_roundtrip": _oivgen.oracle_sql(n_dirs=4, files_per_dir=25),
+        "fsimage_gzip_roundtrip": _oivgen.oracle_sql(n_dirs=5, files_per_dir=17),
         # Decode round-trip: the engine wraps text bytes as real PNG/WAV
         # containers and struct-parses them back; the oracle predicts every
         # decoded dimension arithmetically from the UTF-8 byte length
@@ -7462,6 +7538,48 @@ def oracle_sql() -> dict[str, str]:
                bit_count(xor(a.sig, b.sig)) AS hamming
         FROM s a JOIN s b ON a.id < b.id
         WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY id_a, id_b
+    """
+    # same contract as simhash_pairs: the 6-block Spark run must emit the
+    # identical brute-force pair set (pigeonhole recall at blocks >= h+1)
+    d["simhash_pairs_multiblock"] = d["simhash_pairs"]
+    # full text->signature->pairs twin: DuckDB rebuilds every 57-bit
+    # signature from the same portable polynomial token hash, then joins
+    # brute-force — equal to the blocked run by the recall guarantee
+    _sb_bits = ",\n                 ".join(
+        f"SUM((h >> {i}) & 1) AS c{i}" for i in range(57)
+    )
+    _sb_sig = "\n                 + ".join(
+        f"(CASE WHEN 2*c{i} > t THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(57)
+    )
+    d["simhash_blocks"] = rf"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(tok, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {_SIMHASH_POLY_MOD}) AS h
+          FROM toks
+        ),
+        bits AS (
+          SELECT doc_id, count(*) AS t,
+                 {_sb_bits}
+          FROM h GROUP BY doc_id
+        ),
+        sigs AS (
+          SELECT doc_id AS id,
+                 {_sb_sig} AS sig
+          FROM bits
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM sigs a JOIN sigs b ON a.id < b.id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 2
         ORDER BY id_a, id_b
     """
     d["bucketed_join"] = """

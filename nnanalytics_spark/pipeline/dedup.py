@@ -473,7 +473,8 @@ def simhash(text_col: Column, bits: int = 64) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """SimHash via explode+aggregate (same rationale as
     minhash_signatures): token hash computed once, one partial-agg pass,
@@ -483,15 +484,21 @@ def simhash_signatures(
     predicated ±1 (2.8× faster end-to-end; branch-free stays in codegen's
     happy path). The ±1 sign-sum s_i relates to the set-bit count c_i by
     s_i = 2·c_i − T, so the sign test s_i > 0 becomes 2·c_i > T —
-    signatures are bit-identical to the classical formulation."""
+    signatures are bit-identical to the classical formulation.
+
+    ``token_hash`` (Column -> Column) overrides the per-token hash —
+    default xxhash64 for production; an engine-portable polynomial hash
+    lets an external SQL engine reproduce signatures bit-for-bit (the
+    correctness-gate path)."""
 
     def mask(i: int) -> int:
         return -(1 << 63) if i == 63 else (1 << i)
 
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.trim(F.col(text))), r"\s+")).alias("tok"),
-    ).select("id", F.xxhash64("tok").alias("h"))
+    ).select("id", hash_fn(F.col("tok")).alias("h"))
     sums = toks.groupBy("id").agg(
         F.count(F.lit(1)).alias("T"),
         *[
@@ -507,25 +514,17 @@ def simhash_signatures(
     return sums.select("id", sig.alias("sig"))
 
 
-def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Quadrant-blocked Hamming pairs over an (id, sig) table.
-
-    Each 64-bit signature emits FOUR block keys — one per 16-bit quadrant
-    — and candidates are pairs agreeing on at least one (quadrant, value)
-    key. Pigeonhole: a pair within Hamming distance 3 differs in at most
-    3 quadrants, so at least one quadrant matches exactly — recall at
-    max_hamming<=3 is guaranteed, not probabilistic (the single-block
-    variant this replaces missed ~58% of Hamming-3 pairs whose flipped
-    bits landed in the blocked quadrant). Larger max_hamming still works
-    but recall degrades gracefully past 3 (a pair needs SOME quadrant
-    clean).
-
-    Shape at 100 TB: 4x candidate rows vs single-block, still a pure
-    equi-join on an 8-byte (quadrant, value) key — no theta join, no
-    all-pairs. A pair matching in k quadrants surfaces k times;
-    ``distinct()`` collapses those duplicates (hamming is a pure function
-    of the pair, so the dedup key is just (id_a, id_b))."""
-    quads = sigs.select(
+def _simhash_block_keys(sigs: DataFrame, blocks: int, bits: int) -> DataFrame:
+    """Explode an (id, sig) table into one row per (block index q,
+    block value v): contiguous bit fields of width bits//blocks, the
+    last block absorbing the remainder (Manku et al.'s multi-table
+    split). Pure shift/mask expressions."""
+    width = bits // blocks
+    defs = []  # (q, shift, width)
+    for q in range(blocks):
+        w = width + (bits - width * blocks if q == blocks - 1 else 0)
+        defs.append((q, q * width, w))
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -533,16 +532,48 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftrightunsigned("sig", 16 * q)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("sig", sh)
+                        .bitwiseAND(F.lit((1 << w) - 1))
                         .alias("v"),
                     )
-                    for q in range(4)
+                    for q, sh, w in defs
                 ]
             )
         ).alias("blk"),
     ).select("id", "sig", F.col("blk.q").alias("q"), F.col("blk.v").alias("v"))
-    a, b = quads.alias("a"), quads.alias("b")
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame, max_hamming: int = 3, blocks: int = 4, bits: int = 64
+) -> DataFrame:
+    """Block-partitioned Hamming pairs over an (id, sig) table.
+
+    Each signature emits ``blocks`` block keys — contiguous bit fields of
+    width bits//blocks (the last block absorbs the remainder) — and
+    candidates are pairs agreeing on at least one (block, value) key.
+    Pigeonhole: a pair within Hamming distance ``blocks - 1`` differs in
+    at most blocks-1 blocks, so at least one block matches exactly —
+    recall is GUARANTEED (not probabilistic) whenever
+    ``blocks >= max_hamming + 1``. The default (blocks=4, max_hamming=3)
+    is the classic quadrant split; a looser radius needs more blocks
+    (e.g. blocks=8 covers max_hamming<=7) — callers violating the bound
+    keep a best-effort candidate set (a pair just needs SOME clean
+    block) but lose the guarantee.
+
+    Picking ``blocks`` at 100 TB is a recall/fan-out dial: more blocks →
+    narrower fields → fewer distinct bucket values → bigger buckets →
+    more candidate pairs before the hamming filter (each bucket of size
+    c contributes c·(c−1)/2). Run ``simhash_block_diagnostic`` on the
+    signature table first and size blocks so the estimated candidate
+    count stays tractable; 4×16-bit is right for billions of docs at
+    radius 3, 6×~10-bit trades ~4000× bigger buckets for radius-5
+    coverage. Either way the plan is a pure equi-join on a (block,
+    value) key — no theta join, no all-pairs. A pair matching in k
+    blocks surfaces k times; ``distinct()`` collapses those duplicates
+    (hamming is a pure function of the pair, so the dedup key is just
+    (id_a, id_b))."""
+    keyed = _simhash_block_keys(sigs, blocks, bits)
+    a, b = keyed.alias("a"), keyed.alias("b")
     xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
     return (
         a.join(
@@ -558,12 +589,48 @@ def simhash_pairs_from_sigs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def simhash_near_pairs(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", max_hamming: int = 3
+def simhash_block_diagnostic(
+    sigs: DataFrame, blocks: int = 4, bits: int = 64
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance with quadrant blocking
-    (see simhash_pairs_from_sigs for the recall guarantee)."""
-    return simhash_pairs_from_sigs(simhash_signatures(df, text, id_col), max_hamming)
+    """Bucket-size report for a candidate ``blocks`` split — the number
+    to check BEFORE launching the pair join at scale: per block,
+    (n_buckets, max_bucket, p99_bucket, candidate_pairs) where
+    candidate_pairs = Σ c·(c−1)/2 over that block's buckets — exactly
+    the pre-filter join output the split would generate. If the total
+    across blocks is intractable, use fewer/wider blocks (or hash-salt
+    hot buckets). Two aggregates: one keyed count over (block, value),
+    one |buckets|-row reduction — costs far less than a bad join."""
+    counts = _simhash_block_keys(sigs, blocks, bits).groupBy("q", "v").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        counts.groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("c").alias("max_bucket"),
+            F.percentile("c", F.lit(0.99)).cast("decimal(18,2)").cast("double").alias("p99_bucket"),
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("candidate_pairs"),
+        )
+        .withColumnRenamed("q", "block")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    token_hash=None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance with block
+    partitioning (see simhash_pairs_from_sigs for the recall guarantee
+    and the blocks dial)."""
+    return simhash_pairs_from_sigs(
+        simhash_signatures(df, text, id_col, token_hash=token_hash),
+        max_hamming,
+        blocks=blocks,
+    )
 
 
 def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

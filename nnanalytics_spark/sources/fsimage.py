@@ -30,9 +30,17 @@ range. The tiny string table broadcasts into the decode kernel, so
 user/group resolution costs no join. Paths are rebuilt by the same
 root-down level walk the OIV-XML reader uses (loader.resolve_paths).
 
-Sections compressed via an image codec (FileSummary.codec set) are
-rejected explicitly — wiring a decompressor in changes nothing about
-the plan shape.
+Compressed images (FileSummary.codec set — the reference loads them
+via Hadoop's FSImageUtil codec wiring, NameNodeLoader.java:361): each
+section's byte range is an independent gzip/zlib stream (Hadoop wraps
+a fresh codec stream per section). The loader inflates the three
+needed sections ONCE, streaming in 1 MiB chunks, into a sidecar file,
+then runs the identical boundary-scan + parallel mapInPandas decode
+against the sidecar. The sequential inflate is inherent to the codec
+(gzip is non-splittable — Spark's own gzip text sources serialize the
+same way); everything downstream of it still parallelizes. On a real
+cluster pass ``scratch_dir`` on shared storage so executors can read
+the sidecar.
 
 The test/fixture writer (write_fsimage_binary) emits the same
 closed-form namespace as oivgen.write_oiv_xml, deliberately sharing no
@@ -160,6 +168,60 @@ def parse_summary(path: str) -> dict:
                     offset = v2
             out["sections"][name] = (offset, length)
     return out
+
+
+# FileSummary.codec class names Hadoop writes -> zlib wbits for the
+# streaming inflater (31 = gzip member, 15 = zlib/DefaultCodec stream).
+_CODECS = {
+    "org.apache.hadoop.io.compress.GzipCodec": 31,
+    "gzip": 31,
+    "org.apache.hadoop.io.compress.DefaultCodec": 15,
+    "deflate": 15,
+}
+
+
+def _inflate_sections(
+    path: str, summary: dict, names: tuple[str, ...], scratch_dir: str | None
+) -> tuple[str, dict[str, tuple[int, int]]]:
+    """Inflate the named compressed sections (each an independent codec
+    stream per Hadoop's saver) into ONE sidecar file; returns
+    (sidecar_path, {name: (offset, length)}) with offsets into the
+    inflated sidecar. Streaming 1 MiB chunks both ways — memory stays
+    bounded no matter how large a section inflates."""
+    import os
+    import tempfile
+    import zlib
+
+    wbits = _CODECS.get(summary["codec"])
+    if wbits is None:
+        raise NotImplementedError(
+            f"unsupported image codec {summary['codec']!r} "
+            f"(supported: {sorted(_CODECS)})"
+        )
+    fd, sidecar = tempfile.mkstemp(prefix="fsimage_inflated_", dir=scratch_dir)
+    sections: dict[str, tuple[int, int]] = {}
+    chunk = 1 << 20
+    with open(path, "rb") as src, os.fdopen(fd, "wb") as dst:
+        pos = 0
+        for name in names:
+            if name not in summary["sections"]:
+                continue
+            off, ln = summary["sections"][name]
+            src.seek(off)
+            dec = zlib.decompressobj(wbits)
+            remaining, written = ln, 0
+            while remaining:
+                raw = src.read(min(chunk, remaining))
+                remaining -= len(raw)
+                out = dec.decompress(raw)
+                dst.write(out)
+                written += len(out)
+            out = dec.flush()
+            dst.write(out)
+            written += len(out)
+            sections[name] = (pos, written)
+            pos += written
+    return sidecar, sections
 
 
 def _scan_batches(path: str, offset: int, length: int, skip: int, batch: int) -> list[tuple[int, int]]:
@@ -307,19 +369,26 @@ _INODE_SCHEMA = (
 
 
 def read_fsimage_binary(
-    spark: SparkSession, path: str, batch: int = 4096, max_depth: int = 64
+    spark: SparkSession,
+    path: str,
+    batch: int = 4096,
+    max_depth: int = 64,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Parse a binary protobuf fsimage into the stored inode schema (the
     same 24 columns read_fsimage_xml emits). See module docstring for the
-    scan/decode split."""
+    scan/decode split and the compressed-section sidecar (``scratch_dir``
+    must be executor-visible on a real cluster; defaults to the system
+    temp dir, which is correct for local mode)."""
     import pandas as pd
 
     summary = parse_summary(path)
     if summary["codec"]:
-        raise NotImplementedError(
-            f"compressed image sections (codec={summary['codec']!r}) are not supported"
+        path, sections = _inflate_sections(
+            path, summary, ("STRING_TABLE", "INODE", "INODE_DIR"), scratch_dir
         )
-    sections = summary["sections"]
+    else:
+        sections = summary["sections"]
     for required in ("INODE", "INODE_DIR", "STRING_TABLE"):
         if required not in sections:
             raise ValueError(f"image missing {required} section")
@@ -446,11 +515,19 @@ def _w_delimited(msg: bytes) -> bytes:
     return _w_varint(len(msg)) + msg
 
 
-def write_fsimage_binary(path: str, n_dirs: int = 4, files_per_dir: int = 25) -> str:
+def write_fsimage_binary(
+    path: str, n_dirs: int = 4, files_per_dir: int = 25, codec: str | None = None
+) -> str:
     """Write the oivgen closed-form namespace as a binary protobuf
-    fsimage (INODE + INODE_DIR + STRING_TABLE sections, uncompressed),
-    byte-compatible with Hadoop's container layout. Returns the file
-    path. The encoder shares no helpers with the reader's decoder."""
+    fsimage (INODE + INODE_DIR + STRING_TABLE sections), byte-compatible
+    with Hadoop's container layout. Returns the file path. The encoder
+    shares no helpers with the reader's decoder.
+
+    ``codec="gzip"`` compresses each section as an independent gzip
+    stream and stamps FileSummary.codec with Hadoop's GzipCodec class
+    name — the on-disk shape `dfs.image.compress=true` produces (the
+    FileSummary trailer itself stays uncompressed, per the format)."""
+    import gzip
     import os
 
     root_id, base_ms, block = oivgen.ROOT_ID, oivgen.BASE_MS, oivgen.BLOCK
@@ -534,9 +611,14 @@ def write_fsimage_binary(path: str, n_dirs: int = 4, files_per_dir: int = 25) ->
         ("INODE", inode_sec),
         ("INODE_DIR", dir_sec),
     ):
+        if codec == "gzip":
+            # mtime=0: deterministic bytes (gzip headers embed a timestamp)
+            blob = gzip.compress(blob, mtime=0)
         section_index.append((name, len(body), len(blob)))
         body += blob
     summary = _w_uint(1, 1) + _w_uint(2, (1 << 32) - 64)  # ondiskVersion=1, layout=-64
+    if codec == "gzip":
+        summary += _w_bytes(3, b"org.apache.hadoop.io.compress.GzipCodec")
     for name, off, ln in section_index:
         summary += _w_bytes(
             4, _w_bytes(1, name.encode()) + _w_uint(2, ln) + _w_uint(3, off)

@@ -179,6 +179,63 @@ def test_simhash_quadrant_recall_exhaustive(spark):
     assert expected <= got
 
 
+def test_simhash_multiblock_recall_parity(spark):
+    """blocks is a fan-out dial, not a semantics dial: any blocks >=
+    max_hamming+1 must emit EXACTLY the same pair set (pigeonhole holds
+    for each), so 4-, 6- and 8-block runs agree pair-for-pair on a
+    corpus whose perturbations span every region including the sign
+    bit."""
+    import random
+
+    random.seed(23)
+
+    def signed(u):
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    rows, nid = [], 0
+    for base_u in (0x0123_4567_89AB_CDEF, 0xFEDC_BA98_7654_3211):
+        rows.append((nid, signed(base_u)))
+        nid += 1
+        for _ in range(12):
+            sig_u = base_u
+            for b in random.sample(range(64), random.randrange(1, 6)):
+                sig_u ^= 1 << b
+            rows.append((nid, signed(sig_u)))
+            nid += 1
+    df = spark.createDataFrame(rows, "id long, sig long")
+
+    def pairs(blocks):
+        return {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_pairs_from_sigs(
+                df, max_hamming=3, blocks=blocks
+            ).collect()
+        }
+
+    p4 = pairs(4)
+    assert p4 and p4 == pairs(6) == pairs(8)
+    # wider radius needs more blocks: at blocks=8 the hamming<=7
+    # guarantee holds, and the result must contain every <=3 pair
+    p8 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_pairs_from_sigs(df, max_hamming=7, blocks=8).collect()
+    }
+    assert {(a, b) for a, b, _h in p4} <= p8
+
+
+def test_simhash_block_diagnostic(spark):
+    """The diagnostic's candidate_pairs must equal the actual pre-filter
+    join fan-out: sum of c*(c-1)/2 over each block's buckets."""
+    rows = [(i, (i % 4) * 17) for i in range(12)]  # 4 distinct sigs x3 each
+    df = spark.createDataFrame(rows, "id long, sig long")
+    d = {r["block"]: r for r in dedup.simhash_block_diagnostic(df, blocks=4).collect()}
+    assert set(d) == {0, 1, 2, 3}
+    # low quadrant: values {0,17,34,51} each x3 -> 4 buckets, 4*3 pairs
+    assert d[0]["n_buckets"] == 4 and d[0]["candidate_pairs"] == 4 * 3
+    # high quadrants: all 12 sigs collapse to value 0 -> 66 candidates
+    assert d[3]["n_buckets"] == 1 and d[3]["candidate_pairs"] == 66
+
+
 def test_cosine_identity(spark):
     df = spark.createDataFrame([(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0]), (3, [-1.0, -2.0, -3.0])],
                                "vec_id long, embedding array<double>")

@@ -132,6 +132,46 @@ def test_fsimage_binary_matches_xml_reader(spark, tmp_path):
     assert rx == rb
 
 
+def test_fsimage_gzip_sections_match_uncompressed(spark, tmp_path):
+    """codec='gzip' writes each section as an independent gzip stream and
+    stamps FileSummary.codec with Hadoop's GzipCodec class name (the
+    dfs.image.compress=true layout); the reader must inflate through the
+    sidecar path and emit rows IDENTICAL to the uncompressed image."""
+    from nnanalytics_spark.sources import fsimage
+
+    plain = fsimage.write_fsimage_binary(str(tmp_path / "p"), n_dirs=3, files_per_dir=7)
+    gz = fsimage.write_fsimage_binary(
+        str(tmp_path / "z"), n_dirs=3, files_per_dir=7, codec="gzip"
+    )
+    s = fsimage.parse_summary(gz)
+    assert s["codec"] == "org.apache.hadoop.io.compress.GzipCodec"
+    # compressed offsets/lengths index the compressed byte ranges
+    assert all(ln > 0 for _off, ln in s["sections"].values())
+    rp = sorted(tuple(r) for r in fsimage.read_fsimage_binary(spark, plain, batch=8).collect())
+    rz = sorted(
+        tuple(r)
+        for r in fsimage.read_fsimage_binary(
+            spark, gz, batch=8, scratch_dir=str(tmp_path)
+        ).collect()
+    )
+    assert len(rz) == 1 + 3 + 3 * 7
+    assert rp == rz
+
+
+def test_fsimage_unknown_codec_rejected(tmp_path):
+    """An image declaring a codec the loader has no inflater for must
+    fail loudly, not decode garbage."""
+    import pytest
+
+    from nnanalytics_spark.sources import fsimage
+
+    img = fsimage.write_fsimage_binary(str(tmp_path), n_dirs=2, files_per_dir=2)
+    summary = fsimage.parse_summary(img)
+    summary["codec"] = "org.apache.hadoop.io.compress.Lz4Codec"
+    with pytest.raises(NotImplementedError, match="Lz4Codec"):
+        fsimage._inflate_sections(img, summary, ("INODE",), None)
+
+
 def test_fsimage_binary_small_batches_parallel_decode(spark, tmp_path):
     """batch=4 over 31 inodes forces multi-range decode; quota signs
     (-1 stored as 2^64-1 varint) must come back negative."""
