@@ -1015,7 +1015,9 @@ def q_ann_lsh_pairs(spark, sf):
     return similarity.lsh_bucketed_pairs(_t(spark, sf, "embeddings"), threshold=0.3, bits=8)
 
 
-_IVF_INDEX: dict[str, str] = {}
+# keyed by sf dir (the standard index) or ("pinned", sf) for the
+# pinned-centroid variant ann_ivf_topk hash-checks against
+_IVF_INDEX: dict[str | tuple[str, str], str] = {}
 
 
 def _ivf_index(spark, sf):
@@ -1221,25 +1223,24 @@ def q_json_extract(spark, sf):
 
 
 def q_multimodal_features(spark, sf):
-    """Multimodal feature extraction end-to-end with REAL codecs
-    (rows-only: checksum/feature are engine-defined): documents.text
-    bytes are wrapped as real PNG/WAV containers, then mapInPandas
-    decodes each payload (CRC-verified PNG inflate+unfilter / RIFF
-    struct-parse) and extracts intensity-histogram / RMS features —
-    without ever shuffling the binary column (pipeline/multimodal.py,
-    pipeline/codecs.py)."""
+    """Multimodal feature extraction end-to-end with REAL codecs, now
+    hash-checked (VERDICT r5 #6 closed the last media rows-only row):
+    documents.text bytes are wrapped as real PNG/WAV containers, then
+    mapInPandas decodes each payload (CRC-verified PNG inflate+unfilter /
+    RIFF struct-parse) and reports the DECODED-content integrity pair
+    (n_content, content_checksum) — pixel/PCM byte count and byte sum,
+    pure functions of the decoded data the oracle recomputes from the
+    source text (PNG zero-pads the last 64-wide row, adding count but
+    not sum; WAV PCM is the text bytes exactly). The container-level
+    crc32 stays un-oracled by nature — it depends on zlib's compressed
+    bytes — and is pinned by the idempotence test instead
+    (pipeline/multimodal.py, pipeline/codecs.py:content_summary)."""
     from nnanalytics_spark.pipeline import multimodal
 
     d = _t(spark, sf, "documents")
     media = multimodal.media_from_documents(d, parallelism=_fanout(spark))
     out = multimodal.extract_features(media)
-    return out.select(
-        "media_id",
-        "kind",
-        "n_bytes",
-        "checksum",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-    )
+    return out.select("media_id", "kind", "n_content", "content_checksum")
 
 
 def q_multimodal_feature_hist(spark, sf):
@@ -2463,6 +2464,10 @@ def q_profile_table(spark, sf):
             "o_orderdate",
             "o_orderpriority",
         ],
+        # pinned exact: the oracle recomputes true distincts; auto would
+        # also pick exact at 6 columns but the gate shouldn't depend on
+        # the AUTO_EXACT_MAX_COLS default
+        exact_distinct=True,
     )
 
 
@@ -4103,6 +4108,19 @@ def q_ks_test(spark, sf):
     return stats.ks_two_sample(_events(spark, sf))
 
 
+def q_ks_test_grid(spark, sf):
+    """ks_two_sample's fixed-grid mode (VERDICT r5 #5): values coarsen to
+    5-unit buckets (grid_cents=500) BEFORE the prefix-sum window, capping
+    the window input at |domain|/grid rows no matter how continuous the
+    metric — the scale-safe path for unbounded value domains. The emitted
+    D is exactly the KS of the bucket-quantized distributions (sup over
+    bucket boundaries = sup over the quantized line), which the oracle
+    recomputes on the same grid."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.ks_two_sample(_events(spark, sf), grid_cents=500)
+
+
 def q_edit_distance_pairs(spark, sf):
     """Candidate near-dups verified by EXACT thresholded edit distance
     (dedup.edit_distance_pairs): rare-shingle candidates -> length-band
@@ -4221,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # deferred to the r6 window (battery-guarded meanwhile):
         "fsimage_gzip_roundtrip": q_fsimage_gzip_roundtrip,
         "simhash_pairs_multiblock": q_simhash_pairs_multiblock,
+        "ks_test_grid": q_ks_test_grid,
         "pivot_matrix": q_pivot_matrix,
         "weighted_sample": q_weighted_sample,
         "scd2_intervals": q_scd2_intervals,
@@ -7329,6 +7348,23 @@ def oracle_sql() -> dict[str, str]:
         FROM a LEFT JOIN r ON r.doc_id = a.doc_id
         GROUP BY a.doc_id
     """
+    # decoded-content integrity pair: PNG pixels = text bytes zero-padded
+    # to full 64-wide rows (min one row); WAV PCM = text bytes exactly.
+    # Padding adds pixel COUNT but zero SUM, so content_checksum is the
+    # plain code-point sum either way (corpus is ASCII — asserted by
+    # tests/test_pipeline.py::test_documents_corpus_is_ascii).
+    d["multimodal_features"] = """
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+               CAST(CASE WHEN doc_id % 2 = 0
+                         THEN 64 * greatest((length(text) + 63) // 64, 1)
+                         ELSE length(text) END AS BIGINT) AS n_content,
+               CAST(coalesce(list_sum(list_transform(
+                      string_split_regex(text, ''),
+                      c -> CAST(ascii(c) AS BIGINT))), 0) AS BIGINT)
+                 AS content_checksum
+        FROM documents
+    """
     d["stream_stream_join_parity"] = """
         WITH p AS (
           SELECT event_id, user_id, value, epoch_ms(ts) AS ms
@@ -7457,6 +7493,12 @@ def oracle_sql() -> dict[str, str]:
                  / CAST(t.n_a * t.n_b AS DOUBLE) AS d_stat
         FROM cum c, tot t GROUP BY t.n_a, t.n_b
     """
+    # same pipeline as ks_test with the 500-cent pre-bucketing applied at
+    # the scan: floor(cents/500) is the only line that differs
+    d["ks_test_grid"] = d["ks_test"].replace(
+        "CAST(floor(value * 100) AS BIGINT) AS cents",
+        "CAST(floor(floor(value * 100) / 500) AS BIGINT) AS cents",
+    )
     d["edit_distance_pairs"] = r"""
         WITH toks AS (
           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t

@@ -20,17 +20,33 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# auto mode keeps exact distincts up to this many profiled columns. The
+# Expand blowup factor is exactly the column count (rows x cols
+# intermediate), independent of table size — so column count alone is
+# the right trip-wire: an 8x scan inflation is the most a default
+# profiling pass should silently pay; wider profiles flip to HLL
+# sketches (±~2% rel. error), which cost one plain partial aggregate.
+AUTO_EXACT_MAX_COLS = 8
+
 
 def profile(
     df: DataFrame,
     columns: list[str] | None = None,
-    exact_distinct: bool = True,
+    exact_distinct: bool | None = None,
 ) -> DataFrame:
     """Per-column (n, n_nulls, n_distinct, min_value, max_value), one row
     per profiled column. min/max are cast to string so heterogeneous
     column types share one output schema; cast float/double columns to
-    DECIMAL upstream when string-stable rendering matters."""
+    DECIMAL upstream when string-stable rendering matters.
+
+    ``exact_distinct``: True forces count_distinct (one Expand),
+    False forces approx_count_distinct (HLL), None (default) picks
+    automatically — exact up to AUTO_EXACT_MAX_COLS profiled columns,
+    HLL beyond, so a wide default-arg profile can't plan a 50x Expand
+    by accident (VERDICT r5 #9)."""
     cols = columns or df.columns
+    if exact_distinct is None:
+        exact_distinct = len(cols) <= AUTO_EXACT_MAX_COLS
     aggs = []
     for c in cols:
         col = F.col(c)

@@ -322,7 +322,17 @@ def scd2_intervals(
     test_r5_ops.py — and the lead() for valid_to plus the final
     interval window ride that same partitioning over |intervals| rows,
     not |events|. Deterministic (ts, event_id) ordering makes
-    simultaneous events engine-stable."""
+    simultaneous events engine-stable.
+
+    Simultaneous-conflict semantics (ADVICE r5): two events of
+    DIFFERENT states at the same timestamp produce a zero-width
+    [from, to) interval for the one that loses the (ts, event_id)
+    tiebreak — it was "valid" for an instant of zero length, so a
+    BETWEEN/point-in-time lookup never selects it. That is deliberate:
+    the record of the transition is preserved (audit trails can see the
+    state existed) without inventing duration that the source data
+    doesn't contain. Collapse simultaneous conflicts upstream if a
+    consumer needs at-most-one state per timestamp."""
     from pyspark.sql.window import Window
 
     w_key = Window.partitionBy(key).orderBy(ts_us, order_tiebreak)

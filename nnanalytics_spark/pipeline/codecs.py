@@ -430,3 +430,31 @@ def avi_features(payload: bytes, n_buckets: int = 8) -> list[float]:
     px = np.concatenate([f.ravel() for f in meta["frames"]])
     counts = np.bincount(px >> 5, minlength=n_buckets)[:n_buckets]
     return (counts / max(px.size, 1)).astype(float).tolist()
+
+
+def content_summary(payload: bytes | None, kind: str) -> tuple[int, int]:
+    """(n_content, content_sum) over the DECODED content bytes — pixels
+    for PNG, PCM bytes for WAV, grayscale frame pixels for AVI. Unlike
+    the container crc32 (which depends on the encoder's zlib output),
+    both numbers are pure functions of the decoded data, so a
+    deterministic payload pipeline can predict them externally — the
+    content-level integrity contract. Undecodable/absent payloads return
+    (0, -1): corruption is distinguishable from legitimately empty
+    content. The sum is exact (decoded media here is far below the
+    2^63 / 255 byte count where a plain sum could wrap)."""
+    if payload is None:
+        return 0, -1
+    try:
+        if kind == "image":
+            px = decode_png(payload)["pixels"]
+            return int(px.size), int(px.astype(np.int64).sum())
+        if kind == "audio":
+            pcm = np.frombuffer(decode_wav(payload)["pcm"], dtype=np.uint8)
+            return int(pcm.size), int(pcm.astype(np.int64).sum())
+        if kind == "video":
+            frames = decode_avi(payload)["frames"]
+            n = sum(f.size for f in frames)
+            return int(n), int(sum(int(f.astype(np.int64).sum()) for f in frames))
+    except ValueError:
+        return 0, -1
+    return 0, -1

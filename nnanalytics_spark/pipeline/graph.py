@@ -111,14 +111,23 @@ def degree_stats(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, normalize: bool = True) -> DataFrame:
     """Per-node triangle participation counts — the local-density
     diagnostic for a near-dup pair graph (a clique-y duplicate cluster
     closes many triangles; a chain of borderline matches closes none,
     which tells a curation team whether transitive dedup is safe).
 
-    Input: undirected edges as (id_a, id_b) with id_a < id_b. The
-    count uses the oriented wedge construction: every triangle
+    Input: undirected edges as (id_a, id_b). The wedge construction
+    below is only correct over DISTINCT, ORIENTED (id_a < id_b) edges —
+    duplicates or reversed rows silently multiply-count triangles — so
+    by default the input is normalized first (least/greatest + distinct,
+    self-loops dropped; ADVICE r5). That costs one aggregate on the edge
+    table, which the wedge join was about to shuffle on the same keys
+    anyway; pass normalize=False only when the producer already
+    guarantees the invariant (e.g. simhash/minhash pair outputs, which
+    emit id_a < id_b distinct by construction).
+
+    The count uses the oriented wedge construction: every triangle
     a<b<c is found EXACTLY once by joining (a,b)+(b,c) on the middle
     vertex and probing the closing edge (a,c). Two equi-joins on edge
     keys — at 100 TB-scale graphs the join keys are vertex ids, so
@@ -128,6 +137,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     Per-node counts then explode each triangle's three corners and
     aggregate."""
     e = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    if normalize:
+        e = (
+            e.select(
+                F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
     e1 = e.alias("e1")
     e2 = e.alias("e2")
     wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(

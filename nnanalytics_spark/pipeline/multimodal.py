@@ -44,7 +44,10 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = "media_id long, kind string, n_bytes int, checksum long, feature array<double>"
+FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes int, checksum long, "
+    "n_content long, content_checksum long, feature array<double>"
+)
 
 
 def _byte_histogram(payload: bytes) -> list[float]:
@@ -94,16 +97,27 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     mapInPandas keeps each binary batch inside one Python worker — no
     shuffle of payload bytes, output is narrow (id + small feature vector).
-    """
+
+    Two integrity surfaces per row: (n_bytes, checksum) cover the raw
+    CONTAINER (crc32 — depends on the encoder's compressed bytes, so only
+    a re-run of the same encoder can predict it) and (n_content,
+    content_checksum) cover the DECODED content — pixel/PCM/frame byte
+    count and plain byte sum, container-independent and predictable from
+    the source data alone (an external SQL oracle can recompute both
+    from the text a deterministic payload derives from). Undecodable
+    payloads report (0, -1) so corruption is distinguishable from empty
+    content."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
 
         for pdf in batches:
-            features = [
-                DECODERS[kind](payload, kind)
-                for kind, payload in zip(pdf["kind"], pdf["payload"])
-            ]
+            features, n_contents, content_sums = [], [], []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                features.append(DECODERS[kind](payload, kind))
+                nc, cs = codecs.content_summary(payload, kind)
+                n_contents.append(nc)
+                content_sums.append(cs)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -112,6 +126,8 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "checksum": [
                         zlib.crc32(p) if p is not None else 0 for p in pdf["payload"]
                     ],
+                    "n_content": n_contents,
+                    "content_checksum": content_sums,
                     "feature": features,
                 }
             )

@@ -367,11 +367,18 @@ def weighted_sample_k(
     is engine-exact. Plan: map-side key computation + a per-group
     row_number window; groups are the sampling strata, so the window
     partitions by them — global k uses the distributed-TakeOrdered
-    variant below."""
+    variant below.
+
+    A-ES is defined for w > 0 only: w = 0 would divide-by-zero into a
+    NULL key and a negative w inverts the key ordering — either silently
+    corrupts the sample (ADVICE r5). Non-positive-weight rows are
+    therefore EXCLUDED up front, which is also the correct limit
+    semantics (selection probability → 0 as w → 0⁺)."""
     from pyspark.sql.window import Window
 
     m = 1_000_000
     w = F.col(weight) if isinstance(weight, str) else weight
+    df = df.filter(w > 0)
     u = (_bucket(F.col(id_col), m) + F.lit(0.5)) / F.lit(float(m))
     key = F.round(F.log(u) / w, 9)
     if group_col is None:

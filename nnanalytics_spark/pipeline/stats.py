@@ -280,6 +280,7 @@ def ks_two_sample(
     group_b: str = "purchase",
     group: str = "event_type",
     value: str = "value",
+    grid_cents: int | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov statistic between two groups'
     value distributions — the drift/shift detector behind "did this
@@ -294,12 +295,30 @@ def ks_two_sample(
     filtered scan to (cents, is_a) counts (map-side combine), a
     prefix-sum window over |distinct cents| rows ordered by cents, one
     max. The window is unpartitioned but value-domain-bounded — cents
-    of a bounded metric, not corpus rows; for unbounded domains,
-    pre-bucket to a fixed grid first (same sup-equality argument)."""
+    of a bounded metric, not corpus rows.
+
+    For UNBOUNDED or continuous value domains (where distinct cents
+    would approach row count and funnel the corpus through one window
+    task) pass ``grid_cents``: values coarsen to fixed buckets of that
+    width (key = floor(cents / grid_cents)), capping the window input
+    at |domain| / grid_cents rows regardless of data size. The emitted
+    D is then EXACTLY the KS statistic of the bucket-quantized
+    distributions — the same sup-equality argument as the cents
+    quantization, one level coarser: both ECDFs are evaluated at every
+    bucket boundary, and between boundaries neither changes, so the sup
+    over boundaries IS the sup over the quantized line. (It lower-bounds
+    the continuous-value D by at most the largest per-bucket mass
+    imbalance; pick grid_cents so that bound is acceptable for the
+    drift alarm.)"""
     from pyspark.sql.window import Window
 
+    key = F.floor(F.col(value) * 100)
+    if grid_cents is not None:
+        if grid_cents <= 0:
+            raise ValueError(f"grid_cents must be positive, got {grid_cents}")
+        key = F.floor(key / grid_cents)
     f = events.filter(F.col(group).isin([group_a, group_b])).select(
-        F.floor(F.col(value) * 100).alias("cents"),
+        key.alias("cents"),
         (F.col(group) == group_a).alias("is_a"),
     )
     counts = f.groupBy("cents").agg(

