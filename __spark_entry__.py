@@ -3757,6 +3757,56 @@ def q_char_entropy(spark, sf):
     return ent.orderBy(F.col("entropy_nats").desc(), "doc_id").limit(20)
 
 
+def q_ngram_novelty(spark, sf):
+    """Per-document trigram novelty (text.ngram_novelty): fraction of
+    each doc's token-3-gram positions whose corpus-wide first occurrence
+    is that doc — the marginal-information view behind crawl
+    diminishing-returns curves. One (gram) min-aggregate + one equi-join
+    back; hot grams bounded the same way ngram_jaccard bounds shingles."""
+    return text.ngram_novelty(_t(spark, sf, "documents"), n=3).orderBy("doc_id")
+
+
+def q_token_burstiness(spark, sf):
+    """Church–Gale token burstiness (text.token_burstiness): mean
+    occurrences per containing doc, top-30 — the clumping report that
+    sizes n-gram dedup thresholds. DECIMAL-quantized ratio, TakeOrdered
+    cut."""
+    return text.token_burstiness(_t(spark, sf, "documents"), k=30)
+
+
+def q_rouge_overlap(spark, sf):
+    """ROUGE-1 set overlap on the deterministic even↔odd adjacent
+    pairing (text.rouge1_adjacent_pairs): P/R/F1 from one (pair, token)
+    equi-join — the eval-leakage scoring kernel with an exact SQL twin."""
+    return text.rouge1_adjacent_pairs(_t(spark, sf, "documents")).orderBy("id_a")
+
+
+def q_vocabulary_growth(spark, sf):
+    """Heaps'-law vocabulary growth curve (text.vocabulary_growth):
+    cumulative docs / token positions / distinct vocabulary at 10
+    equal-width doc-id checkpoints. Cumulative distinct via
+    first-occurrence bucketing — no per-checkpoint distinct pass."""
+    return text.vocabulary_growth(_t(spark, sf, "documents"), buckets=10)
+
+
+def q_session_entropy(spark, sf):
+    """Per-user Shannon entropy over event types
+    (behavior.session_entropy): the bot/diversity score, DECIMAL-summed
+    6-dp terms (char_entropy hardening), two keyed aggregates."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.session_entropy(_events(spark, sf)).orderBy("user_id")
+
+
+def q_mutual_information(spark, sf):
+    """Categorical mutual information source×lang over documents
+    (stats.mutual_information): MI + both marginal entropies in nats
+    from ONE contingency pass — the metadata-dependence audit."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.mutual_information(_t(spark, sf, "documents"), "source", "lang")
+
+
 def q_zipf_slope(spark, sf):
     """Corpus Zipf-fit diagnostic (stats.zipf_slope): OLS of ln(count)
     on ln(rank) over the top-500 vocabulary, moments summed as exact
@@ -4169,11 +4219,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # produced a green driver row; everything rotated out keeps its
     # recorded credit and a pytest battery guard (see below).
     return {
-        # --- r5 WINDOW (first 50 = the driver correctness gate) ---
-        # (a) the 12 rows red in CORRECTNESS_r04 — all were dtype
-        # splits under the driver's pandas hashing (HUGEINT/DECIMAL ->
-        # float64 on one side only), fixed this round; they stay in
-        # the window to collect their green driver rows:
+    # --- r6 WINDOW (first 50 = the driver correctness gate). Goal:
+    # zero rotation debt — after this round every queries() entry has
+    # collected a driver-green row at least once.
+    # (a) the 13 TPC-H tail shapes (battery-green since r5, never
+    # driver-checked):
+        "sql_tpch_q4": q_sql_tpch_q4,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q7": q_sql_tpch_q7,
+        "sql_tpch_q9": q_sql_tpch_q9,
+        "sql_tpch_q11": q_sql_tpch_q11,
+        "sql_tpch_q12": q_sql_tpch_q12,
+        "sql_tpch_q13": q_sql_tpch_q13,
+        "sql_tpch_q14": q_sql_tpch_q14,
+        "sql_tpch_q15": q_sql_tpch_q15,
+        "sql_tpch_q16": q_sql_tpch_q16,
+        "sql_tpch_q19": q_sql_tpch_q19,
+        "sql_tpch_q20": q_sql_tpch_q20,
+        "sql_tpch_q21": q_sql_tpch_q21,
+    # (b) the 13 r5 behavior/text/layout additions, never driver-checked:
+        "pivot_matrix": q_pivot_matrix,
+        "weighted_sample": q_weighted_sample,
+        "scd2_intervals": q_scd2_intervals,
+        "triangle_counts": q_triangle_counts,
+        "path_ngrams": q_path_ngrams,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "doc_length_histogram": q_doc_length_histogram,
+        "growth_accounting": q_growth_accounting,
+        "quantile_normalize": q_quantile_normalize,
+        "resample_hourly": q_resample_hourly,
+        "dup_matrix": q_dup_matrix,
+        "padding_efficiency": q_padding_efficiency,
+    # (c) rows-only -> full-oracle conversions (VERDICT r5 #6):
+    # simhash_blocks now runs text->signature->pairs over an
+    # engine-portable token hash; multimodal_features reports the
+    # decoded-content (count, byte-sum) integrity pair
+        "simhash_blocks": q_simhash_blocks,
+        "multimodal_features": q_multimodal_features,
+    # (d) r6 infrastructure rows: compressed-image ingest, multi-block
+    # simhash pair-set parity, KS fixed-grid mode:
+        "fsimage_gzip_roundtrip": q_fsimage_gzip_roundtrip,
+        "simhash_pairs_multiblock": q_simhash_pairs_multiblock,
+        "ks_test_grid": q_ks_test_grid,
+    # (e) r6 corpus-analysis operators:
+        "ngram_novelty": q_ngram_novelty,
+        "token_burstiness": q_token_burstiness,
+        "rouge_overlap": q_rouge_overlap,
+        "vocabulary_growth": q_vocabulary_growth,
+        "session_entropy": q_session_entropy,
+        "mutual_information": q_mutual_information,
+    # (f) invariant twins of the two remaining rows-only entries
+    # (approx_distinct, minhash_lsh_pairs), re-confirmed:
+        "approx_distinct_bound": q_approx_distinct_bound,
+        "multimodal_feature_hist": q_multimodal_feature_hist,
+        "minhash_recall": q_minhash_recall,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+    # (g) oldest recorded credit (r1 rows) re-confirmed at HEAD:
+        "filter_sum": q_filter_sum,
+        "filter_string_ops": q_filter_string_ops,
+        "filter_date_ops": q_filter_date_ops,
+        "dump_keys": q_dump_keys,
+        "find_max": q_find_max,
+        "find_min": q_find_min,
+        "histogram_sum": q_histogram_sum,
+        "space_histogram": q_space_histogram,
+        "file_type_histogram": q_file_type_histogram,
+    # --- end of the 50-row gate window ---
+    # Everything below holds recorded driver-green credit (round noted
+    # in VERDICT history) and is re-verified at HEAD by
+    # tests/test_oracle_battery.py (value hash + dtype parity at
+    # sf0.01) every pytest run, so rotation cannot rot silently.
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -4186,12 +4302,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "hashed_features": q_hashed_features,
         "source_divergence": q_source_divergence,
-        # (b) rows never driver-checked (added below the window in
-        # r4; rotated in now). Thirteen routine shapes (TPC-H tail
-        # q4,q6,q7,q9,q11-q16,q19-q21 + padding_efficiency) wait past
-        # the window for r6 — the window instead takes the r4
-        # past-window operators and every r5 addition, all
-        # higher-novelty:
         "sample_k_per_group": q_sample_k_per_group,
         "inter_event_gaps": q_inter_event_gaps,
         "two_stage_distinct": q_two_stage_distinct,
@@ -4210,16 +4320,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q1": q_sql_tpch_q1,
         "sql_tpch_q8": q_sql_tpch_q8,
         "sql_tpch_q10": q_sql_tpch_q10,
-        # (c) round-5 TPC-H tail — completes the 22-query suite:
         "sql_tpch_q2": q_sql_tpch_q2,
-        # (d) round-5 pipeline additions:
         "budget_fill": q_budget_fill,
         "matryoshka_eval": q_matryoshka_eval,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stream_dedup_parity": q_stream_dedup_parity,
-        # (c) promoted into the window: the r4 past-window operators
-        # and every r5 addition (incl. ann_ivf_topk, hash-checkable for
-        # the first time via the pinned-centroid index):
         "pagerank_topk": q_pagerank_topk,
         "cohens_kappa": q_cohens_kappa,
         "token_cooccurrence": q_token_cooccurrence,
@@ -4235,41 +4340,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_test": q_ks_test,
         "stream_stream_join_parity": q_stream_stream_join_parity,
         "audio_rms_features": q_audio_rms_features,
-        # --- end of the 50-row gate window ---
-        # deferred to the r6 window (battery-guarded meanwhile):
-        "fsimage_gzip_roundtrip": q_fsimage_gzip_roundtrip,
-        "simhash_pairs_multiblock": q_simhash_pairs_multiblock,
-        "ks_test_grid": q_ks_test_grid,
-        "pivot_matrix": q_pivot_matrix,
-        "weighted_sample": q_weighted_sample,
-        "scd2_intervals": q_scd2_intervals,
-        "triangle_counts": q_triangle_counts,
-        "path_ngrams": q_path_ngrams,
-        "cooccurrence_lift": q_cooccurrence_lift,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "doc_length_histogram": q_doc_length_histogram,
-        "growth_accounting": q_growth_accounting,
-        "quantile_normalize": q_quantile_normalize,
-        "resample_hourly": q_resample_hourly,
-        "dup_matrix": q_dup_matrix,
-        "padding_efficiency": q_padding_efficiency,
-        "sql_tpch_q7": q_sql_tpch_q7,
-        "sql_tpch_q9": q_sql_tpch_q9,
-        "sql_tpch_q4": q_sql_tpch_q4,
-        "sql_tpch_q6": q_sql_tpch_q6,
-        "sql_tpch_q11": q_sql_tpch_q11,
-        "sql_tpch_q12": q_sql_tpch_q12,
-        "sql_tpch_q13": q_sql_tpch_q13,
-        "sql_tpch_q14": q_sql_tpch_q14,
-        "sql_tpch_q15": q_sql_tpch_q15,
-        "sql_tpch_q16": q_sql_tpch_q16,
-        "sql_tpch_q19": q_sql_tpch_q19,
-        "sql_tpch_q20": q_sql_tpch_q20,
-        "sql_tpch_q21": q_sql_tpch_q21,
-        # --- past the 50-row window: green rows with recorded
-        # driver credit. tests/test_oracle_battery.py re-runs EVERY
-        # oracle pair (value hash + pandas dtype-class parity) at
-        # sf0.01 under pytest, so rotation cannot rot silently. ---
         "sessionization_parity": q_sessionization_parity,
         "sweep_roundtrip": q_sweep_roundtrip,
         "changelog_upsert": q_changelog_upsert,
@@ -4290,11 +4360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q22": q_sql_tpch_q22,
         "simhash_pairs": q_simhash_pairs,
         "ann_ivf_full": q_ann_ivf_full,
-        "minhash_recall": q_minhash_recall,
-        "approx_distinct_bound": q_approx_distinct_bound,
         "fsimage_proto_roundtrip": q_fsimage_proto_roundtrip,
-        "multimodal_feature_hist": q_multimodal_feature_hist,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
         "dedup_span_removal": q_dedup_span_removal,
         "gopher_quality": q_gopher_quality,
         "dedup_keep_best": q_dedup_keep_best,
@@ -4366,14 +4432,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_verified_pairs": q_lsh_verified_pairs,
-        "simhash_blocks": q_simhash_blocks,
-        "filter_sum": q_filter_sum,
-        "filter_string_ops": q_filter_string_ops,
-        "filter_date_ops": q_filter_date_ops,
-        "dump_keys": q_dump_keys,
-        "find_max": q_find_max,
-        "find_min": q_find_min,
-        "histogram_sum": q_histogram_sum,
         "histogram_avg": q_histogram_avg,
         "histogram_find_minmax": q_histogram_find_minmax,
         "histogram2": q_histogram2,
@@ -4384,7 +4442,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "divide": q_divide,
         "transform_whatif": q_transform_whatif,
         "users": q_users,
-        "space_histogram": q_space_histogram,
         "parent_dir": q_parent_dir,
         "topk_per_group": q_topk_per_group,
         "windowed_counts": q_windowed_counts,
@@ -4407,9 +4464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q3": q_sql_tpch_q3,
         "sql_tpch_q5": q_sql_tpch_q5,
         "json_extract": q_json_extract,
-        "multimodal_features": q_multimodal_features,
         "memory_histogram": q_memory_histogram,
-        "file_type_histogram": q_file_type_histogram,
         "storage_type_histogram": q_storage_type_histogram,
         "relative_time_filter": q_relative_time_filter,
     }
@@ -7805,5 +7860,159 @@ def oracle_sql() -> dict[str, str]:
         SELECT a AS "dirQuota",
                CAST(floor(100 * 100.0 / 9000) AS BIGINT) AS "nsQuotaRatioUsed"
         FROM anc WHERE length(a) % 3 = 0
+    """
+    # --- round-6 corpus-analysis operators ---
+    d["ngram_novelty"] = r"""
+        WITH t AS (
+          SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 unnest([array_to_string(tk[i:i+2], ' ')
+                         for i in range(1, len(tk) - 1)]) AS gram
+          FROM t WHERE len(tk) >= 3
+        ),
+        first AS (SELECT gram, min(doc_id) AS fid FROM g GROUP BY 1),
+        sc AS (
+          SELECT g.doc_id, count(*) AS n_grams,
+                 SUM(CASE WHEN f.fid = g.doc_id THEN 1 ELSE 0 END) AS novel_grams
+          FROM g JOIN first f USING (gram) GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(sc.novel_grams, 0) AS BIGINT) AS novel_grams,
+               round(coalesce(CAST(sc.novel_grams AS DOUBLE) / sc.n_grams, 0.0), 6)
+                 AS novelty
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+        ORDER BY d.doc_id
+    """
+    d["token_burstiness"] = r"""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        pd AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        st AS (
+          SELECT tok, CAST(SUM(c) AS BIGINT) AS total_count,
+                 CAST(count(*) AS BIGINT) AS doc_freq
+          FROM pd GROUP BY 1
+        )
+        SELECT tok, total_count, doc_freq,
+               CAST(CAST(CAST(total_count AS DOUBLE) / doc_freq
+                         AS DECIMAL(18,6)) AS DOUBLE) AS burstiness
+        FROM st ORDER BY burstiness DESC, tok LIMIT 30
+    """
+    d["rouge_overlap"] = r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id AS id,
+                 unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        sz AS (SELECT id, count(*) AS n FROM toks GROUP BY 1),
+        ov AS (
+          SELECT a.id, count(*) AS overlap
+          FROM toks a JOIN toks b ON b.id = a.id + 1 AND b.tok = a.tok
+          WHERE a.id % 2 = 0 GROUP BY 1
+        )
+        SELECT sa.id AS id_a, sa.id + 1 AS id_b,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+               round(coalesce(ov.overlap, 0) / CAST(sa.n AS DOUBLE), 6) AS p,
+               round(coalesce(ov.overlap, 0) / CAST(sb.n AS DOUBLE), 6) AS r,
+               CASE WHEN coalesce(ov.overlap, 0) = 0 THEN 0.0
+                    ELSE round(
+                      2 * (ov.overlap / CAST(sa.n AS DOUBLE))
+                        * (ov.overlap / CAST(sb.n AS DOUBLE))
+                      / (ov.overlap / CAST(sa.n AS DOUBLE)
+                         + ov.overlap / CAST(sb.n AS DOUBLE)), 6)
+               END AS f1
+        FROM sz sa JOIN sz sb ON sb.id = sa.id + 1
+        LEFT JOIN ov ON ov.id = sa.id
+        WHERE sa.id % 2 = 0
+        ORDER BY id_a
+    """
+    d["vocabulary_growth"] = r"""
+        WITH w AS (
+          SELECT CAST((count(*) + 9) // 10 AS BIGINT) AS wd FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        tb AS (
+          SELECT CAST(doc_id // wd AS INT) AS b, count(*) AS toks
+          FROM toks, w GROUP BY 1
+        ),
+        fo AS (SELECT tok, min(doc_id) AS fid FROM toks GROUP BY 1),
+        vb AS (
+          SELECT CAST(fid // wd AS INT) AS b, count(*) AS nv
+          FROM fo, w GROUP BY 1
+        ),
+        db AS (
+          SELECT CAST(doc_id // wd AS INT) AS b, count(*) AS docs
+          FROM documents, w GROUP BY 1
+        )
+        SELECT db.b AS bucket,
+               CAST(SUM(docs) OVER (ORDER BY db.b) AS BIGINT) AS docs_so_far,
+               CAST(SUM(coalesce(tb.toks, 0)) OVER (ORDER BY db.b) AS BIGINT)
+                 AS tokens_so_far,
+               CAST(SUM(coalesce(vb.nv, 0)) OVER (ORDER BY db.b) AS BIGINT)
+                 AS vocab_size
+        FROM db LEFT JOIN tb USING (b) LEFT JOIN vb USING (b)
+        ORDER BY bucket
+    """
+    d["session_entropy"] = """
+        WITH c AS (
+          SELECT user_id, event_type, count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        n AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1)
+        SELECT c.user_id,
+               CAST(max(n.n) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(round(
+                 -(CAST(c.c AS DOUBLE) / n.n) * ln(CAST(c.c AS DOUBLE) / n.n),
+                 6) AS DECIMAL(18,6))) AS DOUBLE) AS entropy_nats
+        FROM c JOIN n USING (user_id)
+        GROUP BY c.user_id ORDER BY c.user_id
+    """
+    d["mutual_information"] = """
+        WITH cells AS (
+          SELECT source AS xv, lang AS yv, count(*) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT xv, yv, c,
+                 SUM(c) OVER (PARTITION BY xv) AS cx,
+                 SUM(c) OVER (PARTITION BY yv) AS cy,
+                 SUM(c) OVER () AS n
+          FROM cells
+        ),
+        hx AS (
+          SELECT CAST(SUM(CAST(round(
+                   -(CAST(cx AS DOUBLE) / n) * ln(CAST(cx AS DOUBLE) / n),
+                   6) AS DECIMAL(18,6))) AS DOUBLE) AS h
+          FROM (SELECT DISTINCT xv, cx, n FROM m)
+        ),
+        hy AS (
+          SELECT CAST(SUM(CAST(round(
+                   -(CAST(cy AS DOUBLE) / n) * ln(CAST(cy AS DOUBLE) / n),
+                   6) AS DECIMAL(18,6))) AS DOUBLE) AS h
+          FROM (SELECT DISTINCT yv, cy, n FROM m)
+        ),
+        mi AS (
+          SELECT CAST(max(n) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT xv) AS BIGINT) AS n_x,
+                 CAST(count(DISTINCT yv) AS BIGINT) AS n_y,
+                 CAST(SUM(CAST(round(
+                   (CAST(c AS DOUBLE) / n)
+                   * ln(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy)),
+                   6) AS DECIMAL(18,6))) AS DOUBLE) AS mi_nats
+          FROM m
+        )
+        SELECT mi.n_rows, mi.n_x, mi.n_y, mi.mi_nats,
+               hx.h AS h_x_nats, hy.h AS h_y_nats
+        FROM mi, hx, hy
     """
     return d

@@ -188,6 +188,17 @@ HEADLINE = [
     "growth_accounting",
     "tokenizer_fertility",
     "doc_length_histogram",
+    # round-6: corpus-analysis operators + multi-block simhash + KS grid
+    # (fsimage_gzip_roundtrip excluded: it times the fixture writer)
+    "simhash_pairs_multiblock",
+    "ks_test_grid",
+    "ngram_novelty",
+    "token_burstiness",
+    "rouge_overlap",
+    "vocabulary_growth",
+    "session_entropy",
+    "mutual_information",
+    "multimodal_features",
 ]
 
 

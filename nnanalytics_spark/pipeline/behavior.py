@@ -523,3 +523,37 @@ def growth_accounting(
         "resurrected",
         F.sum("new_users").over(w_cum).alias("cumulative_users"),
     ).orderBy("wk")
+
+
+def session_entropy(
+    events: DataFrame, key: str = "user_id", state: str = "event_type"
+) -> DataFrame:
+    """Per-user Shannon entropy (nats) over the event-type distribution
+    — the behavioral diversity score that separates single-action bots
+    (entropy 0) from organic multi-surface users, and for training-data
+    curation scores interaction-log quality the way char_entropy scores
+    text. Plan: one (key, state) keyed count with map-side combine, one
+    per-key aggregate. Each -p·ln(p) term rounds to 6 dp and sums as
+    DECIMAL(18,6) (the bigram_lm hardening), so the total is add-order-
+    independent and engine-exact."""
+    counts = events.groupBy(key, state).agg(F.count(F.lit(1)).alias("c"))
+    # entropy needs the per-key total inside each per-state term: the
+    # totals table is |keys| rows, rejoined on the same key partitioning
+    n = counts.groupBy(key).agg(F.sum("c").alias("n"))
+    j = counts.join(n, key)
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    return (
+        j.groupBy(key)
+        .agg(
+            F.max("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(term).alias("ent"),
+        )
+        .select(
+            key,
+            "n_events",
+            "n_types",
+            F.col("ent").cast("double").alias("entropy_nats"),
+        )
+    )

@@ -355,3 +355,71 @@ def ks_two_sample(
             / (F.col("n_a") * F.col("n_b")).cast("double")
         ).alias("d_stat"),
     )
+
+
+def mutual_information(
+    df: DataFrame, x: str, y: str
+) -> DataFrame:
+    """Mutual information (nats) between two categorical columns, plus
+    both marginal entropies — the dependence audit for corpus metadata
+    ("does source determine language? is the quality label leaking the
+    shard id?"). MI ≈ 0 says the columns are independent; MI close to
+    min(H_x, H_y) says one nearly determines the other.
+
+    Exactness: ONE pass over the data builds the (x, y) contingency
+    counts (map-side combine; output is |X|·|Y| cells, metadata-sized);
+    marginals and totals derive from those cells, never a second scan.
+    Every p·ln(·) term is rounded to 6 dp and summed as DECIMAL(18,6)
+    (the char_entropy hardening) so the emitted numbers are add-order
+    independent and engine-exact."""
+    cells = df.groupBy(
+        F.col(x).alias("xv"), F.col(y).alias("yv")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window
+
+    # the cell table is |X|x|Y| rows — windows over it are deliberate
+    wx = Window.partitionBy("xv")
+    wy = Window.partitionBy("yv")
+    wall = Window.partitionBy()
+    cx = F.sum("c").over(wx)
+    cy = F.sum("c").over(wy)
+    n = F.sum("c").over(wall)
+    p = F.col("c").cast("double") / n.cast("double")
+    mi_term = F.round(
+        p * F.log(F.col("c").cast("double") * n.cast("double")
+                  / (cx.cast("double") * cy.cast("double"))),
+        6,
+    ).cast("decimal(18,6)")
+    ent = lambda cnt, tot: F.round(  # noqa: E731
+        -(cnt.cast("double") / tot.cast("double"))
+        * F.log(cnt.cast("double") / tot.cast("double")),
+        6,
+    ).cast("decimal(18,6)")
+    scored = cells.select(
+        "xv", "yv", "c",
+        mi_term.alias("mi_t"),
+        cx.alias("cx"), cy.alias("cy"), n.alias("n"),
+    )
+    # entropy terms must be counted once per marginal VALUE, not per cell
+    hx = (
+        scored.select("xv", "cx", "n").distinct()
+        .agg(F.sum(ent(F.col("cx"), F.col("n"))).alias("h"))
+    )
+    hy = (
+        scored.select("yv", "cy", "n").distinct()
+        .agg(F.sum(ent(F.col("cy"), F.col("n"))).alias("h"))
+    )
+    agg = scored.agg(
+        F.max("n").alias("n_rows"),
+        F.count_distinct("xv").alias("n_x"),
+        F.count_distinct("yv").alias("n_y"),
+        F.sum("mi_t").alias("mi"),
+    )
+    return agg.crossJoin(hx.select(F.col("h").alias("hx"))).crossJoin(
+        hy.select(F.col("h").alias("hy"))
+    ).select(
+        "n_rows", "n_x", "n_y",
+        F.col("mi").cast("double").alias("mi_nats"),
+        F.col("hx").cast("double").alias("h_x_nats"),
+        F.col("hy").cast("double").alias("h_y_nats"),
+    )

@@ -859,3 +859,188 @@ def doc_length_histogram(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy(group_col, "log2_bucket")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of this doc's token
+    n-gram POSITIONS whose gram has never appeared in any lower-id
+    document — the marginal-information view of a crawl ("how much of
+    shard k is new text?") that drives diminishing-returns curves for
+    data collection. A position counts as novel iff the corpus-wide
+    first occurrence (min doc id over the gram) is this document.
+
+    Plan at 100 TB: grams are built map-side from the token array
+    (transform over slices — no UDF), then ONE keyed aggregate computes
+    each gram's first doc (map-side combine collapses within-partition
+    repeats of hot grams before the wire) and ONE equi-join back on the
+    gram key scores positions. Hot grams make one reducer hot in the
+    first-doc aggregate only — salt or cap with max_df upstream if a
+    boilerplate gram dominates (same playbook as ngram_jaccard's
+    max_shingle_df)."""
+    toks = tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    pos = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+    first = pos.groupBy("gram").agg(F.min("id").alias("first_id"))
+    scored = pos.join(first, "gram").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)).alias(
+            "novel_grams"
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(scored, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("novel_grams", F.lit(0)).alias("novel_grams"),
+            F.round(
+                F.coalesce(
+                    F.col("novel_grams") / F.col("n_grams"), F.lit(0.0)
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )
+
+
+def token_burstiness(
+    df: DataFrame, k: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Church–Gale burstiness per token: mean occurrences per CONTAINING
+    document (total_count / doc_freq), top-k. A token with burstiness
+    near 1 sprinkles evenly; a high-burstiness token clumps — it
+    dominates the documents it appears in, which inflates n-gram dedup
+    candidate sets and skews TF-IDF, so curation wants the list before
+    choosing thresholds. One explode + one (token) aggregate over
+    per-doc combined counts, then a k-row distributed TakeOrdered —
+    burstiness is DECIMAL-quantized so ties and hashes are exact."""
+    toks = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    per_doc = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_doc.groupBy("tok").agg(
+        F.sum("c").alias("total_count"),
+        F.count(F.lit(1)).alias("doc_freq"),
+    )
+    burst = (
+        (F.col("total_count").cast("double") / F.col("doc_freq"))
+        .cast("decimal(18,6)")
+        .cast("double")
+    )
+    return (
+        stats.select("tok", "total_count", "doc_freq", burst.alias("burstiness"))
+        .orderBy(F.col("burstiness").desc(), "tok")
+        .limit(k)
+    )
+
+
+def rouge1_adjacent_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """ROUGE-1 set overlap between each even document and its successor
+    (doc i ↔ doc i+1): precision = |A∩B|/|A|, recall = |A∩B|/|B|, F1 —
+    the eval-leakage metric reported over a deterministic pairing so
+    the whole sweep is one equi-join, not an all-pairs scan (pair
+    generation at scale comes from a candidate stage like LSH; this
+    fixed pairing exercises and verifies the scoring kernel).
+
+    Plan: per-doc DISTINCT token sets explode to (id, tok) rows;
+    matching tokens meet in ONE equi-join keyed on (tok, pair id);
+    distinct-set sizes ride a broadcast-size aggregate joined back."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).distinct()
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = toks.filter(F.col("id") % 2 == 0)
+    b = toks.filter(F.col("id") % 2 == 1).select(
+        (F.col("id") - 1).alias("id"), "tok"
+    )
+    overlap = a.join(b, ["id", "tok"]).groupBy("id").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    sa = sizes.filter(F.col("id") % 2 == 0).select("id", F.col("n").alias("n_a"))
+    sb = sizes.filter(F.col("id") % 2 == 1).select(
+        (F.col("id") - 1).alias("id"), F.col("n").alias("n_b")
+    )
+    dec = lambda c: F.round(c, 6)  # noqa: E731
+    out = (
+        sa.join(sb, "id")
+        .join(overlap, "id", "left")
+        .select(
+            F.col("id").alias("id_a"),
+            (F.col("id") + 1).alias("id_b"),
+            "n_a",
+            "n_b",
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+        )
+    )
+    p = F.col("overlap") / F.col("n_a")
+    r = F.col("overlap") / F.col("n_b")
+    return out.select(
+        "id_a", "id_b", "n_a", "n_b", "overlap",
+        dec(p).alias("p"),
+        dec(r).alias("r"),
+        F.when(F.col("overlap") == 0, F.lit(0.0))
+        .otherwise(dec(2 * p * r / (p + r)))
+        .alias("f1"),
+    )
+
+
+def vocabulary_growth(
+    df: DataFrame,
+    buckets: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: docs ordered by id split into
+    ``buckets`` equal-width id ranges; per checkpoint, cumulative token
+    positions and cumulative DISTINCT vocabulary — the curve whose
+    flattening says "more of the same crawl adds no new language" and
+    sizes tokenizer vocab budgets.
+
+    Plan: vocabulary is counted by FIRST OCCURRENCE (one (token) min
+    aggregate), so the cumulative distinct needs no per-checkpoint
+    distinct pass — bucket the first-occurrence ids, count, and prefix-
+    sum over ``buckets`` rows (a window over a provably tiny table)."""
+    from pyspark.sql.window import Window
+
+    n_docs = df.count()  # one cheap metadata-ish job; bounds bucket width
+    width = max((n_docs + buckets - 1) // buckets, 1)
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tok_b = toks.select((F.col("id") / width).cast("int").alias("b"))
+    per_bucket_tokens = tok_b.groupBy("b").agg(F.count(F.lit(1)).alias("toks"))
+    first = toks.groupBy("tok").agg(F.min("id").alias("first_id"))
+    per_bucket_vocab = first.select(
+        (F.col("first_id") / width).cast("int").alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).alias("new_vocab"))
+    per_bucket_docs = df.select(
+        (F.col(id_col) / width).cast("int").alias("b")
+    ).groupBy("b").agg(F.count(F.lit(1)).alias("docs"))
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket_docs.join(per_bucket_tokens, "b", "left")
+        .join(per_bucket_vocab, "b", "left")
+        .select(
+            F.col("b").alias("bucket"),
+            F.sum("docs").over(w).alias("docs_so_far"),
+            F.sum(F.coalesce("toks", F.lit(0))).over(w).alias("tokens_so_far"),
+            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias("vocab_size"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,107 @@
+"""Unit tests for the r6 corpus-analysis operators: n-gram novelty,
+token burstiness, ROUGE-1 pair overlap, Heaps vocabulary growth, session
+entropy, categorical mutual information — closed-form fixtures with
+hand-computed expectations (the driver oracle covers sf-scale parity)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.pipeline import behavior, text
+from nnanalytics_spark.pipeline import stats as stats_mod
+
+
+def test_ngram_novelty_first_occurrence_semantics(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: abc, bcd — both first here
+            (2, "a b c e"),        # abc repeats (doc 1), bce new
+            (3, "x"),              # too short: zero grams
+            (4, "a b c d"),        # exact dup of doc 1: nothing novel
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.ngram_novelty(docs, n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["novel_grams"]) == (2, 2)
+    assert (got[2]["n_grams"], got[2]["novel_grams"]) == (2, 1)
+    assert got[2]["novelty"] == 0.5
+    assert (got[3]["n_grams"], got[3]["novelty"]) == (0, 0.0)
+    assert (got[4]["n_grams"], got[4]["novel_grams"]) == (2, 0)
+
+
+def test_token_burstiness_mean_per_containing_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x y"), (3, "y")],
+        "doc_id long, text string",
+    )
+    got = {r["tok"]: r for r in text.token_burstiness(docs, k=10).collect()}
+    # x: 4 occurrences over 2 containing docs -> 2.0; y: 3 over 3 -> 1.0
+    assert (got["x"]["total_count"], got["x"]["doc_freq"]) == (4, 2)
+    assert got["x"]["burstiness"] == 2.0
+    assert got["y"]["burstiness"] == 1.0
+
+
+def test_rouge1_adjacent_pairs_prf(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d"),  # A = {a,b,c,d}
+            (1, "c d e"),    # B = {c,d,e}: overlap 2, p=0.5, r=2/3
+            (2, "q r"),
+            (3, "x y z"),    # disjoint: overlap 0, f1 defined as 0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["id_a"]: r for r in text.rouge1_adjacent_pairs(docs).collect()}
+    r0 = got[0]
+    assert (r0["n_a"], r0["n_b"], r0["overlap"]) == (4, 3, 2)
+    assert r0["p"] == 0.5 and r0["r"] == round(2 / 3, 6)
+    assert r0["f1"] == round(2 * 0.5 * (2 / 3) / (0.5 + 2 / 3), 6)
+    assert (got[2]["overlap"], got[2]["f1"]) == (0, 0.0)
+
+
+def test_vocabulary_growth_cumulative(spark):
+    # 4 docs, 2 buckets of width 2: vocab {a,b} enters bucket 0, {c} in 1
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (1, "a"), (2, "b c"), (3, "c")],
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: r for r in text.vocabulary_growth(docs, buckets=2).collect()}
+    assert (got[0]["docs_so_far"], got[0]["tokens_so_far"], got[0]["vocab_size"]) == (2, 4, 2)
+    assert (got[1]["docs_so_far"], got[1]["tokens_so_far"], got[1]["vocab_size"]) == (4, 7, 3)
+
+
+def test_session_entropy_known_values(spark):
+    ev = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "a"), (2, "a")],
+        "user_id long, event_type string",
+    )
+    got = {r["user_id"]: r for r in behavior.session_entropy(ev).collect()}
+    # user 1: two equiprobable types -> ln 2; user 2: deterministic -> 0
+    assert got[1]["n_events"] == 2 and got[1]["n_types"] == 2
+    assert abs(got[1]["entropy_nats"] - math.log(2)) < 1e-5
+    assert got[2]["entropy_nats"] == 0.0
+
+
+def test_mutual_information_extremes(spark):
+    # perfectly dependent: y == x -> MI = H(x) = ln 2
+    dep = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", "a" if i % 2 else "b") for i in range(40)],
+        "i long, x string, y string",
+    )
+    r = stats_mod.mutual_information(dep, "x", "y").collect()[0]
+    assert abs(r["mi_nats"] - math.log(2)) < 1e-5
+    assert abs(r["h_x_nats"] - math.log(2)) < 1e-5
+    assert (r["n_rows"], r["n_x"], r["n_y"]) == (40, 2, 2)
+    # independent (balanced product design) -> MI = 0
+    ind = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", "c" if (i // 2) % 2 else "d") for i in range(40)],
+        "i long, x string, y string",
+    )
+    r2 = stats_mod.mutual_information(ind, "x", "y").collect()[0]
+    assert abs(r2["mi_nats"]) < 1e-5
+    # MI never exceeds either marginal entropy
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r3 = stats_mod.mutual_information(docs, "source", "lang").collect()[0]
+    assert 0.0 <= r3["mi_nats"] <= min(r3["h_x_nats"], r3["h_y_nats"]) + 1e-9
