@@ -548,18 +548,28 @@ def q_ngram_jaccard_pairs(spark, sf):
 
 
 def q_minhash_lsh_pairs(spark, sf):
-    """MinHash+LSH candidate pairs (xxhash64 signatures — engine-specific
-    hashing, rows-only check)."""
-    return dedup.minhash_lsh_pairs(_t(spark, sf, "documents"), k=32, bands=8)
+    """MinHash+LSH candidate pairs, hash-checked END TO END (rows-only
+    until r6): portable mode swaps xxhash64 for the polynomial shingle
+    fingerprint + linear permutations mod a 2^53 prime
+    (dedup.portable_shingle_hash / _portable_perm), and buckets on the
+    band's joined value string — so the oracle rebuilds every signature,
+    every band key, and the exact candidate pair set in SQL. Same plan
+    shape as the production xxhash64 path (whose recall is pinned by
+    minhash_recall)."""
+    return dedup.minhash_lsh_pairs(
+        _t(spark, sf, "documents"), k=32, bands=8, portable=True
+    ).orderBy("id_a", "id_b")
 
 
 def q_lsh_verified_pairs(spark, sf):
     """LSH-proposed candidates verified by exact n-gram Jaccard — the
-    scale path for exact near-dup pairs (precision exact, recall = LSH
-    recall; engine-specific hashing so rows-only check)."""
+    scale path for exact near-dup pairs — now a full oracle twin via the
+    portable signature scheme: DuckDB replays candidates AND the exact
+    Jaccard verification, so precision and the emitted pair set are both
+    value-checked (rows-only until r6)."""
     return dedup.lsh_verified_pairs(
-        _t(spark, sf, "documents"), threshold=0.3, k=32, bands=16
-    )
+        _t(spark, sf, "documents"), threshold=0.3, k=32, bands=16, portable=True
+    ).orderBy("id_a", "id_b")
 
 
 def q_dedup_span_removal(spark, sf):
@@ -4269,11 +4279,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocabulary_growth": q_vocabulary_growth,
         "session_entropy": q_session_entropy,
         "mutual_information": q_mutual_information,
-    # (f) invariant twins of the two remaining rows-only entries
-    # (approx_distinct, minhash_lsh_pairs), re-confirmed:
+    # (f) the portable-MinHash conversions (rows-only until r6 — the
+    # oracle now replays signatures, band keys, candidates, and the
+    # Jaccard verification), plus the invariant twin of approx_distinct
+    # (the ONE remaining rows-only entry: HLL sketch values are
+    # engine-defined by nature) and the r4 LSH-ANN twin re-confirmed:
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_verified_pairs": q_lsh_verified_pairs,
         "approx_distinct_bound": q_approx_distinct_bound,
-        "multimodal_feature_hist": q_multimodal_feature_hist,
-        "minhash_recall": q_minhash_recall,
         "ann_lsh_pairs": q_ann_lsh_pairs,
     # (g) oldest recorded credit (r1 rows) re-confirmed at HEAD:
         "filter_sum": q_filter_sum,
@@ -4430,8 +4443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "multimodal_decode": q_multimodal_decode,
         "text_repetition": q_text_repetition,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "lsh_verified_pairs": q_lsh_verified_pairs,
+        "multimodal_feature_hist": q_multimodal_feature_hist,
+        "minhash_recall": q_minhash_recall,
         "histogram_avg": q_histogram_avg,
         "histogram_find_minmax": q_histogram_find_minmax,
         "histogram2": q_histogram2,
@@ -7861,6 +7874,89 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(100 * 100.0 / 9000) AS BIGINT) AS "nsQuotaRatioUsed"
         FROM anc WHERE length(a) % 3 = 0
     """
+    # --- portable MinHash-LSH twins (rows-only until r6) ---
+    # DuckDB replays the full pipeline: distinct 3-gram shingles, the
+    # polynomial fingerprint, all k linear permutations mod the 2^53
+    # prime, band value-string buckets, the candidate equi-join, and
+    # (for the verified row) exact Jaccard — byte-identical to
+    # dedup.minhash_lsh_pairs(portable=True).
+    _mh_mod = 9007199254740881
+
+    def _mh_prefix(k: int) -> str:
+        mins = ",\n                 ".join(
+            f"min(({2 * i + 1} * h0 + {i * i + i + 41}) % {_mh_mod}) AS h{i}"
+            for i in range(k)
+        )
+        return rf"""
+        t AS (
+          SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+          FROM documents
+        ),
+        tk AS (SELECT doc_id, string_split(norm, ' ') AS w FROM t),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+          FROM tk, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+        ),
+        hh AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(s, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {_mh_mod}) AS h0
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {mins}
+          FROM hh GROUP BY doc_id
+        )"""
+
+    def _mh_flat(k: int, bands: int) -> str:
+        rows = k // bands
+        structs = ",\n                   ".join(
+            "{'band': %d, 'bucket': %s}"
+            % (
+                b,
+                " || '_' || ".join(
+                    f"CAST(h{b * rows + j} AS VARCHAR)" for j in range(rows)
+                ),
+            )
+            for b in range(bands)
+        )
+        return f"""
+        banded AS (
+          SELECT doc_id,
+                 unnest([{structs}]) AS bb
+          FROM sig
+        ),
+        fl AS (SELECT doc_id, bb.band AS band, bb.bucket AS bucket FROM banded),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM fl a JOIN fl b
+            ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        )"""
+
+    d["minhash_lsh_pairs"] = (
+        "WITH" + _mh_prefix(32) + "," + _mh_flat(32, 8)
+        + "\n        SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
+    )
+    d["lsh_verified_pairs"] = (
+        "WITH" + _mh_prefix(32) + "," + _mh_flat(32, 16)
+        + """,
+        sets AS (SELECT doc_id, list(DISTINCT s) AS ss FROM sh GROUP BY 1),
+        scored AS (
+          SELECT c.id_a, c.id_b,
+                 round(len(list_intersect(a.ss, b.ss))
+                       / CAST(len(a.ss) + len(b.ss)
+                              - len(list_intersect(a.ss, b.ss)) AS DOUBLE),
+                       6) AS jaccard
+          FROM cand c
+          JOIN sets a ON a.doc_id = c.id_a
+          JOIN sets b ON b.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, jaccard FROM scored
+        WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""
+    )
     # --- round-6 corpus-analysis operators ---
     d["ngram_novelty"] = r"""
         WITH t AS (

@@ -342,8 +342,33 @@ def remove_dup_spans(
     )
 
 
+# Engine-portable MinHash machinery: a polynomial shingle fingerprint
+# mod a prime < 2^53 plus linear permutations h_i = (a_i·h0 + b_i) mod P
+# with small odd a_i = 2i+1 — every value stays a positive int64 that an
+# external SQL engine reproduces exactly ((2k+1)·(P−1)+b fits in a
+# signed 64-bit long for k ≤ 64). Production keeps xxhash64 (faster,
+# better-mixed); portable mode exists so the LSH pair SET itself can be
+# hash-checked end to end instead of rows-only.
+_PORTABLE_MINHASH_MOD = 9007199254740881
+
+
+def portable_shingle_hash(sh: Column) -> Column:
+    return F.aggregate(
+        F.split(sh, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _PORTABLE_MINHASH_MOD,
+    )
+
+
+def _portable_perm(h0: Column, i: int) -> Column:
+    return (
+        F.lit(2 * i + 1) * h0 + F.lit(i * i + i + 41)
+    ) % _PORTABLE_MINHASH_MOD
+
+
 def minhash_signatures(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 64, ngram: int = 3
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 64, ngram: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: permutation i is
     xxhash64(shingle, seed=i); signature[i] = min over shingles.
@@ -358,12 +383,22 @@ def minhash_signatures(
 
     Permutation i hashes the 8-byte shingle fingerprint, not the string:
     h0 = xxhash64(shingle) once, then xxhash64(h0, seed=i) — k fixed-width
-    hashes instead of k variable-length string hashes per shingle."""
+    hashes instead of k variable-length string hashes per shingle.
+
+    ``portable=True`` swaps both hash families for the engine-portable
+    polynomial + linear-permutation scheme (see module constants): same
+    plan shape, SQL-reproducible values — the correctness-gate mode."""
+    fp = portable_shingle_hash(F.col("shingle")) if portable else F.xxhash64("shingle")
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text), ngram)).alias("shingle")
-    ).select("id", F.xxhash64("shingle").alias("h0"))
+    ).select("id", fp.alias("h0"))
+    perm = (
+        (lambda i: _portable_perm(F.col("h0"), i))
+        if portable
+        else (lambda i: F.xxhash64("h0", F.lit(i)))
+    )
     mins = sh.groupBy("id").agg(
-        *[F.min(F.xxhash64("h0", F.lit(i))).alias(f"h{i}") for i in range(k)]
+        *[F.min(perm(i)).alias(f"h{i}") for i in range(k)]
     )
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("signature"))
 
@@ -375,22 +410,33 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: signature split into `bands` bands of
     r=k/bands rows; docs colliding on any band hash become candidates.
     Shuffle key = (band index, band hash) — collision buckets are tiny at
-    any scale unless texts truly repeat."""
+    any scale unless texts truly repeat.
+
+    Portable mode buckets on the band's joined VALUE string instead of
+    murmur-hashing the slice: bucket equality then means exact slice
+    equality (strictly more precise than a 32-bit hash — no spurious
+    hash-collision candidates), and an external SQL engine rebuilds the
+    identical key."""
     rows = k // bands
-    sigs = minhash_signatures(df, text, id_col, k, ngram)
+    sigs = minhash_signatures(df, text, id_col, k, ngram, portable=portable)
+
+    def bucket_of(b: int):
+        sl = F.slice(F.col("signature"), b * rows + 1, rows)
+        if portable:
+            return F.concat_ws("_", sl.cast("array<string>"))
+        return F.hash(sl)
+
     banded = sigs.select(
         "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.hash(F.slice(F.col("signature"), b * rows + 1, rows)).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
                     for b in range(bands)
                 ]
             )
@@ -417,6 +463,7 @@ def lsh_verified_pairs(
     k: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """The scale path for EXACT near-dup pairs: MinHash+LSH proposes
     candidates, exact n-gram Jaccard verifies only those.
@@ -429,7 +476,7 @@ def lsh_verified_pairs(
     array_intersect — no inverted-index self-join at all. Precision is
     exact (every emitted pair's Jaccard is true and ≥ threshold); recall
     is the LSH recall at (k, bands)."""
-    candidates = minhash_lsh_pairs(df, text, id_col, k, bands, ngram)
+    candidates = minhash_lsh_pairs(df, text, id_col, k, bands, ngram, portable=portable)
     sets_ = df.select(F.col(id_col).alias("id"), shingles(F.col(text), ngram).alias("sh"))
     a = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))

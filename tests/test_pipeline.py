@@ -1284,3 +1284,39 @@ def test_source_divergence_zero_for_proportional_source(spark):
     # kl_nats is the DOUBLE nearest the exact decimal sum
     assert out["s3"]["kl_nats"] == float(Decimal(str(round(math.log(20 / 4), 6))))
     assert out["s3"]["n_tokens"] == 4 and out["s3"]["n_distinct"] == 1
+
+
+def test_minhash_portable_mode_same_shape_as_production(spark):
+    """portable=True swaps the hash families, not the semantics: exact
+    duplicate texts collide in EVERY band under both modes, and the
+    portable candidate set contains every exact-dup pair. Values differ
+    (different hash family) but stay in int64 — the overflow guarantee
+    (2k+1)(P-1)+b < 2^63 the oracle relies on."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),  # exact dup of 1
+            (3, "one two three four five six"),
+            (4, "totally different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    for portable in (False, True):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_pairs(
+                df, k=16, bands=4, portable=portable
+            ).collect()
+        }
+        assert (1, 2) in pairs, portable
+    sigs = dedup.minhash_signatures(df, k=16, portable=True).collect()
+    for r in sigs:
+        assert all(0 <= v < (1 << 63) for v in r["signature"])
+    # verified path: the dup pair survives Jaccard, disjoint docs don't
+    ver = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.lsh_verified_pairs(
+            df, threshold=0.9, k=16, bands=4, portable=True
+        ).collect()
+    }
+    assert ver == {(1, 2): 1.0}
