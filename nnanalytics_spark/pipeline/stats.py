@@ -395,31 +395,23 @@ def mutual_information(
         * F.log(cnt.cast("double") / tot.cast("double")),
         6,
     ).cast("decimal(18,6)")
+    # Marginal entropy terms must count once per marginal VALUE, not per
+    # cell — designate ONE cell per marginal value (its minimum partner)
+    # instead of branching into distinct() sub-plans, which would
+    # re-derive (and re-scan) the contingency table per branch: this
+    # keeps the whole statistic ONE scan + one final aggregate.
     scored = cells.select(
         "xv", "yv", "c",
         mi_term.alias("mi_t"),
-        cx.alias("cx"), cy.alias("cy"), n.alias("n"),
+        F.when(F.col("yv") == F.min("yv").over(wx), ent(cx, n)).alias("hx_t"),
+        F.when(F.col("xv") == F.min("xv").over(wy), ent(cy, n)).alias("hy_t"),
+        n.alias("n"),
     )
-    # entropy terms must be counted once per marginal VALUE, not per cell
-    hx = (
-        scored.select("xv", "cx", "n").distinct()
-        .agg(F.sum(ent(F.col("cx"), F.col("n"))).alias("h"))
-    )
-    hy = (
-        scored.select("yv", "cy", "n").distinct()
-        .agg(F.sum(ent(F.col("cy"), F.col("n"))).alias("h"))
-    )
-    agg = scored.agg(
+    return scored.agg(
         F.max("n").alias("n_rows"),
         F.count_distinct("xv").alias("n_x"),
         F.count_distinct("yv").alias("n_y"),
-        F.sum("mi_t").alias("mi"),
-    )
-    return agg.crossJoin(hx.select(F.col("h").alias("hx"))).crossJoin(
-        hy.select(F.col("h").alias("hy"))
-    ).select(
-        "n_rows", "n_x", "n_y",
-        F.col("mi").cast("double").alias("mi_nats"),
-        F.col("hx").cast("double").alias("h_x_nats"),
-        F.col("hy").cast("double").alias("h_y_nats"),
+        F.sum("mi_t").cast("double").alias("mi_nats"),
+        F.sum("hx_t").cast("double").alias("h_x_nats"),
+        F.sum("hy_t").cast("double").alias("h_y_nats"),
     )

@@ -494,3 +494,59 @@ def test_edit_distance_pairs_uses_thresholded_levenshtein(spark):
     import re
 
     assert re.search(r"levenshtein\([^)]*32\)", plan), plan
+
+
+def test_ngram_novelty_scores_via_equi_join(spark):
+    """First-occurrence scoring must be a hash/merge equi-join on the
+    gram key with partial aggregation below it — never a nested-loop —
+    and the gram aggregate must combine map-side."""
+    plan = plan_of(entry.q_ngram_novelty(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+
+
+def test_vocabulary_growth_has_no_distinct_expand(spark):
+    """Cumulative distinct comes from first-occurrence bucketing — the
+    plan must contain NO Expand (no count_distinct) and no global sort
+    of token rows (the only window input is the |buckets| table)."""
+    plan = plan_of(entry.q_vocabulary_growth(spark, SF))
+    assert "Expand" not in plan, plan
+
+
+def test_mutual_information_single_contingency_scan(spark):
+    """MI + both entropies derive from ONE pass over documents: exactly
+    one parquet scan in the executed plan."""
+    plan = plan_of(entry.q_mutual_information(spark, SF))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_token_burstiness_uses_takeordered(spark):
+    """The top-k cut must be distributed TakeOrdered, not a global
+    sort-then-limit."""
+    plan = plan_of(entry.q_token_burstiness(spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rouge_overlap_is_equi_join(spark):
+    """Pair scoring joins on (pair id, token) keys — no cartesian or
+    nested-loop anywhere in the plan."""
+    plan = plan_of(entry.q_rouge_overlap(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_portable_minhash_pairs_is_equi_join(spark):
+    """Portable-mode LSH candidates join on (band, bucket-string) equi
+    keys exactly like the xxhash64 path — the hash-family swap must not
+    degrade the join strategy."""
+    plan = plan_of(entry.q_minhash_lsh_pairs(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_multiblock_is_equi_join(spark):
+    """6-block simhash pairing stays a pure (block, value) equi-join."""
+    plan = plan_of(entry.q_simhash_pairs_multiblock(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
