@@ -3817,6 +3817,56 @@ def q_mutual_information(spark, sf):
     return stats.mutual_information(_t(spark, sf, "documents"), "source", "lang")
 
 
+def q_knn_graph(spark, sf):
+    """Exact cosine k-NN graph (similarity.knn_graph): block-decomposed
+    kernel (rows_per_block=200 forces real multi-block fan-out at gate
+    scale) with per-row local top-k and a global per-id window — the
+    SemDeDup/recall-eval substrate. Oracle: brute-force window over all
+    n² scores."""
+    return similarity.knn_graph(
+        _t(spark, sf, "embeddings"), k=5, rows_per_block=200
+    ).orderBy("vec_id", "rank")
+
+
+def q_markov_stationary(spark, sf):
+    """Stationary distribution of the behavior Markov chain
+    (behavior.markov_stationary): distributed transition-matrix
+    aggregation, then 20 integer-micros power-iteration steps over the
+    driver-bounded |types|x|types| matrix — order-free int64 arithmetic
+    the oracle unrolls as 20 chained CTEs, matching bit-for-bit."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.markov_stationary(_events(spark, sf), iters=20).orderBy("state")
+
+
+def q_snapshot_diff(spark, sf):
+    """Namespace snapshot diff (sources/layout.py:snapshot_diff): two
+    closed-form binary images (4x25 vs 5x17) load through the protobuf
+    reader and diff on path over (fileSize, modTime, user) — one
+    full-outer join classifying added/deleted/modified/unchanged. The
+    oracle recomputes BOTH namespaces from range() and replays the
+    classification; the fixture sizes make all four classes non-empty
+    (d=0 files keep identical mtimes -> unchanged; other overlaps shift
+    mtime -> modified)."""
+    import tempfile
+
+    from nnanalytics_spark.sources import fsimage, layout
+
+    _ship_package(spark)
+    tmp = tempfile.mkdtemp(prefix="snapdiff_")
+    old_img = fsimage.write_fsimage_binary(tmp + "/old", n_dirs=4, files_per_dir=25)
+    new_img = fsimage.write_fsimage_binary(tmp + "/new", n_dirs=5, files_per_dir=17)
+    old = fsimage.read_fsimage_binary(spark, old_img, batch=32).filter(
+        F.col("type") == "file"
+    )
+    new = fsimage.read_fsimage_binary(spark, new_img, batch=32).filter(
+        F.col("type") == "file"
+    )
+    return layout.snapshot_diff(
+        old, new, key="path", compare=("fileSize", "modTime", "user")
+    ).orderBy("path")
+
+
 def q_zipf_slope(spark, sf):
     """Corpus Zipf-fit diagnostic (stats.zipf_slope): OLS of ln(count)
     on ln(rank) over the top-500 vocabulary, moments summed as exact
@@ -4288,14 +4338,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_verified_pairs": q_lsh_verified_pairs,
         "approx_distinct_bound": q_approx_distinct_bound,
         "ann_lsh_pairs": q_ann_lsh_pairs,
+    # (h) r6 second batch: exact k-NN graph, integer-exact Markov
+    # stationary distribution, namespace snapshot diff:
+        "knn_graph": q_knn_graph,
+        "markov_stationary": q_markov_stationary,
+        "snapshot_diff": q_snapshot_diff,
     # (g) oldest recorded credit (r1 rows) re-confirmed at HEAD:
         "filter_sum": q_filter_sum,
         "filter_string_ops": q_filter_string_ops,
         "filter_date_ops": q_filter_date_ops,
         "dump_keys": q_dump_keys,
-        "find_max": q_find_max,
-        "find_min": q_find_min,
-        "histogram_sum": q_histogram_sum,
         "space_histogram": q_space_histogram,
         "file_type_histogram": q_file_type_histogram,
     # --- end of the 50-row gate window ---
@@ -4445,6 +4497,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "multimodal_feature_hist": q_multimodal_feature_hist,
         "minhash_recall": q_minhash_recall,
+        "find_max": q_find_max,
+        "find_min": q_find_min,
+        "histogram_sum": q_histogram_sum,
         "histogram_avg": q_histogram_avg,
         "histogram_find_minmax": q_histogram_find_minmax,
         "histogram2": q_histogram2,
@@ -7957,6 +8012,119 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, jaccard FROM scored
         WHERE jaccard >= 0.3 ORDER BY id_a, id_b"""
     )
+    # exact k-NN graph: brute-force window over all n^2 cosine scores
+    d["knn_graph"] = """
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        p AS (
+          SELECT a.vec_id AS id, b.vec_id AS nbr,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                         (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
+          FROM n a JOIN n b ON a.vec_id != b.vec_id
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY id ORDER BY cos_sim DESC, nbr) AS rank
+          FROM p
+        )
+        SELECT id AS vec_id, CAST(rank AS INT) AS rank, nbr, cos_sim
+        FROM r WHERE rank <= 5 ORDER BY vec_id, rank
+    """
+    # stationary distribution: the same transition matrix as
+    # event_transitions quantized to integer micros, then the EXACT
+    # integer power iteration unrolled as chained CTEs (one per step) —
+    # GROUP BY in a recursive CTE is non-standard, and at |types| states
+    # the unrolled plan is trivially small
+    _mk_steps = []
+    for _i in range(20):
+        prev = f"it{_i}"
+        _mk_steps.append(f"""
+        it{_i + 1} AS (
+          SELECT s.state,
+                 CAST((coalesce(x.acc, 0) + 500000) // 1000000 AS BIGINT) AS pm
+          FROM states s LEFT JOIN (
+            SELECT m2.to_type AS state, SUM(it.pm * m2.pmic) AS acc
+            FROM {prev} it JOIN m2 ON m2.from_type = it.state
+            GROUP BY 1
+          ) x USING (state)
+        )""")
+    d["markov_stationary"] = (
+        """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events
+        ),
+        matrix AS (
+          SELECT prev_type AS from_type, event_type AS to_type, count(*) AS cnt
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT from_type, to_type,
+                 CAST(round(round(CAST(cnt AS DOUBLE)
+                       / SUM(cnt) OVER (PARTITION BY from_type), 6)
+                       * 1000000) AS BIGINT) AS pmic
+          FROM matrix
+        ),
+        states AS (SELECT DISTINCT from_type AS state FROM m),
+        m2 AS (SELECT * FROM m WHERE to_type IN (SELECT state FROM states)),
+        it0 AS (
+          SELECT state,
+                 CAST(1000000 // (SELECT count(*) FROM states) AS BIGINT) AS pm
+          FROM states
+        ),"""
+        + ",".join(_mk_steps)
+        + """
+        SELECT state, pm AS stationary_micros,
+               round(pm / 1000000.0, 6) AS stationary_p
+        FROM it20 ORDER BY state
+    """
+    )
+    # snapshot diff: both namespaces recomputed from range(), the
+    # full-outer classification replayed over (fileSize, modTime, user)
+    _old_files = _oivgen.oracle_sql(n_dirs=4, files_per_dir=25)
+    _new_files = _oivgen.oracle_sql(n_dirs=5, files_per_dir=17)
+    d["snapshot_diff"] = f"""
+        WITH o AS (
+          SELECT path, "fileSize", "modTime", "user", TRUE AS present
+          FROM ({_old_files})
+        ),
+        nn AS (
+          SELECT path, "fileSize", "modTime", "user", TRUE AS present
+          FROM ({_new_files})
+        ),
+        j AS (
+          SELECT coalesce(o.path, nn.path) AS path,
+                 o.present AS in_old, nn.present AS in_new,
+                 o."fileSize" AS old_fileSize, o."modTime" AS old_modTime,
+                 o."user" AS old_user,
+                 nn."fileSize" AS new_fileSize, nn."modTime" AS new_modTime,
+                 nn."user" AS new_user
+          FROM o FULL OUTER JOIN nn ON o.path = nn.path
+        )
+        SELECT path,
+               CASE WHEN in_old IS NULL THEN 'added'
+                    WHEN in_new IS NULL THEN 'deleted'
+                    WHEN old_fileSize IS NOT DISTINCT FROM new_fileSize
+                         AND old_modTime IS NOT DISTINCT FROM new_modTime
+                         AND old_user IS NOT DISTINCT FROM new_user
+                    THEN 'unchanged' ELSE 'modified' END AS change,
+               old_fileSize, old_modTime, old_user,
+               new_fileSize, new_modTime, new_user
+        FROM j ORDER BY path
+    """
     # --- round-6 corpus-analysis operators ---
     d["ngram_novelty"] = r"""
         WITH t AS (

@@ -199,6 +199,9 @@ HEADLINE = [
     "session_entropy",
     "mutual_information",
     "multimodal_features",
+    # r6 second batch (snapshot_diff excluded: times the fixture writer)
+    "knn_graph",
+    "markov_stationary",
 ]
 
 

@@ -557,3 +557,54 @@ def session_entropy(
             F.col("ent").cast("double").alias("entropy_nats"),
         )
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    iters: int = 20,
+    user: str = "user_id",
+    ts: str = "ts_us",
+    event_type: str = "event_type",
+) -> DataFrame:
+    """Stationary distribution of the empirical behavior Markov chain —
+    "where do user journeys spend their time in the long run", the
+    one-number-per-state summary session-flow analysis ends with.
+
+    Split exactly like k-means: the DISTRIBUTED work is the transition
+    matrix aggregation over the full log (event_transitions: one keyed
+    window + one rollup); the |types|² matrix is then driver-bounded by
+    definition (the event-type alphabet), so the 20 power-iteration
+    steps run on collected integers — same pattern as collecting
+    centroids, never corpus rows.
+
+    Engine-exactness: probabilities quantize to integer MICROS (the
+    6-dp matrix is exact in micros), the iteration is
+    π'(s) = (Σ_prev π(prev)·P(prev,s) + 500000) // 10⁶ — pure int64
+    arithmetic (10⁶·10⁶ products), order-free, so a SQL oracle unrolls
+    the identical 20 steps and matches bit-for-bit. Mass leaks only at
+    states with no outgoing transitions (open chains); document/close
+    the state space upstream if that matters."""
+    rows = event_transitions(events, user, ts, event_type).collect()
+    states = sorted({r["from_type"] for r in rows})
+    idx = {s: i for i, s in enumerate(states)}
+    p_micros = {}
+    for r in rows:
+        if r["to_type"] in idx:
+            p_micros[(idx[r["from_type"]], idx[r["to_type"]])] = int(
+                round(r["p"] * 1_000_000)
+            )
+    pi = [1_000_000 // len(states)] * len(states)
+    for _ in range(iters):
+        nxt = []
+        for s in range(len(states)):
+            acc = sum(
+                pi[prev] * p_micros.get((prev, s), 0) for prev in range(len(states))
+            )
+            nxt.append((acc + 500_000) // 1_000_000)
+        pi = nxt
+    out = [
+        (states[s], pi[s], round(pi[s] / 1_000_000.0, 6)) for s in range(len(states))
+    ]
+    return events.sparkSession.createDataFrame(
+        out, "state string, stationary_micros long, stationary_p double"
+    )

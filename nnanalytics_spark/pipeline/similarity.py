@@ -1076,3 +1076,99 @@ def ivf_search_rounded(
         F.round(cosine(F.col("v"), qcol), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), id_col).limit(k)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Exact cosine k-NN graph — every vector's k nearest neighbors,
+    the substrate for SemDeDup-style pruning, graph-based curation, and
+    ANN recall evaluation.
+
+    Same block decomposition as all_pairs_above_blocked (each row ships
+    to B+1 block-pair groups; O(n²) scores exist only as one numpy
+    block per task), but the kernel keeps each row's LOCAL top-k
+    against the partner block instead of thresholded pairs, so the
+    shuffle out of the kernel carries ≤ n·B·k candidate rows. A
+    row_number window partitioned by id then takes the GLOBAL top-k per
+    vector over that bounded candidate set. The local cut uses the same
+    lexsort tie-break as the global window (cos_sim desc, neighbor id
+    asc), so a tie crossing a local boundary keeps exactly the rows the
+    global window would — deterministic and oracle-exact."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    n = src.count()
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+    blocked = src.withColumn(
+        "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    bp = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
+    )
+    left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
+        "bl", "br", F.lit(0).alias("side"), "id", "v"
+    )
+    right = (
+        blocked.join(F.broadcast(bp), F.col("block") == F.col("br"))
+        .filter(F.col("bl") != F.col("br"))
+        .select("bl", "br", F.lit(1).alias("side"), "id", "v")
+    )
+    both = left.unionByName(right)
+
+    def local_topk(ids_a, ids_b, sims):
+        """Per a-row local top-k over b columns, self-pairs masked."""
+        out_id, out_nbr, out_sim = [], [], []
+        take = min(k, sims.shape[1])
+        for i in range(sims.shape[0]):
+            row = sims[i].copy()
+            row[ids_b == ids_a[i]] = -np.inf  # exclude self
+            order = np.lexsort((ids_b, -row))[:take]
+            keep = order[np.isfinite(row[order])]
+            out_id.extend([ids_a[i]] * len(keep))
+            out_nbr.extend(ids_b[keep])
+            out_sim.extend(row[keep])
+        return out_id, out_nbr, out_sim
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bl, br = key
+        if bl == br:
+            a = b = pdf
+        else:
+            a = pdf[pdf["side"] == 0]
+            b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id": [], "nbr": [], "cos_sim": []}).astype(
+                {"id": "int64", "nbr": "int64", "cos_sim": "float64"}
+            )
+        a_ids = a["id"].to_numpy()
+        b_ids = b["id"].to_numpy()
+        a_mat = np.array(list(a["v"]), dtype=np.float64)
+        b_mat = np.array(list(b["v"]), dtype=np.float64)
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 6)
+        ia, na, sa = local_topk(a_ids, b_ids, sims)
+        if bl != br:
+            ib, nb, sb = local_topk(b_ids, a_ids, sims.T)
+            ia, na, sa = ia + ib, na + nb, sa + sb
+        return pd.DataFrame({"id": ia, "nbr": na, "cos_sim": sa})
+
+    cands = both.groupBy("bl", "br").applyInPandas(
+        kernel, "id long, nbr long, cos_sim double"
+    )
+    w = W.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), F.col("rank"), F.col("nbr"), F.col("cos_sim"))
+    )

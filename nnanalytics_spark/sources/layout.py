@@ -320,3 +320,52 @@ def read_partition_pruned(
     for col, val in equals.items():
         df = df.filter(F.col(col) == F.lit(val))
     return df
+
+
+def snapshot_diff(old, new, key: str = "path", compare: tuple = ("fileSize", "modTime", "user")):
+    """Namespace snapshot diff — the ops view between two checkpoints
+    ("what changed since yesterday's image"): FULL OUTER join on the
+    namespace key classifying every path as added / deleted / modified /
+    unchanged, carrying the old/new values of the compared columns.
+
+    The reference rebuilds state from each new image; a diff is the
+    natural companion a warehouse-side engine can offer. Plan: ONE
+    keyed full-outer join (both sides hash-partition on the key; at
+    100 TB the key is the path — pre-bucket both snapshots on it to
+    make the diff exchange-free), column comparison stays in codegen.
+    NULL-safe equality (eqNullSafe) so a NULL→value transition counts
+    as modified, not unchanged."""
+    from pyspark.sql import functions as F
+
+    o = old.select(
+        F.col(key).alias("k"),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        F.col(key).alias("k"),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    j = o.join(n, "k", "full_outer")
+    same = F.lit(True)
+    for c in compare:
+        same = same & F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    # explicit presence sentinels: a present row whose compared columns
+    # are ALL NULL (e.g. a directory's fileSize/user) must not read as
+    # absent — the outer join leaves the sentinel NULL only on the side
+    # that truly had no row
+    in_old = F.col("_in_old").isNotNull()
+    in_new = F.col("_in_new").isNotNull()
+    change = (
+        F.when(~in_old, F.lit("added"))
+        .when(~in_new, F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("modified"))
+    )
+    return j.select(
+        F.col("k").alias(key),
+        change.alias("change"),
+        *[F.col(f"old_{c}") for c in compare],
+        *[F.col(f"new_{c}") for c in compare],
+    )

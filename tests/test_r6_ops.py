@@ -105,3 +105,73 @@ def test_mutual_information_extremes(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     r3 = stats_mod.mutual_information(docs, "source", "lang").collect()[0]
     assert 0.0 <= r3["mi_nats"] <= min(r3["h_x_nats"], r3["h_y_nats"]) + 1e-9
+
+
+def test_knn_graph_exact_and_block_invariant(spark):
+    from nnanalytics_spark.pipeline import similarity
+
+    # 1-d directions: cosine is ±1 — neighbors are same-sign vectors,
+    # ties broken by neighbor id ascending
+    rows = [
+        (1, [1.0, 0.0]), (2, [2.0, 0.0]), (3, [3.0, 0.0]),
+        (4, [0.0, 1.0]), (5, [0.0, 5.0]),
+        (6, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["vec_id"], r["rank"]): (r["nbr"], r["cos_sim"])
+        for r in similarity.knn_graph(df, k=2).collect()
+    }
+    assert got[(1, 1)] == (2, 1.0) and got[(1, 2)] == (3, 1.0)  # id tie-break
+    assert got[(4, 1)] == (5, 1.0)
+    assert got[(6, 1)][1] < 1.0  # nothing colinear with -x except via cos<1
+    # self never appears
+    assert all(nbr != vid for (vid, _r), (nbr, _s) in got.items())
+    # block decomposition must not change the result
+    one = sorted(map(tuple, similarity.knn_graph(df, k=2, rows_per_block=2).collect()))
+    big = sorted(map(tuple, similarity.knn_graph(df, k=2).collect()))
+    assert one == big
+
+
+def test_markov_stationary_uniform_cycle(spark):
+    """A deterministic 3-cycle a->b->c->a has uniform stationary
+    distribution; micros sum to ~1e6 and the run is deterministic."""
+    from nnanalytics_spark.pipeline import behavior
+
+    evs = []
+    t = 0
+    for rep in range(10):
+        for s in ("a", "b", "c"):
+            evs.append((1, len(evs), s, t))
+            t += 1_000_000
+    df = spark.createDataFrame(evs, "user_id long, event_id long, event_type string, ts_us long")
+    out = {r["state"]: r for r in behavior.markov_stationary(df, iters=20).collect()}
+    assert set(out) == {"a", "b", "c"}
+    total = sum(r["stationary_micros"] for r in out.values())
+    assert abs(total - 1_000_000) <= 3  # rounding slack only
+    for r in out.values():
+        assert abs(r["stationary_p"] - 1 / 3) < 2e-3
+
+
+def test_snapshot_diff_classification(spark):
+    from nnanalytics_spark.sources import layout
+
+    old = spark.createDataFrame(
+        [("/a", 1, 10, "u"), ("/b", 2, 20, "u"), ("/gone", 3, 30, "u"),
+         ("/dir", None, None, None)],
+        "path string, fileSize long, modTime long, user string",
+    )
+    new = spark.createDataFrame(
+        [("/a", 1, 10, "u"), ("/b", 2, 99, "u"), ("/new", 4, 40, "u"),
+         ("/dir", None, None, None)],
+        "path string, fileSize long, modTime long, user string",
+    )
+    got = {r["path"]: r["change"] for r in layout.snapshot_diff(
+        old, new, compare=("fileSize", "modTime", "user")).collect()}
+    assert got == {
+        "/a": "unchanged", "/b": "modified", "/gone": "deleted",
+        "/new": "added",
+        # present on both sides with ALL compared columns NULL: the
+        # presence sentinels must classify it unchanged, not added
+        "/dir": "unchanged",
+    }
