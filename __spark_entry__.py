@@ -3867,6 +3867,53 @@ def q_snapshot_diff(spark, sf):
     ).orderBy("path")
 
 
+def q_funnel_conversion_time(spark, sf):
+    """Time-to-convert per funnel step (behavior.funnel_conversion_time):
+    mean and exact-interpolated median of (step_i time − first-view
+    time) for users who reached the step under the same greedy
+    earliest-match as funnel_steps — one keyed min-aggregate per step,
+    joined on the user key; the oracle runs the identical nested
+    min(ts)-chain."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.funnel_conversion_time(
+        _events(spark, sf), ["view", "click", "purchase"]
+    ).orderBy("step")
+
+
+def q_dedup_method_agreement(spark, sf):
+    """Lexical-vs-semantic dedup agreement (dedup.pair_set_agreement):
+    exact trigram-Jaccard pairs at 0.6 compared with embedding-cosine
+    pairs at 0.4 — the method-comparison report behind "can the cheap
+    signal approximate the expensive one". One full-outer join of two
+    slim pair tables; the oracle recomputes BOTH pair sets from scratch
+    and replays the overlap."""
+    docs = _t(spark, sf, "documents")
+    lex = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100).select(
+        "id_a", "id_b"
+    )
+    sem = similarity.all_pairs_above(_t(spark, sf, "embeddings"), threshold=0.4).select(
+        "id_a", "id_b"
+    )
+    return dedup.pair_set_agreement(lex, sem)
+
+
+def q_forward_fill(spark, sf):
+    """Last-observation-carried-forward (behavior.forward_fill): values
+    are deterministically nulled (kept only when event_id % 3 = 0), then
+    each NULL takes the user's most recent earlier observation — one
+    user-keyed window; rows before any observation stay NULL. The
+    oracle replays the null-out and the IGNORE NULLS window."""
+    from nnanalytics_spark.pipeline import behavior
+
+    e = _events(spark, sf).withColumn(
+        "value", F.when(F.col("event_id") % 3 == 0, F.col("value"))
+    )
+    return behavior.forward_fill(e).select(
+        "event_id", "user_id", "value", "value_filled"
+    ).orderBy("event_id")
+
+
 def q_zipf_slope(spark, sf):
     """Corpus Zipf-fit diagnostic (stats.zipf_slope): OLS of ln(count)
     on ln(rank) over the top-500 vocabulary, moments summed as exact
@@ -4343,11 +4390,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_graph": q_knn_graph,
         "markov_stationary": q_markov_stationary,
         "snapshot_diff": q_snapshot_diff,
+        "funnel_conversion_time": q_funnel_conversion_time,
+        "dedup_method_agreement": q_dedup_method_agreement,
+        "forward_fill": q_forward_fill,
     # (g) oldest recorded credit (r1 rows) re-confirmed at HEAD:
         "filter_sum": q_filter_sum,
-        "filter_string_ops": q_filter_string_ops,
-        "filter_date_ops": q_filter_date_ops,
-        "dump_keys": q_dump_keys,
         "space_histogram": q_space_histogram,
         "file_type_histogram": q_file_type_histogram,
     # --- end of the 50-row gate window ---
@@ -4497,6 +4544,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "multimodal_feature_hist": q_multimodal_feature_hist,
         "minhash_recall": q_minhash_recall,
+        "filter_string_ops": q_filter_string_ops,
+        "filter_date_ops": q_filter_date_ops,
+        "dump_keys": q_dump_keys,
         "find_max": q_find_max,
         "find_min": q_find_min,
         "histogram_sum": q_histogram_sum,
@@ -8124,6 +8174,122 @@ def oracle_sql() -> dict[str, str]:
                old_fileSize, old_modTime, old_user,
                new_fileSize, new_modTime, new_user
         FROM j ORDER BY path
+    """
+    d["funnel_conversion_time"] = """
+        WITH e AS (
+          SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+        ),
+        u1 AS (
+          SELECT user_id, min(t) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        u2 AS (
+          SELECT e.user_id, min(t1) AS t1, min(t) AS t2
+          FROM e JOIN u1 USING (user_id)
+          WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id
+        ),
+        u3 AS (
+          SELECT e.user_id, min(t1) AS t1, min(t) AS t3
+          FROM e JOIN u2 USING (user_id)
+          WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id
+        ),
+        s2 AS (
+          SELECT 2 AS step, 'click' AS event_type,
+                 CAST(count(*) AS BIGINT) AS users,
+                 round(CAST(SUM(t2 - t1) AS DOUBLE) / count(*) / 1000000, 6)
+                   AS mean_s,
+                 round(quantile_cont(t2 - t1, 0.5) / 1000000, 6) AS p50_s
+          FROM u2
+        ),
+        s3 AS (
+          SELECT 3 AS step, 'purchase' AS event_type,
+                 CAST(count(*) AS BIGINT) AS users,
+                 round(CAST(SUM(t3 - t1) AS DOUBLE) / count(*) / 1000000, 6)
+                   AS mean_s,
+                 round(quantile_cont(t3 - t1, 0.5) / 1000000, 6) AS p50_s
+          FROM u3
+        )
+        SELECT * FROM s2 UNION ALL SELECT * FROM s3 ORDER BY step
+    """
+    d["forward_fill"] = """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_us(ts) AS t,
+                 CASE WHEN event_id % 3 = 0 THEN value END AS value
+          FROM events
+        )
+        SELECT event_id, user_id, value,
+               last_value(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled
+        FROM e ORDER BY event_id
+    """
+    d["dedup_method_agreement"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN dfc USING (shingle) WHERE dfc.df <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+          GROUP BY 1, 2
+        ),
+        lex AS (
+          SELECT id_a, id_b FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+        ),
+        v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        nv AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        sem AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+          WHERE round(list_reduce(list_prepend(0.0,
+                  [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                  (x, y) -> x + y) / (a.nrm * b.nrm), 6) >= 0.4
+        ),
+        j AS (
+          SELECT coalesce(l.id_a, s.id_a) AS id_a,
+                 coalesce(l.id_b, s.id_b) AS id_b,
+                 l.id_a IS NOT NULL AS in_l, s.id_a IS NOT NULL AS in_s
+          FROM lex l FULL OUTER JOIN sem s
+            ON l.id_a = s.id_a AND l.id_b = s.id_b
+        )
+        SELECT CAST(SUM(CASE WHEN in_l THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN in_l AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_both,
+               round(SUM(CASE WHEN in_l AND in_s THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS agreement_jaccard
+        FROM j
     """
     # --- round-6 corpus-analysis operators ---
     d["ngram_novelty"] = r"""

@@ -202,6 +202,9 @@ HEADLINE = [
     # r6 second batch (snapshot_diff excluded: times the fixture writer)
     "knn_graph",
     "markov_stationary",
+    "funnel_conversion_time",
+    "dedup_method_agreement",
+    "forward_fill",
 ]
 
 

@@ -608,3 +608,82 @@ def markov_stationary(
     return events.sparkSession.createDataFrame(
         out, "state string, stationary_micros long, stationary_p double"
     )
+
+
+def funnel_conversion_time(
+    events: DataFrame,
+    steps: Sequence[str],
+    user: str = "user_id",
+    ts: str = "ts_us",
+    event_type: str = "event_type",
+) -> DataFrame:
+    """Time-to-convert per funnel step: for users who reached step i
+    under the same greedy earliest-match the funnel uses, the
+    distribution of (t_i − t_1) — the product question behind every
+    "how long from first view to purchase" dashboard.
+
+    Plan: one keyed min-aggregate per step (|steps| is tiny and fixed),
+    each joined on the user key against the previous step's table —
+    exactly the nested min(ts)-chain the oracle runs, so greedy
+    semantics are identical by construction. Mean rides an exact
+    integer-microsecond sum; p50 is the exact interpolated percentile
+    (both engines define it identically)."""
+    e = events.select(
+        F.col(user).alias("u"), F.col(ts).alias("t"), F.col(event_type).alias("et")
+    )
+    reached = e.filter(F.col("et") == steps[0]).groupBy("u").agg(
+        F.min("t").alias("t1")
+    )
+    prev = reached.select("u", F.col("t1").alias("tp"), "t1")
+    out = []
+    sec = 1_000_000.0
+    for i, s in enumerate(steps[1:], start=2):
+        cur = (
+            e.filter(F.col("et") == s)
+            .join(prev, "u")
+            .filter(F.col("t") > F.col("tp"))
+            .groupBy("u", "t1")
+            .agg(F.min("t").alias("ti"))
+        )
+        delta = F.col("ti") - F.col("t1")
+        out.append(
+            cur.agg(
+                F.lit(i).alias("step"),
+                F.lit(s).alias("event_type"),
+                F.count(F.lit(1)).alias("users"),
+                F.round(F.sum(delta).cast("double") / F.count(F.lit(1)) / sec, 6).alias(
+                    "mean_s"
+                ),
+                F.round(F.percentile(delta, F.lit(0.5)) / sec, 6).alias("p50_s"),
+            )
+        )
+        prev = cur.select("u", F.col("ti").alias("tp"), "t1")
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def forward_fill(
+    events: DataFrame,
+    value: str = "value",
+    user: str = "user_id",
+    ts: str = "ts_us",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Last-observation-carried-forward per user: NULL values take the
+    most recent non-NULL earlier value in the user's event-time order —
+    the gap-repair step for sensor/telemetry-style logs before
+    aggregation. One window exchange keyed on the user (the same key
+    every downstream per-user op reuses); rows before any observation
+    stay NULL by design."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(user)
+        .orderBy(F.col(ts).asc(), F.col(order_tiebreak).asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return events.withColumn(
+        f"{value}_filled", F.last(value, ignorenulls=True).over(w)
+    )

@@ -1068,3 +1068,32 @@ def edit_distance_pairs(
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
         .orderBy("edit_dist", "id_a", "id_b")
     )
+
+
+def pair_set_agreement(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
+    """Agreement report between two near-dup pair sets — the method-
+    comparison table a curation team reads before choosing lexical vs
+    semantic dedup (or before trusting a cheap method to approximate an
+    expensive one): |A|, |B|, |A∩B|, and the pair-set Jaccard.
+
+    Both inputs are (id_a, id_b) with id_a < id_b. ONE full-outer join
+    on the pair key, one scalar aggregate — the sets are pair tables
+    (already candidate-bounded by their producers), so this costs a
+    keyed join of two slim tables, never touching corpus rows."""
+    a = pairs_a.select("id_a", "id_b", F.lit(True).alias("_a"))
+    b = pairs_b.select("id_a", "id_b", F.lit(True).alias("_b"))
+    j = a.join(b, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("_a").isNotNull(), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+        F.round(
+            F.sum(
+                F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("agreement_jaccard"),
+    )

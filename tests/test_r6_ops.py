@@ -175,3 +175,45 @@ def test_snapshot_diff_classification(spark):
         # presence sentinels must classify it unchanged, not added
         "/dir": "unchanged",
     }
+
+
+def test_funnel_conversion_time_greedy_parity(spark):
+    """Greedy earliest-match timing: user 1 converts view(0)->click(5s)
+    ->purchase(9s); user 2 stalls after click; a click BEFORE the first
+    view never counts."""
+    rows = [
+        (1, 1, "view", 0), (1, 2, "click", 5_000_000), (1, 3, "purchase", 9_000_000),
+        (2, 4, "view", 0), (2, 5, "click", 2_000_000),
+        (3, 6, "click", 0), (3, 7, "view", 1_000_000),  # click precedes view
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts_us long"
+    )
+    got = {r["step"]: r for r in behavior.funnel_conversion_time(
+        df, ["view", "click", "purchase"]).collect()}
+    assert got[2]["users"] == 2 and got[2]["mean_s"] == round((5 + 2) / 2, 6)
+    assert got[3]["users"] == 1 and got[3]["mean_s"] == 9.0 and got[3]["p50_s"] == 9.0
+
+
+def test_pair_set_agreement_counts(spark):
+    from nnanalytics_spark.pipeline import dedup
+
+    a = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "id_a long, id_b long")
+    b = spark.createDataFrame([(1, 2), (4, 5)], "id_a long, id_b long")
+    r = dedup.pair_set_agreement(a, b).collect()[0]
+    assert (r["n_a"], r["n_b"], r["n_both"]) == (3, 2, 1)
+    assert r["agreement_jaccard"] == 0.25  # 1 of 4 distinct pairs
+
+
+def test_forward_fill_locf(spark):
+    rows = [
+        (1, 1, None, 0), (1, 2, 5.0, 1), (1, 3, None, 2), (1, 4, 7.0, 3),
+        (1, 5, None, 4),
+        (2, 6, None, 0),  # user 2 never observes: stays NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, value double, ts_us long"
+    )
+    got = {r["event_id"]: r["value_filled"]
+           for r in behavior.forward_fill(df).collect()}
+    assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0, 6: None}
