@@ -289,7 +289,11 @@ def main() -> None:
 
     # Greedy fill, most expensive first: the costly queries carry the
     # perf signal; sub-0.3 s entries are interchangeable noise-floor.
-    budget = 1750
+    # The recorder keeps only a 2000-char stdout tail, so a ~155-query
+    # map (~3.5 KB) physically cannot ride the printed line — the full
+    # map always lands in BENCH_FULL.json (committed per round); the
+    # line carries as many of the most expensive rows as fit.
+    budget = 1840
     ordered = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     shown: dict[str, float] = {}
     for name, secs in ordered:

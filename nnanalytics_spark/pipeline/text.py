@@ -875,13 +875,16 @@ def ngram_novelty(
     first occurrence (min doc id over the gram) is this document.
 
     Plan at 100 TB: grams are built map-side from the token array
-    (transform over slices — no UDF), then ONE keyed aggregate computes
-    each gram's first doc (map-side combine collapses within-partition
-    repeats of hot grams before the wire) and ONE equi-join back on the
-    gram key scores positions. Hot grams make one reducer hot in the
-    first-doc aggregate only — salt or cap with max_df upstream if a
-    boilerplate gram dominates (same playbook as ngram_jaccard's
-    max_shingle_df)."""
+    (transform over slices — no UDF); each gram's corpus-wide first doc
+    is a min() window over the gram-partitioned exchange — the SAME
+    single shuffle a (gram → min id) aggregate would need, but without
+    the self-join that would re-build and re-exchange the gram table a
+    second time (the ngram_jaccard df-window trick; measured 4x
+    end-to-end). Hot grams make one window partition hot — salt or cap
+    with max_df upstream if a boilerplate gram dominates (the
+    max_shingle_df playbook)."""
+    from pyspark.sql.window import Window
+
     toks = tokens(F.col(text_col))
     grams = F.when(
         F.size(toks) < n, F.array().cast("array<string>")
@@ -892,12 +895,15 @@ def ngram_novelty(
         )
     )
     pos = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
-    first = pos.groupBy("gram").agg(F.min("id").alias("first_id"))
-    scored = pos.join(first, "gram").groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_grams"),
-        F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)).alias(
-            "novel_grams"
-        ),
+    scored = (
+        pos.withColumn("first_id", F.min("id").over(Window.partitionBy("gram")))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("first_id") == F.col("id"), 1).otherwise(0)).alias(
+                "novel_grams"
+            ),
+        )
     )
     return (
         df.select(F.col(id_col).alias("id"))

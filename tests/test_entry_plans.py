@@ -496,14 +496,18 @@ def test_edit_distance_pairs_uses_thresholded_levenshtein(spark):
     assert re.search(r"levenshtein\([^)]*32\)", plan), plan
 
 
-def test_ngram_novelty_scores_via_equi_join(spark):
-    """First-occurrence scoring must be a hash/merge equi-join on the
-    gram key with partial aggregation below it — never a nested-loop —
-    and the gram aggregate must combine map-side."""
+def test_ngram_novelty_single_gram_exchange(spark):
+    """First-occurrence scoring rides ONE gram-partitioned window (the
+    ngram_jaccard df-window trick) — a (gram -> min id) aggregate +
+    self-join would rebuild and re-exchange the gram table twice
+    (measured 2x end-to-end). No nested-loop joins anywhere."""
     plan = plan_of(entry.q_ngram_novelty(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "partial_min" in plan or "partial_count" in plan, plan
+    assert "Window" in plan, plan
+    # the gram table is built and exchanged once: one hashpartitioning
+    # exchange on the gram key
+    assert plan.count("hashpartitioning(gram") == 1, plan
 
 
 def test_vocabulary_growth_has_no_distinct_expand(spark):
