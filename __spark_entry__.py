@@ -3920,6 +3920,31 @@ def q_forward_fill(spark, sf):
     ).orderBy("event_id")
 
 
+def q_hard_negatives(spark, sf):
+    """Hard-negative mining (similarity.hard_negatives): each vector's
+    top-5 nearest OTHER-labeled neighbors — the contrastive-training
+    staple, via the same block-decomposed local-top-k kernel as
+    knn_graph with the label mask applied inside the numpy block.
+    rows_per_block=200 forces real multi-block fan-out at gate scale."""
+    return similarity.hard_negatives(
+        _t(spark, sf, "embeddings"), k=5, rows_per_block=200
+    ).orderBy("vec_id", "rank")
+
+
+def q_embedding_dim_stats(spark, sf):
+    """Per-dimension embedding mean/variance (similarity.dim_stats) —
+    the dead/collapsed-dimension detector. One posexplode + one keyed
+    aggregate over 9-dp DECIMAL moments."""
+    return similarity.dim_stats(_t(spark, sf, "embeddings"))
+
+
+def q_embedding_anisotropy(spark, sf):
+    """Mean pairwise cosine WITHOUT pairs (similarity.anisotropy):
+    (‖Σu‖² − n) / (n(n−1)) over unit vectors — one aggregate of
+    per-dimension sums, any scale. The oracle replays the identity."""
+    return similarity.anisotropy(_t(spark, sf, "embeddings"))
+
+
 def q_zipf_slope(spark, sf):
     """Corpus Zipf-fit diagnostic (stats.zipf_slope): OLS of ln(count)
     on ln(rank) over the top-500 vocabulary, moments summed as exact
@@ -4408,6 +4433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # in VERDICT history) and is re-verified at HEAD by
     # tests/test_oracle_battery.py (value hash + dtype parity at
     # sf0.01) every pytest run, so rotation cannot rot silently.
+    # r6 late additions (below the full window; first in line for the
+    # r7 rotation):
+        "hard_negatives": q_hard_negatives,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "embedding_anisotropy": q_embedding_anisotropy,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -8296,6 +8326,71 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(CASE WHEN in_l AND in_s THEN 1 ELSE 0 END)
                      / CAST(count(*) AS DOUBLE), 6) AS agreement_jaccard
         FROM j
+    """
+    d["hard_negatives"] = """
+        WITH v AS (
+          SELECT vec_id, label, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, label, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        p AS (
+          SELECT a.vec_id AS id, b.vec_id AS nbr,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                         (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
+          FROM n a JOIN n b
+            ON a.vec_id != b.vec_id AND a.label != b.label
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY id ORDER BY cos_sim DESC, nbr) AS rank
+          FROM p
+        )
+        SELECT id AS vec_id, CAST(rank AS INT) AS rank, nbr, cos_sim
+        FROM r WHERE rank <= 5 ORDER BY vec_id, rank
+    """
+    d["embedding_dim_stats"] = """
+        WITH v AS (
+          SELECT [CAST(x AS DOUBLE) for x in embedding] AS e FROM embeddings
+        ),
+        pos AS (
+          SELECT i - 1 AS dim,
+                 CAST(round(e[i], 9) AS DECIMAL(18,9)) AS x
+          FROM v, unnest(generate_series(1, len(e))) AS t(i)
+        )
+        SELECT CAST(dim AS INT) AS dim,
+               round(CAST(SUM(x) AS DOUBLE) / count(*), 6) AS mean,
+               round(CAST(SUM(x * x) AS DOUBLE) / count(*)
+                     - (CAST(SUM(x) AS DOUBLE) / count(*))
+                       * (CAST(SUM(x) AS DOUBLE) / count(*)), 6) AS variance
+        FROM pos GROUP BY dim ORDER BY dim
+    """
+    d["embedding_anisotropy"] = """
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n0 AS (
+          SELECT e, sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                     (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        pos AS (
+          SELECT i - 1 AS dim,
+                 CAST(round(e[i] / nrm, 9) AS DECIMAL(18,9)) AS u
+          FROM n0, unnest(generate_series(1, len(e))) AS t(i)
+        ),
+        s AS (SELECT dim, SUM(u) AS s FROM pos GROUP BY 1),
+        cnt AS (SELECT count(*) AS n FROM v)
+        SELECT CAST(n AS BIGINT) AS n_vectors,
+               round((SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - n)
+                     / (n * (n - 1)), 6) AS mean_pairwise_cosine
+        FROM s, cnt GROUP BY n
     """
     # --- round-6 corpus-analysis operators ---
     d["ngram_novelty"] = r"""

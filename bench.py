@@ -205,6 +205,9 @@ HEADLINE = [
     "funnel_conversion_time",
     "dedup_method_agreement",
     "forward_fill",
+    "hard_negatives",
+    "embedding_dim_stats",
+    "embedding_anisotropy",
 ]
 
 

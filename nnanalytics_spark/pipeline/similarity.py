@@ -1172,3 +1172,160 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), F.col("rank"), F.col("nbr"), F.col("cos_sim"))
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Hard-negative mining: each vector's k nearest neighbors among
+    OTHER-labeled vectors — the contrastive-training staple ("the most
+    confusable wrong answers"). Same block-decomposed kernel as
+    knn_graph with the same-label mask applied inside the numpy block
+    (labels ride the blocked rows; masked scores never leave the task),
+    then the global per-id window cut. Deterministic tie-break
+    (cos desc, neighbor id asc) local == global."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    src = df.select(
+        F.col(id_col).alias("id"),
+        F.col(label_col).alias("lbl"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    n = src.count()
+    n_blocks = max(1, math.ceil(n / rows_per_block))
+    blocked = src.withColumn(
+        "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+    )
+    bp = spark.createDataFrame(
+        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
+    )
+    left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
+        "bl", "br", F.lit(0).alias("side"), "id", "lbl", "v"
+    )
+    right = (
+        blocked.join(F.broadcast(bp), F.col("block") == F.col("br"))
+        .filter(F.col("bl") != F.col("br"))
+        .select("bl", "br", F.lit(1).alias("side"), "id", "lbl", "v")
+    )
+    both = left.unionByName(right)
+
+    def local_topk(ids_a, lbl_a, ids_b, lbl_b, sims):
+        out_id, out_nbr, out_sim = [], [], []
+        take = min(k, sims.shape[1])
+        for i in range(sims.shape[0]):
+            row = sims[i].copy()
+            row[(ids_b == ids_a[i]) | (lbl_b == lbl_a[i])] = -np.inf
+            order = np.lexsort((ids_b, -row))[:take]
+            keep = order[np.isfinite(row[order])]
+            out_id.extend([ids_a[i]] * len(keep))
+            out_nbr.extend(ids_b[keep])
+            out_sim.extend(row[keep])
+        return out_id, out_nbr, out_sim
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bl, br = key
+        if bl == br:
+            a = b = pdf
+        else:
+            a = pdf[pdf["side"] == 0]
+            b = pdf[pdf["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id": [], "nbr": [], "cos_sim": []}).astype(
+                {"id": "int64", "nbr": "int64", "cos_sim": "float64"}
+            )
+        a_ids, b_ids = a["id"].to_numpy(), b["id"].to_numpy()
+        a_lbl, b_lbl = a["lbl"].to_numpy(), b["lbl"].to_numpy()
+        a_mat = np.array(list(a["v"]), dtype=np.float64)
+        b_mat = np.array(list(b["v"]), dtype=np.float64)
+        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
+        b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
+        sims = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 6)
+        ia, na, sa = local_topk(a_ids, a_lbl, b_ids, b_lbl, sims)
+        if bl != br:
+            ib, nb, sb = local_topk(b_ids, b_lbl, a_ids, a_lbl, sims.T)
+            ia, na, sa = ia + ib, na + nb, sa + sb
+        return pd.DataFrame({"id": ia, "nbr": na, "cos_sim": sa})
+
+    cands = both.groupBy("bl", "br").applyInPandas(
+        kernel, "id long, nbr long, cos_sim double"
+    )
+    w = W.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "rank", "nbr", "cos_sim")
+    )
+
+
+def dim_stats(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension embedding health report: mean and population
+    variance for every coordinate — the dead/collapsed-dimension
+    detector (a dimension with ~0 variance wastes model capacity; a
+    huge-mean one dominates dot products). One posexplode + one keyed
+    aggregate over exact DECIMAL-quantized moments (values quantize to
+    9 dp first, so Σx and Σx² are order-free and the emitted doubles
+    engine-exact; 18,9 width keeps the x·x product inside both engines'
+    38-digit decimal ceiling)."""
+    dec = "decimal(18,9)"
+    pos = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+    ).select("dim", F.round("x", 9).cast(dec).alias("x"))
+    agg = pos.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sxx = (F.col(c).cast("double") for c in ("n", "sx", "sxx"))
+    return agg.select(
+        "dim",
+        F.round(sx / n, 6).alias("mean"),
+        F.round(sxx / n - (sx / n) * (sx / n), 6).alias("variance"),
+    ).orderBy("dim")
+
+
+def anisotropy(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding anisotropy: the mean pairwise cosine across the whole
+    set — the "does everything point the same way" diagnostic
+    (Ethayarajh 2019); high anisotropy degrades cosine-based retrieval
+    and dedup thresholds alike.
+
+    No pairs are ever materialized: with unit vectors u_i and
+    S = Σ u_i, the mean pairwise cosine is (‖S‖² − n) / (n·(n−1)) —
+    ONE aggregate of the per-dimension sums of normalized coordinates
+    computes it at any scale. Coordinates are 9-dp-quantized before the
+    sum so the oracle replays the identical arithmetic."""
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        ).alias("nrm"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    )
+    sums = pos.select(
+        "dim", F.round(F.col("x") / F.col("nrm"), 9).cast("decimal(18,9)").alias("u")
+    ).groupBy("dim").agg(F.sum("u").alias("s"))
+    n = df.count()
+    return sums.agg(
+        F.lit(n).cast("long").alias("n_vectors"),
+        F.round(
+            (F.sum(F.col("s").cast("double") * F.col("s").cast("double")) - n)
+            / (n * (n - 1)),
+            6,
+        ).alias("mean_pairwise_cosine"),
+    )

@@ -217,3 +217,41 @@ def test_forward_fill_locf(spark):
     got = {r["event_id"]: r["value_filled"]
            for r in behavior.forward_fill(df).collect()}
     assert got == {1: None, 2: 5.0, 3: 5.0, 4: 7.0, 5: 7.0, 6: None}
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from nnanalytics_spark.pipeline import similarity
+
+    rows = [
+        (1, 0, [1.0, 0.0]), (2, 0, [0.9, 0.1]),   # same label as 1
+        (3, 1, [0.8, 0.2]), (4, 1, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    got = {(r["vec_id"], r["rank"]): r["nbr"]
+           for r in similarity.hard_negatives(df, k=2).collect()}
+    # vec 1's hardest negative is 3 (closest OTHER-label), never 2
+    assert got[(1, 1)] == 3
+    assert 2 not in {got.get((1, 1)), got.get((1, 2))}
+    # block decomposition invariance holds with the label mask
+    a = sorted(map(tuple, similarity.hard_negatives(df, k=2, rows_per_block=2).collect()))
+    b = sorted(map(tuple, similarity.hard_negatives(df, k=2).collect()))
+    assert a == b
+
+
+def test_dim_stats_and_anisotropy_closed_form(spark):
+    from nnanalytics_spark.pipeline import similarity
+
+    # two antipodal unit vectors: every dim mean 0; pairwise cos = -1
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [-1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    ds = {r["dim"]: r for r in similarity.dim_stats(df).collect()}
+    assert ds[0]["mean"] == 0.0 and ds[0]["variance"] == 1.0
+    assert ds[1]["mean"] == 0.0 and ds[1]["variance"] == 0.0
+    an = similarity.anisotropy(df).collect()[0]
+    assert an["n_vectors"] == 2 and an["mean_pairwise_cosine"] == -1.0
+    # identical vectors: mean pairwise cosine exactly 1
+    same = spark.createDataFrame(
+        [(i, [0.6, 0.8]) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    assert similarity.anisotropy(same).collect()[0]["mean_pairwise_cosine"] == 1.0
