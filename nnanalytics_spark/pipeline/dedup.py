@@ -608,18 +608,19 @@ def _simhash_block_keys(sigs: DataFrame, blocks: int, bits: int) -> DataFrame:
     for q in range(blocks):
         w = width + (bits - width * blocks if q == blocks - 1 else 0)
         defs.append((q, q * width, w))
+    def field(sh: int, w: int):
+        # a full-width field needs no mask — and (1<<64)-1 would not fit
+        # a signed long literal anyway (the blocks=1 degenerate case)
+        shifted = F.shiftrightunsigned("sig", sh)
+        return shifted if w >= 64 else shifted.bitwiseAND(F.lit((1 << w) - 1))
+
     return sigs.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.shiftrightunsigned("sig", sh)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("v"),
-                    )
+                    F.struct(F.lit(q).alias("q"), field(sh, w).alias("v"))
                     for q, sh, w in defs
                 ]
             )

@@ -128,3 +128,65 @@ names = st.one_of(
 def test_file_type_matches_reference_model(spark, name_list):
     got = run_batch(spark, name_list, "v string", bins.file_type)
     assert got == [py_file_type(n) for n in name_list]
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 63), st.integers(-(2**63), 2**63 - 1)),
+        min_size=2, max_size=24, unique_by=lambda t: t[0],
+    ),
+    st.integers(0, 3),
+)
+def test_simhash_blocks_is_a_pure_fanout_dial(spark, rows, h):
+    """For ANY signature set and ANY max_hamming h, every block count
+    >= h+1 yields the identical pair set (pigeonhole) — the property
+    version of the example-based parity test."""
+    from nnanalytics_spark.pipeline import dedup
+
+    df = spark.createDataFrame(rows, "id long, sig long")
+
+    def pairs(blocks):
+        return {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in dedup.simhash_pairs_from_sigs(df, max_hamming=h, blocks=blocks).collect()
+        }
+
+    base = pairs(h + 1)
+    assert base == pairs(min(h + 3, 8)) == pairs(8)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 10**6),
+                  st.one_of(st.none(), st.floats(-100, 100, allow_nan=False))),
+        min_size=1, max_size=40, unique_by=lambda t: t[1],
+    )
+)
+def test_forward_fill_idempotent_and_null_prefix(spark, rows):
+    """LOCF is idempotent (filling the filled column changes nothing)
+    and never invents values before a user's first observation."""
+    from nnanalytics_spark.pipeline import behavior
+
+    df = spark.createDataFrame(
+        [(u, e, float(e), v) for u, e, v in rows],
+        "user_id long, event_id long, ts_us double, value double",
+    )
+    once = behavior.forward_fill(df)
+    got = {r["event_id"]: r for r in once.collect()}
+    twice = behavior.forward_fill(
+        once.select("user_id", "event_id", "ts_us", F.col("value_filled").alias("value"))
+    )
+    for r in twice.collect():
+        assert r["value_filled"] == got[r["event_id"]]["value_filled"]
+    # per user, rows before the first non-null value stay null
+    by_user: dict = {}
+    for u, e, v in rows:
+        by_user.setdefault(u, []).append((e, v))
+    for u, evs in by_user.items():
+        seen = False
+        for e, v in sorted(evs):
+            if v is not None:
+                seen = True
+            assert (got[e]["value_filled"] is not None) == seen or v is not None
