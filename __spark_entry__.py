@@ -3945,6 +3945,33 @@ def q_embedding_anisotropy(spark, sf):
     return similarity.anisotropy(_t(spark, sf, "embeddings"))
 
 
+def q_training_order(spark, sf):
+    """Deterministic epoch shuffle (sampling.training_order): every doc
+    gets a (shard, position) from the overflow-safe Knuth hash offset by
+    the epoch — the reproducible permutation a corpus layout bakes in so
+    readers never pay a read-time sort. Per-shard row_number window,
+    never a global sort; the oracle replays the modular arithmetic."""
+    from nnanalytics_spark.pipeline import sampling
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    return sampling.training_order(d, shards=8, epoch=1).orderBy("shard", "position")
+
+
+def q_video_scene_change(spark, sf):
+    """Frame-to-frame scene-change intensity (multimodal.scene_change):
+    mean |frame[i+1] − frame[i]| over decoded AVI frames — the
+    static-clip / shot-boundary signal a video curation pass runs before
+    frame sampling. Payloads decode inside mapInPandas (never shuffled);
+    the deterministic 16x8 frame construction makes every number
+    arithmetic in the text's code points, HALF-UP-quantized identically
+    on both engines."""
+    from nnanalytics_spark.pipeline import multimodal
+
+    d = _t(spark, sf, "documents")
+    vids = multimodal.videos_from_documents(d, parallelism=_fanout(spark))
+    return multimodal.scene_change(vids).orderBy("media_id")
+
+
 def q_zipf_slope(spark, sf):
     """Corpus Zipf-fit diagnostic (stats.zipf_slope): OLS of ln(count)
     on ln(rank) over the top-500 vocabulary, moments summed as exact
@@ -4438,6 +4465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negatives": q_hard_negatives,
         "embedding_dim_stats": q_embedding_dim_stats,
         "embedding_anisotropy": q_embedding_anisotropy,
+        "training_order": q_training_order,
+        "video_scene_change": q_video_scene_change,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -8391,6 +8420,58 @@ def oracle_sql() -> dict[str, str]:
                round((SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) - n)
                      / (n * (n - 1)), 6) AS mean_pairwise_cosine
         FROM s, cnt GROUP BY n
+    """
+    _to_m = 1_000_003
+    _to_k = 2654435761 % _to_m
+    d["training_order"] = f"""
+        WITH k AS (
+          SELECT doc_id,
+                 (((doc_id + 40503) % {_to_m}) * {_to_k}) % {_to_m} AS key
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(key % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                 PARTITION BY key % 8 ORDER BY key, doc_id) - 1 AS INT)
+                 AS position
+        FROM k ORDER BY shard, position
+    """
+    d["video_scene_change"] = """
+        WITH f AS (
+          SELECT doc_id, text, length(text) AS n,
+                 greatest(CAST(ceil(length(text) / 128.0) AS INT), 1) AS nf
+          FROM documents
+        ),
+        ch AS (
+          SELECT doc_id, i - 1 AS j, unicode(text[i:i]) AS b
+          FROM f, unnest(generate_series(1, n)) AS t(i)
+        ),
+        pos AS (
+          SELECT doc_id, nf, p - 1 AS j
+          FROM f, unnest(generate_series(1, (nf - 1) * 128)) AS t(p)
+          WHERE nf > 1
+        ),
+        dd AS (
+          SELECT pos.doc_id, pos.nf,
+                 abs(coalesce(r.b, 0) - coalesce(l.b, 0)) AS ad
+          FROM pos
+          LEFT JOIN ch l ON l.doc_id = pos.doc_id AND l.j = pos.j
+          LEFT JOIN ch r ON r.doc_id = pos.doc_id AND r.j = pos.j + 128
+        ),
+        multi AS (
+          SELECT doc_id AS media_id, CAST(max(nf) AS INT) AS n_frames,
+                 CAST(max(nf) - 1 AS INT) AS n_transitions,
+                 floor(CAST(SUM(ad) AS DOUBLE) / ((max(nf) - 1) * 128)
+                       * 1000000 + 0.5) / 1000000 AS mean_abs_diff
+          FROM dd GROUP BY doc_id
+        ),
+        single AS (
+          SELECT doc_id AS media_id, 1 AS n_frames, 0 AS n_transitions,
+                 0.0 AS mean_abs_diff
+          FROM f WHERE nf = 1
+        )
+        SELECT * FROM multi UNION ALL SELECT * FROM single
+        ORDER BY media_id
     """
     # --- round-6 corpus-analysis operators ---
     d["ngram_novelty"] = r"""

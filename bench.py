@@ -208,6 +208,8 @@ HEADLINE = [
     "hard_negatives",
     "embedding_dim_stats",
     "embedding_anisotropy",
+    "training_order",
+    "video_scene_change",
 ]
 
 

@@ -415,3 +415,59 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         rows.append((i, kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+SCENE_SCHEMA = (
+    "media_id long, n_frames int, n_transitions int, mean_abs_diff double"
+)
+
+
+def scene_change(df: DataFrame) -> DataFrame:
+    """Frame-to-frame scene-change intensity for video payloads: mean
+    absolute pixel difference between consecutive decoded frames — the
+    shot-boundary / static-clip detector a video curation pipeline runs
+    before sampling frames (a static clip wastes frame-sample budget;
+    a hard cut marks segment boundaries).
+
+    Arrow mapInPandas over the payload column (frames decode inside the
+    task; payload bytes never shuffle — the multimodal contract). For
+    the deterministic videos_from_documents payloads every number is
+    arithmetic in the text's code points, so the oracle replays the
+    diff exactly. Single-frame videos emit (1, 0, 0.0)."""
+    import math
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, nt, md = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = codecs.decode_avi(payload)["frames"]
+                except (ValueError, TypeError):
+                    ids.append(mid), nf.append(0), nt.append(0), md.append(-1.0)
+                    continue
+                ids.append(mid)
+                nf.append(len(frames))
+                if len(frames) < 2:
+                    nt.append(0), md.append(0.0)
+                    continue
+                stack = np.stack([f.astype(np.int64).ravel() for f in frames])
+                diffs = np.abs(stack[1:] - stack[:-1])
+                nt.append(len(frames) - 1)
+                # exact integer total, then HALF-UP 6-dp quantization via
+                # floor(x*1e6 + 0.5): Python's round() is banker's while
+                # SQL engines round half away — this form is identical
+                # arithmetic on both sides
+                x = int(diffs.sum()) / diffs.size
+                md.append(math.floor(x * 1e6 + 0.5) / 1e6)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_frames": nf,
+                    "n_transitions": nt,
+                    "mean_abs_diff": md,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, SCENE_SCHEMA)

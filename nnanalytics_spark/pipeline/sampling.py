@@ -424,3 +424,36 @@ def quantile_normalize(
         .otherwise(0.0)
         .alias("q_norm"),
     )
+
+
+def training_order(
+    df: DataFrame,
+    shards: int = 8,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    (shard, position) so readers stream shard files in position order
+    and see a reproducible pseudo-random permutation — the epoch
+    shuffle a training pipeline bakes into its data layout rather than
+    paying a full sort at read time. Different epochs derive different
+    permutations from the same ids (the epoch offsets the Knuth hash),
+    so multi-epoch runs reshuffle without re-writing inputs.
+
+    Plan: the shuffle key is pmod((id + epoch·PRIME)·KNUTH, M) — the
+    rand()-free determinism contract every sampler here uses — and the
+    position is a row_number window PER SHARD (partitioned by the shard
+    key, never a global sort). At 100 TB pick shards ≈ task count so
+    each window partition is one writer's worth of data."""
+    from pyspark.sql.window import Window
+
+    m = 1_000_003  # prime modulus: id*KNUTH mod 2^k patterns would bias
+    key = _bucket(F.col(id_col) + F.lit(epoch * 40_503), m)
+    shard = F.pmod(key, F.lit(shards)).cast("int")
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        df.withColumn("sort_key", key)
+        .withColumn("shard", shard)
+        .withColumn("position", F.row_number().over(w) - 1)
+        .drop("sort_key")
+    )

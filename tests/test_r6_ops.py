@@ -255,3 +255,45 @@ def test_dim_stats_and_anisotropy_closed_form(spark):
         [(i, [0.6, 0.8]) for i in range(4)], "vec_id long, embedding array<double>"
     )
     assert similarity.anisotropy(same).collect()[0]["mean_pairwise_cosine"] == 1.0
+
+
+def test_training_order_is_a_permutation(spark):
+    from nnanalytics_spark.pipeline import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    out = sampling.training_order(df, shards=4, epoch=0).collect()
+    assert len(out) == 200
+    # positions are dense 0..k-1 within each shard
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps))), s
+    # deterministic across runs; different epoch -> different order
+    again = sampling.training_order(df, shards=4, epoch=0).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    e1 = {r["doc_id"]: (r["shard"], r["position"])
+          for r in sampling.training_order(df, shards=4, epoch=1).collect()}
+    e0 = {r["doc_id"]: (r["shard"], r["position"]) for r in out}
+    assert e0 != e1
+
+
+def test_video_scene_change_closed_form(spark):
+    """A clip whose second frame differs from the first by +1 on every
+    pixel has mean_abs_diff exactly 1; a static clip scores 0; a
+    single-frame clip emits (1, 0, 0.0)."""
+    from nnanalytics_spark.pipeline import codecs, multimodal
+
+    f = bytes(range(128))
+    f_plus = bytes((b + 1) % 256 for b in f)
+    rows = [
+        (1, "video", codecs.encode_avi(f + f_plus)),
+        (2, "video", codecs.encode_avi(f + f)),
+        (3, "video", codecs.encode_avi(f)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+    got = {r["media_id"]: r for r in multimodal.scene_change(df).collect()}
+    assert (got[1]["n_frames"], got[1]["n_transitions"]) == (2, 1)
+    assert got[1]["mean_abs_diff"] == 1.0
+    assert got[2]["mean_abs_diff"] == 0.0
+    assert (got[3]["n_frames"], got[3]["n_transitions"], got[3]["mean_abs_diff"]) == (1, 0, 0.0)
