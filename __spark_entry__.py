@@ -2305,6 +2305,70 @@ def q_stream_static_join_parity(spark, sf):
     )
 
 
+def q_stream_locf_parity(spark, sf):
+    """EXACT streaming forward-fill (streaming/stateful.py:
+    streaming_forward_fill): values arrive with deterministic gaps
+    (kept only when event_id % 4 = 0) and every key's rows BUFFER in
+    state until the watermark passes its last activity, then flush in
+    event-time LOCF order — so out-of-order arrival inside the horizon
+    cannot produce a stale fill, unlike emit-immediately streaming
+    fills. Two far-future sentinel segments advance the lagging
+    watermark so every key flushes; the sink is then hash-checked
+    against the batch LOCF oracle."""
+    import os
+    import tempfile
+    import time
+
+    from nnanalytics_spark.streaming.stateful import streaming_forward_fill
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        F.when(F.col("event_id") % 4 == 0, F.col("value")).alias("value"),
+    )
+    max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    seg_dir = tempfile.mkdtemp(prefix="nna_locf_seg_")
+    schema = "user_id long, event_id long, ts_ms long, value double"
+    sent1 = spark.createDataFrame([(-1, -1, max_ts + 10 * 86_400_000, None)], schema)
+    sent2 = spark.createDataFrame([(-2, -2, max_ts + 11 * 86_400_000, None)], schema)
+    base_mtime = time.time() - 3600
+    for i, seg in enumerate((ev, sent1, sent2)):
+        path = f"{seg_dir}/seg{i}"
+        seg.coalesce(1).write.parquet(path)
+        for name in os.listdir(path):
+            os.utime(os.path.join(path, name), (base_mtime + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{seg_dir}/*")
+    )
+    out_dir = tempfile.mkdtemp(prefix="nna_locf_sink_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_forward_fill(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    sunk = spark.read.parquet(f"{out_dir}/data")
+    return (
+        sunk.filter(F.col("user_id") >= 0)
+        .select("event_id", "user_id", "value", "value_filled")
+        .orderBy("event_id")
+    )
+
+
 def q_sweep_roundtrip(spark, sf):
     """run_sweep persistence round-trip (§2.9 cache sink analog,
     suggestions.py:213): the periodic sweep writes every cached report as
@@ -4467,6 +4531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_anisotropy": q_embedding_anisotropy,
         "training_order": q_training_order,
         "video_scene_change": q_video_scene_change,
+        "stream_locf_parity": q_stream_locf_parity,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -8280,6 +8345,19 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (
           SELECT event_id, user_id, epoch_us(ts) AS t,
                  CASE WHEN event_id % 3 = 0 THEN value END AS value
+          FROM events
+        )
+        SELECT event_id, user_id, value,
+               last_value(value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY t, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_filled
+        FROM e ORDER BY event_id
+    """
+    d["stream_locf_parity"] = """
+        WITH e AS (
+          SELECT event_id, user_id, epoch_ms(ts) AS t,
+                 CASE WHEN event_id % 4 = 0 THEN value END AS value
           FROM events
         )
         SELECT event_id, user_id, value,

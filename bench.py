@@ -210,6 +210,7 @@ HEADLINE = [
     "embedding_anisotropy",
     "training_order",
     "video_scene_change",
+    "stream_locf_parity",
 ]
 
 

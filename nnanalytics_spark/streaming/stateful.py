@@ -126,3 +126,94 @@ def streaming_sessionization(
         outputMode="update",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_FF_OUTPUT = (
+    "user_id long, event_id long, ts_ms long, value double, value_filled double"
+)
+# buffered rows awaiting their key's horizon; NaN encodes a NULL value
+# (state arrays round-trip through Arrow, which has no null-in-list
+# guarantee across versions — NaN is unambiguous here because real
+# observations are finite doubles)
+_FF_STATE = "ids array<long>, tss array<long>, vals array<double>"
+
+
+def streaming_forward_fill(
+    events: DataFrame,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT last-observation-carried-forward over a stream — including
+    out-of-order arrivals, which the naive "fill from the latest seen
+    observation" streaming version gets wrong (an observation arriving
+    late would leave earlier-emitted gaps stale). Rows buffer in per-key
+    state until the event-time watermark passes the key's last activity,
+    then the whole key emits in event-time order with the same
+    (ts, event_id)-ordered LOCF the batch operator applies — asserted
+    equivalent to behavior.forward_fill in tests/test_streaming.py.
+
+    State is bounded by the watermark horizon per key (rows older than
+    the watermark can no longer be reordered and are flushed); emission
+    is per-key-complete, the right unit for sink-side consumers that
+    need the repaired series. Same applyInPandasWithState shape as
+    streaming_sessionization: EventTimeTimeout eviction, Arrow-batched
+    updates."""
+    import math
+
+    src = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).cast("long").alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+        F.timestamp_millis(F.col(ts_col).cast("long")).alias("ts"),
+    ).withWatermark("ts", "1 hour")
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            ids, tss, vals = state.get
+            state.remove()
+            rows = sorted(zip(tss, ids, vals))
+            filled, last = [], math.nan
+            for _ts, _id, v in rows:
+                if not math.isnan(v):
+                    last = v
+                filled.append(last)
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(rows),
+                    "event_id": [r[1] for r in rows],
+                    "ts_ms": [r[0] for r in rows],
+                    "value": [None if math.isnan(r[2]) else r[2] for r in rows],
+                    "value_filled": [None if math.isnan(f) else f for f in filled],
+                }
+            )
+            return
+        ids, tss, vals = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
+        )
+        for pdf in pdfs:
+            for eid, ts, v in zip(pdf["event_id"], pdf["ts_ms"], pdf["value"]):
+                ids.append(int(eid))
+                tss.append(int(ts))
+                vals.append(math.nan if pd.isna(v) else float(v))
+        state.update((ids, tss, vals))
+        # flush when the watermark passes this key's last activity — no
+        # reordering is possible beyond that point
+        state.setTimeoutTimestamp(max(tss) + 1)
+        yield pd.DataFrame(
+            {"user_id": [], "event_id": [], "ts_ms": [], "value": [], "value_filled": []}
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_FF_OUTPUT,
+        stateStructType=_FF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

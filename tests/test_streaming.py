@@ -351,3 +351,52 @@ def test_watermark_window_parity_drops_and_matches_batch(spark):
         ).collect()
     }
     assert got == expected and len(got) > 0
+
+
+def test_streaming_forward_fill_exact_under_reordering(spark, tmp_path):
+    """Buffered streaming LOCF == batch forward_fill even when an
+    OBSERVATION arrives in a later micro-batch than the gap rows it must
+    fill — the case an emit-immediately streaming fill gets wrong.
+    Sentinel batches advance the watermark so every key flushes."""
+    from nnanalytics_spark.pipeline.behavior import forward_fill
+    from nnanalytics_spark.streaming.stateful import streaming_forward_fill
+
+    MIN = 60 * 1000
+    batch1 = [
+        # user 1: gap rows at 10/20min arrive FIRST...
+        (1, 11, 10 * MIN, None), (1, 12, 20 * MIN, None),
+        (1, 13, 30 * MIN, 7.0),
+    ]
+    batch2 = [
+        # ...then the 5min observation lands late (within the horizon):
+        # rows 11 and 12 must fill with 3.0, not stay NULL
+        (1, 10, 5 * MIN, 3.0),
+        (2, 20, 25 * MIN, None),  # user 2: no observation ever -> NULL
+    ]
+    sentinel1 = [(-1, 0, 49 * 3600 * 1000, None)]
+    sentinel2 = [(-2, 1, 50 * 3600 * 1000, None)]
+    src = str(tmp_path / "locf_stream")
+    schema = "user_id long, event_id long, ts_ms long, value double"
+    for i, b in enumerate((batch1, batch2, sentinel1, sentinel2)):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_forward_fill(stream)
+    rows: list = []
+
+    def sink(batch_df, _epoch):
+        rows.extend(batch_df.collect())
+
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_id"]: r["value_filled"] for r in rows if r["user_id"] > 0}
+    batch_df = spark.createDataFrame(batch1 + batch2, schema).withColumn(
+        "ts_us", F.col("ts_ms") * 1000
+    )
+    want = {r["event_id"]: r["value_filled"] for r in forward_fill(batch_df).collect()}
+    assert got == want
+    assert got[11] == 3.0 and got[12] == 3.0 and got[13] == 7.0
+    assert got[20] is None
