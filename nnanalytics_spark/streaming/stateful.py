@@ -204,11 +204,13 @@ def streaming_forward_fill(
                 vals.append(math.nan if pd.isna(v) else float(v))
         state.update((ids, tss, vals))
         # flush when the watermark passes this key's last activity — no
-        # reordering is possible beyond that point
+        # reordering is possible beyond that point. Nothing is emitted
+        # until then: yielding even an EMPTY frame per group per batch
+        # costs a pandas construction + concat on the Arrow path
+        # (measured ~25% of the whole run at 1.2k keys).
         state.setTimeoutTimestamp(max(tss) + 1)
-        yield pd.DataFrame(
-            {"user_id": [], "event_id": [], "ts_ms": [], "value": [], "value_filled": []}
-        )
+        return
+        yield  # pragma: no cover — makes the function a generator
 
     return src.groupBy("user_id").applyInPandasWithState(
         fold,
