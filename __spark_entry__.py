@@ -8631,23 +8631,25 @@ def oracle_sql() -> dict[str, str]:
     """
     d["vocabulary_growth"] = r"""
         WITH w AS (
-          SELECT CAST((count(*) + 9) // 10 AS BIGINT) AS wd FROM documents
+          SELECT CAST((max(doc_id) - min(doc_id) + 10) // 10 AS BIGINT) AS wd,
+                 min(doc_id) AS lo
+          FROM documents
         ),
         toks AS (
           SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
           FROM documents WHERE length(trim(text)) > 0
         ),
         tb AS (
-          SELECT CAST(doc_id // wd AS INT) AS b, count(*) AS toks
+          SELECT CAST((doc_id - lo) // wd AS INT) AS b, count(*) AS toks
           FROM toks, w GROUP BY 1
         ),
         fo AS (SELECT tok, min(doc_id) AS fid FROM toks GROUP BY 1),
         vb AS (
-          SELECT CAST(fid // wd AS INT) AS b, count(*) AS nv
+          SELECT CAST((fid - lo) // wd AS INT) AS b, count(*) AS nv
           FROM fo, w GROUP BY 1
         ),
         db AS (
-          SELECT CAST(doc_id // wd AS INT) AS b, count(*) AS docs
+          SELECT CAST((doc_id - lo) // wd AS INT) AS b, count(*) AS docs
           FROM documents, w GROUP BY 1
         )
         SELECT db.b AS bucket,

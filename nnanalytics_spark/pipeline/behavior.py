@@ -586,6 +586,12 @@ def markov_stationary(
     the state space upstream if that matters."""
     rows = event_transitions(events, user, ts, event_type).collect()
     states = sorted({r["from_type"] for r in rows})
+    if not states:
+        # no transitions at all (empty log / single-event users): an
+        # empty result, not a ZeroDivisionError from the uniform init
+        return events.sparkSession.createDataFrame(
+            [], "state string, stationary_micros long, stationary_p double"
+        )
     idx = {s: i for i, s in enumerate(states)}
     p_micros = {}
     for r in rows:
@@ -628,6 +634,8 @@ def funnel_conversion_time(
     semantics are identical by construction. Mean rides an exact
     integer-microsecond sum; p50 is the exact interpolated percentile
     (both engines define it identically)."""
+    if len(steps) < 2:
+        raise ValueError("funnel_conversion_time needs at least two steps")
     e = events.select(
         F.col(user).alias("u"), F.col(ts).alias("t"), F.col(event_type).alias("et")
     )

@@ -93,17 +93,25 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
-def wav_features(payload: bytes, n_segments: int = 8) -> list[float]:
-    """Real audio features: per-segment RMS of the decoded PCM signal
-    (centered 8-bit samples), vectorized with numpy."""
-    meta = decode_wav(payload)
-    pcm = np.frombuffer(meta["pcm"], dtype=np.uint8).astype(np.float64) - 128.0
+def pcm_rms(pcm_bytes: "np.ndarray", n_segments: int = 8) -> list[float]:
+    """Per-segment RMS of a decoded uint8 PCM array (centered samples) —
+    the kernel behind wav_features, exposed so single-decode callers
+    (multimodal.extract_features) can reuse an already-decoded array."""
+    pcm = pcm_bytes.astype(np.float64) - 128.0
     if pcm.size == 0:
         return [0.0] * n_segments
     out = []
     for seg in np.array_split(pcm, n_segments):
         out.append(float(np.sqrt(np.mean(seg * seg)) / 128.0) if seg.size else 0.0)
     return out
+
+
+def wav_features(payload: bytes, n_segments: int = 8) -> list[float]:
+    """Real audio features: per-segment RMS of the decoded PCM signal
+    (centered 8-bit samples), vectorized with numpy."""
+    return pcm_rms(
+        np.frombuffer(decode_wav(payload)["pcm"], dtype=np.uint8), n_segments
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -243,14 +251,20 @@ def decode_png(payload: bytes) -> dict:
     return {"width": width, "height": height, "bit_depth": bit_depth, "pixels": px}
 
 
-def png_features(payload: bytes, n_buckets: int = 8) -> list[float]:
-    """Real image features: normalized `n_buckets`-bin intensity histogram
-    of the decoded pixels."""
-    px = decode_png(payload)["pixels"].reshape(-1)
+def intensity_hist(px: "np.ndarray", n_buckets: int = 8) -> list[float]:
+    """Normalized n-bin intensity histogram of a flat uint8 pixel array —
+    the kernel behind png_features/avi_features, exposed for
+    single-decode callers."""
     if px.size == 0:
         return [0.0] * n_buckets
     hist = np.bincount(px >> 5, minlength=n_buckets)[:n_buckets]
     return (hist / px.size).astype(np.float64).tolist()
+
+
+def png_features(payload: bytes, n_buckets: int = 8) -> list[float]:
+    """Real image features: normalized `n_buckets`-bin intensity histogram
+    of the decoded pixels."""
+    return intensity_hist(decode_png(payload)["pixels"].reshape(-1), n_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -428,8 +442,7 @@ def avi_features(payload: bytes, n_buckets: int = 8) -> list[float]:
     decoded frame's pixels (sums to 1), vectorized with numpy."""
     meta = decode_avi(payload)
     px = np.concatenate([f.ravel() for f in meta["frames"]])
-    counts = np.bincount(px >> 5, minlength=n_buckets)[:n_buckets]
-    return (counts / max(px.size, 1)).astype(float).tolist()
+    return intensity_hist(px, n_buckets)
 
 
 def content_summary(payload: bytes | None, kind: str) -> tuple[int, int]:
@@ -444,6 +457,8 @@ def content_summary(payload: bytes | None, kind: str) -> tuple[int, int]:
     2^63 / 255 byte count where a plain sum could wrap)."""
     if payload is None:
         return 0, -1
+    import zlib
+
     try:
         if kind == "image":
             px = decode_png(payload)["pixels"]
@@ -455,6 +470,9 @@ def content_summary(payload: bytes | None, kind: str) -> tuple[int, int]:
             frames = decode_avi(payload)["frames"]
             n = sum(f.size for f in frames)
             return int(n), int(sum(int(f.astype(np.int64).sum()) for f in frames))
-    except ValueError:
+    # corrupt containers surface as struct.error (truncated headers/CRC
+    # fields) or zlib.error (bad IDAT deflate) as readily as ValueError —
+    # all three mean "undecodable", the documented (0, -1) sentinel
+    except (ValueError, struct.error, zlib.error):
         return 0, -1
     return 0, -1

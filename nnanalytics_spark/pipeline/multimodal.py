@@ -92,6 +92,35 @@ def _decode_audio(payload: bytes, kind: str) -> list[float]:
 DECODERS = {"image": _decode_image, "audio": _decode_audio, "video": _decode_video}
 
 
+def _decode_once(kind: str, payload: bytes | None):
+    """(feature, n_content, content_sum) from ONE container decode —
+    the decode is the dominant kernel cost, so feature extraction and
+    the content-integrity pair must not each run it (they did until r6's
+    self-review). Error semantics match the two-call form: image/audio
+    raise on corrupt containers (the deterministic builders can't emit
+    them), video falls back to the codec-blind byte histogram with the
+    (0, -1) corruption sentinel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None:
+        return [0.0] * 8, 0, -1
+    if kind == "image":
+        px = codecs.decode_png(payload)["pixels"].reshape(-1)
+        return codecs.intensity_hist(px), int(px.size), int(px.astype(np.int64).sum())
+    if kind == "audio":
+        pcm = np.frombuffer(codecs.decode_wav(payload)["pcm"], dtype=np.uint8)
+        return codecs.pcm_rms(pcm), int(pcm.size), int(pcm.astype(np.int64).sum())
+    try:
+        frames = codecs.decode_avi(payload)["frames"]
+    except (ValueError, struct.error, zlib.error):
+        return _byte_histogram(payload), 0, -1
+    px = np.concatenate([f.ravel() for f in frames])
+    return codecs.intensity_hist(px), int(px.size), int(px.astype(np.int64).sum())
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
@@ -114,8 +143,8 @@ def extract_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             features, n_contents, content_sums = [], [], []
             for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                features.append(DECODERS[kind](payload, kind))
-                nc, cs = codecs.content_summary(payload, kind)
+                feat, nc, cs = _decode_once(kind, payload)
+                features.append(feat)
                 n_contents.append(nc)
                 content_sums.append(cs)
             yield pd.DataFrame(
@@ -441,10 +470,13 @@ def scene_change(df: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nf, nt, md = [], [], [], []
+            import struct
+            import zlib
+
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     frames = codecs.decode_avi(payload)["frames"]
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, struct.error, zlib.error):
                     ids.append(mid), nf.append(0), nt.append(0), md.append(-1.0)
                     continue
                 ids.append(mid)

@@ -448,7 +448,11 @@ def training_order(
     from pyspark.sql.window import Window
 
     m = 1_000_003  # prime modulus: id*KNUTH mod 2^k patterns would bias
-    key = _bucket(F.col(id_col) + F.lit(epoch * 40_503), m)
+    # reduce the id BEFORE adding the epoch offset: a raw id near 2^63
+    # (xxhash64-derived) plus the offset would overflow int64 — and
+    # modular arithmetic makes pmod(id, m) + off ≡ id + off (mod m), so
+    # the oracle's (id + off) % m replay is unchanged
+    key = _bucket(F.pmod(F.col(id_col).cast("long"), F.lit(m)) + F.lit(epoch * 40_503), m)
     shard = F.pmod(key, F.lit(shards)).cast("int")
     w = Window.partitionBy("shard").orderBy("sort_key", id_col)
     return (

@@ -1078,35 +1078,31 @@ def ivf_search_rounded(
     return scored.orderBy(F.col("cos_sim").desc(), id_col).limit(k)
 
 
-def knn_graph(
+def _blocked_local_topk(
     df: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    rows_per_block: int = 8192,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    rows_per_block: int,
+    label_col: str | None,
 ) -> DataFrame:
-    """Exact cosine k-NN graph — every vector's k nearest neighbors,
-    the substrate for SemDeDup-style pruning, graph-based curation, and
-    ANN recall evaluation.
-
-    Same block decomposition as all_pairs_above_blocked (each row ships
-    to B+1 block-pair groups; O(n²) scores exist only as one numpy
-    block per task), but the kernel keeps each row's LOCAL top-k
-    against the partner block instead of thresholded pairs, so the
-    shuffle out of the kernel carries ≤ n·B·k candidate rows. A
-    row_number window partitioned by id then takes the GLOBAL top-k per
-    vector over that bounded candidate set. The local cut uses the same
-    lexsort tie-break as the global window (cos_sim desc, neighbor id
-    asc), so a tie crossing a local boundary keeps exactly the rows the
-    global window would — deterministic and oracle-exact."""
+    """Shared kernel for knn_graph / hard_negatives: block-decomposed
+    exact cosine with per-row LOCAL top-k inside each block-pair task
+    (shuffle out of the kernel bounded by n·B·k candidate rows), then a
+    global per-id row_number window with the SAME (cos desc, neighbor id
+    asc) tie-break, so a tie crossing a local boundary keeps exactly the
+    rows the global window keeps. ``label_col`` masks same-label
+    neighbors inside the numpy block (the hard-negative variant); None
+    masks only self-pairs."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.window import Window as W
 
     spark = df.sparkSession
-    src = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
-    )
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")]
+    if label_col is not None:
+        cols.insert(1, F.col(label_col).alias("lbl"))
+    src = df.select(*cols)
     n = src.count()
     n_blocks = max(1, math.ceil(n / rows_per_block))
     blocked = src.withColumn(
@@ -1115,105 +1111,14 @@ def knn_graph(
     bp = spark.createDataFrame(
         [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
     )
+    carry = ["id", "lbl", "v"] if label_col is not None else ["id", "v"]
     left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
-        "bl", "br", F.lit(0).alias("side"), "id", "v"
+        "bl", "br", F.lit(0).alias("side"), *carry
     )
     right = (
         blocked.join(F.broadcast(bp), F.col("block") == F.col("br"))
         .filter(F.col("bl") != F.col("br"))
-        .select("bl", "br", F.lit(1).alias("side"), "id", "v")
-    )
-    both = left.unionByName(right)
-
-    def local_topk(ids_a, ids_b, sims):
-        """Per a-row local top-k over b columns, self-pairs masked."""
-        out_id, out_nbr, out_sim = [], [], []
-        take = min(k, sims.shape[1])
-        for i in range(sims.shape[0]):
-            row = sims[i].copy()
-            row[ids_b == ids_a[i]] = -np.inf  # exclude self
-            order = np.lexsort((ids_b, -row))[:take]
-            keep = order[np.isfinite(row[order])]
-            out_id.extend([ids_a[i]] * len(keep))
-            out_nbr.extend(ids_b[keep])
-            out_sim.extend(row[keep])
-        return out_id, out_nbr, out_sim
-
-    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bl, br = key
-        if bl == br:
-            a = b = pdf
-        else:
-            a = pdf[pdf["side"] == 0]
-            b = pdf[pdf["side"] == 1]
-        if a.empty or b.empty:
-            return pd.DataFrame({"id": [], "nbr": [], "cos_sim": []}).astype(
-                {"id": "int64", "nbr": "int64", "cos_sim": "float64"}
-            )
-        a_ids = a["id"].to_numpy()
-        b_ids = b["id"].to_numpy()
-        a_mat = np.array(list(a["v"]), dtype=np.float64)
-        b_mat = np.array(list(b["v"]), dtype=np.float64)
-        a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
-        b_n = np.sqrt((b_mat * b_mat).sum(axis=1))
-        sims = np.round((a_mat @ b_mat.T) / np.outer(a_n, b_n), 6)
-        ia, na, sa = local_topk(a_ids, b_ids, sims)
-        if bl != br:
-            ib, nb, sb = local_topk(b_ids, a_ids, sims.T)
-            ia, na, sa = ia + ib, na + nb, sa + sb
-        return pd.DataFrame({"id": ia, "nbr": na, "cos_sim": sa})
-
-    cands = both.groupBy("bl", "br").applyInPandas(
-        kernel, "id long, nbr long, cos_sim double"
-    )
-    w = W.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())
-    return (
-        cands.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(F.col("id").alias(id_col), F.col("rank"), F.col("nbr"), F.col("cos_sim"))
-    )
-
-
-def hard_negatives(
-    df: DataFrame,
-    k: int = 5,
-    label_col: str = "label",
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    rows_per_block: int = 8192,
-) -> DataFrame:
-    """Hard-negative mining: each vector's k nearest neighbors among
-    OTHER-labeled vectors — the contrastive-training staple ("the most
-    confusable wrong answers"). Same block-decomposed kernel as
-    knn_graph with the same-label mask applied inside the numpy block
-    (labels ride the blocked rows; masked scores never leave the task),
-    then the global per-id window cut. Deterministic tie-break
-    (cos desc, neighbor id asc) local == global."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.window import Window as W
-
-    spark = df.sparkSession
-    src = df.select(
-        F.col(id_col).alias("id"),
-        F.col(label_col).alias("lbl"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-    )
-    n = src.count()
-    n_blocks = max(1, math.ceil(n / rows_per_block))
-    blocked = src.withColumn(
-        "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
-    )
-    bp = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
-    )
-    left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
-        "bl", "br", F.lit(0).alias("side"), "id", "lbl", "v"
-    )
-    right = (
-        blocked.join(F.broadcast(bp), F.col("block") == F.col("br"))
-        .filter(F.col("bl") != F.col("br"))
-        .select("bl", "br", F.lit(1).alias("side"), "id", "lbl", "v")
+        .select("bl", "br", F.lit(1).alias("side"), *carry)
     )
     both = left.unionByName(right)
 
@@ -1222,7 +1127,10 @@ def hard_negatives(
         take = min(k, sims.shape[1])
         for i in range(sims.shape[0]):
             row = sims[i].copy()
-            row[(ids_b == ids_a[i]) | (lbl_b == lbl_a[i])] = -np.inf
+            mask = ids_b == ids_a[i]
+            if lbl_a is not None:
+                mask = mask | (lbl_b == lbl_a[i])
+            row[mask] = -np.inf
             order = np.lexsort((ids_b, -row))[:take]
             keep = order[np.isfinite(row[order])]
             out_id.extend([ids_a[i]] * len(keep))
@@ -1242,7 +1150,8 @@ def hard_negatives(
                 {"id": "int64", "nbr": "int64", "cos_sim": "float64"}
             )
         a_ids, b_ids = a["id"].to_numpy(), b["id"].to_numpy()
-        a_lbl, b_lbl = a["lbl"].to_numpy(), b["lbl"].to_numpy()
+        a_lbl = a["lbl"].to_numpy() if label_col is not None else None
+        b_lbl = b["lbl"].to_numpy() if label_col is not None else None
         a_mat = np.array(list(a["v"]), dtype=np.float64)
         b_mat = np.array(list(b["v"]), dtype=np.float64)
         a_n = np.sqrt((a_mat * a_mat).sum(axis=1))
@@ -1263,6 +1172,39 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select(F.col("id").alias(id_col), "rank", "nbr", "cos_sim")
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Exact cosine k-NN graph — every vector's k nearest neighbors,
+    the substrate for SemDeDup-style pruning, graph-based curation, and
+    ANN recall evaluation. See _blocked_local_topk for the kernel shape
+    (same block decomposition as all_pairs_above_blocked; shuffle out of
+    the kernel ≤ n·B·k candidate rows; deterministic local == global
+    tie-break)."""
+    return _blocked_local_topk(df, k, id_col, vec_col, rows_per_block, None)
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Hard-negative mining: each vector's k nearest neighbors among
+    OTHER-labeled vectors — the contrastive-training staple ("the most
+    confusable wrong answers"). knn_graph's kernel with the same-label
+    mask applied inside the numpy block (labels ride the blocked rows;
+    masked scores never leave the task)."""
+    return _blocked_local_topk(df, k, id_col, vec_col, rows_per_block, label_col)
+
 
 
 def dim_stats(
@@ -1321,6 +1263,12 @@ def anisotropy(
         "dim", F.round(F.col("x") / F.col("nrm"), 9).cast("decimal(18,9)").alias("u")
     ).groupBy("dim").agg(F.sum("u").alias("s"))
     n = df.count()
+    if n < 2:
+        # no pairs exist: emit the count with a NULL statistic instead
+        # of a divide-by-zero (hard error under ANSI mode)
+        return df.sparkSession.createDataFrame(
+            [(n, None)], "n_vectors long, mean_pairwise_cosine double"
+        )
     return sums.agg(
         F.lit(n).cast("long").alias("n_vectors"),
         F.round(

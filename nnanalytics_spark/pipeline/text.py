@@ -1032,19 +1032,29 @@ def vocabulary_growth(
     sum over ``buckets`` rows (a window over a provably tiny table)."""
     from pyspark.sql.window import Window
 
-    n_docs = df.count()  # one cheap metadata-ish job; bounds bucket width
-    width = max((n_docs + buckets - 1) // buckets, 1)
+    # bucket by the id RANGE, not the row count: after an upstream
+    # filter/dedup the ids are sparse, and count-based widths would emit
+    # far more (or fewer) than `buckets` checkpoints. One cheap min/max
+    # pre-pass bounds the width. (For dense 0..n-1 ids this is identical
+    # to the count-based form.)
+    bounds = df.agg(F.min(id_col).alias("lo"), F.max(id_col).alias("hi")).first()
+    if bounds["lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [], "bucket int, docs_so_far long, tokens_so_far long, vocab_size long"
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max((hi - lo + 1 + buckets - 1) // buckets, 1)
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    tok_b = toks.select((F.col("id") / width).cast("int").alias("b"))
+    tok_b = toks.select(((F.col("id") - lo) / width).cast("int").alias("b"))
     per_bucket_tokens = tok_b.groupBy("b").agg(F.count(F.lit(1)).alias("toks"))
     first = toks.groupBy("tok").agg(F.min("id").alias("first_id"))
     per_bucket_vocab = first.select(
-        (F.col("first_id") / width).cast("int").alias("b")
+        ((F.col("first_id") - lo) / width).cast("int").alias("b")
     ).groupBy("b").agg(F.count(F.lit(1)).alias("new_vocab"))
     per_bucket_docs = df.select(
-        (F.col(id_col) / width).cast("int").alias("b")
+        ((F.col(id_col) - lo) / width).cast("int").alias("b")
     ).groupBy("b").agg(F.count(F.lit(1)).alias("docs"))
     w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     return (

@@ -55,15 +55,20 @@ def fetch_namespace(
     and return the local path. ``namenode_url`` is the NN HTTP address
     (e.g. ``http://nn:9870``); the image-transfer servlet path is
     appended. Validates the fsimage magic before keeping the file."""
+    import tempfile
+
     url = namenode_url.rstrip("/") + IMAGE_TRANSFER_PATH
     opener = transport or _default_transport
     os.makedirs(dest_dir, exist_ok=True)
     out_path = os.path.join(dest_dir, filename)
-    tmp_path = out_path + ".part"
+    # unique temp name: two overlapping fetches into the same dir must
+    # never interleave writes into one .part file (the atomic rename
+    # would then publish a mixed image whose magic still validates)
+    fd, tmp_path = tempfile.mkstemp(prefix=filename + ".part.", dir=dest_dir)
     chunk = 1 << 20
     src = opener(url)
     try:
-        with open(tmp_path, "wb") as dst:
+        with os.fdopen(fd, "wb") as dst:
             head = src.read(len(MAGIC))
             if head != MAGIC:
                 raise ValueError(

@@ -212,6 +212,11 @@ def _inflate_sections(
             remaining, written = ln, 0
             while remaining:
                 raw = src.read(min(chunk, remaining))
+                if not raw:
+                    raise ValueError(
+                        f"image truncated inside section {name!r}: "
+                        f"{remaining} of {ln} compressed bytes missing"
+                    )
                 remaining -= len(raw)
                 out = dec.decompress(raw)
                 dst.write(out)
