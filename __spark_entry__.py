@@ -2337,8 +2337,20 @@ def q_stream_locf_parity(spark, sf):
     max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
     seg_dir = tempfile.mkdtemp(prefix="nna_locf_seg_")
     schema = "user_id long, event_id long, ts_ms long, value double"
-    sent1 = spark.createDataFrame([(-1, -1, max_ts + 10 * 86_400_000, None)], schema)
-    sent2 = spark.createDataFrame([(-2, -2, max_ts + 11 * 86_400_000, None)], schema)
+
+    def _sentinel(uid: int, ts: int) -> DataFrame:
+        # JVM-side literal row: createDataFrame(list) routes through a
+        # Python RDD and pays ~5 s of worker spin-up PER WRITE here
+        # (measured — it was 2/3 of this query's wall time)
+        return spark.range(1).select(
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(uid).cast("long").alias("event_id"),
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.lit(None).cast("double").alias("value"),
+        )
+
+    sent1 = _sentinel(-1, max_ts + 10 * 86_400_000)
+    sent2 = _sentinel(-2, max_ts + 11 * 86_400_000)
     base_mtime = time.time() - 3600
     for i, seg in enumerate((ev, sent1, sent2)):
         path = f"{seg_dir}/seg{i}"
@@ -4449,6 +4461,180 @@ def q_partition_prune(spark, sf):
     )
 
 
+# --- r6b additions: retrieval fusion, privacy audits, layout planning,
+# CDC merge, containment dedup, seasonality/decay scoring ---
+
+
+def q_containment_pairs(spark, sf):
+    """ASYMMETRIC n-gram containment pairs (dedup.containment_pairs):
+    C(A→B)=|A∩B|/|A| — catches a short doc wholly embedded in a longer
+    one, which Jaccard dilutes below any usable threshold. Same
+    inverted-shingle-index plan as ngram_jaccard_pairs."""
+    return dedup.containment_pairs(
+        _t(spark, sf, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_rrf_fusion(spark, sf):
+    """Reciprocal-rank fusion (retrieval.rrf_fuse) of two dense rankings
+    (cosine vs vec 0 and vs vec 1 — the multi-vector query-expansion
+    shape). Contributions are INTEGER picos floor(1e12/(60+rank)), so the
+    fused sum is order-free and the oracle replays it exactly."""
+    from nnanalytics_spark.pipeline import retrieval, similarity
+
+    emb = _t(spark, sf, "embeddings")
+    vecs = {
+        i: [float(x) for x in emb.filter(F.col("vec_id") == i).head()[1]]
+        for i in (0, 1)
+    }
+    r0 = similarity.brute_force_topk(emb, vecs[0], k=50)
+    r1 = similarity.brute_force_topk(emb, vecs[1], k=50)
+    return retrieval.rrf_fuse(
+        [r0.withColumnRenamed("cos_sim", "score"), r1.withColumnRenamed("cos_sim", "score")],
+        id_col="vec_id",
+        k_const=60,
+        topk=15,
+    )
+
+
+def q_mmr_rerank(spark, sf):
+    """Maximal-marginal-relevance rerank (retrieval.mmr_rerank): top-24
+    cosine candidates for vec 0 diversified to 6 picks at λ=0.7. The
+    greedy loop runs as ONE bounded-pool applyInPandas task; the oracle
+    unrolls the 6 argmax steps as chained CTEs over the same rounded
+    scores, pinning the pick sequence exactly."""
+    from nnanalytics_spark.pipeline import retrieval, similarity
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
+    pool = (
+        similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=24)
+        .withColumnRenamed("cos_sim", "rel")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    return retrieval.mmr_rerank(pool, k=6, lam=0.7)
+
+
+def q_k_anonymity(spark, sf):
+    """k-anonymity audit summary (privacy.k_anonymity_summary) over the
+    quasi-identifier (user_id, event_type): total classes, sub-k classes,
+    rows at risk, achieved k. Two chained hash aggregates."""
+    from nnanalytics_spark.pipeline import privacy
+
+    return privacy.k_anonymity_summary(
+        _events(spark, sf), ["user_id", "event_type"], k=5
+    )
+
+
+def q_l_diversity(spark, sf):
+    """Distinct-l-diversity violations (privacy.l_diversity_violations):
+    QI=(user_id, event_type, utc_day), sensitive = value-cents mod 10 —
+    classes where every event shares the sensitive bucket leak it even
+    under k-anonymity. Aggregated to per-event_type violation counts so
+    the audit row set stays bounded."""
+    from nnanalytics_spark.pipeline import privacy
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ms div 86400000").alias("utc_day"),
+        (F.floor(F.col("value") * 100) % 10).alias("sens"),
+    )
+    v = privacy.l_diversity_violations(
+        ev, ["user_id", "event_type", "utc_day"], "sens", l_threshold=2
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("violating_classes"),
+        F.sum("class_size").alias("rows_at_risk"),
+    )
+
+
+def q_seasonal_index(spark, sf):
+    """Hour-of-week seasonal index per event type (behavior.
+    seasonal_index): cell mean / group mean in ppm, all-integer
+    arithmetic (sums of cents × counts in DECIMAL), calendar fields from
+    epoch-millis division — engine-exact by construction."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.seasonal_index(_events(spark, sf))
+
+
+def q_time_decay(spark, sf):
+    """Per-user dyadic time-decay engagement score (behavior.
+    time_decay_scores): Σ cents·2^(40−age_days) — exact integers, so the
+    hash aggregate is order-free; the scale factor 2^40 divides out
+    downstream."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.time_decay_scores(_events(spark, sf), horizon_days=40)
+
+
+def q_zorder_layout(spark, sf):
+    """Z-order (Morton) clustering audit (layout.zorder_layout_stats):
+    events bucketed onto a 256×256 (user_id, value-cents) grid with
+    FIXED domain bounds, Morton-interleaved, cut into 16 equal-width
+    z-range shards; per shard the row count and min/max extents on both
+    dimensions — exactly the zone-map inputs that make two-column
+    pruning work where a linear sort only prunes one. Bit arithmetic is
+    codegen-portable (shiftright/AND as sum of disjoint powers)."""
+    from nnanalytics_spark.sources import layout
+
+    ev = _events(spark, sf).withColumn("cents", F.floor(F.col("value") * 100))
+    return layout.zorder_layout_stats(
+        ev, x="user_id", y="cents", x_max=2000.0, y_max=60000.0, bits=8, shards=16
+    )
+
+
+def q_cdc_merge(spark, sf):
+    """Batch CDC merge (streaming/refresh.py:compact_changelog +
+    apply_compacted_changelog): a deterministic 3-segment changelog over
+    the orders snapshot — seq1 re-prices %10==3, seq2 deletes %20==3
+    (latest-wins overrides half of seg 1), seq2 re-prices %10==7, plus
+    seq3 brand-new rows for %1000==1 — compacted to net effects with ONE
+    max_by aggregate and applied via anti-join + union. The result is
+    aggregated per order-status so the merged 150k-row table pins to a
+    compact hash row set."""
+    from nnanalytics_spark.streaming.refresh import apply_compacted_changelog
+
+    o = _t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").alias("cust"),
+        F.floor(F.col("o_totalprice") * 100).alias("cents"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    seg1 = (
+        o.filter(F.col("id") % 10 == 3)
+        .withColumn("cents", F.col("cents") + 100000)
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(1))
+    )
+    seg2d = (
+        o.filter(F.col("id") % 20 == 3)
+        .withColumn("op", F.lit("delete"))
+        .withColumn("seq", F.lit(2))
+    )
+    seg2u = (
+        o.filter(F.col("id") % 10 == 7)
+        .withColumn("cents", F.col("cents") * 2)
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(2))
+    )
+    seg3 = (
+        o.filter(F.col("id") % 1000 == 1)
+        .withColumn("id", F.col("id") + 10_000_000)
+        .withColumn("status", F.lit("N"))
+        .withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(3))
+    )
+    log = seg1.unionByName(seg2d).unionByName(seg2u).unionByName(seg3)
+    merged = apply_compacted_changelog(o, log, key="id", seq="seq", op="op")
+    return merged.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_cents"),
+        F.sum("id").alias("id_checksum"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -4539,6 +4725,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order": q_training_order,
         "video_scene_change": q_video_scene_change,
         "stream_locf_parity": q_stream_locf_parity,
+        "containment_pairs": q_containment_pairs,
+        "rrf_fusion": q_rrf_fusion,
+        "mmr_rerank": q_mmr_rerank,
+        "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
+        "seasonal_index": q_seasonal_index,
+        "time_decay": q_time_decay,
+        "zorder_layout": q_zorder_layout,
+        "cdc_merge": q_cdc_merge,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -8713,5 +8908,266 @@ def oracle_sql() -> dict[str, str]:
         SELECT mi.n_rows, mi.n_x, mi.n_y, mi.mi_nats,
                hx.h AS h_x_nats, hy.h AS h_y_nats
         FROM mi, hx, hy
+    """
+    d["containment_pairs"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(c / sa.n, 6) AS c_ab,
+               round(c / sb.n, 6) AS c_ba
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(c / sa.n, 6) >= 0.5 OR round(c / sb.n, 6) >= 0.5
+    """
+    d["rrf_fusion"] = """
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        q0 AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+        q1 AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 1),
+        s0 AS (
+          SELECT vec_id, round(list_reduce(list_prepend(0.0,
+                   [e[i] * q0.qe[i] for i in range(1, len(e) + 1)]),
+                   (x, y) -> x + y) / (nrm * q0.qn), 6) AS score
+          FROM n, q0
+        ),
+        s1 AS (
+          SELECT vec_id, round(list_reduce(list_prepend(0.0,
+                   [e[i] * q1.qe[i] for i in range(1, len(e) + 1)]),
+                   (x, y) -> x + y) / (nrm * q1.qn), 6) AS score
+          FROM n, q1
+        ),
+        r0 AS (
+          SELECT vec_id, rank FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+            FROM s0) WHERE rank <= 50
+        ),
+        r1 AS (
+          SELECT vec_id, rank FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY score DESC, vec_id) AS rank
+            FROM s1) WHERE rank <= 50
+        ),
+        uni AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+        SELECT vec_id,
+               CAST(sum(CAST(floor(1000000000000 / (60 + rank)) AS BIGINT))
+                    AS BIGINT) AS rrf_picos,
+               CAST(count(*) AS BIGINT) AS n_lists
+        FROM uni GROUP BY vec_id
+        ORDER BY rrf_picos DESC, vec_id LIMIT 15
+    """
+    # MMR oracle: the greedy argmax unrolled as one chained-CTE step per
+    # pick — each step scores round(lam*rel - (1-lam)*max_sim_to_selected, 6)
+    # over the not-yet-selected pool and takes the (score DESC, vec_id)
+    # head, exactly the quantized argmax the Spark kernel applies.
+    # (1.0 - 0.7) is spelled as the SUBTRACTION, not 0.3: IEEE 1.0-0.7 =
+    # 0.30000000000000004, and the kernel computes it that way.
+    _mmr_steps = []
+    for t in range(2, 7):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, t)
+        )
+        _mmr_steps.append(f"""
+        sel{t} AS (
+          SELECT p.vec_id, round(0.7 * p.rel - (1.0 - 0.7) * pen.mx, 6) AS score
+          FROM pool p
+          JOIN (SELECT ia, max(s) AS mx FROM sims
+                WHERE ib IN ({prev}) GROUP BY ia) pen
+            ON pen.ia = p.vec_id
+          WHERE p.vec_id NOT IN ({prev})
+          ORDER BY score DESC, p.vec_id LIMIT 1
+        )""")
+    _mmr_final = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS pick, score AS mmr_score FROM sel{t}"
+        for t in range(1, 7)
+    )
+    d["mmr_rerank"] = (
+        """
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        q AS (SELECT e AS qe, nrm AS qn FROM n WHERE vec_id = 0),
+        pool AS (
+          SELECT vec_id,
+                 round(list_reduce(list_prepend(0.0,
+                   [e[i] * q.qe[i] for i in range(1, len(e) + 1)]),
+                   (x, y) -> x + y) / (nrm * q.qn), 6) AS rel,
+                 e, nrm
+          FROM n, q WHERE vec_id != 0
+          ORDER BY rel DESC, vec_id LIMIT 24
+        ),
+        sims AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 round(list_reduce(list_prepend(0.0,
+                   [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                   (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS s
+          FROM pool a, pool b
+        ),
+        sel1 AS (
+          SELECT vec_id, round(0.7 * rel, 6) AS score FROM pool
+          ORDER BY score DESC, vec_id LIMIT 1
+        ),"""
+        + ",".join(_mmr_steps)
+        + f"""
+        SELECT vec_id, CAST(pick AS INT) AS pick, mmr_score
+        FROM ({_mmr_final})
+    """
+    )
+    d["k_anonymity"] = """
+        WITH classes AS (
+          SELECT user_id, event_type, count(*) AS class_size
+          FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violating_classes,
+               CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END)
+                    AS BIGINT) AS rows_at_risk,
+               CAST(min(class_size) AS BIGINT) AS achieved_k
+        FROM classes
+    """
+    d["l_diversity"] = """
+        WITH ev AS (
+          SELECT user_id, event_type,
+                 epoch_ms(ts) // 86400000 AS utc_day,
+                 CAST(floor(value * 100) AS BIGINT) % 10 AS sens
+          FROM events
+        ),
+        classes AS (
+          SELECT user_id, event_type, utc_day,
+                 count(*) AS class_size,
+                 count(DISTINCT sens) AS l_distinct
+          FROM ev GROUP BY 1, 2, 3
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS violating_classes,
+               CAST(sum(class_size) AS BIGINT) AS rows_at_risk
+        FROM classes WHERE l_distinct < 2
+        GROUP BY event_type
+    """
+    d["seasonal_index"] = """
+        WITH cells AS (
+          SELECT event_type,
+                 ((epoch_ms(ts) // 86400000) + 4) % 7 AS dow,
+                 (epoch_ms(ts) // 3600000) % 24 AS hod,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        agg AS (
+          SELECT event_type, dow, hod,
+                 sum(cents) AS cell_sum, count(*) AS cell_cnt
+          FROM cells GROUP BY 1, 2, 3
+        ),
+        tot AS (
+          SELECT event_type, sum(cell_sum) AS grp_sum, sum(cell_cnt) AS grp_cnt
+          FROM agg GROUP BY 1
+        )
+        SELECT a.event_type, a.dow, a.hod,
+               CAST(a.cell_cnt AS BIGINT) AS cell_cnt,
+               CAST((CAST(a.cell_sum AS HUGEINT) * CAST(t.grp_cnt AS HUGEINT)
+                     * 1000000)
+                    // (CAST(a.cell_cnt AS HUGEINT) * CAST(t.grp_sum AS HUGEINT))
+                    AS BIGINT) AS index_ppm
+        FROM agg a JOIN tot t USING (event_type)
+    """
+    d["time_decay"] = """
+        WITH mx AS (SELECT max(epoch_ms(ts) // 86400000) AS mx_day FROM events),
+        aged AS (
+          SELECT user_id,
+                 mx.mx_day - (epoch_ms(ts) // 86400000) AS age_days,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events, mx
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN age_days BETWEEN 0 AND 40
+                        THEN CAST(cents AS HUGEINT)
+                             * CAST(pow(2.0, 40 - age_days) AS HUGEINT)
+                        ELSE 0 END) AS DECIMAL(38,0)) AS decayed_cents_x2h
+        FROM aged GROUP BY user_id
+    """
+    _zbits = " + ".join(
+        f"((xb >> {i}) & 1) * {1 << (2 * i)} + ((yb >> {i}) & 1) * {1 << (2 * i + 1)}"
+        for i in range(8)
+    )
+    d["zorder_layout"] = f"""
+        WITH b AS (
+          SELECT LEAST(255, CAST(floor(CAST(user_id AS DOUBLE) * 256 / 2000.0)
+                                 AS BIGINT)) AS xb,
+                 LEAST(255, CAST(floor(CAST(floor(value * 100) AS DOUBLE) * 256
+                                       / 60000.0) AS BIGINT)) AS yb
+          FROM events
+        ),
+        z AS (SELECT xb, yb, {_zbits} AS zv FROM b)
+        SELECT LEAST(15, CAST(floor(zv * 16 / 65536) AS BIGINT)) AS shard,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(xb) AS x_min, max(xb) AS x_max,
+               min(yb) AS y_min, max(yb) AS y_max
+        FROM z GROUP BY 1
+    """
+    d["cdc_merge"] = """
+        WITH o AS (
+          SELECT o_orderkey AS id, o_custkey AS cust,
+                 CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+                 o_orderstatus AS status
+          FROM orders
+        ),
+        log AS (
+          SELECT id, cust, cents + 100000 AS cents, status,
+                 'upsert' AS op, 1 AS seq FROM o WHERE id % 10 = 3
+          UNION ALL
+          SELECT id, cust, cents, status, 'delete', 2 FROM o WHERE id % 20 = 3
+          UNION ALL
+          SELECT id, cust, cents * 2, status, 'upsert', 2 FROM o WHERE id % 10 = 7
+          UNION ALL
+          SELECT id + 10000000, cust, cents, 'N', 'upsert', 3
+          FROM o WHERE id % 1000 = 1
+        ),
+        net AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (
+                      PARTITION BY id ORDER BY seq DESC, op DESC) AS rn
+            FROM log) WHERE rn = 1
+        ),
+        merged AS (
+          SELECT id, cust, cents, status FROM o
+          WHERE id NOT IN (SELECT id FROM net)
+          UNION ALL
+          SELECT id, cust, cents, status FROM net WHERE op = 'upsert'
+        )
+        SELECT status, CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(id) AS BIGINT) AS id_checksum
+        FROM merged GROUP BY status
     """
     return d

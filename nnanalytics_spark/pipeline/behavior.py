@@ -695,3 +695,106 @@ def forward_fill(
     return events.withColumn(
         f"{value}_filled", F.last(value, ignorenulls=True).over(w)
     )
+
+
+def seasonal_index(
+    events: DataFrame,
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    group: str = "event_type",
+) -> DataFrame:
+    """Hour-of-week seasonality profile per group: for each
+    (group, day-of-week, hour) cell, the ratio of the cell's mean value
+    to the group's overall mean, in parts-per-million — the classic
+    seasonal-naive baseline/index used to deseasonalize event streams
+    before anomaly scoring (hourly_anomalies is the z-score complement;
+    this is the multiplicative profile).
+
+    Calendar fields derive from INTEGER epoch-millis arithmetic
+    (dow = (epoch_day + 4) % 7 with 0=Sunday — 1970-01-01 was a
+    Thursday; hour = (ms div 3_600_000) % 24), not from the engine's
+    dayofweek()/hour(), whose numbering and timezone conventions differ
+    across engines — the same UTC-integer recipe the time-bucket
+    histograms use.
+
+    Exact-integer parity: means never materialize as floats. With
+    value quantized to cents, index = (cell_sum · group_cnt · 1e6) /
+    (cell_cnt · group_sum) — all integers, the division done once in
+    DECIMAL(38,0) so the floor is engine-exact and the sum order can't
+    matter. Plan: ONE aggregate over (group, dow, hour), then a
+    broadcast-sized per-group totals join (|groups| rows)."""
+    dec = "decimal(38,0)"
+    cells = (
+        events.select(
+            F.col(group).alias("grp"),
+            F.expr(f"(({ts_ms} div 86400000) + 4) % 7").alias("dow"),
+            F.expr(f"({ts_ms} div 3600000) % 24").alias("hod"),
+            F.floor(F.col(value) * 100).alias("cents"),
+        )
+        .groupBy("grp", "dow", "hod")
+        .agg(F.sum("cents").alias("cell_sum"), F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    totals = cells.groupBy("grp").agg(
+        F.sum("cell_sum").alias("grp_sum"), F.sum("cell_cnt").alias("grp_cnt")
+    )
+    return (
+        cells.join(F.broadcast(totals), "grp")
+        .withColumn(
+            "num",
+            F.col("cell_sum").cast(dec)
+            * F.col("grp_cnt").cast(dec)
+            * F.lit(1_000_000).cast(dec),
+        )
+        .withColumn("den", F.col("cell_cnt").cast(dec) * F.col("grp_sum").cast(dec))
+        # `div` (integral division) instead of decimal `/`: Spark's
+        # decimal divide rounds HALF_UP at a derived scale while other
+        # engines truncate — div is floor-exact on positive integers in
+        # every engine
+        .withColumn("index_ppm", F.expr("CAST(num div den AS LONG)"))
+        .select(
+            F.col("grp").alias(group), "dow", "hod", "cell_cnt", "index_ppm"
+        )
+    )
+
+
+def time_decay_scores(
+    events: DataFrame,
+    user: str = "user_id",
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+    horizon_days: int = 40,
+) -> DataFrame:
+    """Recency-weighted engagement score per user: each event contributes
+    value · 2^(−age_days), age in whole UTC days (epoch-millis div
+    86_400_000 — integer calendar math, no timezone/dayofweek traps)
+    behind the stream's max timestamp, truncated to zero past
+    ``horizon_days`` (2^-40 ≈ 1e-12 — already below any ranking-relevant
+    resolution). The dyadic (power-of-two per day) kernel is chosen
+    deliberately: cents · 2^(horizon − age) is an exact INTEGER, so the
+    per-user sum is order-free and engine-exact where a float e^(−λ·age)
+    sum would be addition-order-dependent. Emits scaled integer scores
+    (score · 2^horizon, in cents).
+
+    Plan: the max-ts scalar broadcasts into the row expression (subquery,
+    no collect); then ONE hash aggregate on the user. Per-term magnitude
+    cents·2^40 ≈ 1e17 → DECIMAL(38,0) terms hold > 1e20 rows per user."""
+    dec = "decimal(38,0)"
+    max_ts = events.agg(F.max(F.expr(f"{ts_ms} div 86400000")).alias("mx_day"))
+    aged = events.crossJoin(F.broadcast(max_ts)).select(
+        F.col(user).alias("user"),
+        (F.col("mx_day") - F.expr(f"{ts_ms} div 86400000")).alias("age_days"),
+        F.floor(F.col(value) * 100).alias("cents"),
+    )
+    weighted = aged.withColumn(
+        "term",
+        F.when(
+            (F.col("age_days") >= 0) & (F.col("age_days") <= horizon_days),
+            F.col("cents").cast(dec)
+            * F.pow(F.lit(2.0), F.lit(horizon_days) - F.col("age_days")).cast(dec),
+        ).otherwise(F.lit(0).cast(dec)),
+    )
+    return (
+        weighted.groupBy("user")
+        .agg(F.sum("term").cast(dec).alias("decayed_cents_x2h"))
+        .select(F.col("user").alias(user), "decayed_cents_x2h")
+    )

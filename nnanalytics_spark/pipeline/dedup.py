@@ -182,6 +182,49 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs: C(A→B) = |A∩B| / |A|
+    (Broder's containment, the quantity Jaccard misses) — the detector
+    for sub-document duplication, where a short document is wholly
+    embedded in a longer one but the pair's Jaccard is diluted by the
+    host's extra content. Emits (id_a, id_b, c_ab, c_ba) for pairs where
+    EITHER direction's containment clears the threshold.
+
+    Same inverted-shingle-index plan as ngram_jaccard_pairs (one
+    xxhash64-keyed self-join + one aggregate; set sizes ride the exploded
+    postings), so the pair space never exceeds co-occurring candidates
+    and the shuffle keys are 8-byte hashes. The same hot-shingle caveat
+    applies: for skewed corpora run the Jaccard op's bounded variant
+    first to pick a stop-shingle df, then feed the same bound here."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh")
+    ).select("id", F.size("sh").alias("ns"), F.explode("sh").alias("shingle")).select(
+        "id", "ns", F.xxhash64("shingle").alias("sg")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.ns")).alias("size_a"),
+            F.first(F.col("b.ns")).alias("size_b"),
+        )
+    )
+    return (
+        common.withColumn("c_ab", F.round(F.col("n_common") / F.col("size_a"), 6))
+        .withColumn("c_ba", F.round(F.col("n_common") / F.col("size_b"), 6))
+        .filter((F.col("c_ab") >= threshold) | (F.col("c_ba") >= threshold))
+        .select("id_a", "id_b", "c_ab", "c_ba")
+    )
+
+
 def ngram_occurrences(text_col: Column, n: int = 8) -> Column:
     """All positional word n-grams (NON-distinct, one per start token) —
     the span-level unit for substring-style dedup. Same single-pass

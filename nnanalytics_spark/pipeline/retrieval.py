@@ -84,3 +84,146 @@ def bm25_topk(
         .limit(k)
         .select(F.col("id").alias(id_col), "score")
     )
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k_const: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists (Cormack et al.:
+    score(d) = Σ_lists 1/(k + rank_list(d))) — the standard way to merge a
+    lexical ranking (bm25_topk) with a dense one (brute_force_topk /
+    ivf_topk) without score calibration.
+
+    Determinism + scale notes: each input is already a bounded top-k list
+    (that is RRF's contract — rank positions only exist within a finite
+    list), so the per-list row_number window over ≤k rows is not a scale
+    hazard; the fusion itself is a union + one hash aggregate on the id.
+    Fused scores are kept in INTEGER picos — contribution
+    floor(1e12/(k + rank)) — so the sum is order-free and engine-exact
+    (a float Σ 1/(k+r) would be addition-order-dependent under hash
+    aggregation); the 1e-12 quantization cannot reorder ranks because
+    distinct reciprocal gaps at k≤10000 exceed 1e-8."""
+    from pyspark.sql import Window as W
+
+    ranked = []
+    for i, r in enumerate(rankings):
+        w = W.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            r.select(
+                F.col(id_col).alias("id"),
+                F.row_number().over(w).alias("rank"),
+                F.lit(i).alias("list_id"),
+            )
+        )
+    uni = ranked[0]
+    for r in ranked[1:]:
+        uni = uni.unionByName(r)
+    fused = (
+        uni.withColumn(
+            "contrib", F.floor(F.lit(10**12) / (F.lit(k_const) + F.col("rank")))
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("contrib").alias("rrf_picos"),
+            F.count(F.lit(1)).alias("n_lists"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_picos"), F.asc("id"))
+        .limit(topk)
+        .select(F.col("id").alias(id_col), "rrf_picos", "n_lists")
+    )
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    k: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein) of a
+    BOUNDED candidate pool: iteratively pick
+    argmax_d lam·rel(d) − (1−lam)·max_{s∈selected} cos(d, s),
+    emitting the pick order. The greedy loop is inherently sequential in
+    k, so it runs as ONE applyInPandas task per pool — correct at scale
+    because the pool is top-n-bounded BY CONSTRUCTION upstream (an ANN /
+    BM25 candidate step); with ``group_cols`` (e.g. query_id) thousands of
+    pools rerank in parallel, one task each, and the big corpus is only
+    touched by the candidate-generation scan that produced the pools.
+
+    Engine parity: scores are rounded to 6 dp before each argmax and ties
+    break on ascending id — the same quantized-boundary recipe the cosine
+    pair ops use — so an unrolled per-step SQL oracle reproduces the pick
+    sequence exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    gcols = list(group_cols)
+    out_schema = StructType(
+        [pool.schema[c] for c in gcols]
+        + [
+            StructField(id_col, LongType()),
+            StructField("pick", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def select_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)[order]
+        mat = np.array(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        unit = mat / norms[:, None]
+        sims = np.round(unit @ unit.T, 6)
+        chosen: list[int] = []
+        remaining = list(range(len(ids)))
+        scores: list[float] = []
+        for _step in range(min(k, len(ids))):
+            if chosen:
+                penalty = sims[np.ix_(remaining, chosen)].max(axis=1)
+            else:
+                penalty = np.zeros(len(remaining))
+            cand = np.round(
+                lam * np.round(rel[remaining], 6) - (1.0 - lam) * penalty, 6
+            )
+            # ids are ascending within `remaining`, so argmax's first-max
+            # rule IS the ascending-id tie-break
+            best = int(np.argmax(cand))
+            scores.append(float(cand[best]))
+            chosen.append(remaining.pop(best))
+        res = pd.DataFrame(
+            {
+                id_col: ids[chosen],
+                "pick": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "mmr_score": scores,
+            }
+        )
+        for c in gcols:
+            res.insert(0, c, pdf[c].iloc[0])
+        return res
+
+    if gcols:
+        return pool.groupBy(*gcols).applyInPandas(select_block, out_schema)
+    return pool.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
+        lambda pdf: select_block(pdf.drop(columns="__g")), out_schema
+    )

@@ -369,3 +369,77 @@ def snapshot_diff(old, new, key: str = "path", compare: tuple = ("fileSize", "mo
         *[F.col(f"old_{c}") for c in compare],
         *[F.col(f"new_{c}") for c in compare],
     )
+
+
+def zorder_key(x_col, y_col, bits: int = 8):
+    """Morton (Z-order) interleave of two ``bits``-bit bucket ids into
+    one sort key: bit i of x lands at position 2i, bit i of y at 2i+1.
+    Pure bit arithmetic (shiftright / AND / OR via sum of disjoint
+    powers) — codegen expressions, engine-portable, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (
+            z
+            + (F.shiftright(x_col.cast("long"), i).bitwiseAND(1) * (1 << (2 * i)))
+            + (F.shiftright(y_col.cast("long"), i).bitwiseAND(1) * (1 << (2 * i + 1)))
+        )
+    return z
+
+
+def zorder_layout_stats(
+    df: DataFrame,
+    x: str,
+    y: str,
+    x_max,
+    y_max,
+    bits: int = 8,
+    shards: int = 16,
+) -> DataFrame:
+    """Z-order clustering audit: bucket two columns onto a 2^bits grid
+    (linear min-max scaling against CALLER-SUPPLIED domain bounds, so the
+    grid is stable as data arrives — a data-derived max would reshuffle
+    history), interleave into a Morton key, cut the key range into
+    equal-width shards, and report each shard's row count and min/max
+    extent on BOTH source columns.
+
+    This is the planning half of multi-dimensional clustering (the
+    Delta/Iceberg OPTIMIZE ZORDER idea): with a linear sort on x, a
+    filter on y scans every file; with the Morton sort, each shard
+    covers a bounded rectangle so zone-map pruning (layout.zone_map /
+    prune_files) works on BOTH columns. The emitted extents are exactly
+    what the pruning decision needs, and the shard id is what a
+    repartitionByRange(z) writer would use. One aggregate on the shard
+    id; the z key is row-local arithmetic."""
+    from pyspark.sql import functions as F
+
+    grid = 1 << bits
+    xb = F.least(
+        F.lit(grid - 1),
+        F.floor(F.col(x).cast("double") * grid / F.lit(float(x_max))).cast("long"),
+    )
+    yb = F.least(
+        F.lit(grid - 1),
+        F.floor(F.col(y).cast("double") * grid / F.lit(float(y_max))).cast("long"),
+    )
+    z = zorder_key(xb, yb, bits)
+    zspace = 1 << (2 * bits)
+    shard = F.least(
+        F.lit(shards - 1), F.floor(z * F.lit(shards) / F.lit(zspace)).cast("long")
+    )
+    return (
+        df.select(
+            shard.alias("shard"),
+            xb.alias("xb"),
+            yb.alias("yb"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("xb").alias("x_min"),
+            F.max("xb").alias("x_max"),
+            F.min("yb").alias("y_min"),
+            F.max("yb").alias("y_max"),
+        )
+    )

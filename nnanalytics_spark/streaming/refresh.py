@@ -166,3 +166,38 @@ def streaming_dedup(
     return docs_stream.withWatermark(event_time, horizon).dropDuplicatesWithinWatermark(
         [key]
     )
+
+
+def compact_changelog(
+    changelog: DataFrame, key: str = "id", seq: str = "seq", op: str = "op"
+) -> DataFrame:
+    """Collapse an ordered CDC changelog (Debezium-style rows with a
+    per-key monotonic sequence and op in {'upsert','delete'}) to its NET
+    effect: the single highest-seq entry per key. ONE max_by hash
+    aggregate — no window sort over the log, so a billion-row log
+    compacts with a single shuffle on the key. Equal-seq ties (a replayed
+    log segment) resolve deterministically upsert-over-delete via the
+    (seq, op) ordering struct; 'u' > 'd' makes the lexicographic max pick
+    the upsert."""
+    payload = F.struct(*[F.col(c) for c in changelog.columns])
+    latest = changelog.groupBy(key).agg(
+        F.max_by(payload, F.struct(F.col(seq), F.col(op))).alias("net")
+    )
+    return latest.select([F.col(f"net.{c}").alias(c) for c in changelog.columns])
+
+
+def apply_compacted_changelog(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    key: str = "id",
+    seq: str = "seq",
+    op: str = "op",
+) -> DataFrame:
+    """Batch MERGE INTO: compact the changelog to net effects, then
+    delete-or-replace touched keys and append the upsert payloads —
+    anti-join + union, both hash-partitioned on the key (the jar-free
+    equivalent of Delta's MERGE, same shape apply_changelog_batch uses
+    per micro-batch, generalized to multi-entry-per-key logs)."""
+    net = compact_changelog(changelog, key=key, seq=seq, op=op)
+    upserts = net.filter(F.col(op) == "upsert").drop(op, seq)
+    return snapshot.join(net.select(key), key, "left_anti").unionByName(upserts)

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -176,19 +177,21 @@ def streaming_forward_fill(
         if state.hasTimedOut:
             ids, tss, vals = state.get
             state.remove()
-            rows = sorted(zip(tss, ids, vals))
-            filled, last = [], math.nan
-            for _ts, _id, v in rows:
-                if not math.isnan(v):
-                    last = v
-                filled.append(last)
+            # vectorized flush: lexsort on (ts, id), then pandas ffill is
+            # exactly (ts, event_id)-ordered LOCF; NaN survives Arrow as
+            # the null the output schema expects
+            a_ids = np.asarray(ids, dtype=np.int64)
+            a_tss = np.asarray(tss, dtype=np.int64)
+            a_vals = np.asarray(vals, dtype=np.float64)
+            order = np.lexsort((a_ids, a_tss))
+            a_ids, a_tss, a_vals = a_ids[order], a_tss[order], a_vals[order]
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]] * len(rows),
-                    "event_id": [r[1] for r in rows],
-                    "ts_ms": [r[0] for r in rows],
-                    "value": [None if math.isnan(r[2]) else r[2] for r in rows],
-                    "value_filled": [None if math.isnan(f) else f for f in filled],
+                    "user_id": np.full(len(a_ids), key[0], dtype=np.int64),
+                    "event_id": a_ids,
+                    "ts_ms": a_tss,
+                    "value": a_vals,
+                    "value_filled": pd.Series(a_vals).ffill().to_numpy(),
                 }
             )
             return
@@ -198,10 +201,10 @@ def streaming_forward_fill(
             else ([], [], [])
         )
         for pdf in pdfs:
-            for eid, ts, v in zip(pdf["event_id"], pdf["ts_ms"], pdf["value"]):
-                ids.append(int(eid))
-                tss.append(int(ts))
-                vals.append(math.nan if pd.isna(v) else float(v))
+            ids.extend(pdf["event_id"].astype("int64").tolist())
+            tss.extend(pdf["ts_ms"].astype("int64").tolist())
+            # astype(float64) maps pandas nulls (None/NA) to NaN in one pass
+            vals.extend(pdf["value"].astype("float64").tolist())
         state.update((ids, tss, vals))
         # flush when the watermark passes this key's last activity — no
         # reordering is possible beyond that point. Nothing is emitted

@@ -1,0 +1,181 @@
+"""Unit tests for the r6b operators: containment pairs, RRF fusion, MMR
+rerank, privacy audits (k-anonymity / l-diversity), seasonal index,
+dyadic time-decay scores, z-order layout, CDC changelog compaction —
+closed-form fixtures with hand-computed expectations (the driver oracle
+battery covers sf-scale parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.pipeline import behavior, dedup, privacy, retrieval
+from nnanalytics_spark.sources import layout
+from nnanalytics_spark.streaming.refresh import (
+    apply_compacted_changelog,
+    compact_changelog,
+)
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    # doc 2 (4 shingles) is wholly embedded in doc 1 (12 shingles):
+    # containment C(2→1) = 1.0 while jaccard = 4/12 = 0.33
+    host = "a b c d e f " + "p q r s t u v w"
+    docs = spark.createDataFrame(
+        [(1, host), (2, "a b c d e f"), (3, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    # id_a < id_b, so c_ab is containment of doc 1 IN doc 2's direction:
+    # |∩|/|sh(1)| = 4/12, c_ba = 4/4 = 1.0
+    assert r["c_ba"] == 1.0
+    assert abs(r["c_ab"] - round(4 / 12, 6)) < 1e-9
+    # jaccard on the same pair would be 4/12 — below any dedup threshold
+    jac = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    assert not [x for x in jac if (x["id_a"], x["id_b"]) == (1, 2)]
+
+
+def test_rrf_fuse_integer_picos_and_consensus(spark):
+    # doc 10 is rank 2 in both lists; doc 1 rank 1 in list A only,
+    # doc 2 rank 1 in list B only. RRF favors the consensus doc:
+    # 2*floor(1e12/62) > floor(1e12/61) + floor(1e12/63)
+    a = spark.createDataFrame(
+        [(1, 0.9), (10, 0.8), (3, 0.1)], "doc_id long, score double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.9), (10, 0.8), (4, 0.1)], "doc_id long, score double"
+    )
+    got = retrieval.rrf_fuse([a, b], topk=10).collect()
+    assert got[0]["doc_id"] == 10
+    assert got[0]["rrf_picos"] == 2 * (10**12 // 62)
+    assert got[0]["n_lists"] == 2
+    by_id = {r["doc_id"]: r["rrf_picos"] for r in got}
+    assert by_id[1] == by_id[2] == 10**12 // 61
+
+
+def test_mmr_rerank_prefers_diverse_second_pick(spark):
+    # candidate 1 is the best match; candidate 2 is a near-clone of 1
+    # (cos ≈ 1), candidate 3 is orthogonal with slightly lower rel.
+    # Plain ranking picks (1, 2, 3); MMR at λ=0.7 must pick 3 second.
+    rows = [
+        (1, [1.0, 0.0], 0.99),
+        (2, [0.999, 0.045], 0.98),
+        (3, [0.0, 1.0], 0.60),
+    ]
+    pool = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, rel double"
+    )
+    got = retrieval.mmr_rerank(pool, k=3, lam=0.7).orderBy("pick").collect()
+    assert [r["vec_id"] for r in got] == [1, 3, 2]
+    assert [r["pick"] for r in got] == [1, 2, 3]
+    # step-1 score is just λ·rel
+    assert abs(got[0]["mmr_score"] - round(0.7 * 0.99, 6)) < 1e-9
+
+
+def test_k_anonymity_summary_and_violations(spark):
+    df = spark.createDataFrame(
+        [(30, "m")] * 5 + [(30, "f")] * 2 + [(40, "m")],
+        "age long, sex string",
+    )
+    v = privacy.k_anonymity_violations(df, ["age", "sex"], k=5).collect()
+    assert {(r["age"], r["sex"], r["class_size"]) for r in v} == {
+        (30, "f", 2),
+        (40, "m", 1),
+    }
+    s = privacy.k_anonymity_summary(df, ["age", "sex"], k=5).head()
+    assert (s["n_classes"], s["violating_classes"]) == (3, 2)
+    assert (s["rows_at_risk"], s["achieved_k"]) == (3, 1)
+
+
+def test_l_diversity_flags_uniform_sensitive_class(spark):
+    df = spark.createDataFrame(
+        [(30, "a", "flu"), (30, "a", "flu"), (30, "b", "flu"), (30, "b", "cold")],
+        "age long, zip string, dx string",
+    )
+    v = privacy.l_diversity_violations(df, ["age", "zip"], "dx", 2).collect()
+    assert len(v) == 1 and v[0]["zip"] == "a" and v[0]["l_distinct"] == 1
+
+
+def test_seasonal_index_uniform_series_is_flat_1e6(spark):
+    # constant value ⇒ every cell mean equals the group mean exactly
+    rows = [(i, 3_600_000 * i, 2.5, "x") for i in range(48)]
+    ev = spark.createDataFrame(rows, "event_id long, ts_ms long, value double, event_type string")
+    got = behavior.seasonal_index(ev).collect()
+    assert len(got) == 48
+    assert all(r["index_ppm"] == 1_000_000 for r in got)
+    # hour-of-week fields derive from epoch millis: hour 0 of day 0 is
+    # (epoch_day 0 + 4) % 7 = Thursday=4
+    first = [r for r in got if r["hod"] == 0][0]
+    assert first["dow"] == 4
+
+
+def test_time_decay_scores_dyadic_exactness(spark):
+    day = 86_400_000
+    ev = spark.createDataFrame(
+        [(7, 2 * day, 3.00), (7, 1 * day, 1.00), (8, 2 * day, 0.50)],
+        "user_id long, ts_ms long, value double",
+    )
+    got = {
+        r["user_id"]: int(r["decayed_cents_x2h"])
+        for r in behavior.time_decay_scores(ev, horizon_days=40).collect()
+    }
+    # user 7: 300·2^40 (age 0) + 100·2^39 (age 1); user 8: 50·2^40
+    assert got[7] == 300 * 2**40 + 100 * 2**39
+    assert got[8] == 50 * 2**40
+
+
+def test_zorder_key_interleaves_bits(spark):
+    df = spark.range(1).select(
+        layout.zorder_key(F.lit(3), F.lit(1), bits=4).alias("z"),
+        layout.zorder_key(F.lit(0), F.lit(15), bits=4).alias("z2"),
+    )
+    row = df.head()
+    # x=0b11 → bits 0,2; y=0b01 → bit 1 ⇒ z = 0b111 = 7
+    assert row["z"] == 7
+    # y=0b1111 → odd positions 1,3,5,7 ⇒ 0b10101010 = 170
+    assert row["z2"] == 170
+
+
+def test_zorder_shards_bound_both_dimensions(spark):
+    # 32×32 grid of points: z-order shards must each cover a bounded
+    # rectangle (extent well below the full 0..255 range on BOTH axes),
+    # which is the property that makes two-column pruning work
+    pts = spark.range(1024).select(
+        (F.col("id") % 32 * 8).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    stats = layout.zorder_layout_stats(
+        pts, x="x", y="y", x_max=256.0, y_max=32.0, bits=8, shards=16
+    ).collect()
+    assert sum(r["n_rows"] for r in stats) == 1024
+    for r in stats:
+        assert r["x_max"] - r["x_min"] <= 128
+        assert r["y_max"] - r["y_min"] <= 128
+
+
+def test_cdc_compact_latest_wins_and_merge(spark):
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "a2", "upsert", 1),
+            (1, None, "delete", 2),   # latest for key 1 → delete
+            (2, "b2", "upsert", 5),
+            (4, "d", "upsert", 1),    # brand-new key
+            (5, "e", "delete", 3),    # equal-seq tie below
+            (5, "e", "upsert", 3),    # upsert wins the tie
+        ],
+        "id long, v string, op string, seq long",
+    )
+    net = {r["id"]: r for r in compact_changelog(log).collect()}
+    assert net[1]["op"] == "delete"
+    assert net[5]["op"] == "upsert"
+    merged = {
+        r["id"]: r["v"]
+        for r in apply_compacted_changelog(snap, log).collect()
+    }
+    assert merged == {2: "b2", 3: "c", 4: "d", 5: "e"}
