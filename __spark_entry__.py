@@ -4352,8 +4352,11 @@ def q_weighted_sample(spark, sf):
     from nnanalytics_spark.pipeline import sampling
 
     d = _t(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    # weight passed as the RAW long column: the w > 0 guard then pushes
+    # to the parquet scan (a cast-to-double weight blocked pushdown —
+    # caught by planlint); ln(u)/w division double-izes by itself
     return sampling.weighted_sample_k(
-        d, k=5, weight=F.col("n_chars").cast("double"), group_col="source"
+        d, k=5, weight=F.col("n_chars"), group_col="source"
     )
 
 

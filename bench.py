@@ -211,6 +211,16 @@ HEADLINE = [
     "training_order",
     "video_scene_change",
     "stream_locf_parity",
+    # r6 third batch
+    "containment_pairs",
+    "rrf_fusion",
+    "mmr_rerank",
+    "k_anonymity",
+    "l_diversity",
+    "seasonal_index",
+    "time_decay",
+    "zorder_layout",
+    "cdc_merge",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Plan-lint every queries() entry at a small scale factor.
+
+    python tools/lint_queries.py [sf_dir]
+
+Prints one line per query that has error/warn findings (rule names,
+deduped), then a summary. The known-and-documented waivers (rank windows
+that run after a distributed limit, parity harnesses that score a
+bounded pool) are listed here so the output surfaces only NEW smells;
+the waiver list is the reviewable artifact.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod
+from nnanalytics_spark.core.planlint import lint
+from nnanalytics_spark.session import get_spark
+
+# Documented waivers: query -> rules that are deliberate there. Each has
+# a comment in the query/operator source explaining why the shape is
+# scale-safe despite the lint.
+WAIVERS: dict[str, set[str]] = {
+    # rank/ntile windows that run AFTER a distributed orderBy().limit(k)
+    # prune — k-row window input (see VERDICT r5 "benign WARNs" audit)
+    "zipf_slope": {"unpartitioned_window"},
+    "tfidf_top_terms": {"unpartitioned_window"},
+    "bm25_topk": {"unpartitioned_window"},
+    "rrf_fusion": {"unpartitioned_window"},  # rank over two ≤k lists
+    "bpe_merge_step": {"unpartitioned_window"},
+    "top_directories": {"unpartitioned_window"},
+    "issue_ranking": {"unpartitioned_window"},
+    # windows over value-domain-bounded inputs: KS prefix sums run over
+    # distinct cents (grid-capped in grid mode), chi-square/MI over the
+    # |X|×|Y| contingency cells, Heaps/path-ngram curves over the
+    # aggregated (not per-row) curve points
+    "ks_test": {"unpartitioned_window"},
+    "ks_test_grid": {"unpartitioned_window"},
+    "chi_square": {"unpartitioned_window"},
+    "mutual_information": {"unpartitioned_window"},
+    "vocabulary_growth": {"unpartitioned_window"},
+    "path_ngrams": {"unpartitioned_window"},
+    "growth_accounting": {"unpartitioned_window"},
+    # deliberate |shards|² (=64-row) pairwise disjointness check
+    "range_shard_layout": {"cartesian_product"},
+    # multi-stage pipelines (signatures → candidates → verify → report):
+    # 9-19 exchanges is the composed shape, each stage individually
+    # plan-audited in tests/test_entry_plans.py
+    "dup_matrix": {"exchange_count"},
+    "snapshot_diff": {"exchange_count"},
+    "dedup_method_agreement": {"exchange_count"},
+    "lexical_cosine": {"exchange_count"},
+    "minhash_recall": {"exchange_count"},
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("lint")
+    queries = entry_mod.queries()
+    n_flagged = n_clean = n_err = 0
+    for name, fn in queries.items():
+        try:
+            df = fn(spark, sf_dir)
+        except Exception as exc:  # harness-style queries may need dirs etc.
+            print(f"SKIP  {name}: {type(exc).__name__}")
+            n_err += 1
+            continue
+        waived = WAIVERS.get(name, set())
+        flagged = sorted(
+            {
+                f.rule
+                for f in lint(df)
+                if f.severity in ("error", "warn") and f.rule not in waived
+            }
+        )
+        if flagged:
+            print(f"FLAG  {name}: {', '.join(flagged)}")
+            n_flagged += 1
+        else:
+            n_clean += 1
+    print(
+        f"lint@{sf_dir}: {n_clean} clean, {n_flagged} flagged, "
+        f"{n_err} skipped / {len(queries)} total"
+    )
+
+
+if __name__ == "__main__":
+    main()
