@@ -4638,6 +4638,35 @@ def q_cdc_merge(spark, sf):
     )
 
 
+def q_psi_drift(spark, sf):
+    """Population-stability-index drift report (stats.psi_drift): value
+    distribution of the time range's first half vs second half over
+    fixed cent buckets, Laplace-smoothed, per-bucket (p−q)·ln(p/q) terms
+    rounded to 6 dp. One scan → 12-cell aggregate → broadcast totals."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.psi_drift(_events(spark, sf))
+
+
+def q_span_corruption(spark, sf):
+    """T5-style span-corruption accounting (text.span_corruption_stats):
+    masked-span/sentinel/EOS length bookkeeping in closed form from the
+    token count — no per-token explode, so it scans like text_tokens."""
+    return text.span_corruption_stats(_t(spark, sf, "documents"))
+
+
+def q_ann_recall(spark, sf):
+    """Recall@10 of 8-bit hyperplane-LSH retrieval vs exact brute force
+    for the pinned probe set vec_id<10 (similarity.lsh_recall_eval):
+    ground truth via the distributed batch_topk fan-in, LSH side via a
+    broadcast signature probe-join. The oracle replays the hyperplane
+    constants (same injected table as ann_lsh_pairs) and both top-k
+    cuts, pinning recall AND bucket fan-in exactly."""
+    return similarity.lsh_recall_eval(
+        _t(spark, sf, "embeddings"), n_queries=10, k=10, bits=8, dim=64
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -4737,6 +4766,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decay": q_time_decay,
         "zorder_layout": q_zorder_layout,
         "cdc_merge": q_cdc_merge,
+        "psi_drift": q_psi_drift,
+        "span_corruption": q_span_corruption,
+        "ann_recall": q_ann_recall,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -9172,5 +9204,110 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(cents) AS BIGINT) AS total_cents,
                CAST(sum(id) AS BIGINT) AS id_checksum
         FROM merged GROUP BY status
+    """
+    d["psi_drift"] = """
+        WITH days AS (
+          SELECT epoch_ms(ts) // 86400000 AS day,
+                 LEAST(11, CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                                      / 5000) AS BIGINT)) AS bucket
+          FROM events
+        ),
+        b AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),
+        halves AS (
+          SELECT bucket,
+                 CASE WHEN day < (d0 + d1 + 1) / 2 THEN 'a' ELSE 'b' END AS half
+          FROM days, b
+        ),
+        cells AS (
+          SELECT bucket,
+                 sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS n_a,
+                 sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS n_b
+          FROM halves GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM cells)
+        SELECT bucket, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(((n_a + 1) / (ta + 12) - (n_b + 1) / (tb + 12))
+                     * ln(((n_a + 1) / (ta + 12)) / ((n_b + 1) / (tb + 12))),
+                     6) AS psi_term
+        FROM cells, tot
+    """
+    d["span_corruption"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_tokens,
+               CAST(floor(n / 20) + CASE WHEN n % 20 > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS n_spans,
+               CAST(floor(n / 20) * 3 + LEAST(n % 20, 3) AS BIGINT) AS n_masked,
+               CAST(n - (floor(n / 20) * 3 + LEAST(n % 20, 3))
+                    + floor(n / 20) + CASE WHEN n % 20 > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS inputs_len,
+               CAST(CASE WHEN n > 0
+                    THEN floor(n / 20) * 3 + LEAST(n % 20, 3) + floor(n / 20)
+                         + CASE WHEN n % 20 > 0 THEN 1 ELSE 0 END + 1
+                    ELSE 0 END AS BIGINT) AS targets_len
+        FROM t
+    """
+    d["ann_recall"] = f"""
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        planes AS (SELECT * FROM (VALUES {_plane_vals}) AS t(bi, p)),
+        sg AS (
+          SELECT v.vec_id,
+                 CAST(SUM(CASE WHEN list_reduce(list_prepend(0.0,
+                         [v.e[i] * p[i] for i in range(1, len(v.e) + 1)]),
+                         (x, y) -> x + y) >= 0
+                     THEN 1 << bi ELSE 0 END) AS BIGINT) AS sig
+          FROM v, planes GROUP BY v.vec_id
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (x, y) -> x + y)) AS nrm
+          FROM v
+        ),
+        base AS (SELECT n.vec_id, e, nrm, sig FROM n JOIN sg USING (vec_id)),
+        q AS (
+          SELECT vec_id AS qid, e AS qe, nrm AS qnrm, sig AS qsig
+          FROM base WHERE vec_id < 10
+        ),
+        c AS (SELECT * FROM base WHERE vec_id >= 10),
+        scored AS (
+          SELECT q.qid, c.vec_id AS id,
+                 round(list_reduce(list_prepend(0.0,
+                         [c.e[i] * q.qe[i] for i in range(1, len(c.e) + 1)]),
+                         (x, y) -> x + y) / (c.nrm * q.qnrm), 6) AS cos,
+                 c.sig, q.qsig
+          FROM c, q
+        ),
+        exact AS (
+          SELECT qid, id FROM (
+            SELECT qid, id, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos DESC, id) AS rk
+            FROM scored) WHERE rk <= 10
+        ),
+        cand AS (SELECT * FROM scored WHERE sig = qsig),
+        lsh AS (
+          SELECT qid, id FROM (
+            SELECT qid, id, row_number() OVER (
+                     PARTITION BY qid ORDER BY cos DESC, id) AS rk
+            FROM cand) WHERE rk <= 10
+        ),
+        nc AS (SELECT qid, count(*) AS n_candidates FROM cand GROUP BY 1),
+        h AS (
+          SELECT e.qid, count(*) AS n_hits
+          FROM exact e JOIN lsh ON lsh.qid = e.qid AND lsh.id = e.id
+          GROUP BY 1
+        )
+        SELECT q.qid AS query_id,
+               CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) / 10.0 AS recall_at_k
+        FROM q LEFT JOIN nc ON nc.qid = q.qid LEFT JOIN h ON h.qid = q.qid
     """
     return d

@@ -221,6 +221,9 @@ HEADLINE = [
     "time_decay",
     "zorder_layout",
     "cdc_merge",
+    "psi_drift",
+    "span_corruption",
+    "ann_recall",
 ]
 
 

@@ -1277,3 +1277,76 @@ def anisotropy(
             6,
         ).alias("mean_pairwise_cosine"),
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    n_queries: int = 10,
+    k: int = 10,
+    bits: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of single-table hyperplane-LSH retrieval against exact
+    brute force, for a pinned probe set (the first ``n_queries`` ids) —
+    the eval every ANN deployment needs BEFORE trusting the index, run
+    the way it has to run at scale:
+
+    - ground truth rides ``batch_topk`` (per-partition local top-k, one
+      candidate-sized exchange — the corpus is scanned once, never
+      shuffled);
+    - the LSH side is a broadcast probe-join on the signature (bucket
+      candidates only), per-query top-k inside the bucket;
+    - recall = |LSH top-k ∩ exact top-k| / k per query.
+
+    Probe rows are excluded from the corpus side so the trivial
+    self-match doesn't pad recall. n_candidates is the bucket fan-in —
+    the ACTUAL work the index did — so the output reads as the classic
+    recall-vs-cost tradeoff table."""
+    from pyspark.sql import Window as W
+
+    planes = _hyperplanes(dim, bits)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        norm(F.col(vec_col).cast("array<double>")).alias("nrm"),
+        signature(F.col(vec_col).cast("array<double>"), planes).alias("sig"),
+    )
+    qset = base.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        F.col("sig").alias("qsig"),
+    )
+    corpus = base.filter(F.col("id") >= n_queries)
+    exact = batch_topk(
+        corpus.select(F.col("id").alias(id_col), F.col("v").alias(vec_col)),
+        qset.select(F.col("qid").alias("query_id"), F.col("qv").alias("embedding")),
+        k=k,
+    ).select(F.col("query_id").alias("qid"), F.col("vec_id").alias("id"))
+    cands = corpus.join(F.broadcast(qset), F.col("sig") == F.col("qsig")).withColumn(
+        "cos_sim",
+        F.round(dot(F.col("v"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")), 6),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("cos_sim").desc(), "id")
+    lsh_top = (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id")
+    )
+    n_cand = cands.groupBy("qid").agg(F.count(F.lit(1)).alias("n_candidates"))
+    hits = exact.join(lsh_top, ["qid", "id"]).groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        qset.select("qid")
+        .join(n_cand, "qid", "left")
+        .join(hits, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias("recall_at_k"),
+        )
+    )

@@ -415,3 +415,58 @@ def mutual_information(
         F.sum("hx_t").cast("double").alias("h_x_nats"),
         F.sum("hy_t").cast("double").alias("h_y_nats"),
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value: str = "value",
+    ts_ms: str = "ts_ms",
+    bucket_cents: int = 5000,
+    n_buckets: int = 12,
+) -> DataFrame:
+    """Population-stability-index drift report: the value distribution of
+    the time range's FIRST half vs its SECOND half over fixed-width cent
+    buckets — the standard go/no-go monitor before a model retrain or a
+    pipeline cutover (PSI < 0.1 stable, > 0.25 drifted).
+
+    Per bucket: counts in each half and the PSI term
+    (p−q)·ln(p/q) with Laplace-smoothed shares p=(n_a+1)/(A+B_n),
+    q=(n_b+1)/(B+B_n) — smoothing keeps empty buckets finite AND
+    deterministic (no epsilon tuning). Terms round to 6 dp; the total is
+    Σ terms (asserted in tests, emitted per-bucket so the report shows
+    WHERE the drift lives).
+
+    Plan: one scan → one (half, bucket) aggregate (≤ 2·n_buckets rows)
+    → broadcast totals join. The midpoint split derives from min/max
+    epoch-days (integer arithmetic), not wall-clock."""
+    days = df.select(
+        F.expr(f"{ts_ms} div 86400000").alias("day"),
+        F.least(
+            F.lit(n_buckets - 1),
+            F.floor(F.floor(F.col(value) * 100) / F.lit(bucket_cents)).cast("long"),
+        ).alias("bucket"),
+    )
+    bounds = days.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    halves = days.crossJoin(F.broadcast(bounds)).select(
+        "bucket",
+        F.when(
+            F.col("day") < (F.col("d0") + F.col("d1") + 1) / 2, F.lit("a")
+        ).otherwise(F.lit("b")).alias("half"),
+    )
+    cells = halves.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = cells.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("p", (F.col("n_a") + 1) / (F.col("ta") + n_buckets))
+        .withColumn("q", (F.col("n_b") + 1) / (F.col("tb") + n_buckets))
+        .withColumn(
+            "psi_term",
+            F.round((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 6),
+        )
+        .select("bucket", "n_a", "n_b", "psi_term")
+    )

@@ -1068,3 +1068,42 @@ def vocabulary_growth(
         )
         .orderBy("bucket")
     )
+
+
+def span_corruption_stats(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    block: int = 20,
+    span: int = 3,
+) -> DataFrame:
+    """T5-style span-corruption accounting, deterministic: token
+    positions p with p mod ``block`` < ``span`` are masked (corruption
+    rate span/block = 15% at the defaults, mean span length = ``span``
+    — the T5 recipe's numbers without its RNG). Per document:
+
+      n_spans     = full blocks + one partial span when a block remnant
+                    exists (closed form from n_tokens alone)
+      n_masked    = full·span + min(remnant, span)
+      inputs_len  = n_tokens − n_masked + n_spans   (one sentinel/span)
+      targets_len = n_masked + n_spans + 1          (sentinels + EOS)
+
+    Everything is integer arithmetic ON THE TOKEN COUNT — no per-token
+    explode, so the scan cost is the same as text_tokens regardless of
+    document length. The seq-len planning downstreams (pack_sequences,
+    padding_efficiency) consume inputs_len/targets_len directly."""
+    n = token_count(F.col(text))
+    full = F.floor(n / block).cast("long")
+    rem = (n % block).cast("long")
+    n_spans = full + F.when(rem > 0, 1).otherwise(0)
+    n_masked = full * span + F.least(rem, F.lit(span).cast("long"))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        n_spans.alias("n_spans"),
+        n_masked.alias("n_masked"),
+        (n - n_masked + n_spans).cast("long").alias("inputs_len"),
+        F.when(n > 0, n_masked + n_spans + 1).otherwise(F.lit(0)).cast("long").alias(
+            "targets_len"
+        ),
+    )

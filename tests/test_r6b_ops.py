@@ -179,3 +179,60 @@ def test_cdc_compact_latest_wins_and_merge(spark):
         for r in apply_compacted_changelog(snap, log).collect()
     }
     assert merged == {2: "b2", 3: "c", 4: "d", 5: "e"}
+
+
+def test_psi_drift_identical_halves_zero_terms(spark):
+    day = 86_400_000
+    # same bucket mix on both sides of the midpoint ⇒ every term 0
+    rows = []
+    for d in (0, 1, 2, 3):
+        rows += [(d * day, 10.0), (d * day, 60.0)]
+    ev = spark.createDataFrame(rows, "ts_ms long, value double")
+    from nnanalytics_spark.pipeline import stats as stats_mod
+
+    got = stats_mod.psi_drift(ev).collect()
+    assert all(r["psi_term"] == 0.0 for r in got)
+    # drifted: bucket 0 only in half a, bucket 1 only in half b
+    rows = [(0, 10.0), (1 * day, 10.0), (2 * day, 60.0), (3 * day, 60.0)]
+    ev2 = spark.createDataFrame(rows, "ts_ms long, value double")
+    got2 = {r["bucket"]: r for r in stats_mod.psi_drift(ev2).collect()}
+    assert got2[0]["n_a"] == 2 and got2[0]["n_b"] == 0
+    assert got2[0]["psi_term"] > 0 and got2[1]["psi_term"] > 0
+
+
+def test_span_corruption_closed_form(spark):
+    from nnanalytics_spark.pipeline import text as text_mod
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 20)), (2, " ".join(["w"] * 5)), (3, "w")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text_mod.span_corruption_stats(docs).collect()}
+    # 20 tokens: 1 full block → 1 span, 3 masked, inputs 18, targets 5
+    assert (got[1]["n_spans"], got[1]["n_masked"]) == (1, 3)
+    assert (got[1]["inputs_len"], got[1]["targets_len"]) == (18, 5)
+    # 5 tokens: partial block → 1 span, 3 masked, inputs 3, targets 5
+    assert (got[2]["inputs_len"], got[2]["targets_len"]) == (3, 5)
+    # 1 token: span of 1
+    assert (got[3]["n_spans"], got[3]["n_masked"]) == (1, 1)
+    assert (got[3]["inputs_len"], got[3]["targets_len"]) == (1, 3)
+
+
+def test_lsh_recall_eval_bucket_extremes(spark):
+    from nnanalytics_spark.pipeline import similarity as sim
+
+    v = [1.0, 0.5, -0.25, 2.0]
+    neg = [-x for x in v]
+    rows = [(0, v), (1, neg)] + [(i, v) for i in range(10, 30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["query_id"]: r
+        for r in sim.lsh_recall_eval(emb, n_queries=2, k=10, bits=8, dim=4).collect()
+    }
+    # query 0: every corpus vector is identical → same signature bucket,
+    # LSH top-10 == exact top-10 (cos ties broken by id)
+    assert got[0]["n_candidates"] == 20
+    assert got[0]["n_hits"] == 10 and got[0]["recall_at_k"] == 1.0
+    # query 1 (negated): all hyperplane signs flip → empty bucket
+    assert got[1]["n_candidates"] == 0
+    assert got[1]["n_hits"] == 0 and got[1]["recall_at_k"] == 0.0
