@@ -958,7 +958,12 @@ def q_simhash_blocks(spark, sf):
     # no orderBy: the gate hash is order-insensitive and the pair set is
     # large on this dup-heavy corpus (~800k rows at sf0.1) — a global
     # sort would only decorate the benchmark
-    return dedup.simhash_pairs_from_sigs(sigs, max_hamming=2, blocks=3)
+    # materialize_sigs: the polynomial token hash is the expensive part;
+    # checkpointing the (id, sig) table keeps the self-join from
+    # computing it twice (lambda exprs defeat ReusedExchange)
+    return dedup.simhash_pairs_from_sigs(
+        sigs, max_hamming=2, blocks=3, materialize_sigs=True
+    )
 
 
 # Signature construction shared by q_simhash_pairs and its oracle: pure
