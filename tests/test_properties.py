@@ -190,3 +190,101 @@ def test_forward_fill_idempotent_and_null_prefix(spark, rows):
             if v is not None:
                 seen = True
             assert (got[e]["value_filled"] is not None) == seen or v is not None
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.text("ab ", min_size=6, max_size=40)),
+        min_size=2, max_size=12, unique_by=lambda t: t[0],
+    )
+)
+def test_containment_dominates_jaccard(spark, rows):
+    """For ANY corpus: both containment directions sit in (0, 1], each is
+    >= the pair's Jaccard (|∩|/|A| >= |∩|/|A∪B|), and c_ab·|A| ==
+    c_ba·|B| (both equal |∩|) — the algebra that makes containment the
+    sub-document detector."""
+    from nnanalytics_spark.pipeline import dedup
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.containment_pairs(df, n=2, threshold=0.0).collect()
+    }
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, n=2, threshold=0.0).collect()
+    }
+    assert set(cont) == set(jac)
+    for key, r in cont.items():
+        assert 0 < r["c_ab"] <= 1 and 0 < r["c_ba"] <= 1
+        assert r["c_ab"] >= jac[key] - 1e-9 and r["c_ba"] >= jac[key] - 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 100), st.floats(0.01, 10, allow_nan=False)),
+             min_size=1, max_size=20, unique_by=lambda t: t[0]),
+    st.floats(1.5, 100, allow_nan=False),
+)
+def test_rrf_invariant_to_score_scaling(spark, rows, scale):
+    """RRF consumes RANKS, not scores: scaling every score by any
+    positive constant leaves the fused ranking bit-identical."""
+    from nnanalytics_spark.pipeline import retrieval
+
+    a = spark.createDataFrame(rows, "doc_id long, score double")
+    b = spark.createDataFrame(
+        [(i, s * 0.5 + (i % 3)) for i, s in rows], "doc_id long, score double"
+    )
+    base = retrieval.rrf_fuse([a, b], topk=50).collect()
+    scaled = retrieval.rrf_fuse(
+        [a.withColumn("score", F.col("score") * scale), b], topk=50
+    ).collect()
+    assert [tuple(r) for r in base] == [tuple(r) for r in scaled]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from(["upsert", "delete"]),
+                  st.integers(1, 9)),
+        min_size=1, max_size=30,
+    )
+)
+def test_cdc_compact_replay_and_union_stability(spark, entries):
+    """Compaction is replay-stable: compact(log ∪ log) == compact(log)
+    (at-least-once delivery cannot change the net effect), and applying
+    the net equals applying the raw log — for ANY op/seq interleaving."""
+    from nnanalytics_spark.streaming.refresh import (
+        apply_compacted_changelog,
+        compact_changelog,
+    )
+
+    rows = [(k, f"v{k}-{s}", op, s) for k, op, s in entries]
+    snap = spark.createDataFrame(
+        [(k, "base") for k in range(0, 51, 5)], "id long, v string"
+    )
+    log = spark.createDataFrame(rows, "id long, v string, op string, seq long")
+    net_once = {
+        tuple(r) for r in compact_changelog(log).collect()
+    }
+    net_twice = {
+        tuple(r) for r in compact_changelog(log.unionByName(log)).collect()
+    }
+    assert net_once == net_twice
+    merged = {
+        r["id"]: r["v"] for r in apply_compacted_changelog(snap, log).collect()
+    }
+    # model: latest (seq, op) wins, upsert > delete on ties
+    by_key: dict = {}
+    for k, op, s in entries:
+        cur = by_key.get(k)
+        if cur is None or (s, op) > cur:
+            by_key[k] = (s, op)
+    expect = {k: "base" for k in range(0, 51, 5)}
+    for k, (s, op) in by_key.items():
+        if op == "delete":
+            expect.pop(k, None)
+        else:
+            expect[k] = f"v{k}-{s}"
+    assert merged == expect
