@@ -4672,6 +4672,32 @@ def q_ann_recall(spark, sf):
     )
 
 
+def q_knn_label_eval(spark, sf):
+    """Leave-one-out k-NN label agreement (similarity.knn_label_eval):
+    per-label accuracy of majority-vote classification by the 5 nearest
+    neighbors — the embedding-quality probe. Blocked exact kernel +
+    one vote aggregate + one max_by (no window sort); oracle replays
+    the graph, votes, and the (votes desc, label asc) pick."""
+    return similarity.knn_label_eval(_t(spark, sf, "embeddings"), k=5)
+
+
+def q_lateness_report(spark, sf):
+    """Event-time lateness histogram in arrival order (behavior.
+    lateness_report) — the watermark-horizon planning number: how far
+    each event's time lags the running max already ingested for its
+    user. One per-user window + a 5-row aggregate. The synthetic log is
+    ts-ordered by construction (lateness would be uniformly zero), so
+    the query simulates a hash-shuffled ingest: arrival sequence =
+    Knuth-hashed event id — deterministic, engine-replayable, and it
+    exercises every lateness bucket."""
+    from nnanalytics_spark.pipeline import behavior
+
+    ev = _events(spark, sf).withColumn(
+        "arrival", (F.col("event_id") * 2654435761) % (2**32)
+    )
+    return behavior.lateness_report(ev, arrival="arrival")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -4774,6 +4800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": q_psi_drift,
         "span_corruption": q_span_corruption,
         "ann_recall": q_ann_recall,
+        "knn_label_eval": q_knn_label_eval,
+        "lateness_report": q_lateness_report,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -9314,5 +9342,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) / 10.0 AS recall_at_k
         FROM q LEFT JOIN nc ON nc.qid = q.qid LEFT JOIN h ON h.qid = q.qid
+    """
+    d["knn_label_eval"] = """
+        WITH v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        n AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS nrm
+          FROM v
+        ),
+        p AS (
+          SELECT a.vec_id AS id, b.vec_id AS nbr,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                         (x, y) -> x + y) / (a.nrm * b.nrm), 6) AS cos_sim
+          FROM n a JOIN n b ON a.vec_id != b.vec_id
+        ),
+        g AS (
+          SELECT id, nbr FROM (
+            SELECT id, nbr, row_number() OVER (
+                     PARTITION BY id ORDER BY cos_sim DESC, nbr) AS rank
+            FROM p) WHERE rank <= 5
+        ),
+        votes AS (
+          SELECT g.id, e.label AS nbr_label, count(*) AS votes
+          FROM g JOIN embeddings e ON e.vec_id = g.nbr GROUP BY 1, 2
+        ),
+        picked AS (
+          SELECT id, nbr_label AS predicted FROM (
+            SELECT *, row_number() OVER (
+                     PARTITION BY id ORDER BY votes DESC, nbr_label ASC) AS rn
+            FROM votes) WHERE rn = 1
+        )
+        SELECT t.label,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN p.predicted = t.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               CAST(sum(CASE WHEN p.predicted = t.label THEN 1 ELSE 0 END)
+                    AS BIGINT) / CAST(count(*) AS BIGINT) AS accuracy
+        FROM picked p JOIN embeddings t ON t.vec_id = p.id
+        GROUP BY t.label
+    """
+    d["lateness_report"] = """
+        WITH l AS (
+          SELECT greatest(0, coalesce(
+                   max(epoch_ms(ts)) OVER (
+                     PARTITION BY user_id
+                     ORDER BY (event_id * 2654435761) % 4294967296
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   - epoch_ms(ts), 0)) AS late_ms
+          FROM events
+        )
+        SELECT CASE WHEN late_ms = 0 THEN '0_in_order'
+                    WHEN late_ms <= 60000 THEN '1_le_1min'
+                    WHEN late_ms <= 3600000 THEN '2_le_1hour'
+                    WHEN late_ms <= 86400000 THEN '3_le_1day'
+                    ELSE '4_gt_1day' END AS lateness_bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(late_ms) AS BIGINT) AS max_late_ms
+        FROM l GROUP BY 1
     """
     return d

@@ -224,6 +224,8 @@ HEADLINE = [
     "psi_drift",
     "span_corruption",
     "ann_recall",
+    "knn_label_eval",
+    "lateness_report",
 ]
 
 

@@ -798,3 +798,56 @@ def time_decay_scores(
         .agg(F.sum("term").cast(dec).alias("decayed_cents_x2h"))
         .select(F.col("user").alias(user), "decayed_cents_x2h")
     )
+
+
+def lateness_report(
+    events: DataFrame,
+    user: str = "user_id",
+    arrival: str = "event_id",
+    ts_ms: str = "ts_ms",
+) -> DataFrame:
+    """Event-time lateness profile — the number a streaming deployment
+    needs BEFORE picking a watermark horizon: per event, how far its
+    event time lags the maximum event time already seen in its key's
+    ARRIVAL order (``arrival`` = the ingest sequence; here the event id,
+    which the generator assigns in ingest order). lateness = 0 means
+    in-order; the bucket histogram (in-order / ≤1 min / ≤1 h / ≤1 d /
+    >1 d) reads directly as "a 1-hour watermark would close the book on
+    X% of events".
+
+    One window exchange keyed on the user (running max over the
+    preceding frame), then a 5-row aggregate. The same per-user key
+    every downstream stateful op shuffles on — at scale this profiles
+    the exact reordering the state stores will absorb."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(user)
+        .orderBy(F.col(arrival).asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    # coalesce BEFORE greatest: each key's first arrival has an empty
+    # preceding frame (NULL max), and NULL-vs-scalar semantics of
+    # greatest() differ across engines — the coalesce pins it
+    late = F.greatest(
+        F.lit(0).cast("long"),
+        F.coalesce(
+            (F.max(F.col(ts_ms)).over(w) - F.col(ts_ms)).cast("long"),
+            F.lit(0).cast("long"),
+        ),
+    )
+    bucket = (
+        F.when(late == 0, "0_in_order")
+        .when(late <= 60_000, "1_le_1min")
+        .when(late <= 3_600_000, "2_le_1hour")
+        .when(late <= 86_400_000, "3_le_1day")
+        .otherwise("4_gt_1day")
+    )
+    return (
+        events.select(bucket.alias("lateness_bucket"), late.alias("late_ms"))
+        .groupBy("lateness_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("late_ms").alias("max_late_ms"),
+        )
+    )

@@ -1350,3 +1350,50 @@ def lsh_recall_eval(
             (F.coalesce("n_hits", F.lit(0)) / F.lit(float(k))).alias("recall_at_k"),
         )
     )
+
+
+def knn_label_eval(
+    df: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Leave-one-out k-NN label agreement — the standard probe for "do
+    these embeddings actually encode the labels": each vector is
+    classified by majority vote of its k nearest OTHER vectors, and the
+    report gives per-label (n, n_correct, accuracy). Low agreement for a
+    label = its region of embedding space is entangled — the signal that
+    drives cluster-aware resampling or re-embedding.
+
+    Plan: the k-NN graph comes from the blocked exact kernel (knn_graph
+    — shuffle ≤ n·B·k candidate rows, never n²); votes are one
+    (id, neighbor-label) aggregate; the winning label is ONE max_by over
+    (votes, −label) — count-desc with ascending-label tie-break, no
+    window sort. The label join is broadcast-sized (per-id true labels
+    ride the graph rows)."""
+    labels = df.select(F.col(id_col).alias("nbr"), F.col(label_col).alias("nbr_label"))
+    g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col, rows_per_block=rows_per_block)
+    votes = (
+        g.join(labels, "nbr")
+        .groupBy(F.col(id_col), "nbr_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    picked = votes.groupBy(id_col).agg(
+        F.max_by(
+            F.col("nbr_label"), F.struct(F.col("votes"), (-F.col("nbr_label")))
+        ).alias("predicted")
+    )
+    truth = df.select(F.col(id_col), F.col(label_col).alias("true_label"))
+    return (
+        picked.join(truth, id_col)
+        .groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("true_label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .withColumn("accuracy", F.col("n_correct") / F.col("n"))
+    )

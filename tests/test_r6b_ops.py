@@ -236,3 +236,40 @@ def test_lsh_recall_eval_bucket_extremes(spark):
     # query 1 (negated): all hyperplane signs flip → empty bucket
     assert got[1]["n_candidates"] == 0
     assert got[1]["n_hits"] == 0 and got[1]["recall_at_k"] == 0.0
+
+
+def test_knn_label_eval_separable_clusters_perfect(spark):
+    from nnanalytics_spark.pipeline import similarity as sim
+
+    # two well-separated clusters: LOO 3-NN must classify perfectly
+    rows = [(i, [10.0 + (i % 3) * 0.01, 0.0], 0) for i in range(6)] + [
+        (i, [0.0, 10.0 + (i % 3) * 0.01], 1) for i in range(6, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {r["label"]: r for r in sim.knn_label_eval(emb, k=3).collect()}
+    assert got[0]["n"] == 6 and got[0]["accuracy"] == 1.0
+    assert got[1]["n"] == 6 and got[1]["accuracy"] == 1.0
+    # flip one vector's label: its 3 neighbors still vote the cluster
+    # label, so exactly that one row is "wrong"
+    rows2 = rows[:11] + [(11, [0.0, 10.02], 0)]
+    emb2 = spark.createDataFrame(rows2, "vec_id long, embedding array<double>, label int")
+    got2 = {r["label"]: r for r in sim.knn_label_eval(emb2, k=3).collect()}
+    assert got2[0]["n_correct"] == 6 and got2[0]["n"] == 7
+    assert got2[1]["accuracy"] == 1.0
+
+
+def test_lateness_report_buckets_and_running_max(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    m = 60_000
+    # arrival order 1..5: ts 100m, 99m (1m late), 100m, 40m (60m late,
+    # vs running max 100m), 200m (in order)
+    ev = spark.createDataFrame(
+        [(7, 1, 100 * m), (7, 2, 99 * m), (7, 3, 100 * m), (7, 4, 40 * m), (7, 5, 200 * m)],
+        "user_id long, event_id long, ts_ms long",
+    )
+    got = {r["lateness_bucket"]: r for r in behavior.lateness_report(ev).collect()}
+    assert got["0_in_order"]["n_events"] == 3  # first, equal-ts, and 200m
+    assert got["1_le_1min"]["n_events"] == 1
+    assert got["2_le_1hour"]["n_events"] == 1
+    assert got["2_le_1hour"]["max_late_ms"] == 60 * m
