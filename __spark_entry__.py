@@ -9190,10 +9190,12 @@ def oracle_sql() -> dict[str, str]:
     )
     d["zorder_layout"] = f"""
         WITH b AS (
-          SELECT LEAST(255, CAST(floor(CAST(user_id AS DOUBLE) * 256 / 2000.0)
-                                 AS BIGINT)) AS xb,
-                 LEAST(255, CAST(floor(CAST(floor(value * 100) AS DOUBLE) * 256
-                                       / 60000.0) AS BIGINT)) AS yb
+          SELECT GREATEST(0, LEAST(255,
+                   CAST(floor(CAST(user_id AS DOUBLE) * 256 / 2000.0)
+                        AS BIGINT))) AS xb,
+                 GREATEST(0, LEAST(255,
+                   CAST(floor(CAST(floor(value * 100) AS DOUBLE) * 256
+                              / 60000.0) AS BIGINT))) AS yb
           FROM events
         ),
         z AS (SELECT xb, yb, {_zbits} AS zv FROM b)
@@ -9241,8 +9243,9 @@ def oracle_sql() -> dict[str, str]:
     d["psi_drift"] = """
         WITH days AS (
           SELECT epoch_ms(ts) // 86400000 AS day,
-                 LEAST(11, CAST(floor(CAST(floor(value * 100) AS BIGINT)
-                                      / 5000) AS BIGINT)) AS bucket
+                 GREATEST(0, LEAST(11,
+                   CAST(floor(CAST(floor(value * 100) AS BIGINT)
+                              / 5000) AS BIGINT))) AS bucket
           FROM events
         ),
         b AS (SELECT min(day) AS d0, max(day) AS d1 FROM days),

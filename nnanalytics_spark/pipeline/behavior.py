@@ -815,6 +815,10 @@ def lateness_report(
     >1 d) reads directly as "a 1-hour watermark would close the book on
     X% of events".
 
+    ``arrival`` must be UNIQUE per key (the default event id is): the
+    running max reads a ROWS frame, and duplicate arrival keys would
+    make the frame order — and the report — nondeterministic.
+
     One window exchange keyed on the user (running max over the
     preceding frame), then a 5-row aggregate. The same per-user key
     every downstream stateful op shuffles on — at scale this profiles

@@ -441,9 +441,16 @@ def psi_drift(
     epoch-days (integer arithmetic), not wall-clock."""
     days = df.select(
         F.expr(f"{ts_ms} div 86400000").alias("day"),
-        F.least(
-            F.lit(n_buckets - 1),
-            F.floor(F.floor(F.col(value) * 100) / F.lit(bucket_cents)).cast("long"),
+        # clamp into [0, n_buckets): negative values land in bucket 0
+        # instead of minting per-value negative buckets
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.least(
+                F.lit(n_buckets - 1).cast("long"),
+                F.floor(
+                    F.floor(F.col(value) * 100) / F.lit(bucket_cents)
+                ).cast("long"),
+            ),
         ).alias("bucket"),
     )
     bounds = days.agg(

@@ -415,13 +415,22 @@ def zorder_layout_stats(
     from pyspark.sql import functions as F
 
     grid = 1 << bits
-    xb = F.least(
-        F.lit(grid - 1),
-        F.floor(F.col(x).cast("double") * grid / F.lit(float(x_max))).cast("long"),
+    # clamp into [0, grid): out-of-domain values (below 0 / above the
+    # declared max) land in the edge cells instead of producing negative
+    # bucket ids, which would corrupt the bit interleave
+    xb = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(grid - 1).cast("long"),
+            F.floor(F.col(x).cast("double") * grid / F.lit(float(x_max))).cast("long"),
+        ),
     )
-    yb = F.least(
-        F.lit(grid - 1),
-        F.floor(F.col(y).cast("double") * grid / F.lit(float(y_max))).cast("long"),
+    yb = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(grid - 1).cast("long"),
+            F.floor(F.col(y).cast("double") * grid / F.lit(float(y_max))).cast("long"),
+        ),
     )
     z = zorder_key(xb, yb, bits)
     zspace = 1 << (2 * bits)
