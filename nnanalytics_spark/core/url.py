@@ -24,8 +24,10 @@ the reference's handler parameter-by-parameter:
 - /divide takes the two parameter sets ``filters1``/``sum1`` and
   ``filters2``/``sum2`` (NamenodeAnalyticsMethods.java:1304-1345).
 
-Email / lock / output-format parameters are accepted and ignored (email is
-out of scope per SURVEY; locks don't exist — Spark queries don't serialize).
+Email / lock / output-format parameters are accepted here and ignored by
+the QUERY builder; the email leg is consumed by the web layer
+(web/server.py:_maybe_email → inode/mail.py, the MailOutput analog) and
+locks don't exist — Spark queries don't serialize.
 """
 
 from __future__ import annotations
@@ -38,7 +40,9 @@ from nnanalytics_spark.core.ir import Query, parse_filter_triplets
 
 ENDPOINTS = ("filter", "histogram", "histogram2", "histogram3", "divide", "dump")
 
-# accepted-and-ignored parameters (email sink / lock semantics / rendering;
+# parameters the QUERY grammar tolerates but does not consume (the email
+# sink reads emailTo/emailConditions/... in the web layer; lock semantics
+# and rendering are handled elsewhere;
 # `proxy` is consumed by the security layer before query execution —
 # SecurityContext.java:152-157 — so the grammar must tolerate it)
 _IGNORED = {

@@ -107,6 +107,7 @@ class AnalyticsWebServer:
         save_dir: str | None = None,  # /saveNamespace target
         suggestions_dir: str | None = None,  # /history sweep archive
         log_file: str | None = None,  # /log tail target
+        mail_transport=None,  # inode.mail transport: (msg, from, rcpt) -> None
         host: str = "127.0.0.1",
         port: int = 0,
     ) -> None:
@@ -124,6 +125,7 @@ class AnalyticsWebServer:
         self.log_file = log_file
         self.operations = OperationRegistry()
         self.cached_queries = CachedQueryRegistry()
+        self.mail_transport = mail_transport
         self._address = (host, port)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -465,6 +467,45 @@ class AnalyticsWebServer:
             return 200, "text/plain", str(rows[0][0])
         return 200, "application/json", render.to_json(df)
 
+    def _maybe_email(self, endpoint, params, rows) -> None:
+        """Email-sink side channel (MailOutput.java): when the request
+        carries emailTo + emailConditions, check the (already-collected,
+        driver-sized) result against the conditions and send the report
+        through the configured transport. A failed condition means "no
+        email" — the HTTP response is unaffected either way, matching the
+        reference's alerting contract where the query result is returned
+        regardless and the mail leg is best-effort."""
+        email_to = _one(params, "emailTo")
+        conditions = _one(params, "emailConditions")
+        if not email_to or not conditions or self.mail_transport is None:
+            return
+        from nnanalytics_spark.inode import mail
+
+        try:
+            if len(rows) == 1 and len(rows[0]) == 1:
+                mail.check_scalar(conditions, int(rows[0][0]))
+                hist = {"value": int(rows[0][0])}
+                highlight: set[str] = set()
+            else:
+                hist = {str(r[0]): int(r[-1]) for r in rows}
+                highlight = mail.check_histogram(conditions, hist)
+            mail.write(
+                subject=f"NNAnalytics - {endpoint}",
+                histogram=hist,
+                highlight_keys=highlight,
+                email_to=email_to.split(","),
+                email_from=_one(params, "emailFrom") or "nna@localhost",
+                email_cc=(_one(params, "emailCC") or "").split(",")
+                if _one(params, "emailCC")
+                else None,
+                transport=self.mail_transport,
+            )
+        except mail.EmailConditionError:
+            pass
+        except (TypeError, ValueError):
+            # non-numeric result shapes can't be condition-checked
+            pass
+
     def _analytic(self, endpoint, path, query, params):
         out_fmt = _one(params, "histogramOutput") or "json"
         if out_fmt not in _HISTOGRAM_OUTPUTS:
@@ -476,6 +517,7 @@ class AnalyticsWebServer:
                 rows = df.collect()
                 return 200, "text/plain", "\n".join(str(r[0]) for r in rows) + "\n"
             rows = df.collect()
+            self._maybe_email(endpoint, params, rows)
             if len(rows) == 1 and len(rows[0]) == 1:
                 # scalar sum/ratio: the reference writes the number as the
                 # whole body (NamenodeAnalyticsMethods.java:1402-1513)
@@ -484,6 +526,10 @@ class AnalyticsWebServer:
             return 200, "text/plain", "\n".join(
                 ",".join(str(v) for v in r) for r in rows
             ) + "\n"
+        if _one(params, "emailTo"):
+            # tiny aggregated result; the extra collect only happens when
+            # the request actually asks for the email leg
+            self._maybe_email(endpoint, params, df.collect())
         if out_fmt == "csv":
             return 200, "text/plain", render.to_csv(df)
         if out_fmt == "chart":
