@@ -2175,9 +2175,9 @@ def q_sessionization_parity(spark, sf):
     final: dict[int, int] = {}
     for _epoch, user, n in sorted(emissions):
         final[user] = n
-    return spark.createDataFrame(
-        sorted(final.items()), "user_id long, n_sessions long"
-    )
+    from nnanalytics_spark.core.smalldf import local_df
+
+    return local_df(spark, sorted(final.items()), "user_id long, n_sessions long")
 
 
 def q_watermark_window_parity(spark, sf):
@@ -2263,7 +2263,9 @@ def q_watermark_window_parity(spark, sf):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     q_watermark_window_parity.last_dropped = dropped[0]
-    return spark.createDataFrame(sorted(rows), "win long, event_type string, cnt long")
+    from nnanalytics_spark.core.smalldf import local_df
+
+    return local_df(spark, sorted(rows), "win long, event_type string, cnt long")
 
 
 def q_stream_static_join_parity(spark, sf):
@@ -9178,10 +9180,11 @@ def oracle_sql() -> dict[str, str]:
           FROM events, mx
         )
         SELECT user_id,
-               CAST(sum(CASE WHEN age_days BETWEEN 0 AND 40
+               CAST(CAST(sum(CASE WHEN age_days BETWEEN 0 AND 40
                         THEN CAST(cents AS HUGEINT)
                              * CAST(pow(2.0, 40 - age_days) AS HUGEINT)
-                        ELSE 0 END) AS DECIMAL(38,0)) AS decayed_cents_x2h
+                        ELSE 0 END) AS DECIMAL(38,0)) AS VARCHAR)
+                 AS decayed_cents_x2h
         FROM aged GROUP BY user_id
     """
     _zbits = " + ".join(

@@ -122,8 +122,10 @@ def registered_directory_stats(inodes: DataFrame, directories: list[str]) -> Dat
     N never multiplies the scan count.
     """
     spark = inodes.sparkSession
-    dirs = spark.createDataFrame(
-        [(d.rstrip("/") or "/",) for d in directories], "directory string"
+    from nnanalytics_spark.core.smalldf import local_df
+
+    dirs = local_df(
+        spark, [(d.rstrip("/") or "/",) for d in directories], "directory string"
     )
     files = inodes.filter(F.col("type") == "file").select("path", "fileSize", "fileReplica")
     joined = files.join(

@@ -233,7 +233,9 @@ def run_sweep(inodes: DataFrame, now_ms: int, output_dir: str | None = None) -> 
         # readers use this to decide staleness. One-row parquet so it
         # works on any Hadoop-visible filesystem, not just local disk.
         spark = inodes.sparkSession
-        spark.createDataFrame([(now_ms,)], "sweepTs long").write.mode(
+        from nnanalytics_spark.core.smalldf import local_df
+
+        local_df(spark, [(now_ms,)], "sweepTs long").write.mode(
             "overwrite"
         ).parquet(f"{output_dir}/sweepMeta")
     return reports

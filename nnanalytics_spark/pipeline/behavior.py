@@ -69,8 +69,12 @@ def funnel_steps(
     )
     reached = ev.groupBy("u").agg(walk["step"].alias("reached"))
     per_step = reached.groupBy("reached").agg(F.count(F.lit(1)).alias("n"))
-    dim = reached.sparkSession.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step int, event_type string"
+    from nnanalytics_spark.core.smalldf import local_df
+
+    dim = local_df(
+        reached.sparkSession,
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, event_type string",
     )
     return (
         dim.join(per_step, per_step["reached"] >= dim["step"], "left")
@@ -611,8 +615,10 @@ def markov_stationary(
     out = [
         (states[s], pi[s], round(pi[s] / 1_000_000.0, 6)) for s in range(len(states))
     ]
-    return events.sparkSession.createDataFrame(
-        out, "state string, stationary_micros long, stationary_p double"
+    from nnanalytics_spark.core.smalldf import local_df
+
+    return local_df(
+        events.sparkSession, out, "state string, stationary_micros long, stationary_p double"
     )
 
 
@@ -793,9 +799,13 @@ def time_decay_scores(
             * F.pow(F.lit(2.0), F.lit(horizon_days) - F.col("age_days")).cast(dec),
         ).otherwise(F.lit(0).cast(dec)),
     )
+    # emitted as the DECIMAL's exact decimal STRING: the magnitude
+    # (cents·2^40) exceeds 2^53, so a float64 hand-off would silently
+    # round, and pandas/Arrow have no common integer type both engines
+    # map a 38-digit decimal onto — the string is the lossless wire form
     return (
         weighted.groupBy("user")
-        .agg(F.sum("term").cast(dec).alias("decayed_cents_x2h"))
+        .agg(F.sum("term").cast(dec).cast("string").alias("decayed_cents_x2h"))
         .select(F.col("user").alias(user), "decayed_cents_x2h")
     )
 
