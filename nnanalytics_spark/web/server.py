@@ -123,9 +123,12 @@ class AnalyticsWebServer:
         self.save_dir = save_dir
         self.suggestions_dir = suggestions_dir
         self.log_file = log_file
+        from nnanalytics_spark.core.usage import UsageTracker
+
         self.operations = OperationRegistry()
         self.cached_queries = CachedQueryRegistry()
         self.mail_transport = mail_transport
+        self.usage = UsageTracker()
         self._address = (host, port)
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
@@ -160,6 +163,7 @@ class AnalyticsWebServer:
         endpoint = path.strip("/").split("/")[-1] or "info"
         params = parse_qs(query, keep_blank_values=True)
         headers = headers or {}
+        client_ip = headers.get("client_ip") or "unknown"
         if self.security is not None and self.security.authentication_enabled:
             outcome = self._authenticate(endpoint, params, body, headers)
             if not isinstance(outcome, str):
@@ -171,6 +175,10 @@ class AnalyticsWebServer:
             self.authorizer.check(user, endpoint)
         except AuthorizationError as exc:
             return 403, "text/plain", str(exc)
+        # usage accounting (UserMetrics.java): analytic traffic counts as
+        # queries; /login /logout are tracked at their auth handlers
+        if endpoint in urlmod.ENDPOINTS or endpoint == "sql":
+            self.usage.queried(user, client_ip)
         try:
             return self._route(method, endpoint, path, query, params, body, user)
         except (ValueError, KeyError, dialect.UnsupportedSqlError) as exc:
@@ -200,6 +208,7 @@ class AnalyticsWebServer:
                 issued = self.security.login(username, password)
             except AuthenticationError as exc:
                 return 401, "text/plain", str(exc)
+            self.usage.logged_in(username, headers.get("client_ip") or "unknown")
             return (
                 200,
                 "application/json",
@@ -210,7 +219,12 @@ class AnalyticsWebServer:
             bearer = (auth_header or "")
             if bearer.startswith("Bearer "):
                 token = bearer[len("Bearer "):].strip()
+            try:
+                whom = self.security.resolve(None, token)
+            except AuthenticationError:
+                whom = "unknown"
             if self.security.logout(token):
+                self.usage.logged_out(whom, headers.get("client_ip") or "unknown")
                 return (
                     200,
                     "text/plain",
@@ -231,7 +245,9 @@ class AnalyticsWebServer:
         if endpoint in ("info", "loadingStatus"):
             return 200, "application/json", json.dumps(self.engine.info())
         if endpoint == "metrics":
-            return 200, "application/json", json.dumps(self.engine.metrics())
+            payload = dict(self.engine.metrics())
+            payload["users"] = self.usage.format_for_json()
+            return 200, "application/json", json.dumps(payload)
         if endpoint == "dump":
             inode_path = _one(params, "path")
             if not inode_path:
@@ -645,6 +661,7 @@ def _make_handler(server: AnalyticsWebServer):
             req_headers = {
                 "authorization": self.headers.get("Authorization"),
                 "cookie": self.headers.get("Cookie"),
+                "client_ip": self.client_address[0],
             }
             extra: dict = {}
             try:

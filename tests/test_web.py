@@ -426,3 +426,47 @@ def test_admin_tail_respects_auth_matrix(engine):
         assert get(addr, "/config", user="intruder")[0] == 403
     finally:
         srv.stop()
+
+
+def test_metrics_tracks_per_user_usage(engine):
+    """UserMetrics.java analog: /metrics carries per-user/IP query
+    counts, and the auth stack feeds login/logout counts."""
+    import json as _json
+
+    from nnanalytics_spark.core.authn import LocalPasswordSet, SecurityManager
+    from nnanalytics_spark.web.server import AnalyticsWebServer
+
+    sec = SecurityManager(local=LocalPasswordSet.from_plain({"alice": "pw"}))
+    srv = AnalyticsWebServer(engine, now_ms=NOW, security=sec)
+    port = srv.start()
+    addr = ("127.0.0.1", port)
+    try:
+        status, _, body = get(addr, "/login?username=alice&password=pw", method="POST")
+        assert status == 200
+        token = _json.loads(body)["token"]
+        conn = http.client.HTTPConnection(*addr, timeout=120)
+        conn.request(
+            "GET",
+            "/filter?set=files&filters=fileSize:gt:0&sum=count",
+            headers={"Authorization": f"Bearer {token}"},
+        )
+        assert conn.getresponse().status == 200
+        conn.close()
+        conn = http.client.HTTPConnection(*addr, timeout=120)
+        conn.request("GET", "/metrics", headers={"Authorization": f"Bearer {token}"})
+        resp = conn.getresponse()
+        metrics = _json.loads(resp.read().decode())
+        conn.close()
+        users = {u["userName"]: u for u in metrics["users"]}
+        assert users["alice"]["totalLoginCount"] == 1
+        assert users["alice"]["totalQueryCount"] == 1
+        ip_counts = users["alice"]["ips"][0]["127.0.0.1"]
+        assert ip_counts["queryCount"] == 1 and ip_counts["loginCount"] == 1
+        # logout increments the logout counter for the resolved user
+        conn = http.client.HTTPConnection(*addr, timeout=120)
+        conn.request("GET", "/logout", headers={"Authorization": f"Bearer {token}"})
+        assert conn.getresponse().status == 200
+        conn.close()
+        assert srv.usage.format_for_json()[0]["totalLogoutCount"] == 1
+    finally:
+        srv.stop()
