@@ -674,6 +674,17 @@ def _make_handler(server: AnalyticsWebServer):
             except Exception as exc:  # engine crash → 500, never a hung socket
                 status, ctype, payload = 500, "text/plain", f"{type(exc).__name__}: {exc}"
             data = payload.encode("utf-8")
+            # gzip large OK bodies when the client advertises support —
+            # the reference streams /dump and /filter path lists through
+            # StreamingGzipOutputStream.java for exactly this case (path
+            # dumps compress ~10x); small/error bodies aren't worth the
+            # deflate round-trip
+            accepts_gzip = "gzip" in (self.headers.get("Accept-Encoding") or "")
+            if accepts_gzip and status == 200 and len(data) >= 1024:
+                import gzip as _gzip
+
+                data = _gzip.compress(data, compresslevel=6)
+                extra = {**extra, "Content-Encoding": "gzip"}
             self.send_response(status)
             self.send_header("Content-Type", f"{ctype}; charset=utf-8")
             self.send_header("Content-Length", str(len(data)))

@@ -470,3 +470,20 @@ def test_metrics_tracks_per_user_usage(engine):
         assert srv.usage.format_for_json()[0]["totalLogoutCount"] == 1
     finally:
         srv.stop()
+
+
+def test_gzip_response_when_accepted(server):
+    """StreamingGzipOutputStream.java analog: large 200 bodies compress
+    when the client advertises gzip; without the header the body is
+    plain. http.client does NOT auto-decode, so assert the raw wire."""
+    import gzip as _gzip
+
+    path = "/filter?set=files&filters=fileSize:gte:0"
+    conn = http.client.HTTPConnection(*server, timeout=120)
+    conn.request("GET", path, headers={"Accept-Encoding": "gzip"})
+    resp = conn.getresponse()
+    assert resp.getheader("Content-Encoding") == "gzip"
+    plain = _gzip.decompress(resp.read()).decode()
+    conn.close()
+    status, _, body = get(server, path)
+    assert status == 200 and plain == body
