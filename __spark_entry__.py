@@ -4700,6 +4700,27 @@ def q_lateness_report(spark, sf):
     return behavior.lateness_report(ev, arrival="arrival")
 
 
+def q_multi_touch(spark, sf):
+    """Linear multi-touch attribution (behavior.multi_touch_attribution):
+    each purchase's credit splits equally (integer ppm / cents, div) over
+    the user's click/view touches in the preceding 7 days — user-keyed
+    equi-join with a residual time window, never a cross-user range
+    join."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.multi_touch_attribution(_events(spark, sf))
+
+
+def q_rfm_scores(spark, sf):
+    """RFM segmentation (behavior.rfm_scores): per-user recency/
+    frequency/monetary quintile scores from FIVE scalar percentile
+    boundaries (one aggregate, broadcast CASE) — not an ntile window
+    over all users, which is the one-task trap at corpus scale."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.rfm_scores(_events(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -4804,6 +4825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "knn_label_eval": q_knn_label_eval,
         "lateness_report": q_lateness_report,
+        "multi_touch": q_multi_touch,
+        "rfm_scores": q_rfm_scores,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -9410,5 +9433,83 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(max(late_ms) AS BIGINT) AS max_late_ms
         FROM l GROUP BY 1
+    """
+    d["multi_touch"] = """
+        WITH conv AS (
+          SELECT user_id AS u, event_id AS conv_id, epoch_ms(ts) AS conv_ts,
+                 CAST(floor(value * 100) AS BIGINT) AS conv_cents
+          FROM events WHERE event_type = 'purchase'
+        ),
+        touch AS (
+          SELECT user_id AS u, event_type AS touch_type, epoch_ms(ts) AS touch_ts
+          FROM events WHERE event_type IN ('click', 'view')
+        ),
+        pairs AS (
+          SELECT c.conv_id, c.conv_cents, t.touch_type
+          FROM conv c JOIN touch t
+            ON t.u = c.u AND t.touch_ts < c.conv_ts
+           AND t.touch_ts >= c.conv_ts - 604800000
+        ),
+        pc AS (SELECT conv_id, count(*) AS n FROM pairs GROUP BY 1),
+        cr AS (
+          SELECT p.touch_type,
+                 1000000 // pc.n AS credit_ppm,
+                 p.conv_cents // pc.n AS cents_share
+          FROM pairs p JOIN pc USING (conv_id)
+        )
+        SELECT touch_type,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               CAST(sum(credit_ppm) AS BIGINT) AS conversions_ppm,
+               CAST(sum(cents_share) AS BIGINT) AS revenue_cents
+        FROM cr GROUP BY 1
+    """
+    d["rfm_scores"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 max(epoch_ms(ts) // 86400000) AS last_day,
+                 count(*) AS frequency,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+          FROM events GROUP BY 1
+        ),
+        b AS (SELECT max(last_day) AS now_day FROM pu),
+        base AS (
+          SELECT pu.*, b.now_day - pu.last_day AS recency_days FROM pu, b
+        ),
+        q AS (
+          SELECT quantile_cont(recency_days, [0.2, 0.4, 0.6, 0.8]) AS qr,
+                 quantile_cont(frequency, [0.2, 0.4, 0.6, 0.8]) AS qf,
+                 quantile_cont(monetary_cents, [0.2, 0.4, 0.6, 0.8]) AS qm
+          FROM base
+        ),
+        scored AS (
+          SELECT base.*,
+                 6 - (CASE WHEN recency_days <= qr[1] THEN 1
+                           WHEN recency_days <= qr[2] THEN 2
+                           WHEN recency_days <= qr[3] THEN 3
+                           WHEN recency_days <= qr[4] THEN 4
+                           ELSE 5 END) AS r_score,
+                 CASE WHEN frequency <= qf[1] THEN 1
+                      WHEN frequency <= qf[2] THEN 2
+                      WHEN frequency <= qf[3] THEN 3
+                      WHEN frequency <= qf[4] THEN 4
+                      ELSE 5 END AS f_score,
+                 CASE WHEN monetary_cents <= qm[1] THEN 1
+                      WHEN monetary_cents <= qm[2] THEN 2
+                      WHEN monetary_cents <= qm[3] THEN 3
+                      WHEN monetary_cents <= qm[4] THEN 4
+                      ELSE 5 END AS m_score
+          FROM base, q
+        )
+        SELECT user_id,
+               CAST(recency_days AS BIGINT) AS recency_days,
+               CAST(frequency AS BIGINT) AS frequency,
+               monetary_cents,
+               CAST(r_score AS INT) AS r_score,
+               CAST(f_score AS INT) AS f_score,
+               CAST(m_score AS INT) AS m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                 || CAST(m_score AS VARCHAR) AS segment
+        FROM scored
     """
     return d

@@ -226,6 +226,8 @@ HEADLINE = [
     "ann_recall",
     "knn_label_eval",
     "lateness_report",
+    "multi_touch",
+    "rfm_scores",
 ]
 
 

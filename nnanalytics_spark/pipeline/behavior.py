@@ -865,3 +865,131 @@ def lateness_report(
             F.max("late_ms").alias("max_late_ms"),
         )
     )
+
+
+def multi_touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: Sequence[str] = ("click", "view"),
+    window_ms: int = 7 * 86_400_000,
+    user: str = "user_id",
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution: each conversion's credit splits
+    EQUALLY across the user's touch events in the preceding window —
+    the marketing-analytics counterpart of asof_last_click's last-touch
+    model, and the fairer one when journeys have several touches.
+
+    Credit is integer ppm (1_000_000 div n_touches per touch; the
+    remainder ppm stay unassigned, the standard truncation) and revenue
+    cents scale the same way — all-integer so the per-type sums are
+    order-free and engine-exact.
+
+    Plan: conversions and touches are two pushed-down scans of the same
+    log; the pairing is a USER-KEYED equi-join with the time window as a
+    residual predicate — at 100 TB this shuffles on the user exactly
+    once and never materializes cross-user pairs (a pure ts-range join
+    would). One aggregate per conversion for n_touches, one per touch
+    type for the report."""
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col(user).alias("u"),
+        F.col("event_id").alias("conv_id"),
+        F.col(ts_ms).alias("conv_ts"),
+        F.floor(F.col(value) * 100).alias("conv_cents"),
+    )
+    touch = events.filter(F.col("event_type").isin(list(touch_types))).select(
+        F.col(user).alias("u"),
+        F.col("event_type").alias("touch_type"),
+        F.col("event_id").alias("touch_id"),
+        F.col(ts_ms).alias("touch_ts"),
+    )
+    pairs = conv.join(touch, "u").filter(
+        (F.col("touch_ts") < F.col("conv_ts"))
+        & (F.col("touch_ts") >= F.col("conv_ts") - window_ms)
+    )
+    per_conv = pairs.groupBy("conv_id", "conv_cents").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = pairs.join(
+        per_conv.select("conv_id", "n_touches"), "conv_id"
+    ).select(
+        "touch_type",
+        F.expr("1000000 div n_touches").alias("credit_ppm"),
+        F.expr("conv_cents div n_touches").alias("cents_share"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.sum("credit_ppm").alias("conversions_ppm"),
+        F.sum("cents_share").alias("revenue_cents"),
+    )
+
+
+def rfm_scores(
+    events: DataFrame,
+    user: str = "user_id",
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+) -> DataFrame:
+    """RFM segmentation — per user Recency (days since last event),
+    Frequency (event count), Monetary (total cents), each scored 1-5
+    against the population's exact quintile boundaries, plus the
+    concatenated segment label ("555" = best).
+
+    Scale note: scores come from FIVE SCALAR quantile boundaries per
+    dimension (one aggregate over the per-user table, broadcast back as
+    a literal CASE), NOT from an ntile window — an unpartitioned ntile
+    over all users is the one-task trap at corpus scale, and the
+    boundary-CASE gives identical quintiles up to boundary ties (<=
+    binds ties downward, deterministically). Recency scores INVERT
+    (smaller = better) per the classic RFM convention."""
+    per_user = events.groupBy(F.col(user).alias("u")).agg(
+        F.max(F.expr(f"{ts_ms} div 86400000")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col(value) * 100)).alias("monetary_cents"),
+    )
+    mx = per_user.agg(F.max("last_day").alias("now_day"))
+    base = per_user.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_days", F.col("now_day") - F.col("last_day")
+    )
+    qs = base.agg(
+        *[
+            F.expr(f"percentile({c}, array(0.2, 0.4, 0.6, 0.8))").alias(f"q_{c}")
+            for c in ("recency_days", "frequency", "monetary_cents")
+        ]
+    )
+
+    def score(col, bounds, invert=False):
+        s = (
+            F.when(F.col(col) <= bounds[0], 1)
+            .when(F.col(col) <= bounds[1], 2)
+            .when(F.col(col) <= bounds[2], 3)
+            .when(F.col(col) <= bounds[3], 4)
+            .otherwise(5)
+        )
+        return (6 - s) if invert else s
+
+    b = qs.head()
+    out = (
+        base.withColumn("r_score", score("recency_days", b["q_recency_days"], invert=True))
+        .withColumn("f_score", score("frequency", b["q_frequency"]))
+        .withColumn("m_score", score("monetary_cents", b["q_monetary_cents"]))
+        .withColumn(
+            "segment",
+            F.concat(
+                F.col("r_score").cast("string"),
+                F.col("f_score").cast("string"),
+                F.col("m_score").cast("string"),
+            ),
+        )
+    )
+    return out.select(
+        F.col("u").alias(user),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        "segment",
+    )

@@ -273,3 +273,44 @@ def test_lateness_report_buckets_and_running_max(spark):
     assert got["1_le_1min"]["n_events"] == 1
     assert got["2_le_1hour"]["n_events"] == 1
     assert got["2_le_1hour"]["max_late_ms"] == 60 * m
+
+
+def test_multi_touch_attribution_splits_evenly(spark):
+    m = 60_000
+    # user 1: two touches before one purchase of 3.00; user 2: one touch
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 0 * m, "click", 0.0),
+            (1, 2, 1 * m, "view", 0.0),
+            (1, 3, 2 * m, "purchase", 3.00),
+            (2, 4, 0 * m, "click", 0.0),
+            (2, 5, 1 * m, "purchase", 1.00),
+            (3, 6, 0 * m, "purchase", 9.00),  # no touches: unattributed
+        ],
+        "user_id long, event_id long, ts_ms long, event_type string, value double",
+    )
+    got = {r["touch_type"]: r for r in behavior.multi_touch_attribution(ev).collect()}
+    assert got["click"]["n_credits"] == 2
+    # user 1's purchase splits 1/2 + user 2's full credit
+    assert got["click"]["conversions_ppm"] == 500_000 + 1_000_000
+    assert got["click"]["revenue_cents"] == 150 + 100
+    assert got["view"]["conversions_ppm"] == 500_000
+    assert got["view"]["revenue_cents"] == 150
+
+
+def test_rfm_scores_quintiles_and_segment(spark):
+    day = 86_400_000
+    rows = []
+    for u in range(10):
+        # user u: last event u days before the max, u+1 events of 1.00
+        for i in range(u + 1):
+            rows.append((u, (30 - u) * day + i, 1.00))
+    ev = spark.createDataFrame(rows, "user_id long, ts_ms long, value double")
+    got = {r["user_id"]: r for r in behavior.rfm_scores(ev).collect()}
+    # user 9: most events (10) and most revenue but oldest activity
+    assert got[9]["f_score"] == 5 and got[9]["m_score"] == 5
+    assert got[9]["r_score"] == 1
+    # user 0: most recent but fewest events
+    assert got[0]["r_score"] == 5 and got[0]["f_score"] == 1
+    assert got[0]["segment"] == "511"
+    assert all(1 <= got[u]["r_score"] <= 5 for u in range(10))
