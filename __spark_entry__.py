@@ -4721,6 +4721,17 @@ def q_rfm_scores(spark, sf):
     return behavior.rfm_scores(_events(spark, sf))
 
 
+def q_split_leakage(spark, sf):
+    """Train/test split leakage audit (dedup.split_leakage): near-dup
+    pairs straddling a deterministic 80/20 hash split, per split-pair
+    cell — the QA number the cluster-aware splitter exists to zero. The
+    pair leg is the audited inverted-index Jaccard plan; labels join on
+    the id."""
+    return dedup.split_leakage(
+        _t(spark, sf, "documents"), n=3, threshold=0.6, test_permille=200
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -4827,6 +4838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateness_report": q_lateness_report,
         "multi_touch": q_multi_touch,
         "rfm_scores": q_rfm_scores,
+        "split_leakage": q_split_leakage,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -9511,5 +9523,60 @@ def oracle_sql() -> dict[str, str]:
                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                  || CAST(m_score AS VARCHAR) AS segment
         FROM scored
+    """
+    d["split_leakage"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        rare AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN dfc USING (shingle) WHERE dfc.df <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rare a JOIN rare b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c
+          JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+          GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN (doc_id * 2654435761) % 1000 < 200
+                      THEN 'test' ELSE 'train' END AS split
+          FROM documents
+        ),
+        lab AS (
+          SELECT j.jaccard, sa.split AS split_a, sb.split AS split_b
+          FROM j
+          JOIN sp sa ON sa.doc_id = j.id_a
+          JOIN sp sb ON sb.doc_id = j.id_b
+        )
+        SELECT least(split_a, split_b) AS cell_lo,
+               greatest(split_a, split_b) AS cell_hi,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(floor(jaccard * 1000000) AS BIGINT)) AS BIGINT)
+                 AS jaccard_ppm_sum
+        FROM lab GROUP BY 1, 2
     """
     return d

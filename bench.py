@@ -228,6 +228,7 @@ HEADLINE = [
     "lateness_report",
     "multi_touch",
     "rfm_scores",
+    "split_leakage",
 ]
 
 

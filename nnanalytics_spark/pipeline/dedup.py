@@ -1199,3 +1199,53 @@ def pair_set_agreement(pairs_a: DataFrame, pairs_b: DataFrame) -> DataFrame:
             6,
         ).alias("agreement_jaccard"),
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+    test_permille: int = 200,
+    max_shingle_df: int | None = 100,
+) -> DataFrame:
+    """Train/test split leakage audit — the QA gate between the split ops
+    and the dedup ops: how many near-duplicate pairs STRADDLE the split
+    boundary (a test doc with a train near-twin inflates eval scores;
+    the cluster-aware splitter exists precisely to zero this number).
+    Returns the 3-cell pair matrix (train-train / test-test / and the
+    leak cell train-test) with counts and mean similarity.
+
+    Composition of audited parts: the deterministic hash split
+    (sampling.train_test_split) and the inverted-index Jaccard pairs —
+    the pair table is the expensive leg and it is the SAME banded plan
+    ngram_jaccard_pairs runs; the split labels join on the id (two
+    broadcast-friendly joins against a projection of the corpus)."""
+    from nnanalytics_spark.pipeline.sampling import train_test_split
+
+    split = train_test_split(
+        df.select(id_col), test_permille=test_permille, id_col=id_col
+    ).select(F.col(id_col).alias("sid"), "split")
+    pairs = ngram_jaccard_pairs(
+        df, text=text, id_col=id_col, n=n, threshold=threshold,
+        max_shingle_df=max_shingle_df,
+    )
+    labeled = (
+        pairs.join(
+            split.select(F.col("sid").alias("id_a"), F.col("split").alias("split_a")),
+            "id_a",
+        )
+        .join(
+            split.select(F.col("sid").alias("id_b"), F.col("split").alias("split_b")),
+            "id_b",
+        )
+        # normalize the unordered cell label so (train, test) and
+        # (test, train) land in ONE leak cell
+        .withColumn("cell_lo", F.least("split_a", "split_b"))
+        .withColumn("cell_hi", F.greatest("split_a", "split_b"))
+    )
+    return labeled.groupBy("cell_lo", "cell_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.floor(F.col("jaccard") * 1_000_000)).alias("jaccard_ppm_sum"),
+    )

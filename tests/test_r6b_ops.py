@@ -314,3 +314,33 @@ def test_rfm_scores_quintiles_and_segment(spark):
     assert got[0]["r_score"] == 5 and got[0]["f_score"] == 1
     assert got[0]["segment"] == "511"
     assert all(1 <= got[u]["r_score"] <= 5 for u in range(10))
+
+
+def test_split_leakage_counts_cross_split_pairs(spark):
+    # two near-dup pairs with ids engineered so one pair crosses the
+    # split: bucket(id) = (id*2654435761) % 1000 < 500 -> 'test'
+    from nnanalytics_spark.pipeline.sampling import _bucket
+
+    txt_a = "alpha beta gamma delta epsilon zeta"
+    txt_b = "one two three four five six"
+    docs = spark.createDataFrame(
+        [(1, txt_a), (2, txt_a), (3, txt_b), (4, txt_b), (5, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in docs.select("doc_id", _bucket(F.col("doc_id")).alias("b")).collect()
+    }
+    got = {
+        (r["cell_lo"], r["cell_hi"]): r["n_pairs"]
+        for r in dedup.split_leakage(
+            docs, n=2, threshold=0.9, test_permille=500, max_shingle_df=None
+        ).collect()
+    }
+    def side(i):
+        return "test" if buckets[i] < 500 else "train"
+    import collections
+    expect = collections.Counter()
+    for a, b in ((1, 2), (3, 4)):
+        expect[tuple(sorted((side(a), side(b))))] += 1
+    assert got == dict(expect)
