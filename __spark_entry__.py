@@ -4732,6 +4732,25 @@ def q_split_leakage(spark, sf):
     )
 
 
+def q_pit_features(spark, sf):
+    """Point-in-time-correct feature join (behavior.
+    point_in_time_features): one training example per purchase, features
+    from the user's STRICTLY-prior 7-day activity — the feature-store
+    no-leakage contract. User-keyed self-join with residual time bounds;
+    all-integer features."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.point_in_time_features(_events(spark, sf))
+
+
+def q_phrase_search(spark, sf):
+    """Exact phrase forensics (text.phrase_occurrences): per matching doc
+    the non-overlapping occurrence count and first-hit token offset for a
+    2-token probe phrase, over whitespace-normalized case-folded text —
+    the verify/report leg of a contamination investigation."""
+    return text.phrase_occurrences(_t(spark, sf, "documents"), "table value")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -4839,6 +4858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_touch": q_multi_touch,
         "rfm_scores": q_rfm_scores,
         "split_leakage": q_split_leakage,
+        "pit_features": q_pit_features,
+        "phrase_search": q_phrase_search,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -9578,5 +9599,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(floor(jaccard * 1000000) AS BIGINT)) AS BIGINT)
                  AS jaccard_ppm_sum
         FROM lab GROUP BY 1, 2
+    """
+    d["pit_features"] = """
+        WITH labels AS (
+          SELECT user_id AS u, event_id AS example_id, epoch_ms(ts) AS label_ts
+          FROM events WHERE event_type = 'purchase'
+        ),
+        hist AS (
+          SELECT user_id AS u, event_type AS etype, epoch_ms(ts) AS ev_ts,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        j AS (
+          SELECT l.u, l.example_id, l.label_ts, h.etype, h.ev_ts, h.cents
+          FROM labels l JOIN hist h
+            ON h.u = l.u AND h.ev_ts < l.label_ts
+           AND h.ev_ts >= l.label_ts - 604800000
+        ),
+        f AS (
+          SELECT u, example_id, label_ts,
+                 count(*) AS n_events_7d,
+                 count(DISTINCT etype) AS n_types_7d,
+                 sum(cents) AS cents_7d,
+                 max(ev_ts) AS last_ts
+          FROM j GROUP BY 1, 2, 3
+        )
+        SELECT l.u AS user_id, l.example_id, l.label_ts,
+               CAST(coalesce(f.n_events_7d, 0) AS BIGINT) AS n_events_7d,
+               CAST(coalesce(f.n_types_7d, 0) AS BIGINT) AS n_types_7d,
+               CAST(coalesce(f.cents_7d, 0) AS BIGINT) AS cents_7d,
+               CAST(l.label_ts - f.last_ts AS BIGINT) AS recency_ms
+        FROM labels l
+        LEFT JOIN f ON f.u = l.u AND f.example_id = l.example_id
+    """
+    d["phrase_search"] = r"""
+        WITH n AS (
+          SELECT doc_id,
+                 array_to_string(
+                   regexp_split_to_array(lower(trim(text)), '\s+'), ' ') AS nt
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(nt, 'table value')) AS INT)
+                 AS n_occurrences,
+               CAST(CASE WHEN instr(nt, 'table value') = 1 THEN 0
+                    ELSE len(regexp_split_to_array(
+                           trim(substr(nt, 1, instr(nt, 'table value') - 1)),
+                           '\s+')) END AS INT) AS first_token_offset
+        FROM n WHERE contains(nt, 'table value')
     """
     return d

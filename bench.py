@@ -229,6 +229,8 @@ HEADLINE = [
     "multi_touch",
     "rfm_scores",
     "split_leakage",
+    "pit_features",
+    "phrase_search",
 ]
 
 

@@ -993,3 +993,66 @@ def rfm_scores(
         "m_score",
         "segment",
     )
+
+
+def point_in_time_features(
+    events: DataFrame,
+    label_type: str = "purchase",
+    window_ms: int = 7 * 86_400_000,
+    user: str = "user_id",
+    ts_ms: str = "ts_ms",
+    value: str = "value",
+) -> DataFrame:
+    """Point-in-time-correct feature join — the feature-store staple:
+    for every label event (one training example per ``label_type``
+    occurrence), aggregate the user's behavior STRICTLY BEFORE the label
+    timestamp within a trailing window. "Strictly before" is the whole
+    point: a feature computed at-or-after the label leaks the future
+    into training, the bug PIT joins exist to prevent.
+
+    Emits per example: trailing event count, distinct event types,
+    value cents sum, and the recency of the latest prior event — all
+    integers, order-free.
+
+    Plan: ONE user-keyed self-join with the time bounds as residual
+    predicates (events co-partition by user; cross-user pairs never
+    materialize), then one aggregate per example. At 100 TB this is the
+    standard two-scan + single-shuffle PIT shape; the window bound keeps
+    each example's fan-in to that user's recent activity, so one
+    hyperactive user widens its own examples only."""
+    labels = events.filter(F.col("event_type") == label_type).select(
+        F.col(user).alias("u"),
+        F.col("event_id").alias("example_id"),
+        F.col(ts_ms).alias("label_ts"),
+    )
+    hist = events.select(
+        F.col(user).alias("u"),
+        F.col("event_type").alias("etype"),
+        F.col(ts_ms).alias("ev_ts"),
+        F.floor(F.col(value) * 100).alias("cents"),
+    )
+    joined = labels.join(hist, "u").filter(
+        (F.col("ev_ts") < F.col("label_ts"))
+        & (F.col("ev_ts") >= F.col("label_ts") - window_ms)
+    )
+    feats = joined.groupBy("u", "example_id", "label_ts").agg(
+        F.count(F.lit(1)).alias("n_events_7d"),
+        F.countDistinct("etype").alias("n_types_7d"),
+        F.sum("cents").alias("cents_7d"),
+        (F.col("label_ts") - F.max("ev_ts")).alias("recency_ms"),
+    )
+    # left join back so zero-history examples keep a row (features 0 /
+    # NULL recency) — dropping them would bias the training set toward
+    # active users
+    return (
+        labels.join(feats, ["u", "example_id", "label_ts"], "left")
+        .select(
+            F.col("u").alias(user),
+            "example_id",
+            "label_ts",
+            F.coalesce("n_events_7d", F.lit(0)).alias("n_events_7d"),
+            F.coalesce("n_types_7d", F.lit(0)).alias("n_types_7d"),
+            F.coalesce("cents_7d", F.lit(0)).alias("cents_7d"),
+            "recency_ms",
+        )
+    )

@@ -1107,3 +1107,43 @@ def span_corruption_stats(
             "targets_len"
         ),
     )
+
+
+def phrase_occurrences(
+    df: DataFrame,
+    phrase: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact multi-token phrase search — contamination forensics' grep:
+    per document containing the phrase (whitespace-normalized,
+    case-folded), the number of non-overlapping occurrences and the
+    first match's token offset. Distinct from substring FILTERS: this
+    reports counts/positions for quantifying how deeply a benchmark
+    string leaked, not just membership.
+
+    One scan, all codegen expressions (regexp_count / instr / a prefix
+    token count for the offset); the contains() pre-filter keeps the
+    regex off non-matching documents. At corpus scale the right
+    companion is a shingle-index candidate step (contamination's plan) —
+    this operator is the verify/report leg."""
+    norm_phrase = " ".join(phrase.lower().split())
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text), r"\s+", " ")))
+    import re as _re
+
+    pat = _re.escape(norm_phrase)
+    hit = norm.contains(norm_phrase)
+    prefix = F.expr(
+        f"substring(lower(trim(regexp_replace({text}, '\\\\s+', ' '))), 1, "
+        f"instr(lower(trim(regexp_replace({text}, '\\\\s+', ' '))), "
+        f"'{norm_phrase}') - 1)"
+    )
+    return (
+        df.filter(hit)
+        .select(
+            F.col(id_col),
+            F.regexp_count(norm, F.lit(pat)).alias("n_occurrences"),
+            # token offset = tokens fully before the first hit
+            F.size(tokens(prefix)).alias("first_token_offset"),
+        )
+    )

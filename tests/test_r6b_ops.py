@@ -344,3 +344,52 @@ def test_split_leakage_counts_cross_split_pairs(spark):
     for a, b in ((1, 2), (3, 4)):
         expect[tuple(sorted((side(a), side(b))))] += 1
     assert got == dict(expect)
+
+
+def test_pit_features_strictly_before_no_leakage(spark):
+    m = 60_000
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 0 * m, "view", 2.00),
+            (1, 2, 5 * m, "click", 3.00),
+            (1, 3, 5 * m, "purchase", 9.99),  # same-ts click must NOT count? ts 5m < 5m is false -> excluded
+            (1, 4, 9 * m, "purchase", 1.00),  # sees view+click+purchase(3)
+            (2, 5, 0 * m, "purchase", 4.00),  # zero history
+        ],
+        "user_id long, event_id long, ts_ms long, event_type string, value double",
+    )
+    got = {
+        r["example_id"]: r
+        for r in behavior.point_in_time_features(ev).collect()
+    }
+    # example 3 at t=5m: only the strictly-earlier view counts — the
+    # simultaneous click is NOT leaked in
+    assert got[3]["n_events_7d"] == 1 and got[3]["cents_7d"] == 200
+    assert got[3]["recency_ms"] == 5 * m
+    # example 4 at t=9m: view + click + the earlier purchase
+    assert got[4]["n_events_7d"] == 3 and got[4]["n_types_7d"] == 3
+    assert got[4]["cents_7d"] == 200 + 300 + 999
+    # zero-history example keeps its row with zeroed features
+    assert got[5]["n_events_7d"] == 0 and got[5]["recency_ms"] is None
+
+
+def test_phrase_occurrences_counts_and_offset(spark):
+    from nnanalytics_spark.pipeline import text as text_mod
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "beta   gamma beta gamma x"),   # normalization collapses runs
+            (3, "BETA GAMMA at the start"),
+            (4, "no hits here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text_mod.phrase_occurrences(docs, "beta gamma").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_occurrences"] == 1 and got[1]["first_token_offset"] == 1
+    assert got[2]["n_occurrences"] == 2 and got[2]["first_token_offset"] == 0
+    assert got[3]["first_token_offset"] == 0  # case-folded hit at offset 0
