@@ -51,11 +51,6 @@ class Finding:
     detail: str
 
 
-_PASSTHROUGH = frozenset(
-    {"WholeStageCodegenExec", "InputAdapter", "ColumnarToRowExec", "ProjectExec"}
-)
-
-
 def _walk(jnode):
     """Yield every node of a Catalyst tree (logical or physical).
     Descends INTO AdaptiveSparkPlanExec (via its initial plan — the

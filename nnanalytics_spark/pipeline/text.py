@@ -1128,6 +1128,9 @@ def phrase_occurrences(
     companion is a shingle-index candidate step (contamination's plan) —
     this operator is the verify/report leg."""
     norm_phrase = " ".join(phrase.lower().split())
+    if "'" in norm_phrase or "\\" in norm_phrase:
+        # the offset expression embeds the phrase as a SQL string literal
+        raise ValueError("phrase must not contain quotes or backslashes")
     norm = F.lower(F.trim(F.regexp_replace(F.col(text), r"\s+", " ")))
     import re as _re
 
