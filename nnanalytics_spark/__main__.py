@@ -92,7 +92,11 @@ def main(argv: list[str] | None = None) -> int:
             choices=("parquet", "oiv", "oiv-xml", "fsimage"),
         )
         p.add_argument("--conf", help=".properties file (reference names)")
-        p.add_argument("--master", default=None, help="spark master override")
+        p.add_argument(
+            "--cpus",
+            default=None,
+            help="local worker threads (session master becomes local[N])",
+        )
         if name == "serve":
             p.add_argument("--host", default="0.0.0.0")
             p.add_argument("--port", default=None)
@@ -105,12 +109,11 @@ def main(argv: list[str] | None = None) -> int:
 
     from nnanalytics_spark.session import get_spark
 
-    overrides = {}
-    if args.master:
+    if args.cpus:
         import os
 
-        os.environ["SPARK_GRAFT_CPUS"] = args.master
-    spark = get_spark("nnanalytics", **overrides)
+        os.environ["SPARK_GRAFT_CPUS"] = args.cpus
+    spark = get_spark("nnanalytics")
     props = _read_properties(args.conf)
     inodes = _load_inodes(spark, args.source, args.format)
 
