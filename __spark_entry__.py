@@ -4751,6 +4751,30 @@ def q_phrase_search(spark, sf):
     return text.phrase_occurrences(_t(spark, sf, "documents"), "table value")
 
 
+def q_eval_coverage(spark, sf):
+    """Benchmark n-gram coverage (dedup.eval_ngram_coverage): per pseudo
+    eval doc (doc_id % 50 == 0), the fraction of its distinct 3-grams
+    present anywhere in the remaining corpus — the aggregate
+    memorization-risk view beside the pairwise contamination scan.
+    Corpus gram set distinct ONCE; eval side left-semi joins in."""
+    docs = _t(spark, sf, "documents")
+    return dedup.eval_ngram_coverage(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+    )
+
+
+def q_link_negatives(spark, sf):
+    """Contrastive pair construction (similarity.link_negatives): 3
+    nearest neighbors as positives + 3 hash-corrupted negatives per
+    anchor, accidental hits anti-joined out — rand()-free and
+    engine-replayable down to the corrupt-tail arithmetic."""
+    return similarity.link_negatives(
+        _t(spark, sf, "embeddings"), k_pos=3, k_neg=3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -4860,6 +4884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "pit_features": q_pit_features,
         "phrase_search": q_phrase_search,
+        "eval_coverage": q_eval_coverage,
+        "link_negatives": q_link_negatives,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -9647,5 +9673,73 @@ def oracle_sql() -> dict[str, str]:
                            trim(substr(nt, 1, instr(nt, 'table value') - 1)),
                            '\s+')) END AS INT) AS first_token_offset
         FROM n WHERE contains(nt, 'table value')
+    """
+    d["eval_coverage"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks
+        ),
+        cg AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 != 0),
+        eg AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 50 = 0),
+        t AS (SELECT eval_id, count(*) AS n_grams FROM eg GROUP BY 1),
+        h AS (
+          SELECT eval_id, count(*) AS n_covered FROM eg
+          WHERE shingle IN (SELECT shingle FROM cg) GROUP BY 1
+        )
+        SELECT t.eval_id,
+               CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(coalesce(h.n_covered, 0) AS BIGINT) AS n_covered,
+               round(coalesce(h.n_covered, 0) / t.n_grams, 6) AS coverage
+        FROM t LEFT JOIN h USING (eval_id)
+    """
+    d["link_negatives"] = """
+        WITH nn AS (SELECT max(vec_id) + 1 AS n FROM embeddings),
+        v AS (
+          SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS e
+          FROM embeddings
+        ),
+        nrm AS (
+          SELECT vec_id, e,
+                 sqrt(list_reduce(list_prepend(0.0, [x * x for x in e]),
+                                  (a, b) -> a + b)) AS m
+          FROM v
+        ),
+        p AS (
+          SELECT a.vec_id AS anchor, b.vec_id AS other,
+                 round(list_reduce(list_prepend(0.0,
+                         [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
+                         (x, y) -> x + y) / (a.m * b.m), 6) AS cos_sim
+          FROM nrm a JOIN nrm b ON a.vec_id != b.vec_id
+        ),
+        pos AS (
+          SELECT anchor, other FROM (
+            SELECT anchor, other, row_number() OVER (
+                     PARTITION BY anchor ORDER BY cos_sim DESC, other) AS rk
+            FROM p) WHERE rk <= 3
+        ),
+        slots AS (
+          SELECT vec_id AS anchor, s
+          FROM embeddings, (VALUES (0), (1), (2)) AS t(s)
+        ),
+        neg0 AS (
+          SELECT DISTINCT anchor,
+                 (((anchor * 31 + s + 1) % n) * (2654435761 % n)) % n AS other
+          FROM slots, nn
+        ),
+        neg AS (
+          SELECT n0.anchor, n0.other FROM neg0 n0
+          WHERE n0.other != n0.anchor
+            AND NOT EXISTS (SELECT 1 FROM pos p
+                            WHERE p.anchor = n0.anchor AND p.other = n0.other)
+        )
+        SELECT anchor, other, CAST(1 AS INT) AS label FROM pos
+        UNION ALL
+        SELECT anchor, other, CAST(0 AS INT) AS label FROM neg
     """
     return d

@@ -231,6 +231,8 @@ HEADLINE = [
     "split_leakage",
     "pit_features",
     "phrase_search",
+    "eval_coverage",
+    "link_negatives",
 ]
 
 

@@ -1249,3 +1249,49 @@ def split_leakage(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.floor(F.col("jaccard") * 1_000_000)).alias("jaccard_ppm_sum"),
     )
+
+
+def eval_ngram_coverage(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-eval-document n-gram coverage against a training corpus: the
+    fraction of the eval doc's distinct n-grams that appear ANYWHERE in
+    the corpus — the aggregate memorization-risk view that complements
+    the pairwise contamination scan (which answers "which training doc
+    leaked"; this answers "how much of the benchmark is coverable at
+    all"). Coverage ≈ 1 means the benchmark can be answered from surface
+    recall; report it before trusting an eval delta.
+
+    Plan: the corpus collapses to its DISTINCT gram-hash set once (one
+    aggregate — at 100 TB this is the big but shuffle-friendly leg);
+    eval grams (tiny side) LEFT SEMI join into it for the hit count.
+    Join keys are 8-byte xxhash64 grams."""
+    cg = (
+        corpus.select(F.explode(shingles(F.col(text), n)).alias("g"))
+        .select(F.xxhash64("g").alias("sg"))
+        .distinct()
+    )
+    eg = eval_docs.select(
+        F.col(id_col).alias("eval_id"), F.explode(shingles(F.col(text), n)).alias("g")
+    ).select("eval_id", F.xxhash64("g").alias("sg"))
+    totals = eg.groupBy("eval_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        eg.join(cg, "sg", "left_semi")
+        .groupBy("eval_id")
+        .agg(F.count(F.lit(1)).alias("n_covered"))
+    )
+    return (
+        totals.join(hits, "eval_id", "left")
+        .select(
+            "eval_id",
+            "n_grams",
+            F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+            F.round(
+                F.coalesce("n_covered", F.lit(0)) / F.col("n_grams"), 6
+            ).alias("coverage"),
+        )
+    )

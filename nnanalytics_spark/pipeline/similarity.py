@@ -1397,3 +1397,49 @@ def knn_label_eval(
         )
         .withColumn("accuracy", F.col("n_correct") / F.col("n"))
     )
+
+
+def link_negatives(
+    df: DataFrame,
+    k_pos: int = 3,
+    k_neg: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_ids: int | None = None,
+) -> DataFrame:
+    """Contrastive training-pair construction for embedding models:
+    per anchor, its ``k_pos`` nearest neighbors as label-1 positives and
+    ``k_neg`` deterministic hash-corrupted ids as label-0 negatives —
+    rand()-free (the Knuth multiplicative hash on (anchor, slot) picks
+    the corrupt tail), with ACCIDENTAL-HIT FILTERING: a sampled negative
+    that is actually one of the anchor's true neighbors is dropped via
+    an anti-join, the correctness detail naive samplers skip and models
+    pay for.
+
+    ``n_ids`` (default: max id + 1) is the corrupt-tail id space; pass
+    it explicitly on sparse id spaces. Plan: positives ride the blocked
+    exact k-NN kernel; negatives are row-local arithmetic + one
+    anti-join on (anchor, candidate) against the positive set — no
+    shuffle carries vectors."""
+    if n_ids is None:
+        n_ids = int(df.agg(F.max(id_col)).head()[0]) + 1
+    pos = knn_graph(df, k=k_pos, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("anchor"), F.col("nbr").alias("other")
+    )
+    slots = df.select(F.col(id_col).alias("anchor")).crossJoin(
+        F.broadcast(
+            df.sparkSession.range(k_neg).select(F.col("id").alias("slot"))
+        )
+    )
+    neg = slots.select(
+        "anchor",
+        F.pmod(
+            (F.pmod(F.col("anchor") * 31 + F.col("slot") + 1, F.lit(n_ids)))
+            * F.lit(2654435761 % n_ids),
+            F.lit(n_ids),
+        ).alias("other"),
+    ).filter(F.col("other") != F.col("anchor")).distinct()
+    neg = neg.join(pos, ["anchor", "other"], "left_anti")
+    return pos.withColumn("label", F.lit(1)).unionByName(
+        neg.withColumn("label", F.lit(0))
+    )

@@ -393,3 +393,38 @@ def test_phrase_occurrences_counts_and_offset(spark):
     assert got[1]["n_occurrences"] == 1 and got[1]["first_token_offset"] == 1
     assert got[2]["n_occurrences"] == 2 and got[2]["first_token_offset"] == 0
     assert got[3]["first_token_offset"] == 0  # case-folded hit at offset 0
+
+
+def test_eval_ngram_coverage_fraction(spark):
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y z w v")], "doc_id long, text string"
+    )
+    evals = spark.createDataFrame(
+        [(100, "a b c d"), (101, "q r s t")], "doc_id long, text string"
+    )
+    got = {
+        r["eval_id"]: r
+        for r in dedup.eval_ngram_coverage(corpus, evals, n=3).collect()
+    }
+    # eval 100: grams {abc, bcd} both in doc 1 -> coverage 1.0
+    assert (got[100]["n_grams"], got[100]["coverage"]) == (2, 1.0)
+    # eval 101: nothing covered
+    assert (got[101]["n_covered"], got[101]["coverage"]) == (0, 0.0)
+
+
+def test_link_negatives_labels_and_no_accidental_hits(spark):
+    from nnanalytics_spark.pipeline import similarity as sim
+
+    rows = [(i, [float(i % 4 == j) + 0.01 * i for j in range(4)]) for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = sim.link_negatives(emb, k_pos=2, k_neg=3).collect()
+    pos = {(r["anchor"], r["other"]) for r in got if r["label"] == 1}
+    neg = {(r["anchor"], r["other"]) for r in got if r["label"] == 0}
+    # every anchor has exactly k_pos positives; negatives never overlap
+    # the positive set nor self-pair
+    anchors = {a for a, _ in pos}
+    assert anchors == set(range(12))
+    for a in anchors:
+        assert sum(1 for x, _ in pos if x == a) == 2
+    assert not (pos & neg)
+    assert all(a != o for a, o in neg)
