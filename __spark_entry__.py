@@ -25,6 +25,7 @@ families should be validated there too, not only at sf0.01.
 
 from __future__ import annotations
 
+import math as _math
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -4775,6 +4776,110 @@ def q_link_negatives(spark, sf):
     )
 
 
+# Fellegi–Sunter field models shared by q_record_linkage and its oracle:
+# the m/u probabilities are MODEL PARAMETERS (literals), so both engines
+# score with the exact same doubles — repr() round-trips them losslessly
+# into the SQL text.
+_FS_FIELDS = [
+    # (name, m, u): segment agreement is informative (5 segments), the
+    # floor-banded balance is the strongest signal, the sign is weak.
+    ("segment", 0.9, 0.2),
+    ("bal_band", 0.7, 0.05),
+    ("bal_sign", 0.95, 0.5),
+]
+
+# (agree, disagree) log2 weights; repr() round-trips doubles losslessly,
+# so the oracle's literals are bit-identical to the Spark side's.
+_FS_WEIGHTS = {
+    name: (_math.log2(m / u), _math.log2((1 - m) / (1 - u)))
+    for name, m, u in _FS_FIELDS
+}
+
+
+def q_bloom_prune_join(spark, sf):
+    """Bloom-pruned fact join (core/joins.py:bloom_prune_join): the
+    supplier keys for nations 0-2 are sketched into a 64 Kib bloom
+    bitmap (ONE bounded aggregate, ≤1024 longs collected — constant in
+    data size), the lineitem scan is pre-filtered by the literal-array
+    membership predicate INSIDE codegen before the join exchange, and
+    the exact equi-join removes the false positives. No false negatives
+    by construction, so the result EQUALS the plain join the oracle
+    runs — at 100 TB the exchange carries the selectivity, not the
+    table."""
+    from nnanalytics_spark.core import joins
+
+    li = _t(spark, sf, "lineitem")
+    dim = _t(spark, sf, "supplier").filter(F.col("s_nationkey") < 3)
+    rev = F.col("l_extendedprice").cast(_DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(_DEC)
+    return (
+        joins.bloom_prune_join(li, dim, "l_suppkey", "s_suppkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_record_linkage(spark, sf):
+    """Blocked Fellegi–Sunter record linkage (pipeline/linkage.py):
+    even-key customers play list A, odd-key customers list B, blocking
+    on nation bounds the candidate space (the b²-per-block contract),
+    and three field comparators — segment equality, floor-banded
+    account balance, balance sign — contribute literal log2(m/u)
+    weights summed entirely inside the join stage's codegen. Pairs
+    scoring above the lower threshold survive; the oracle replays the
+    block join and the same literal CASE arithmetic."""
+    from nnanalytics_spark.pipeline import linkage
+
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0)
+    b = c.filter(F.col("c_custkey") % 2 == 1)
+    fields = [
+        linkage.FieldModel(
+            "segment",
+            F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
+            *_FS_FIELDS[0][1:],
+        ),
+        linkage.FieldModel(
+            "bal_band",
+            F.abs(
+                F.floor(F.col("a_c_acctbal")) - F.floor(F.col("b_c_acctbal"))
+            )
+            <= 100,
+            *_FS_FIELDS[1][1:],
+        ),
+        linkage.FieldModel(
+            "bal_sign",
+            (F.col("a_c_acctbal") >= 0) == (F.col("b_c_acctbal") >= 0),
+            *_FS_FIELDS[2][1:],
+        ),
+    ]
+    out = linkage.linkage_pairs(
+        a, b, ["c_nationkey"], fields, id_col="c_custkey", upper=2.0, lower=0.0
+    )
+    return out.filter(F.col("score") > 0.0)
+
+
+def q_skyline_frontier(spark, sf):
+    """Per-brand Pareto frontier over (minimize retailprice, maximize
+    size) — stats.skyline's level-collapse + brand-partitioned
+    prefix-max plan, n log n per group. The oracle is the textbook
+    O(n²) NOT-EXISTS dominance self-join; equality of the two is the
+    whole point (ties on both axes stay on the frontier in both)."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.skyline(
+        _t(spark, sf, "part"),
+        minimize="p_retailprice",
+        maximize="p_size",
+        group_cols=["p_brand"],
+        id_col="p_partkey",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -5069,6 +5174,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_histogram": q_memory_histogram,
         "storage_type_histogram": q_storage_type_histogram,
         "relative_time_filter": q_relative_time_filter,
+    # r6 third batch (battery-green now; driver window candidates for
+    # r7): bloom-pruned fact join, Fellegi–Sunter record linkage,
+    # skyline/Pareto frontier:
+        "bloom_prune_join": q_bloom_prune_join,
+        "record_linkage": q_record_linkage,
+        "skyline_frontier": q_skyline_frontier,
     }
 
 
@@ -9741,5 +9852,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT anchor, other, CAST(1 AS INT) AS label FROM pos
         UNION ALL
         SELECT anchor, other, CAST(0 AS INT) AS label FROM neg
+    """
+    # bloom_prune_join: the bloom filter is a pure pre-filter (no false
+    # negatives; false positives die in the exact join), so the oracle
+    # is the PLAIN join — result equality IS the recall proof.
+    d["bloom_prune_join"] = """
+        SELECT s_nationkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey < 3
+        GROUP BY s_nationkey
+    """
+    # record_linkage: same block join, same literal CASE weights (the
+    # m/u model parameters repr()-interpolated, bit-identical doubles).
+    _w = _FS_WEIGHTS
+    d["record_linkage"] = f"""
+        WITH a AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+             b AS (SELECT * FROM customer WHERE c_custkey % 2 = 1),
+             scored AS (
+               SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                      a.c_mktsegment = b.c_mktsegment AS agree_segment,
+                      abs(floor(a.c_acctbal) - floor(b.c_acctbal)) <= 100 AS agree_bal_band,
+                      (a.c_acctbal >= 0) = (b.c_acctbal >= 0) AS agree_bal_sign,
+                      round(
+                        CASE WHEN a.c_mktsegment = b.c_mktsegment
+                             THEN CAST({_w['segment'][0]!r} AS DOUBLE)
+                             ELSE CAST({_w['segment'][1]!r} AS DOUBLE) END
+                      + CASE WHEN abs(floor(a.c_acctbal) - floor(b.c_acctbal)) <= 100
+                             THEN CAST({_w['bal_band'][0]!r} AS DOUBLE)
+                             ELSE CAST({_w['bal_band'][1]!r} AS DOUBLE) END
+                      + CASE WHEN (a.c_acctbal >= 0) = (b.c_acctbal >= 0)
+                             THEN CAST({_w['bal_sign'][0]!r} AS DOUBLE)
+                             ELSE CAST({_w['bal_sign'][1]!r} AS DOUBLE) END,
+                      6) AS score
+               FROM a JOIN b ON a.c_nationkey = b.c_nationkey
+             )
+        SELECT id_a, id_b, agree_segment, agree_bal_band, agree_bal_sign, score,
+               CASE WHEN score >= 2.0 THEN 'match'
+                    WHEN score <= 0.0 THEN 'nonmatch'
+                    ELSE 'possible' END AS decision
+        FROM scored WHERE score > 0.0
+    """
+    # skyline_frontier: the textbook O(n²) NOT-EXISTS dominance join —
+    # the n log n window plan must emit the identical frontier.
+    d["skyline_frontier"] = """
+        SELECT x.p_partkey, x.p_brand, x.p_retailprice, x.p_size
+        FROM part x
+        WHERE NOT EXISTS (
+          SELECT 1 FROM part y
+          WHERE y.p_brand = x.p_brand
+            AND y.p_retailprice <= x.p_retailprice
+            AND y.p_size >= x.p_size
+            AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+        )
     """
     return d

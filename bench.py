@@ -233,6 +233,9 @@ HEADLINE = [
     "phrase_search",
     "eval_coverage",
     "link_negatives",
+    "bloom_prune_join",
+    "record_linkage",
+    "skyline_frontier",
 ]
 
 

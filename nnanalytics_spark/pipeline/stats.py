@@ -477,3 +477,53 @@ def psi_drift(
         )
         .select("bucket", "n_a", "n_b", "psi_term")
     )
+
+
+def skyline(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+    group_cols: list[str] | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Pareto frontier (the skyline operator, Börzsönyi et al. 2001):
+    the rows not DOMINATED by any other row of the same group, where y
+    dominates x iff y.minimize <= x.minimize AND y.maximize >= x.maximize
+    with at least one strict. The naive formulation is an O(n²)
+    NOT-EXISTS self-join (that is exactly what the oracle runs); this
+    plan is one aggregate + one group-partitioned window + one equi-join
+    back — n log n per group, never pairwise:
+
+    - collapse to price LEVELS: per (group, minimize) keep max(maximize)
+      — any row below its level max is dominated at equal cost;
+    - over levels ordered by minimize ascending, a prefix max of the
+      level maxima: every earlier level has STRICTLY smaller minimize
+      (levels are distinct), so prefix_max >= x.maximize means a
+      cheaper-or-equal, at-least-as-good row exists with the strict
+      part on the minimize axis — dominated;
+    - join levels back on (group, minimize) and keep rows at their
+      level max and above the prefix max.
+
+    The window partitions by the GROUP columns, so no single-task global
+    sort; skew is bounded by the largest group, same contract as every
+    grouped window in the engine. Ties survive: two rows with identical
+    (minimize, maximize) dominate neither and both stay on the frontier
+    — matching the NOT-EXISTS semantics bit for bit."""
+    from pyspark.sql.window import Window
+
+    gcols = group_cols or []
+    levels = df.groupBy(*gcols, minimize).agg(F.max(maximize).alias("_lvl_max"))
+    w = (
+        Window.partitionBy(*gcols)
+        .orderBy(F.col(minimize).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    levels = levels.withColumn("_prev_max", F.max("_lvl_max").over(w))
+    out = df.join(levels, [*gcols, minimize])
+    return (
+        out.filter(
+            (F.col(maximize) == F.col("_lvl_max"))
+            & (F.col("_prev_max").isNull() | (F.col("_prev_max") < F.col(maximize)))
+        )
+        .select(id_col, *gcols, minimize, maximize)
+    )

@@ -52,7 +52,20 @@ _DEFAULTS = {
 
 
 def get_spark(app_name: str = "nnanalytics_spark", **overrides: str) -> SparkSession:
-    """Create (or reuse) a SparkSession with scale-appropriate defaults."""
+    """Create (or reuse) a SparkSession with scale-appropriate defaults.
+
+    Reuse is conf-preserving: ``getOrCreate`` applies builder configs to
+    an EXISTING session's runtime conf (Spark 3.4+), so a nested
+    ``get_spark()`` — e.g. the CLI invoked inside a test process whose
+    suite session pins ``spark.sql.shuffle.partitions`` — would silently
+    clobber the host session's settings. If a session is already active
+    we return it untouched; defaults/overrides apply only on creation.
+    """
+    # getActiveSession is thread-local; fall back to the process-wide
+    # instantiated session so worker threads reuse instead of clobber.
+    active = SparkSession.getActiveSession() or SparkSession._instantiatedSession
+    if active is not None:
+        return active
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     for key, value in {**_DEFAULTS, **overrides}.items():

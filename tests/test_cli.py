@@ -78,3 +78,16 @@ def test_cli_serve_http_roundtrip(spark, tmp_path, monkeypatch):
     rc = cli.main(["serve", "--source", src, "--conf", str(f)])
     assert rc == 0
     assert started["status"] == 200 and started["body"].strip().isdigit()
+
+
+def test_nested_get_spark_preserves_host_session_conf(spark):
+    # the CLI (and any library code) calling get_spark() inside a process
+    # that already has a session must NOT clobber that session's runtime
+    # conf — getOrCreate applies builder configs to existing sessions, so
+    # get_spark returns the active session untouched instead
+    from nnanalytics_spark.session import get_spark
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    s2 = get_spark("nested-should-reuse")
+    assert s2 is spark
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -1,0 +1,182 @@
+"""Unit tests for the r6 third-batch operators: bloom-pruned join,
+Fellegi–Sunter record linkage, skyline/Pareto frontier — closed-form
+fixtures with hand-computed expectations (the oracle battery covers
+sf-scale parity for the corresponding queries() entries)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.core import joins
+from nnanalytics_spark.pipeline import linkage, stats
+
+
+# ---------------------------------------------------------------- bloom
+
+def test_bloom_has_no_false_negatives(spark):
+    keys = spark.createDataFrame([(i,) for i in range(200)], "k long")
+    bitmap = joins.build_bloom(keys, "k", num_bits=1 << 12, num_hashes=3)
+    hits = keys.filter(joins.bloom_might_contain(F.col("k"), bitmap, 3)).count()
+    assert hits == 200  # every inserted key MUST pass
+
+
+def test_bloom_rejects_most_non_members(spark):
+    keys = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    bitmap = joins.build_bloom(keys, "k", num_bits=1 << 14, num_hashes=3)
+    probe = spark.createDataFrame([(i,) for i in range(10_000, 12_000)], "k long")
+    fp = probe.filter(joins.bloom_might_contain(F.col("k"), bitmap, 3)).count()
+    # 100 keys in 16384 bits: theoretical FP ~ (1-e^(-300/16384))^3 ≈ 6e-6;
+    # allow a generous margin — the point is "sparse", not the exact rate
+    assert fp < 20
+
+
+def test_bloom_prune_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(i, i % 7, i * 10) for i in range(500)], "row_id long, k long, v long"
+    )
+    dim = spark.createDataFrame([(2, "a"), (5, "b")], "k2 long, tag string")
+    got = (
+        joins.bloom_prune_join(fact, dim, "k", "k2", num_bits=1 << 10)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    want = (
+        fact.join(dim, fact.k == dim.k2)
+        .groupBy("tag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_bloom_word_count_is_bounded_and_validated(spark):
+    keys = spark.createDataFrame([(i,) for i in range(1000)], "k long")
+    bitmap = joins.build_bloom(keys, "k", num_bits=1 << 10)
+    assert len(bitmap) == (1 << 10) // 64  # constant, data-size-independent
+    with pytest.raises(ValueError):
+        joins.build_bloom(keys, "k", num_bits=100)  # not a multiple of 64
+
+
+def test_bloom_filter_runs_map_side_before_the_join_exchange(spark):
+    # the membership predicate must sit in the fact scan stage (a Filter
+    # of pure expressions), not after the exchange — that is the whole
+    # scale argument
+    fact = spark.createDataFrame([(i, i % 7) for i in range(100)], "row_id long, k long")
+    dim = spark.createDataFrame([(2,)], "k2 long")
+    plan = (
+        joins.bloom_prune_join(fact, dim, "k", "k2", num_bits=1 << 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the xxhash64 membership filter exists, and no UDF/python eval stage
+    assert "xxhash64" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -------------------------------------------------------------- linkage
+
+def test_field_model_validates_m_u(spark):
+    with pytest.raises(ValueError):
+        linkage.FieldModel("x", F.lit(True), m=0.2, u=0.9)  # u > m
+    f = linkage.FieldModel("x", F.lit(True), m=0.9, u=0.2)
+    assert f.agree_weight == math.log2(0.9 / 0.2)
+    assert f.disagree_weight == math.log2((1 - 0.9) / (1 - 0.2))
+
+
+def test_linkage_scores_hand_computed_pair(spark):
+    a = spark.createDataFrame([(1, "B1", "AUTO", 100.0)], "id long, blk string, seg string, bal double")
+    b = spark.createDataFrame(
+        [(2, "B1", "AUTO", 150.0), (3, "B1", "SHIP", -500.0), (4, "B2", "AUTO", 100.0)],
+        "id long, blk string, seg string, bal double",
+    )
+    fields = [
+        linkage.FieldModel("seg", F.col("a_seg") == F.col("b_seg"), 0.9, 0.2),
+        linkage.FieldModel(
+            "band",
+            F.abs(F.floor(F.col("a_bal")) - F.floor(F.col("b_bal"))) <= 100,
+            0.7,
+            0.05,
+        ),
+    ]
+    rows = {
+        r["id_b"]: r
+        for r in linkage.linkage_pairs(
+            a, b, ["blk"], fields, id_col="id", upper=2.0, lower=0.0
+        ).collect()
+    }
+    # id 4 is in block B2 — blocked out entirely
+    assert set(rows) == {2, 3}
+    w_seg = math.log2(0.9 / 0.2)
+    w_band = math.log2(0.7 / 0.05)
+    assert rows[2]["agree_seg"] and rows[2]["agree_band"]
+    assert rows[2]["score"] == round(w_seg + w_band, 6)
+    assert rows[2]["decision"] == "match"
+    # id 3 disagrees on both fields: negative weights → nonmatch
+    assert not rows[3]["agree_seg"] and not rows[3]["agree_band"]
+    assert rows[3]["score"] == round(
+        math.log2((1 - 0.9) / (1 - 0.2)) + math.log2((1 - 0.7) / (1 - 0.05)), 6
+    )
+    assert rows[3]["decision"] == "nonmatch"
+
+
+def test_linkage_decision_band_boundaries(spark):
+    # a single weak field keeps the score strictly between the
+    # thresholds → 'possible'
+    a = spark.createDataFrame([(1, "B", 1)], "id long, blk string, x int")
+    b = spark.createDataFrame([(2, "B", 1)], "id long, blk string, x int")
+    fields = [linkage.FieldModel("x", F.col("a_x") == F.col("b_x"), 0.6, 0.4)]
+    (row,) = linkage.linkage_pairs(
+        a, b, ["blk"], fields, id_col="id", upper=2.0, lower=0.0
+    ).collect()
+    assert row["decision"] == "possible"
+
+
+# -------------------------------------------------------------- skyline
+
+def test_skyline_hand_fixture_with_ties_and_groups(spark):
+    rows = [
+        # group g1: (price, size)
+        (1, "g1", 1.0, 5),   # frontier (cheapest)
+        (2, "g1", 2.0, 9),   # frontier (bigger than everything cheaper)
+        (3, "g1", 2.0, 9),   # duplicate of 2 — TIE: both stay
+        (4, "g1", 2.0, 7),   # dominated by 2 at the same price
+        (5, "g1", 3.0, 9),   # dominated by 2 (same size, higher price)
+        (6, "g1", 4.0, 10),  # frontier
+        # group g2 is independent
+        (7, "g2", 9.0, 1),   # frontier (alone)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, price double, size int")
+    got = sorted(
+        r["id"]
+        for r in stats.skyline(
+            df, minimize="price", maximize="size", group_cols=["grp"], id_col="id"
+        ).collect()
+    )
+    assert got == [1, 2, 3, 6, 7]
+
+
+def test_skyline_matches_bruteforce_not_exists(spark):
+    # pseudo-random-ish but deterministic grid; brute-force dominance in
+    # Python is the oracle
+    rows = [
+        (i, "g", float((i * 37) % 11), (i * 53) % 7) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "id long, grp string, price double, size int")
+    got = sorted(
+        r["id"]
+        for r in stats.skyline(
+            df, minimize="price", maximize="size", group_cols=["grp"], id_col="id"
+        ).collect()
+    )
+    want = sorted(
+        i
+        for (i, _, p, s) in rows
+        if not any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for (_, _, p2, s2) in rows
+        )
+    )
+    assert got == want
