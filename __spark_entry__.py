@@ -4880,6 +4880,124 @@ def q_skyline_frontier(spark, sf):
     )
 
 
+# Pinned two-term eval queries for q_ndcg_eval (terms from the synthetic
+# corpus vocabulary); rel = # distinct terms present, gain = 2^rel - 1.
+_NDCG_QUERIES = [
+    ("join", "window"),
+    ("scan", "filter"),
+    ("hash", "table"),
+    ("spark", "query"),
+    ("agg", "column"),
+]
+_NDCG_K = 10
+# 1/log2(rank+1) discount literals shared with the oracle (repr()
+# round-trips — no engine libm involved in the discount).
+_NDCG_DISCOUNTS = [1.0 / _math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+
+
+def q_ndcg_eval(spark, sf):
+    """NDCG@10 per pinned term-pair query (pipeline/retrieval.py:
+    ndcg_at_k): one corpus scan computes every query's term frequencies
+    (the per-query judged rows explode from an array built in a single
+    projection), candidates are docs with at least one term (gain-0
+    rows contribute nothing to either sum, so the ranking windows see
+    candidate lists, not the corpus), score = summed tf, graded gain =
+    2^rel - 1. Literal discounts + DECIMAL-quantized per-rank terms
+    make both sums order-free; the oracle replays rank, ideal rank, and
+    the same arithmetic."""
+    from nnanalytics_spark.pipeline import retrieval
+    from nnanalytics_spark.pipeline.text import tokens as _tokens
+
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+
+    def tf(term):
+        # one-arg lambda only: F.filter treats a second parameter as the
+        # element INDEX, silently comparing tokens to integers
+        lit = F.lit(term)
+        return F.size(F.filter(toks, lambda x: x == lit))
+
+    judged = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{t1} {t2}").alias("query"),
+                            (tf(t1) + tf(t2)).alias("score"),
+                            (
+                                (tf(t1) > 0).cast("int")
+                                + (tf(t2) > 0).cast("int")
+                            ).alias("rel"),
+                        )
+                        for t1, t2 in _NDCG_QUERIES
+                    ]
+                )
+            ).alias("j"),
+        )
+        .select("doc_id", "j.query", "j.score", "j.rel")
+        .filter(F.col("rel") > 0)
+        .withColumn("gain", F.when(F.col("rel") == 2, 3).otherwise(1))
+    )
+    return retrieval.ndcg_at_k(judged, k=_NDCG_K)
+
+
+def q_entity_resolution(spark, sf):
+    """End-to-end entity resolution: the record_linkage MATCH pairs
+    (score >= upper) become an undirected graph, dedup.dup_clusters'
+    min-label propagation collapses each connected component to a
+    canonical entity id, and multi-record entities report their member
+    mix. Composition of two individually-verified stages — the judge's
+    oracle replays the literal-weight scoring AND the transitive
+    closure as a recursive CTE."""
+    from nnanalytics_spark.pipeline import linkage
+
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0)
+    b = c.filter(F.col("c_custkey") % 2 == 1)
+    fields = [
+        linkage.FieldModel(
+            "segment",
+            F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
+            *_FS_FIELDS[0][1:],
+        ),
+        linkage.FieldModel(
+            "bal_band",
+            F.abs(
+                F.floor(F.col("a_c_acctbal")) - F.floor(F.col("b_c_acctbal"))
+            )
+            <= 100,
+            *_FS_FIELDS[1][1:],
+        ),
+        linkage.FieldModel(
+            "bal_sign",
+            (F.col("a_c_acctbal") >= 0) == (F.col("b_c_acctbal") >= 0),
+            *_FS_FIELDS[2][1:],
+        ),
+    ]
+    matches = (
+        linkage.linkage_pairs(
+            a, b, ["c_nationkey"], fields, id_col="c_custkey", upper=2.0, lower=0.0
+        )
+        .filter(F.col("decision") == "match")
+        .select("id_a", "id_b")
+    )
+    comp = dedup.dup_clusters(
+        c.select("c_custkey"), matches, id_col="c_custkey"
+    )
+    return (
+        comp.groupBy(F.col("cluster").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("node").alias("min_key"),
+            F.max("node").alias("max_key"),
+            F.sum((F.col("node") % 2 == 0).cast("int")).alias("n_list_a"),
+        )
+        .filter(F.col("n_records") > 1)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver's CORRECTNESS gate checks the first
     # 50 entries only. The r5 window prioritizes rows that have never
@@ -5180,6 +5298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": q_bloom_prune_join,
         "record_linkage": q_record_linkage,
         "skyline_frontier": q_skyline_frontier,
+        "ndcg_eval": q_ndcg_eval,
+        "entity_resolution": q_entity_resolution,
     }
 
 
@@ -9895,6 +10015,98 @@ def oracle_sql() -> dict[str, str]:
                     WHEN score <= 0.0 THEN 'nonmatch'
                     ELSE 'possible' END AS decision
         FROM scored WHERE score > 0.0
+    """
+    # ndcg_eval: replay judged rows (one SELECT per pinned query), both
+    # rankings, and the literal-discount DECIMAL-quantized sums.
+    _judged = "\n            UNION ALL\n".join(
+        f"""
+            SELECT '{t1} {t2}' AS query, doc_id,
+                   len(list_filter(t, x -> x = '{t1}'))
+                 + len(list_filter(t, x -> x = '{t2}')) AS score,
+                   CAST(len(list_filter(t, x -> x = '{t1}')) > 0 AS INT)
+                 + CAST(len(list_filter(t, x -> x = '{t2}')) > 0 AS INT) AS rel
+            FROM toks"""
+        for t1, t2 in _NDCG_QUERIES
+    )
+    _disc_list = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in _NDCG_DISCOUNTS)
+    d["ndcg_eval"] = f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        judged AS ({_judged}),
+        pos AS (
+          SELECT query, doc_id, score,
+                 CASE WHEN rel = 2 THEN 3 ELSE 1 END AS gain
+          FROM judged WHERE rel > 0
+        ),
+        ranked AS (
+          SELECT query, gain,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY score DESC, doc_id ASC) AS rnk,
+                 row_number() OVER (PARTITION BY query
+                                    ORDER BY gain DESC, doc_id ASC) AS irnk
+          FROM pos
+        ),
+        sums AS (
+          SELECT query,
+                 SUM(CASE WHEN rnk <= {_NDCG_K}
+                          THEN CAST(round(gain * ([{_disc_list}])[rnk], 9)
+                                    AS DECIMAL(28,9))
+                          ELSE CAST(0 AS DECIMAL(28,9)) END) AS dcg_d,
+                 SUM(CASE WHEN irnk <= {_NDCG_K}
+                          THEN CAST(round(gain * ([{_disc_list}])[irnk], 9)
+                                    AS DECIMAL(28,9))
+                          ELSE CAST(0 AS DECIMAL(28,9)) END) AS idcg_d
+          FROM ranked GROUP BY query
+        )
+        SELECT query, CAST(dcg_d AS DOUBLE) AS dcg,
+               CASE WHEN idcg_d > 0
+                    THEN round(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6)
+                    ELSE 0.0 END AS ndcg
+        FROM sums
+    """
+    # entity_resolution: re-derive the MATCH pairs with the same literal
+    # weights, then transitive closure as a recursive CTE (the
+    # dedup_clusters oracle pattern) and per-entity aggregates.
+    d["entity_resolution"] = f"""
+        WITH RECURSIVE
+        la AS (SELECT * FROM customer WHERE c_custkey % 2 = 0),
+        lb AS (SELECT * FROM customer WHERE c_custkey % 2 = 1),
+        matches AS (
+          SELECT la.c_custkey AS id_a, lb.c_custkey AS id_b
+          FROM la JOIN lb ON la.c_nationkey = lb.c_nationkey
+          WHERE round(
+                  CASE WHEN la.c_mktsegment = lb.c_mktsegment
+                       THEN CAST({_w['segment'][0]!r} AS DOUBLE)
+                       ELSE CAST({_w['segment'][1]!r} AS DOUBLE) END
+                + CASE WHEN abs(floor(la.c_acctbal) - floor(lb.c_acctbal)) <= 100
+                       THEN CAST({_w['bal_band'][0]!r} AS DOUBLE)
+                       ELSE CAST({_w['bal_band'][1]!r} AS DOUBLE) END
+                + CASE WHEN (la.c_acctbal >= 0) = (lb.c_acctbal >= 0)
+                       THEN CAST({_w['bal_sign'][0]!r} AS DOUBLE)
+                       ELSE CAST({_w['bal_sign'][1]!r} AS DOUBLE) END,
+                6) >= 2.0
+        ),
+        edges AS (
+          SELECT id_a AS s, id_b AS d FROM matches
+          UNION SELECT id_b, id_a FROM matches
+        ),
+        reach AS (
+          SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+        ),
+        clusters AS (
+          SELECT c.c_custkey AS node,
+                 least(c.c_custkey, coalesce(min(r.d), c.c_custkey)) AS cluster
+          FROM customer c LEFT JOIN reach r ON r.s = c.c_custkey
+          GROUP BY c.c_custkey
+        )
+        SELECT cluster AS entity_id, count(*) AS n_records,
+               min(node) AS min_key, max(node) AS max_key,
+               SUM(CAST(node % 2 = 0 AS INT)) AS n_list_a
+        FROM clusters GROUP BY cluster HAVING count(*) > 1
     """
     # skyline_frontier: the textbook O(n²) NOT-EXISTS dominance join —
     # the n log n window plan must emit the identical frontier.

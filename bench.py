@@ -236,6 +236,8 @@ HEADLINE = [
     "bloom_prune_join",
     "record_linkage",
     "skyline_frontier",
+    "ndcg_eval",
+    "entity_resolution",
 ]
 
 

@@ -227,3 +227,78 @@ def mmr_rerank(
     return pool.withColumn("__g", F.lit(0)).groupBy("__g").applyInPandas(
         lambda pdf: select_block(pdf.drop(columns="__g")), out_schema
     )
+
+
+def ndcg_at_k(
+    judged: DataFrame,
+    k: int = 10,
+    query_col: str = "query",
+    id_col: str = "doc_id",
+    gain_col: str = "gain",
+    score_col: str = "score",
+) -> DataFrame:
+    """NDCG@k per query over a judged candidate frame (one row per
+    (query, doc) with an integer relevance ``gain`` and the ranker's
+    ``score``): DCG over the score ranking, normalized by the ideal
+    (gain-sorted) DCG, deterministic doc-id tie-breaks on both.
+
+    Determinism across engines: the 1/log2(rank+1) discounts are PYTHON
+    literal doubles baked into the plan (an oracle interpolates the same
+    repr()s — bit-identical, no libm log2 in either engine's hot path),
+    each rank's contribution is quantized to DECIMAL(28,9) so the two
+    sums are order-free exact, and the final ratio divides as double
+    then rounds to 6.
+
+    Scale: two row_number windows partitioned by QUERY — the judged
+    frame is (queries × candidates with gain > 0), not the corpus, so a
+    partition is one query's candidate list (docs with gain 0 rank
+    below every positive candidate and contribute 0 to both sums, so
+    pre-filtering them upstream leaves NDCG unchanged — do it). Caller
+    owns candidate generation; this is the metric, not the ranker.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    discounts = F.array(
+        *[F.lit(1.0 / math.log2(i + 1)) for i in range(1, k + 1)]
+    )
+    w_rank = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_ideal = Window.partitionBy(query_col).orderBy(
+        F.col(gain_col).desc(), F.col(id_col).asc()
+    )
+    ranked = judged.select(
+        query_col,
+        gain_col,
+        F.row_number().over(w_rank).alias("_rnk"),
+        F.row_number().over(w_ideal).alias("_irnk"),
+    )
+    term = F.round(
+        F.col(gain_col) * F.element_at(discounts, F.col("_rnk")), 9
+    ).cast("decimal(28,9)")
+    ideal_term = F.round(
+        F.col(gain_col) * F.element_at(discounts, F.col("_irnk")), 9
+    ).cast("decimal(28,9)")
+    return (
+        ranked.groupBy(query_col)
+        .agg(
+            F.sum(F.when(F.col("_rnk") <= k, term).otherwise(F.lit(0))).alias("_dcg"),
+            F.sum(
+                F.when(F.col("_irnk") <= k, ideal_term).otherwise(F.lit(0))
+            ).alias("_idcg"),
+        )
+        .select(
+            query_col,
+            F.col("_dcg").cast("double").alias("dcg"),
+            F.when(
+                F.col("_idcg") > 0,
+                F.round(
+                    F.col("_dcg").cast("double") / F.col("_idcg").cast("double"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg"),
+        )
+    )

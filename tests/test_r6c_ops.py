@@ -180,3 +180,35 @@ def test_skyline_matches_bruteforce_not_exists(spark):
         )
     )
     assert got == want
+
+
+# ----------------------------------------------------------------- ndcg
+
+def test_ndcg_at_k_hand_computed(spark):
+    import math as m
+
+    from nnanalytics_spark.pipeline import retrieval
+
+    # ranking by score puts the gain-1 doc first; ideal swaps them
+    judged = spark.createDataFrame(
+        [("q", 1, 1, 10.0), ("q", 2, 3, 5.0)],
+        "query string, doc_id long, gain int, score double",
+    )
+    (row,) = retrieval.ndcg_at_k(judged, k=2).collect()
+    d1, d2 = 1.0 / m.log2(2), 1.0 / m.log2(3)
+    dcg = round(1 * d1, 9) + round(3 * d2, 9)
+    idcg = round(3 * d1, 9) + round(1 * d2, 9)
+    assert row["dcg"] == dcg
+    assert row["ndcg"] == round(dcg / idcg, 6)
+    assert row["ndcg"] < 1.0  # mis-ranked → strictly sub-ideal
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    from nnanalytics_spark.pipeline import retrieval
+
+    judged = spark.createDataFrame(
+        [("q", i, 10 - i, float(100 - i)) for i in range(1, 6)],
+        "query string, doc_id long, gain int, score double",
+    )
+    (row,) = retrieval.ndcg_at_k(judged, k=3).collect()
+    assert row["ndcg"] == 1.0
