@@ -4943,6 +4943,18 @@ def q_ndcg_eval(spark, sf):
     return retrieval.ndcg_at_k(judged, k=_NDCG_K)
 
 
+def q_prefix_filter_pairs(spark, sf):
+    """Lossless PPJoin prefix filtering (pipeline/dedup.py:
+    prefix_filter_pairs): word-set Jaccard >= 0.8 over a 1-in-5 doc
+    subset, candidates generated ONLY from each doc's rarest
+    (|x| - floor(0.8|x|) + 1) tokens. The oracle brute-forces the same
+    pairs through an unfiltered shared-token join — equality of the two
+    result sets is the prefix theorem's recall proof, the same
+    blocked-equals-bruteforce contract simhash_pairs pins."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    return dedup.prefix_filter_pairs(d, threshold=0.8)
+
+
 def q_entity_resolution(spark, sf):
     """End-to-end entity resolution: the record_linkage MATCH pairs
     (score >= upper) become an undirected graph, dedup.dup_clusters'
@@ -5300,6 +5312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline_frontier": q_skyline_frontier,
         "ndcg_eval": q_ndcg_eval,
         "entity_resolution": q_entity_resolution,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
     }
 
 
@@ -10107,6 +10120,38 @@ def oracle_sql() -> dict[str, str]:
                min(node) AS min_key, max(node) AS max_key,
                SUM(CAST(node % 2 = 0 AS INT)) AS n_list_a
         FROM clusters GROUP BY cluster HAVING count(*) > 1
+    """
+    # prefix_filter_pairs: the oracle generates candidates with NO
+    # prefix filter (any shared token) — result equality proves the
+    # prefix bound loses nothing.
+    d["prefix_filter_pairs"] = r"""
+        WITH sub AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        ),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+          FROM sub WHERE length(trim(text)) > 0
+        ),
+        tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+        sizes AS (SELECT doc_id, count(*) AS ns FROM tk GROUP BY doc_id),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c
+          JOIN tk a ON a.doc_id = c.id_a
+          JOIN tk b ON b.doc_id = c.id_b AND a.tok = b.tok
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, sa.ns AS size_a, sb.ns AS size_b,
+               round(c / (sa.ns + sb.ns - c), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE round(c / (sa.ns + sb.ns - c), 6) >= 0.8
     """
     # skyline_frontier: the textbook O(n²) NOT-EXISTS dominance join —
     # the n log n window plan must emit the identical frontier.

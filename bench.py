@@ -238,6 +238,7 @@ HEADLINE = [
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",
+    "prefix_filter_pairs",
 ]
 
 

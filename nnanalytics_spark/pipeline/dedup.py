@@ -1295,3 +1295,89 @@ def eval_ngram_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-set Jaccard pairs via PPJoin-style prefix filtering
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW'08): a LOSSLESS candidate bound, unlike
+    ngram_jaccard_pairs' ``max_shingle_df`` cap (which buys skew safety
+    by dropping all-hot-shingle pairs).
+
+    The theorem: order every document's token set by one global total
+    order and index only its first p = |x| − ⌈t·|x|⌉ + 1 tokens; any
+    pair with Jaccard ≥ t MUST collide on at least one indexed token
+    (if the prefixes are disjoint, the overlap is at most the suffix
+    length, which pigeonholes below t). Ordering by ASCENDING document
+    frequency puts the rarest tokens in the prefixes, so the hottest
+    tokens — the d² blowup in any inverted-index join — are structurally
+    excluded from candidate generation, with zero recall loss. The
+    length filter (min-size ≥ t·max-size, a Jaccard upper bound) prunes
+    cross-size candidates before the verify.
+
+    Plan: postings df rides the token-partitioned window exchange (the
+    ngram_jaccard trick), prefix ranks are a doc-partitioned window,
+    the candidate join keys on the 8-byte token hash, and verification
+    counts common tokens ONLY for candidate pairs (two semi-restricted
+    joins — full posting lists never self-join). p uses floor instead
+    of ceil (one extra posting at worst, never one too few) and the
+    length filter carries a 1e-9 slack, so float rounding can only ADD
+    candidates — recall is exact by construction, and the oracle's
+    brute-force join proves it.
+    """
+    from pyspark.sql import Window as W
+
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text))
+        .select("id", F.explode(F.array_distinct(F.split(F.trim(text), r"\s+"))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select("id", "tok", F.xxhash64("tok").alias("tk"))
+    )
+    sized = toks.withColumn("ns", F.count(F.lit(1)).over(W.partitionBy("id")))
+    ranked = sized.withColumn(
+        "dfreq", F.count(F.lit(1)).over(W.partitionBy("tk"))
+    ).withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("id").orderBy(F.col("dfreq").asc(), F.col("tok").asc())
+        ),
+    )
+    prefix = ranked.filter(
+        F.col("rnk") <= F.col("ns") - F.floor(F.lit(threshold) * F.col("ns")) + 1
+    ).select("id", "ns", "tk")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tk") == F.col("b.tk")) & (F.col("a.id") < F.col("b.id")))
+        .filter(
+            F.least(F.col("a.ns"), F.col("b.ns"))
+            >= F.lit(threshold) * F.greatest(F.col("a.ns"), F.col("b.ns")) - 1e-9
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.ns").alias("size_a"),
+            F.col("b.ns").alias("size_b"),
+        )
+        .distinct()
+    )
+    full = toks.select("id", "tk")
+    common = (
+        cand.join(full.select(F.col("id").alias("id_a"), "tk"), "id_a")
+        .join(full.select(F.col("id").alias("id_b"), "tk"), ["id_b", "tk"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return common.select(
+        "id_a",
+        "id_b",
+        "size_a",
+        "size_b",
+        F.round(
+            F.col("c") / (F.col("size_a") + F.col("size_b") - F.col("c")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

@@ -212,3 +212,50 @@ def test_ndcg_perfect_ranking_is_one(spark):
     )
     (row,) = retrieval.ndcg_at_k(judged, k=3).collect()
     assert row["ndcg"] == 1.0
+
+
+# -------------------------------------------------- prefix filter join
+
+def test_prefix_filter_matches_bruteforce_jaccard(spark):
+    from nnanalytics_spark.pipeline import dedup
+
+    docs = [
+        (1, "aa bb cc dd ee"),
+        (2, "aa bb cc dd ff"),   # J(1,2) = 4/6 = 0.667
+        (3, "aa bb cc dd ee"),   # J(1,3) = 1.0
+        (4, "zz yy xx ww vv"),
+        (5, "zz yy xx ww vv uu tt ss"),  # J(4,5) = 5/8 = 0.625
+        (6, "qq"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.prefix_filter_pairs(df, threshold=0.6).collect()
+    }
+    sets = {i: set(t.split()) for i, t in docs}
+    want = {}
+    for i in sets:
+        for j in sets:
+            if i < j:
+                jac = round(
+                    len(sets[i] & sets[j]) / len(sets[i] | sets[j]), 6
+                )
+                if jac >= 0.6:
+                    want[(i, j)] = jac
+    assert got == want
+
+
+def test_prefix_filter_excludes_hot_tokens_from_candidates(spark):
+    from pyspark.sql import functions as F
+
+    from nnanalytics_spark.pipeline import dedup
+
+    # 'the' appears in EVERY doc (hottest token); with threshold 0.8 and
+    # 5-token sets the prefix is 5 - floor(4.0) + 1 = 2 rarest tokens,
+    # so 'the' never enters candidate generation — yet the one true
+    # near-dup pair (1,2) is still found through its rare tokens
+    docs = [(i, f"the w{i}a w{i}b w{i}c w{i}d") for i in range(3, 30)]
+    docs += [(1, "the aa bb cc dd"), (2, "the aa bb cc dd")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = dedup.prefix_filter_pairs(df, threshold=0.8).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
