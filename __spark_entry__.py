@@ -4955,6 +4955,49 @@ def q_prefix_filter_pairs(spark, sf):
     return dedup.prefix_filter_pairs(d, threshold=0.8)
 
 
+def q_data_contract(spark, sf):
+    """Declarative data-contract suite (core/profile.py:contract_check):
+    five named violation predicates over orders, ALL evaluated in one
+    shared-scan aggregate (adding a rule adds a column, not a pass),
+    unpivoted to one row per rule. Contracts fail closed: a NULL
+    predicate result counts as a violation."""
+    from nnanalytics_spark.core import profile
+
+    o = _t(spark, sf, "orders")
+    rules = [
+        ("totalprice_positive", F.col("o_totalprice") <= 0),
+        ("orderdate_not_null", F.col("o_orderdate").isNull()),
+        ("status_in_domain", ~F.col("o_orderstatus").isin("O", "F", "P")),
+        ("priority_has_rank", ~F.col("o_orderpriority").rlike(r"^[1-5]-")),
+        ("custkey_positive", F.col("o_custkey") <= 0),
+    ]
+    return profile.contract_check(o, rules)
+
+
+def q_mad_outliers(spark, sf):
+    """Robust per-group outlier report (stats.mad_outliers): exact
+    median + MAD per return flag, modified z-score 0.6745(x-med)/MAD,
+    outliers = |z| > 3.5 (Iglewicz-Hoaglin). Centers round to 6 before
+    scoring so both engines count against identical pins."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.mad_outliers(
+        _t(spark, sf, "lineitem"), "l_extendedprice", ["l_returnflag"]
+    )
+
+
+def q_emd_drift(spark, sf):
+    """1-D earth mover's distance between click-event and other-event
+    value distributions (stats.emd_1d): the closed-form Wasserstein-1
+    over width-5 buckets — drift magnitude where KS gives only the sup
+    and PSI only log-ratios. Bucket grid is domain-bounded after the
+    one grouped count; per-bucket terms DECIMAL-quantized."""
+    from nnanalytics_spark.pipeline import stats
+
+    e = _events(spark, sf)
+    return stats.emd_1d(e, "value", F.col("event_type") == "click", bucket_width=5.0)
+
+
 def q_entity_resolution(spark, sf):
     """End-to-end entity resolution: the record_linkage MATCH pairs
     (score >= upper) become an undirected graph, dedup.dup_clusters'
@@ -5313,6 +5356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndcg_eval": q_ndcg_eval,
         "entity_resolution": q_entity_resolution,
         "prefix_filter_pairs": q_prefix_filter_pairs,
+        "data_contract": q_data_contract,
+        "mad_outliers": q_mad_outliers,
+        "emd_drift": q_emd_drift,
     }
 
 
@@ -10120,6 +10166,69 @@ def oracle_sql() -> dict[str, str]:
                min(node) AS min_key, max(node) AS max_key,
                SUM(CAST(node % 2 = 0 AS INT)) AS n_list_a
         FROM clusters GROUP BY cluster HAVING count(*) > 1
+    """
+    # data_contract: five scalar counts over one table, one SELECT per
+    # rule (the oracle's clarity beats its plan; Spark does one pass).
+    d["data_contract"] = """
+        WITH n AS (SELECT count(*) AS n_checked FROM orders)
+        SELECT r.rule, r.n_violations, n.n_checked,
+               r.n_violations = 0 AS passed
+        FROM (
+          SELECT 'totalprice_positive' AS rule,
+                 count(*) FILTER (WHERE o_totalprice <= 0 OR o_totalprice IS NULL) AS n_violations
+          FROM orders
+          UNION ALL
+          SELECT 'orderdate_not_null',
+                 count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+          UNION ALL
+          SELECT 'status_in_domain',
+                 count(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                                     OR o_orderstatus IS NULL) FROM orders
+          UNION ALL
+          SELECT 'priority_has_rank',
+                 count(*) FILTER (WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                                     OR o_orderpriority IS NULL) FROM orders
+          UNION ALL
+          SELECT 'custkey_positive',
+                 count(*) FILTER (WHERE o_custkey <= 0 OR o_custkey IS NULL) FROM orders
+        ) r CROSS JOIN n
+    """
+    # mad_outliers: two interpolated medians (quantile_cont == Spark
+    # percentile) pinned at 6 dp, then identical modified-z counting.
+    d["mad_outliers"] = """
+        WITH med AS (
+          SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS med
+          FROM lineitem GROUP BY l_returnflag
+        ),
+        mad AS (
+          SELECT l.l_returnflag, m.med,
+                 round(quantile_cont(abs(l.l_extendedprice - m.med), 0.5), 6) AS mad
+          FROM lineitem l JOIN med m USING (l_returnflag)
+          GROUP BY l.l_returnflag, m.med
+        )
+        SELECT l.l_returnflag, d.med, d.mad, count(*) AS n,
+               SUM(CASE WHEN abs(0.6745 * (l.l_extendedprice - d.med) / d.mad) > 3.5
+                        THEN 1 ELSE 0 END) AS n_outliers,
+               round(max(abs(0.6745 * (l.l_extendedprice - d.med) / d.mad)), 6) AS max_rz
+        FROM lineitem l JOIN mad d USING (l_returnflag)
+        GROUP BY l.l_returnflag, d.med, d.mad
+    """
+    # emd_drift: same bucket grid, running CDFs, quantized |delta| terms.
+    d["emd_drift"] = """
+        WITH cells AS (
+          SELECT floor(value / 5.0) AS bucket,
+                 SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+                 SUM(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS n_b
+          FROM events GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM cells),
+        steps AS (
+          SELECT CAST(round(abs(SUM(n_a) OVER w / ta - SUM(n_b) OVER w / tb) * 5.0, 9)
+                      AS DECIMAL(28,9)) AS term
+          FROM cells CROSS JOIN tot
+          WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT CAST(SUM(term) AS DOUBLE) AS emd FROM steps
     """
     # prefix_filter_pairs: the oracle generates candidates with NO
     # prefix filter (any shared token) — result equality proves the

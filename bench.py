@@ -239,6 +239,9 @@ HEADLINE = [
     "ndcg_eval",
     "entity_resolution",
     "prefix_filter_pairs",
+    "data_contract",
+    "mad_outliers",
+    "emd_drift",
 ]
 
 

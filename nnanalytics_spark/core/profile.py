@@ -17,7 +17,7 @@ has no SQL oracle, which is why the driver checks the exact one.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # auto mode keeps exact distincts up to this many profiled columns. The
@@ -151,4 +151,37 @@ def pk_uniqueness(df, pk: str, check: str = "pk"):
         F.sum("c").alias("total_rows"),
         F.count(F.lit(1)).alias("distinct_keys"),
         (F.sum("c") - F.count(F.lit(1))).alias("duplicate_rows"),
+    )
+
+
+def contract_check(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Declarative data-contract suite — N named violation predicates
+    evaluated in ONE shared scan (the Deequ/great-expectations shape):
+    each rule contributes a conditional count to a single aggregate row,
+    which then unpivots to one row per rule with its violation count and
+    pass flag. No per-rule jobs: adding a rule adds a column to the
+    aggregate, not a scan, so a 50-rule contract over 100 TB still costs
+    one pass. Rule predicates are TRUE-when-violated Column expressions;
+    a NULL predicate result counts as violated (contracts fail closed).
+    """
+    agg = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)
+            ).alias(f"_v{i}")
+            for i, (_, cond) in enumerate(rules)
+        ],
+    )
+    stack_expr = ", ".join(
+        f"'{name}', _v{i}" for i, (name, _) in enumerate(rules)
+    )
+    return agg.selectExpr(
+        f"stack({len(rules)}, {stack_expr}) AS (rule, n_violations)",
+        "_n AS n_checked",
+    ).select(
+        "rule",
+        "n_violations",
+        "n_checked",
+        (F.col("n_violations") == 0).alias("passed"),
     )

@@ -527,3 +527,90 @@ def skyline(
         )
         .select(id_col, *gcols, minimize, maximize)
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value: str,
+    group_cols: list[str] | None = None,
+    z_cut: float = 3.5,
+) -> DataFrame:
+    """Robust outlier report per group: exact median, MAD (median
+    absolute deviation), and the count of points whose modified z-score
+    0.6745·(x−med)/MAD exceeds ``z_cut`` (Iglewicz–Hoaglin). Two grouped
+    exact-percentile aggregates with a join between them — medians
+    don't compose, so two passes is the floor for the exact statistic;
+    swap percentile → approx_percentile at 100 TB for one-pass sketches.
+    med/MAD are rounded to 6 BEFORE the z-scores so both engines score
+    against identical pinned centers."""
+    gcols = group_cols or []
+    med = df.groupBy(*gcols).agg(
+        F.round(F.percentile(value, F.lit(0.5)), 6).alias("med")
+    )
+    dev = df.join(med, gcols) if gcols else df.crossJoin(F.broadcast(med))
+    mad = dev.groupBy(*gcols, "med").agg(
+        F.round(F.percentile(F.abs(F.col(value) - F.col("med")), F.lit(0.5)), 6).alias(
+            "mad"
+        )
+    )
+    scored = df.join(mad, gcols) if gcols else df.crossJoin(F.broadcast(mad))
+    rz = F.lit(0.6745) * (F.col(value) - F.col("med")) / F.col("mad")
+    return (
+        scored.groupBy(*gcols, "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.abs(rz) > z_cut, 1).otherwise(0)).alias("n_outliers"),
+            F.round(F.max(F.abs(rz)), 6).alias("max_rz"),
+        )
+        .select(*gcols, "med", "mad", "n", "n_outliers", "max_rz")
+    )
+
+
+def emd_1d(
+    df: DataFrame,
+    value: str,
+    split: Column,
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """1-D earth mover's distance (Wasserstein-1) between the ``split``
+    = true/false populations of ``value``, over fixed-width buckets:
+    EMD = Σ_b |CDF_a(b) − CDF_b(b)| · width — the closed form for one
+    dimension. The distribution-shift metric that, unlike KS (sup) or
+    PSI (log-ratio), weighs HOW FAR mass moved; training-data drift
+    monitors want all three.
+
+    Plan: one grouped count per (bucket, side) — the only full-data
+    shuffle — then the running CDFs accumulate over the DISTINCT-bucket
+    grid (domain-bounded after aggregation, the ks_two_sample contract:
+    pre-bucket unbounded domains with ``bucket_width``). Per-bucket
+    |ΔCDF| terms quantize to DECIMAL(28,9) so the sum is order-free."""
+    from pyspark.sql.window import Window
+
+    cells = (
+        df.select(
+            F.floor(F.col(value) / bucket_width).alias("bucket"),
+            split.alias("_is_a"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_is_a"), 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(~F.col("_is_a"), 1).otherwise(0)).alias("n_b"),
+        )
+    )
+    tot = cells.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    steps = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("cum_a", F.sum("n_a").over(w))
+        .withColumn("cum_b", F.sum("n_b").over(w))
+        .select(
+            F.round(
+                F.abs(F.col("cum_a") / F.col("ta") - F.col("cum_b") / F.col("tb"))
+                * F.lit(bucket_width),
+                9,
+            )
+            .cast("decimal(28,9)")
+            .alias("term")
+        )
+    )
+    return steps.agg(F.sum("term").cast("double").alias("emd"))

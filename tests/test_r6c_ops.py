@@ -259,3 +259,65 @@ def test_prefix_filter_excludes_hot_tokens_from_candidates(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     rows = dedup.prefix_filter_pairs(df, threshold=0.8).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+# ------------------------------------------------------- data contract
+
+def test_contract_check_counts_and_fails_closed(spark):
+    from nnanalytics_spark.core import profile
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 20.0)],
+        "id long, amount double",
+    )
+    rows = {
+        r["rule"]: r
+        for r in profile.contract_check(
+            df,
+            [
+                ("amount_positive", F.col("amount") <= 0),
+                ("id_in_range", F.col("id") > 100),
+            ],
+        ).collect()
+    }
+    # NULL amount: (amount <= 0) is NULL → fails closed → 2 violations
+    assert rows["amount_positive"]["n_violations"] == 2
+    assert rows["amount_positive"]["n_checked"] == 4
+    assert not rows["amount_positive"]["passed"]
+    assert rows["id_in_range"]["n_violations"] == 0
+    assert rows["id_in_range"]["passed"]
+
+
+# ----------------------------------------------------------- mad / emd
+
+def test_mad_outliers_hand_computed(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    # group g: values 1..5 plus a wild 100 → med 3.5, MAD 1.5
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, x double")
+    (row,) = stats.mad_outliers(df, "x", ["grp"]).collect()
+    assert row["med"] == 3.5
+    assert row["mad"] == 1.5
+    # modified z of 100: 0.6745*96.5/1.5 = 43.39... → 1 outlier
+    assert row["n_outliers"] == 1
+    assert row["max_rz"] == round(0.6745 * 96.5 / 1.5, 6)
+
+
+def test_emd_identical_distributions_is_zero_and_shift_is_exact(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)],
+        "side string, x double",
+    )
+    (row,) = stats.emd_1d(same, "x", F.col("side") == "a", bucket_width=1.0).collect()
+    assert row["emd"] == 0.0
+    # b = a shifted by exactly one bucket → EMD = 1 × width
+    shifted = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)]
+        + [("b", float(v + 1)) for v in range(10)],
+        "side string, x double",
+    )
+    (row,) = stats.emd_1d(shifted, "x", F.col("side") == "a", bucket_width=1.0).collect()
+    assert row["emd"] == 1.0

@@ -38,6 +38,9 @@ WAIVERS: dict[str, set[str]] = {
     # aggregated (not per-row) curve points
     "ks_test": {"unpartitioned_window"},
     "ks_test_grid": {"unpartitioned_window"},
+    # EMD's running CDF accumulates over the DISTINCT-bucket grid —
+    # domain-bounded after the grouped count, same contract as ks_test
+    "emd_drift": {"unpartitioned_window"},
     "chi_square": {"unpartitioned_window"},
     "mutual_information": {"unpartitioned_window"},
     "vocabulary_growth": {"unpartitioned_window"},
