@@ -10164,7 +10164,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cluster AS entity_id, count(*) AS n_records,
                min(node) AS min_key, max(node) AS max_key,
-               SUM(CAST(node % 2 = 0 AS INT)) AS n_list_a
+               CAST(SUM(CAST(node % 2 = 0 AS INT)) AS BIGINT) AS n_list_a
         FROM clusters GROUP BY cluster HAVING count(*) > 1
     """
     # data_contract: five scalar counts over one table, one SELECT per
@@ -10207,8 +10207,8 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY l.l_returnflag, m.med
         )
         SELECT l.l_returnflag, d.med, d.mad, count(*) AS n,
-               SUM(CASE WHEN abs(0.6745 * (l.l_extendedprice - d.med) / d.mad) > 3.5
-                        THEN 1 ELSE 0 END) AS n_outliers,
+               CAST(SUM(CASE WHEN abs(0.6745 * (l.l_extendedprice - d.med) / d.mad) > 3.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
                round(max(abs(0.6745 * (l.l_extendedprice - d.med) / d.mad)), 6) AS max_rz
         FROM lineitem l JOIN mad d USING (l_returnflag)
         GROUP BY l.l_returnflag, d.med, d.mad
