@@ -2396,6 +2396,95 @@ def q_stream_locf_parity(spark, sf):
     )
 
 
+# EWMA smoothing constant shared by q_stream_ewma_parity and its
+# oracle; both sides recurse with the SAME two literal doubles
+# (repr-interpolated), so every smoothed value is bit-identical.
+_EWMA_ALPHA = 0.3
+
+
+def q_stream_ewma_parity(spark, sf):
+    """Stateful streaming EWMA with batch parity (streaming/stateful.py:
+    streaming_ewma): per-user values buffer in state until the watermark
+    passes the key's last activity, then flush s_i = a*x_i + (1-a)*s_{i-1}
+    in EVENT-TIME order — arrival order inside the horizon cannot change
+    the recursion. The sink is hash-checked against a recursive-CTE
+    oracle replaying the identical literal-by-literal recursion, plus the
+    |x - s_prev| > 50 anomaly flags (the streaming anomaly primitive).
+    Same segmented-parquet + far-future-sentinel harness as
+    stream_locf_parity; a quarter of the users exercises the operator at
+    a quarter of the harness cost."""
+    import os
+    import tempfile
+    import time
+
+    from nnanalytics_spark.streaming.stateful import streaming_ewma
+
+    ev = (
+        _events(spark, sf)
+        .filter(F.col("user_id") % 4 == 1)
+        .select("user_id", "event_id", "ts_ms", "value")
+    )
+    max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    seg_dir = tempfile.mkdtemp(prefix="nna_ewma_seg_")
+    schema = "user_id long, event_id long, ts_ms long, value double"
+
+    def _sentinel(uid: int, ts: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(uid).cast("long").alias("event_id"),
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.lit(0.0).cast("double").alias("value"),
+        )
+
+    sent1 = _sentinel(-1, max_ts + 10 * 86_400_000)
+    sent2 = _sentinel(-2, max_ts + 11 * 86_400_000)
+    base_mtime = time.time() - 3600
+    for i, seg in enumerate((ev, sent1, sent2)):
+        path = f"{seg_dir}/seg{i}"
+        seg.coalesce(1).write.parquet(path)
+        for name in os.listdir(path):
+            os.utime(os.path.join(path, name), (base_mtime + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{seg_dir}/*")
+    )
+    out_dir = tempfile.mkdtemp(prefix="nna_ewma_sink_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_ewma(stream, alpha=_EWMA_ALPHA)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    sunk = spark.read.parquet(f"{out_dir}/data")
+    # prev_s is NaN on each key's first row (vs the oracle's NULL) —
+    # fold it into the anomaly flag instead of emitting it raw
+    return (
+        sunk.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round("ewma", 6).alias("ewma"),
+            F.when(
+                F.abs(F.col("value") - F.col("prev_s")) > 50, 1
+            ).otherwise(0).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def q_sweep_roundtrip(spark, sf):
     """run_sweep persistence round-trip (§2.9 cache sink analog,
     suggestions.py:213): the periodic sweep writes every cached report as
@@ -5359,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_contract": q_data_contract,
         "mad_outliers": q_mad_outliers,
         "emd_drift": q_emd_drift,
+        "stream_ewma_parity": q_stream_ewma_parity,
     }
 
 
@@ -10166,6 +10256,32 @@ def oracle_sql() -> dict[str, str]:
                min(node) AS min_key, max(node) AS max_key,
                CAST(SUM(CAST(node % 2 = 0 AS INT)) AS BIGINT) AS n_list_a
         FROM clusters GROUP BY cluster HAVING count(*) > 1
+    """
+    # stream_ewma_parity: replay the recursion over event-time order as
+    # a recursive CTE — rn+1 steps with the SAME repr-interpolated
+    # literal doubles the streaming fold multiplies by.
+    d["stream_ewma_parity"] = f"""
+        WITH RECURSIVE src AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id) AS rn
+          FROM events WHERE user_id % 4 = 1
+        ),
+        rec AS (
+          SELECT user_id, event_id, value, rn,
+                 value AS s, CAST(NULL AS DOUBLE) AS prev_s
+          FROM src WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.event_id, s.value, s.rn,
+                 CAST({_EWMA_ALPHA!r} AS DOUBLE) * s.value
+                   + CAST({(1.0 - _EWMA_ALPHA)!r} AS DOUBLE) * r.s,
+                 r.s
+          FROM rec r JOIN src s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, value, round(s, 6) AS ewma,
+               CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
+                    AS INT) AS is_anomaly
+        FROM rec
     """
     # data_contract: five scalar counts over one table, one SELECT per
     # rule (the oracle's clarity beats its plan; Spark does one pass).

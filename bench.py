@@ -242,6 +242,7 @@ HEADLINE = [
     "data_contract",
     "mad_outliers",
     "emd_drift",
+    "stream_ewma_parity",
 ]
 
 

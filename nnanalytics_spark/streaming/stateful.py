@@ -222,3 +222,95 @@ def streaming_forward_fill(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_EWMA_OUTPUT = (
+    "user_id long, event_id long, ts_ms long, value double, "
+    "ewma double, prev_s double"
+)
+_EWMA_STATE = "ids array<long>, tss array<long>, vals array<double>"
+
+
+def streaming_ewma(
+    events: DataFrame,
+    alpha: float = 0.3,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT per-key exponentially-weighted moving average over a
+    stream: rows buffer in state until the event-time watermark passes
+    the key's last activity (the streaming_forward_fill contract — a
+    late arrival inside the horizon re-sorts into place, so the
+    recursion order is the EVENT-TIME order, not the arrival order),
+    then the key flushes s_i = α·x_i + (1−α)·s_{i−1} with s_0 = x_0 in
+    one event-time pass. ``prev_s`` (the smoothed value BEFORE each
+    observation) rides along so a consumer can score deviation
+    |x_i − s_{i−1}| — the streaming anomaly primitive.
+
+    The recursion is evaluated one literal double op at a time in
+    (ts, event_id) order, so an engine replaying the same recursion —
+    the DuckDB recursive-CTE oracle — reproduces every double
+    bit-for-bit. State bounds and eviction are identical to
+    streaming_forward_fill: per-key rows within the watermark horizon,
+    EventTimeTimeout flush."""
+    src = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).cast("long").alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+        F.timestamp_millis(F.col(ts_col).cast("long")).alias("ts"),
+    ).withWatermark("ts", "1 hour")
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            ids, tss, vals = state.get
+            state.remove()
+            a_ids = np.asarray(ids, dtype=np.int64)
+            a_tss = np.asarray(tss, dtype=np.int64)
+            a_vals = np.asarray(vals, dtype=np.float64)
+            order = np.lexsort((a_ids, a_tss))
+            a_ids, a_tss, a_vals = a_ids[order], a_tss[order], a_vals[order]
+            ewma = np.empty(len(a_vals), dtype=np.float64)
+            prev = np.empty(len(a_vals), dtype=np.float64)
+            s = float("nan")
+            for i, x in enumerate(a_vals):
+                prev[i] = s
+                # same literal-by-literal recursion the oracle replays
+                s = x if i == 0 else alpha * x + (1.0 - alpha) * s
+                ewma[i] = s
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(a_ids), key[0], dtype=np.int64),
+                    "event_id": a_ids,
+                    "ts_ms": a_tss,
+                    "value": a_vals,
+                    "ewma": ewma,
+                    "prev_s": prev,
+                }
+            )
+            return
+        ids, tss, vals = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
+        )
+        for pdf in pdfs:
+            ids.extend(pdf["event_id"].astype("int64").tolist())
+            tss.extend(pdf["ts_ms"].astype("int64").tolist())
+            vals.extend(pdf["value"].astype("float64").tolist())
+        state.update((ids, tss, vals))
+        state.setTimeoutTimestamp(max(tss) + 1)
+        return
+        yield  # pragma: no cover — makes the function a generator
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_EWMA_OUTPUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

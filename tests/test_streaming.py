@@ -400,3 +400,42 @@ def test_streaming_forward_fill_exact_under_reordering(spark, tmp_path):
     assert got == want
     assert got[11] == 3.0 and got[12] == 3.0 and got[13] == 7.0
     assert got[20] is None
+
+
+def test_streaming_ewma_exact_under_reordering(spark, tmp_path):
+    """Buffered streaming EWMA recurses in EVENT-TIME order even when an
+    early observation arrives in a LATER micro-batch — an
+    emit-immediately EWMA would have smoothed 9.0 before seeing 1.0."""
+    from nnanalytics_spark.streaming.stateful import streaming_ewma
+
+    MIN = 60 * 1000
+    batch1 = [(1, 11, 10 * MIN, 9.0), (1, 12, 20 * MIN, 5.0)]
+    batch2 = [(1, 10, 5 * MIN, 1.0)]  # lands late, sorts FIRST
+    sentinel1 = [(-1, 0, 49 * 3600 * 1000, 0.0)]
+    sentinel2 = [(-2, 1, 50 * 3600 * 1000, 0.0)]
+    src = str(tmp_path / "ewma_stream")
+    schema = "user_id long, event_id long, ts_ms long, value double"
+    for b in (batch1, batch2, sentinel1, sentinel2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    out = streaming_ewma(stream, alpha=0.5)
+    rows: list = []
+
+    def sink(batch_df, _epoch):
+        rows.extend(batch_df.collect())
+
+    q = out.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["event_id"]: (r["ewma"], r["prev_s"]) for r in rows if r["user_id"] > 0}
+    # event-time order 10, 11, 12: s = 1.0, then 0.5*9+0.5*1 = 5.0,
+    # then 0.5*5+0.5*5 = 5.0; prev_s trails by one step (NaN first)
+    assert got[10][0] == 1.0
+    assert got[11] == (5.0, 1.0)
+    assert got[12] == (5.0, 5.0)
+    # the first observation has no prior smoothed value; the NaN the
+    # fold emits crosses Arrow as SQL NULL (matching the oracle's NULL)
+    assert got[10][1] is None
