@@ -5087,6 +5087,28 @@ def q_emd_drift(spark, sf):
     return stats.emd_1d(e, "value", F.col("event_type") == "click", bucket_width=5.0)
 
 
+def q_gini_concentration(spark, sf):
+    """Gini coefficient of event value per event type (stats.
+    gini_by_group): integer-cents quantization, DECIMAL(38,0)
+    accumulators (rank*cents products pass int64 at corpus scale), one
+    group-partitioned ranking window with (cents, event_id) tiebreak so
+    both engines rank — and therefore sum — identically."""
+    from nnanalytics_spark.pipeline import stats
+
+    e = _events(spark, sf)
+    return stats.gini_by_group(e, "value", ["event_type"], id_col="event_id")
+
+
+def q_benford_audit(spark, sf):
+    """First-digit Benford screen over order totals (stats.
+    benford_audit): digit from the integer part's decimal string (no
+    float log10 edge cases), observed vs literal expected shares, and
+    the per-digit chi-square deviation term."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.benford_audit(_t(spark, sf, "orders"), "o_totalprice")
+
+
 def q_entity_resolution(spark, sf):
     """End-to-end entity resolution: the record_linkage MATCH pairs
     (score >= upper) become an undirected graph, dedup.dup_clusters'
@@ -5449,6 +5471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": q_mad_outliers,
         "emd_drift": q_emd_drift,
         "stream_ewma_parity": q_stream_ewma_parity,
+        "gini_concentration": q_gini_concentration,
+        "benford_audit": q_benford_audit,
     }
 
 
@@ -10282,6 +10306,44 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # gini_concentration: identical ranking tiebreak, HUGEINT-exact
+    # integer sums cast to double only for the final ratio.
+    d["gini_concentration"] = """
+        WITH r AS (
+          SELECT event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents,
+                 row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY CAST(floor(value * 100) AS BIGINT), event_id
+                 ) AS rnk
+          FROM events
+        )
+        SELECT event_type, count(*) AS n,
+               round(
+                 CAST(2 * SUM(rnk * cents) - (count(*) + 1) * SUM(cents) AS DOUBLE)
+                 / CAST(count(*) * SUM(cents) AS DOUBLE), 6) AS gini
+        FROM r GROUP BY event_type
+    """
+    # benford_audit: digit from the integer part's decimal string; the
+    # expected shares are the same repr-interpolated literals.
+    from nnanalytics_spark.pipeline.stats import BENFORD_SHARES
+
+    _benford = ", ".join(f"CAST({s!r} AS DOUBLE)" for s in BENFORD_SHARES)
+    d["benford_audit"] = f"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+                 count(*) AS n_obs
+          FROM orders WHERE o_totalprice >= 1
+          GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_obs) AS n_total FROM digits)
+        SELECT digit, n_obs,
+               round(n_obs / n_total, 6) AS obs_share,
+               round(([{_benford}])[digit], 6) AS exp_share,
+               round(pow(n_obs - ([{_benford}])[digit] * n_total, 2)
+                     / (([{_benford}])[digit] * n_total), 6) AS chi2_term
+        FROM digits CROSS JOIN tot
     """
     # data_contract: five scalar counts over one table, one SELECT per
     # rule (the oracle's clarity beats its plan; Spark does one pass).

@@ -243,6 +243,8 @@ HEADLINE = [
     "mad_outliers",
     "emd_drift",
     "stream_ewma_parity",
+    "gini_concentration",
+    "benford_audit",
 ]
 
 

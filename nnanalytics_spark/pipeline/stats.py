@@ -13,6 +13,8 @@ map-side, so one reducer row per group crosses the wire.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -614,3 +616,94 @@ def emd_1d(
         )
     )
     return steps.agg(F.sum("term").cast("double").alias("emd"))
+
+
+def gini_by_group(
+    df: DataFrame,
+    value: str,
+    group_cols: list[str] | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Gini coefficient per group — the concentration diagnostic behind
+    "what share of revenue/events does the head hold?" questions. Over
+    values sorted ascending with ranks 1..n:
+    G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx).
+
+    Exactness contract: values quantize to integer CENTS before any
+    sum, every accumulator is DECIMAL(38,0) (rank·cents products reach
+    ~n²·x̄ — past int64 at corpus scale), and only the final ratio
+    divides as double (rounded to 6). Ranks come from one
+    group-partitioned window ordered by (cents, id) — the id tiebreak
+    makes the ranking, hence the sum, engine-independent even though
+    Gini itself is tie-insensitive. One window + one aggregate; skew
+    bounded by the largest group."""
+    from pyspark.sql.window import Window
+
+    gcols = group_cols or []
+    cents = F.floor(F.col(value) * 100).cast("long")
+    order = [F.col("_cents").asc()] + (
+        [F.col(id_col).asc()] if id_col else []
+    )
+    w = Window.partitionBy(*gcols).orderBy(*order)
+    ranked = df.select(
+        *gcols, *( [id_col] if id_col else [] ), cents.alias("_cents")
+    ).withColumn("_rank", F.row_number().over(w))
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_cents").cast(dec)).alias("_sx"),
+        F.sum((F.col("_rank").cast(dec) * F.col("_cents").cast(dec))).alias("_srx"),
+    )
+    g = (
+        (F.lit(2).cast(dec) * F.col("_srx")
+         - (F.col("n") + 1).cast(dec) * F.col("_sx")).cast("double")
+        / (F.col("n").cast(dec) * F.col("_sx")).cast("double")
+    )
+    return agg.select(*gcols, "n", F.round(g, 6).alias("gini"))
+
+
+# Benford expected first-digit shares log10(1 + 1/d), d = 1..9 — Python
+# literals shared with any SQL twin via repr().
+BENFORD_SHARES = [math.log10(1 + 1 / d) for d in range(1, 10)]
+
+
+def benford_audit(df: DataFrame, value: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law — the
+    data-quality/fraud screen for magnitude-spanning positive metrics.
+    The digit extracts from the integer part's decimal STRING (no
+    float log10 edge cases at exact powers of ten); rows < 1 are out of
+    scope. Output per digit 1..9: observed count, observed share,
+    Benford's expected share (literal), and the squared-deviation
+    chi-square term against expected counts — Σ terms is the audit
+    statistic, left per-digit so the report shows WHERE the deviation
+    lives. One scan, one 9-row aggregate."""
+    digits = (
+        df.filter(F.col(value) >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col(value)).cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    tot = digits.agg(F.sum("n_obs").alias("n_total"))
+    expected = F.element_at(
+        F.array(*[F.lit(s) for s in BENFORD_SHARES]), F.col("digit")
+    )
+    return (
+        digits.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            F.round(F.col("n_obs") / F.col("n_total"), 6).alias("obs_share"),
+            F.round(expected, 6).alias("exp_share"),
+            F.round(
+                F.pow(F.col("n_obs") - expected * F.col("n_total"), 2)
+                / (expected * F.col("n_total")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )

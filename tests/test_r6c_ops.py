@@ -321,3 +321,38 @@ def test_emd_identical_distributions_is_zero_and_shift_is_exact(spark):
     )
     (row,) = stats.emd_1d(shifted, "x", F.col("side") == "a", bucket_width=1.0).collect()
     assert row["emd"] == 1.0
+
+
+# ------------------------------------------------------ gini / benford
+
+def test_gini_extremes(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    # perfectly equal values → G = 0; total concentration → G → (n-1)/n
+    eq = spark.createDataFrame(
+        [("g", i, 10.0) for i in range(1, 5)], "grp string, id long, x double"
+    )
+    (row,) = stats.gini_by_group(eq, "x", ["grp"], id_col="id").collect()
+    assert row["gini"] == 0.0
+    conc = spark.createDataFrame(
+        [("g", 1, 0.0), ("g", 2, 0.0), ("g", 3, 0.0), ("g", 4, 100.0)],
+        "grp string, id long, x double",
+    )
+    (row,) = stats.gini_by_group(conc, "x", ["grp"], id_col="id").collect()
+    # one holder of everything among n=4: G = (n-1)/n = 0.75
+    assert row["gini"] == 0.75
+
+
+def test_benford_digit_extraction_and_shares(spark):
+    import math as m
+
+    from nnanalytics_spark.pipeline import stats
+
+    # values spanning magnitudes; first digits: 1,1,2,9 (0.5 < 1 drops)
+    df = spark.createDataFrame(
+        [(1.7,), (123.0,), (29.9,), (9000.1,), (0.5,)], "x double"
+    )
+    rows = {r["digit"]: r for r in stats.benford_audit(df, "x").collect()}
+    assert {d: rows[d]["n_obs"] for d in rows} == {1: 2, 2: 1, 9: 1}
+    assert rows[1]["exp_share"] == round(m.log10(2), 6)
+    assert rows[1]["obs_share"] == 0.5
