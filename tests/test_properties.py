@@ -288,3 +288,69 @@ def test_cdc_compact_replay_and_union_stability(spark, entries):
         else:
             expect[k] = f"v{k}-{s}"
     assert merged == expect
+
+
+# ---------------------------------------------------------------- r6c ops
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0, max_value=100, allow_nan=False),
+            st.integers(min_value=0, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_skyline_is_exactly_the_undominated_set(spark, points):
+    """Full characterization on arbitrary inputs: the skyline returns a
+    row iff NO other row dominates it — including duplicate points,
+    shared prices, and shared sizes."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(i, "g", float(p), int(s)) for i, (p, s) in enumerate(points)]
+    df = spark.createDataFrame(rows, "id long, grp string, price double, size int")
+    got = sorted(
+        r["id"]
+        for r in stats.skyline(
+            df, minimize="price", maximize="size", group_cols=["grp"], id_col="id"
+        ).collect()
+    )
+    want = sorted(
+        i
+        for (i, _, p, s) in rows
+        if not any(
+            p2 <= p and s2 >= s and (p2 < p or s2 > s) for (_, _, p2, s2) in rows
+        )
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=1000, allow_nan=False),
+        min_size=2,
+        max_size=30,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_gini_bounds_and_python_model(spark, values):
+    """0 <= G <= (n-1)/n on arbitrary positive values, and the Spark
+    result equals the straight-line integer-cents Python model."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [("g", i, float(v)) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "grp string, id long, x double")
+    (row,) = stats.gini_by_group(df, "x", ["grp"], id_col="id").collect()
+    cents = sorted(
+        (math.floor(v * 100), i) for (_, i, v) in rows
+    )
+    n = len(cents)
+    sx = sum(c for c, _ in cents)
+    srx = sum((k + 1) * c for k, (c, _) in enumerate(cents))
+    want = round((2 * srx - (n + 1) * sx) / (n * sx), 6) if sx else None
+    if sx:
+        assert row["gini"] == want
+        assert 0 <= row["gini"] <= (n - 1) / n + 1e-9
