@@ -5109,6 +5109,30 @@ def q_benford_audit(spark, sf):
     return stats.benford_audit(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def q_theil_sen_trend(spark, sf):
+    """Theil-Sen robust monthly revenue trend (stats.theil_sen_slope):
+    median of pairwise day-over-day slopes within each month — the
+    outlier-immune complement to trend_by_group's OLS. Exact Theil-Sen
+    is O(n²) in the group, so the input is the BOUNDED daily aggregate
+    (≤31 points per month → ≤465 pairs), never raw orders; slopes are
+    doubles from exact integer (day, cents) differences, identical in
+    both engines."""
+    from nnanalytics_spark.pipeline import stats
+
+    o = _t(spark, sf, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        # parquet stores TIMESTAMP_NTZ; session tz is UTC, so the cast
+        # matches DuckDB epoch_ms (the _events ts_ms convention)
+        F.expr(
+            "unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000"
+        ).alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    return stats.theil_sen_slope(daily, "day", "cents", ["month"])
+
+
 def q_entity_resolution(spark, sf):
     """End-to-end entity resolution: the record_linkage MATCH pairs
     (score >= upper) become an undirected graph, dedup.dup_clusters'
@@ -5473,6 +5497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ewma_parity": q_stream_ewma_parity,
         "gini_concentration": q_gini_concentration,
         "benford_audit": q_benford_audit,
+        "theil_sen_trend": q_theil_sen_trend,
     }
 
 
@@ -10306,6 +10331,25 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # theil_sen_trend: same bounded daily aggregate, same pairwise
+    # slopes, same interpolated median.
+    d["theil_sen_trend"] = """
+        WITH daily AS (
+          SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                 epoch_ms(o_orderdate) // 86400000 AS day,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+          FROM orders GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT a.month,
+                 CAST(b.cents - a.cents AS DOUBLE)
+                   / CAST(b.day - a.day AS DOUBLE) AS slope
+          FROM daily a JOIN daily b ON a.month = b.month AND a.day < b.day
+        )
+        SELECT month, count(*) AS n_pairs,
+               round(quantile_cont(slope, 0.5), 6) AS slope
+        FROM pairs GROUP BY month
     """
     # gini_concentration: identical ranking tiebreak, HUGEINT-exact
     # integer sums cast to double only for the final ratio.

@@ -245,6 +245,7 @@ HEADLINE = [
     "stream_ewma_parity",
     "gini_concentration",
     "benford_audit",
+    "theil_sen_trend",
 ]
 
 

@@ -707,3 +707,38 @@ def benford_audit(df: DataFrame, value: str) -> DataFrame:
             ).alias("chi2_term"),
         )
     )
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    x: str,
+    y: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    slopes (y_j−y_i)/(x_j−x_i) — up to ~29% outlier contamination
+    doesn't move it, where the OLS slope (trend_by_group) chases every
+    spike. Exact Theil–Sen is inherently O(n²) in the group size, so
+    the contract is BOUNDED GROUPS: pass pre-aggregated series (daily
+    points within a month, hourly within a day) where n is tens, never
+    raw events — the same bounded-block discipline as range_shard's
+    |shards|² audit. The group-keyed self-join emits each pair once
+    (x_i < x_j); duplicate x values contribute no pair (vertical
+    slope). Inputs should be exact integers (epoch days, cents) so
+    every slope double is identical across engines; the median
+    interpolates like percentile/quantile_cont."""
+    gcols = group_cols or []
+    a = df.select(*gcols, F.col(x).alias("_xa"), F.col(y).alias("_ya"))
+    b = df.select(*gcols, F.col(x).alias("_xb"), F.col(y).alias("_yb"))
+    cond = [a[c] == b[c] for c in gcols] + [a["_xa"] < b["_xb"]]
+    pairs = a.join(b, cond).select(
+        *[a[c] for c in gcols],
+        (
+            (F.col("_yb") - F.col("_ya")).cast("double")
+            / (F.col("_xb") - F.col("_xa")).cast("double")
+        ).alias("_slope"),
+    )
+    return pairs.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("_slope", F.lit(0.5)), 6).alias("slope"),
+    )

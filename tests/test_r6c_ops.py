@@ -356,3 +356,33 @@ def test_benford_digit_extraction_and_shares(spark):
     assert {d: rows[d]["n_obs"] for d in rows} == {1: 2, 2: 1, 9: 1}
     assert rows[1]["exp_share"] == round(m.log10(2), 6)
     assert rows[1]["obs_share"] == 0.5
+
+
+# -------------------------------------------------------- theil-sen
+
+def test_theil_sen_robust_to_outlier_where_ols_is_not(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    # perfect slope-2 line with one wild outlier at the end
+    pts = [(0, 0), (1, 2), (2, 4), (3, 6), (4, 1000)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "grp string, x long, y long"
+    )
+    (row,) = stats.theil_sen_slope(df, "x", "y", ["grp"]).collect()
+    assert row["n_pairs"] == 10
+    # median of the 10 pairwise slopes stays 2.0 despite the outlier
+    assert row["slope"] == 2.0
+
+
+def test_theil_sen_skips_vertical_pairs_and_singletons(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 1, 9), ("a", 2, 7), ("b", 3, 1)],
+        "grp string, x long, y long",
+    )
+    rows = {r["grp"]: r for r in stats.theil_sen_slope(df, "x", "y", ["grp"]).collect()}
+    # duplicate-x pair contributes nothing; singleton group b vanishes
+    assert set(rows) == {"a"}
+    assert rows["a"]["n_pairs"] == 2  # (1,5)->(2,7) and (1,9)->(2,7)
+    assert rows["a"]["slope"] == 0.0  # median of {2.0, -2.0}
