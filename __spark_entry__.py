@@ -5109,6 +5109,28 @@ def q_benford_audit(spark, sf):
     return stats.benford_audit(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def q_backfill_plan(spark, sf):
+    """Backfill planner round-trip (sources/layout.py:
+    missing_partitions): a Hive-partitioned sink is materialized for
+    the even-numbered months only, then the planner lists the sink's
+    directory names (metadata only — no data files opened) and
+    broadcast-anti-joins them against the expected partition calendar.
+    The missing set must be exactly the odd-numbered months — the
+    oracle derives it from the same pinned rule."""
+    import tempfile
+
+    from nnanalytics_spark.sources import layout
+
+    o = _t(spark, sf, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    sink = tempfile.mkdtemp(prefix="nna_backfill_")
+    done = o.filter(F.month("o_orderdate") % 2 == 0)
+    layout.write_partitioned(done.select("o_orderkey", "month"), sink, "month")
+    expected = o.select("month").distinct()
+    return layout.missing_partitions(spark, expected, sink, "month")
+
+
 def q_theil_sen_trend(spark, sf):
     """Theil-Sen robust monthly revenue trend (stats.theil_sen_slope):
     median of pairwise day-over-day slopes within each month — the
@@ -5498,6 +5520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_concentration": q_gini_concentration,
         "benford_audit": q_benford_audit,
         "theil_sen_trend": q_theil_sen_trend,
+        "backfill_plan": q_backfill_plan,
     }
 
 
@@ -10331,6 +10354,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # backfill_plan: the sink holds even-numbered months by the pinned
+    # rule, so the missing set is the odd-numbered distinct months.
+    d["backfill_plan"] = """
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS month
+        FROM orders
+        WHERE month(o_orderdate) % 2 = 1
     """
     # theil_sen_trend: same bounded daily aggregate, same pairwise
     # slopes, same interpolated median.

@@ -246,6 +246,7 @@ HEADLINE = [
     "gini_concentration",
     "benford_audit",
     "theil_sen_trend",
+    "backfill_plan",
 ]
 
 

@@ -452,3 +452,39 @@ def zorder_layout_stats(
             F.max("yb").alias("y_max"),
         )
     )
+
+
+def missing_partitions(
+    spark: SparkSession,
+    expected: DataFrame,
+    sink_path: str,
+    part_col: str,
+) -> DataFrame:
+    """Backfill planner: which partition values the sink has NOT yet
+    materialized. ``expected`` is one row per wanted partition value
+    (usually a distinct-select or a generated calendar); the sink's
+    existing values come from its Hive-style directory names via the
+    Hadoop FileSystem API — a metadata listing, no data files opened —
+    and the plan is one broadcast anti-join (the existing set is
+    |partitions|-sized, never data-sized). The everyday ops question
+    ("what does tonight's backfill need to process?") answered without
+    scanning either side."""
+    from pyspark.sql import functions as F
+
+    hconf = spark._jsc.hadoopConfiguration()
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(sink_path)
+    fs = hpath.getFileSystem(hconf)
+    existing = []
+    prefix = f"{part_col}="
+    if fs.exists(hpath):
+        for status in fs.listStatus(hpath):
+            name = status.getPath().getName()
+            if status.isDirectory() and name.startswith(prefix):
+                existing.append(name[len(prefix):])
+    if not existing:
+        return expected
+    have = spark.createDataFrame(
+        [(v,) for v in existing], f"{part_col} string"
+    ).select(F.col(part_col).cast(expected.schema[part_col].dataType))
+    return expected.join(F.broadcast(have), part_col, "left_anti")

@@ -386,3 +386,33 @@ def test_theil_sen_skips_vertical_pairs_and_singletons(spark):
     assert set(rows) == {"a"}
     assert rows["a"]["n_pairs"] == 2  # (1,5)->(2,7) and (1,9)->(2,7)
     assert rows["a"]["slope"] == 0.0  # median of {2.0, -2.0}
+
+
+# ----------------------------------------------------- backfill planner
+
+def test_missing_partitions_lists_only_unmaterialized(spark, tmp_path):
+    from nnanalytics_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 4}") for i in range(20)], "id long, day string"
+    )
+    sink = str(tmp_path / "sink")
+    layout.write_partitioned(df.filter("day IN ('d0','d2')"), sink, "day")
+    expected = df.select("day").distinct()
+    missing = sorted(
+        r["day"] for r in layout.missing_partitions(spark, expected, sink, "day").collect()
+    )
+    assert missing == ["d1", "d3"]
+
+
+def test_missing_partitions_empty_sink_returns_everything(spark, tmp_path):
+    from nnanalytics_spark.sources import layout
+
+    expected = spark.createDataFrame([("a",), ("b",)], "day string")
+    missing = sorted(
+        r["day"]
+        for r in layout.missing_partitions(
+            spark, expected, str(tmp_path / "nonexistent"), "day"
+        ).collect()
+    )
+    assert missing == ["a", "b"]
