@@ -5109,6 +5109,20 @@ def q_benford_audit(spark, sf):
     return stats.benford_audit(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def q_winnow_pairs(spark, sf):
+    """Winnowing fingerprint dedup (dedup.winnow_fingerprints — the
+    MOSS algorithm, Schleimer et al. SIGMOD'03): per-window minimum
+    4-gram hashes (rightmost tie, packed-key selection) give a
+    position-aware fingerprint set with the guarantee that any shared
+    run of window+n-1 = 7 tokens yields a shared fingerprint; pairs
+    sharing >= 3 fingerprints are candidates. Portable polynomial gram
+    hash, so the oracle replays selection AND pairing exactly."""
+    fps = dedup.winnow_fingerprints(
+        _t(spark, sf, "documents"), n=4, window=4, gram_hash=_poly_token_hash
+    )
+    return dedup.winnow_shared_pairs(fps).filter(F.col("shared_fps") >= 3)
+
+
 def q_backfill_plan(spark, sf):
     """Backfill planner round-trip (sources/layout.py:
     missing_partitions): a Hive-partitioned sink is materialized for
@@ -5521,6 +5535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_audit": q_benford_audit,
         "theil_sen_trend": q_theil_sen_trend,
         "backfill_plan": q_backfill_plan,
+        "winnow_pairs": q_winnow_pairs,
     }
 
 
@@ -10354,6 +10369,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # winnow_pairs: replay 4-gram positions, the polynomial hash folded
+    # to 40 bits, the packed-key per-window minima, and the pairing.
+    d["winnow_pairs"] = rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        grams AS (
+          SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+                 array_to_string(t[u.i:u.i+3], ' ') AS gram
+          FROM toks, unnest(range(1, len(t) - 2)) AS u(i)
+          WHERE len(t) >= 4
+        ),
+        hashed AS (
+          SELECT doc_id, pos,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(gram, ''),
+                     c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % {_SIMHASH_POLY_MOD})
+                 % 1099511627776 AS h
+          FROM grams
+        ),
+        keyed AS (
+          SELECT doc_id, pos, h * 1048576 + (1048575 - pos) AS key
+          FROM hashed
+        ),
+        sel AS (
+          SELECT DISTINCT doc_id AS id,
+                 (min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+                 // 1048576 AS fingerprint
+          FROM keyed
+        )
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fps
+        FROM sel a JOIN sel b
+          ON a.fingerprint = b.fingerprint AND a.id < b.id
+        GROUP BY 1, 2 HAVING count(*) >= 3
     """
     # backfill_plan: the sink holds even-numbered months by the pinned
     # rule, so the missing set is the odd-numbered distinct months.

@@ -247,6 +247,7 @@ HEADLINE = [
     "benford_audit",
     "theil_sen_trend",
     "backfill_plan",
+    "winnow_pairs",
 ]
 
 

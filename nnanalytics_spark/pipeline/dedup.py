@@ -1381,3 +1381,85 @@ def prefix_filter_pairs(
             F.col("c") / (F.col("size_a") + F.col("size_b") - F.col("c")), 6
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    n: int = 4,
+    window: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+    gram_hash=None,
+    hash_bits: int = 40,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD'03 — the MOSS algorithm): hash every token n-gram, slide a
+    window of ``window`` consecutive gram positions, and keep the
+    minimum hash per window (rightmost on ties). The guarantee: any
+    shared substring of at least window+n-1 tokens yields at least one
+    shared fingerprint, while only ~2/(window+1) of all grams are kept
+    — a position-aware third fingerprinting family next to MinHash
+    (set resemblance) and SimHash (vector similarity).
+
+    Engine-portable selection without struct-min: fingerprints compare
+    by the packed key h·2²⁰ + (2²⁰−1−pos) — min over the window frame
+    IS (min hash, rightmost position), and any SQL engine replays the
+    same integer arithmetic. The hash folds to ``hash_bits`` so the
+    pack stays inside int64 (collisions only merge fingerprints, and
+    identically on both sides). Trailing windows shorter than
+    ``window`` still select (extra recall, same on both engines).
+
+    Plan: explode grams with position (map-side), ONE doc-partitioned
+    window pass for the per-window minima, distinct. ``gram_hash``
+    defaults to xxhash64 (production); inject a polynomial for
+    SQL-oracle parity, the simhash_signatures convention."""
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.lower(F.trim(F.col(text))), r"\s+")
+    grams = F.when(
+        F.size(toks) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    pos_mask = (1 << 20) - 1
+    hasher = gram_hash if gram_hash is not None else F.xxhash64
+    positions = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    ).select(
+        "id",
+        "pos",
+        F.pmod(hasher(F.col("gram")), F.lit(1 << hash_bits)).alias("h"),
+    )
+    key = F.col("h") * (pos_mask + 1) + (pos_mask - F.col("pos"))
+    w = W.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    selected = (
+        positions.withColumn("_sel", F.min(key).over(w))
+        .select(
+            "id",
+            F.expr(f"_sel div {pos_mask + 1}").alias("fingerprint"),
+            (pos_mask - F.col("_sel") % (pos_mask + 1)).alias("fp_pos"),
+        )
+        .distinct()
+    )
+    return selected
+
+
+def winnow_shared_pairs(fps: DataFrame) -> DataFrame:
+    """Candidate pairs from shared winnowing fingerprints: equi-join on
+    the fingerprint value, count shared per pair. Same inverted-index
+    discipline as every pair generator here — the pair space is bounded
+    by fingerprint co-occurrence, never |docs|²."""
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count_distinct(F.col("a.fingerprint")).alias("shared_fps"))
+    )

@@ -416,3 +416,37 @@ def test_missing_partitions_empty_sink_returns_everything(spark, tmp_path):
         ).collect()
     )
     assert missing == ["a", "b"]
+
+
+# ------------------------------------------------------------ winnowing
+
+def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
+    from nnanalytics_spark.pipeline import dedup
+
+    # docs 1 and 2 share an 8-token run (>= window+n-1 = 7 with n=4,w=4)
+    # embedded in different contexts; doc 3 shares nothing
+    shared = "p q r s t u v w"
+    docs = [
+        (1, f"a b c {shared} d e f"),
+        (2, f"x y z {shared} m n o"),
+        (3, "one two three four five six seven eight nine ten"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = dedup.winnow_fingerprints(df, n=4, window=4)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in dedup.winnow_shared_pairs(fps).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_winnowing_density_is_sparse(spark):
+    from nnanalytics_spark.pipeline import dedup
+
+    text = " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    n_fps = dedup.winnow_fingerprints(df, n=4, window=4).count()
+    n_grams = 200 - 4 + 1
+    # expected density ~ 2/(w+1) = 0.4; assert well under all-grams
+    assert n_fps < 0.6 * n_grams
