@@ -5109,6 +5109,21 @@ def q_benford_audit(spark, sf):
     return stats.benford_audit(_t(spark, sf, "orders"), "o_totalprice")
 
 
+def q_column_entropy(spark, sf):
+    """Per-column value-distribution entropy (core/profile.py:
+    column_entropy): ~0 flags dead columns, ln(n_distinct) flags
+    near-unique ones. One stack-unpivot scan + one grouped count; each
+    p*ln(p) term DECIMAL-quantized so the per-column sum is order-free
+    (a raw float sum over o_custkey's frequency table would be
+    partition-order-dependent)."""
+    from nnanalytics_spark.core import profile
+
+    return profile.column_entropy(
+        _t(spark, sf, "orders"),
+        ["o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+
+
 def q_winnow_pairs(spark, sf):
     """Winnowing fingerprint dedup (dedup.winnow_fingerprints — the
     MOSS algorithm, Schleimer et al. SIGMOD'03): per-window minimum
@@ -5536,6 +5551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": q_theil_sen_trend,
         "backfill_plan": q_backfill_plan,
         "winnow_pairs": q_winnow_pairs,
+        "column_entropy": q_column_entropy,
     }
 
 
@@ -10369,6 +10385,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # column_entropy: same unpivot, same quantized p*ln(p) terms.
+    d["column_entropy"] = """
+        WITH pairs AS (
+          SELECT 'o_orderstatus' AS col, CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR) FROM orders
+          UNION ALL
+          SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+        ),
+        freq AS (
+          SELECT col, value, count(*) AS n FROM pairs GROUP BY col, value
+        ),
+        tot AS (SELECT col, SUM(n) AS n_total FROM freq GROUP BY col)
+        SELECT f.col, CAST(max(t.n_total) AS BIGINT) AS n_rows,
+               count(*) AS n_distinct,
+               round(-CAST(SUM(CAST(round((f.n / t.n_total)
+                                          * ln(f.n / t.n_total), 12)
+                                    AS DECIMAL(28,12))) AS DOUBLE), 6)
+                 AS entropy_nats
+        FROM freq f JOIN tot t USING (col)
+        GROUP BY f.col
     """
     # winnow_pairs: replay 4-gram positions, the polynomial hash folded
     # to 40 bits, the packed-key per-window minima, and the pairing.

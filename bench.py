@@ -248,6 +248,7 @@ HEADLINE = [
     "theil_sen_trend",
     "backfill_plan",
     "winnow_pairs",
+    "column_entropy",
 ]
 
 

@@ -185,3 +185,35 @@ def contract_check(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
         "n_checked",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each column's value distribution — the
+    profiler's information-content signal: ~0 flags near-constant
+    columns (dead features, broken ingests), ln(n_distinct) flags
+    near-unique ones. One pass: stack unpivots the projected columns to
+    (col, value) rows map-side, a single grouped count per (col, value),
+    then the per-column Σ p·ln(p) over the |distinct|-bounded frequency
+    table. NULLs count as a value (a 90%-null column IS low-entropy).
+    ln() of identical doubles agrees across engines (the psi_drift
+    precedent); the result rounds to 6."""
+    stack_expr = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in cols)
+    pairs = df.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) AS (col, value)"
+    )
+    freq = pairs.groupBy("col", "value").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("col").agg(F.sum("n").alias("n_total"))
+    # each p*ln(p) term quantizes to DECIMAL before the per-column sum:
+    # a float sum over a high-cardinality frequency table would be
+    # partition-order-dependent; the decimal sum is order-free exact
+    p = F.col("n") / F.col("n_total")
+    term = F.round(p * F.log(p), 12).cast("decimal(28,12)")
+    return (
+        freq.join(F.broadcast(tot), "col")
+        .groupBy("col")
+        .agg(
+            F.max("n_total").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(-F.sum(term).cast("double"), 6).alias("entropy_nats"),
+        )
+    )

@@ -450,3 +450,23 @@ def test_winnowing_density_is_sparse(spark):
     n_grams = 200 - 4 + 1
     # expected density ~ 2/(w+1) = 0.4; assert well under all-grams
     assert n_fps < 0.6 * n_grams
+
+
+# ------------------------------------------------------- column entropy
+
+def test_column_entropy_extremes(spark):
+    import math as m
+
+    from nnanalytics_spark.core import profile
+
+    df = spark.createDataFrame(
+        [(1, "x", None), (2, "x", None), (3, "x", "a"), (4, "x", "b")],
+        "id long, const string, mixed string",
+    )
+    rows = {r["col"]: r for r in profile.column_entropy(df, ["id", "const", "mixed"]).collect()}
+    assert rows["const"]["entropy_nats"] == 0.0          # constant column
+    assert rows["id"]["entropy_nats"] == round(m.log(4), 6)  # unique column
+    # mixed: NULL counts as a value → p = (2/4, 1/4, 1/4)
+    want = -(round(0.5 * m.log(0.5), 12) + 2 * round(0.25 * m.log(0.25), 12))
+    assert rows["mixed"]["entropy_nats"] == round(want, 6)
+    assert rows["mixed"]["n_distinct"] == 3
