@@ -554,3 +554,44 @@ def test_simhash_multiblock_is_equi_join(spark):
     plan = plan_of(entry.q_simhash_pairs_multiblock(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prune_filter_sits_in_the_fact_scan_stage(spark):
+    # the bloom membership predicate must evaluate BEFORE the join
+    # exchange: a Filter with the xxhash64 arithmetic on the lineitem
+    # branch, no Python eval stage anywhere
+    df = entry.q_bloom_prune_join(spark, SF)
+    plan = plan_of(df)
+    assert "xxhash64" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the dim filter is pushed to its scan
+    assert "LessThan(s_nationkey,3)" in plan, plan
+
+
+def test_prefix_filter_join_keys_on_token_hash_not_cartesian(spark):
+    df = entry.q_prefix_filter_pairs(spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_record_linkage_blocks_on_nation_and_stays_codegen(spark):
+    df = entry.q_record_linkage(spark, SF)
+    plan = plan_of(df)
+    # equi-join on the block key, literal weights in pure expressions
+    assert "c_nationkey" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_skyline_plans_one_group_window_no_pairwise_join(spark):
+    df = entry.q_skyline_frontier(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("Window") >= 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_gini_window_is_group_partitioned(spark):
+    df = entry.q_gini_concentration(spark, SF)
+    plan = plan_of(df)
+    # the ranking window partitions by the group key — never a global sort
+    assert "partitionBy" not in plan or "event_type" in plan
+    assert "Window" in plan and "event_type" in plan, plan
