@@ -5109,6 +5109,26 @@ def q_benford_audit(spark, sf):
     return stats.benford_audit(_t(spark, sf, "orders"), "o_totalprice")
 
 
+# Pinned DiD cutover: 2024-01-16T00:00Z, the midpoint of the events
+# table's January-2024 span.
+_DID_CUTOVER_MS = 1_705_363_200_000
+
+
+def q_diff_in_diff(spark, sf):
+    """Difference-in-differences effect estimate (behavior.diff_in_diff):
+    even-id users play the treated arm, the pinned mid-January cutover
+    splits pre/post, and one conditional-aggregate scan collects all
+    four cell moments (DECIMAL cents, order-free) — means and the DiD
+    are arithmetic on the finished moments. The four cell means ride
+    along for the parallel-trends sanity read."""
+    from nnanalytics_spark.pipeline import behavior
+
+    e = _events(spark, sf)
+    return behavior.diff_in_diff(
+        e, F.col("user_id") % 2 == 0, _DID_CUTOVER_MS
+    )
+
+
 def q_column_entropy(spark, sf):
     """Per-column value-distribution entropy (core/profile.py:
     column_entropy): ~0 flags dead columns, ln(n_distinct) flags
@@ -5552,6 +5572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backfill_plan": q_backfill_plan,
         "winnow_pairs": q_winnow_pairs,
         "column_entropy": q_column_entropy,
+        "diff_in_diff": q_diff_in_diff,
     }
 
 
@@ -10385,6 +10406,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # diff_in_diff: the same four conditional cells from one scan.
+    d["diff_in_diff"] = f"""
+        WITH cells AS (
+          SELECT
+            SUM(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) <  {_DID_CUTOVER_MS} THEN 1 ELSE 0 END) AS n_t_pre,
+            SUM(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) >= {_DID_CUTOVER_MS} THEN 1 ELSE 0 END) AS n_t_post,
+            SUM(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) <  {_DID_CUTOVER_MS} THEN 1 ELSE 0 END) AS n_c_pre,
+            SUM(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) >= {_DID_CUTOVER_MS} THEN 1 ELSE 0 END) AS n_c_post,
+            SUM(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) <  {_DID_CUTOVER_MS} THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS s_t_pre,
+            SUM(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) >= {_DID_CUTOVER_MS} THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS s_t_post,
+            SUM(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) <  {_DID_CUTOVER_MS} THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS s_c_pre,
+            SUM(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) >= {_DID_CUTOVER_MS} THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS s_c_post
+          FROM events
+        )
+        SELECT CAST(n_t_pre AS BIGINT) AS n_t_pre,
+               CAST(n_t_post AS BIGINT) AS n_t_post,
+               CAST(n_c_pre AS BIGINT) AS n_c_pre,
+               CAST(n_c_post AS BIGINT) AS n_c_post,
+               round(CAST(s_t_pre  AS DOUBLE) / n_t_pre  / 100.0, 6) AS mean_t_pre,
+               round(CAST(s_t_post AS DOUBLE) / n_t_post / 100.0, 6) AS mean_t_post,
+               round(CAST(s_c_pre  AS DOUBLE) / n_c_pre  / 100.0, 6) AS mean_c_pre,
+               round(CAST(s_c_post AS DOUBLE) / n_c_post / 100.0, 6) AS mean_c_post,
+               round((CAST(s_t_post AS DOUBLE) / n_t_post / 100.0
+                      - CAST(s_t_pre AS DOUBLE) / n_t_pre / 100.0)
+                     - (CAST(s_c_post AS DOUBLE) / n_c_post / 100.0
+                        - CAST(s_c_pre AS DOUBLE) / n_c_pre / 100.0), 6) AS did
+        FROM cells
     """
     # column_entropy: same unpivot, same quantized p*ln(p) terms.
     d["column_entropy"] = """

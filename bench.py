@@ -249,6 +249,7 @@ HEADLINE = [
     "backfill_plan",
     "winnow_pairs",
     "column_entropy",
+    "diff_in_diff",
 ]
 
 

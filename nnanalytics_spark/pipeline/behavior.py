@@ -1056,3 +1056,54 @@ def point_in_time_features(
             "recency_ms",
         )
     )
+
+
+def diff_in_diff(
+    events: DataFrame,
+    treated: "F.Column",
+    cutover_ms: int,
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """Difference-in-differences estimate of an intervention's effect:
+    (treated post − treated pre) − (control post − control pre) over
+    group means — the first-line causal read on any A/B or staged
+    rollout where assignment isn't random but trends are parallel.
+
+    One conditional-aggregate scan collects all four cell sums/counts
+    (cents in DECIMAL, order-free); means and the DiD divide the exact
+    moments as doubles, rounded to 6. The output carries every cell so
+    the parallel-trends sanity check (compare pre-period means) reads
+    from the same row. Returns one row:
+    (n_*, mean_* for the four cells, did)."""
+    dec = "decimal(38,0)"
+    cents = F.round(F.col(value_col) * 100).cast("long").cast(dec)
+    post = F.col(ts_col) >= cutover_ms
+    cells = []
+    for label, cond in (
+        ("t_pre", treated & ~post),
+        ("t_post", treated & post),
+        ("c_pre", ~treated & ~post),
+        ("c_post", ~treated & post),
+    ):
+        cells += [
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{label}"),
+            F.sum(F.when(cond, cents).otherwise(F.lit(0).cast(dec))).alias(
+                f"s_{label}"
+            ),
+        ]
+    agg = events.agg(*cells)
+
+    def mean(label: str):
+        return (
+            F.col(f"s_{label}").cast("double")
+            / F.col(f"n_{label}")
+            / 100.0
+        )
+
+    did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
+    return agg.select(
+        *[F.col(f"n_{lb}") for lb in ("t_pre", "t_post", "c_pre", "c_post")],
+        *[F.round(mean(lb), 6).alias(f"mean_{lb}") for lb in ("t_pre", "t_post", "c_pre", "c_post")],
+        F.round(did, 6).alias("did"),
+    )

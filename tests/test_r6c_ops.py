@@ -470,3 +470,22 @@ def test_column_entropy_extremes(spark):
     want = -(round(0.5 * m.log(0.5), 12) + 2 * round(0.25 * m.log(0.25), 12))
     assert rows["mixed"]["entropy_nats"] == round(want, 6)
     assert rows["mixed"]["n_distinct"] == 3
+
+
+# --------------------------------------------------------------- did
+
+def test_diff_in_diff_hand_computed(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    # treated: 10 -> 20 (+10); control: 5 -> 7 (+2) => DiD = 8
+    rows = [
+        (2, 0, 10.0), (2, 100, 20.0),   # treated (even id)
+        (1, 0, 5.0), (1, 100, 7.0),     # control (odd id)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long, value double")
+    (r,) = behavior.diff_in_diff(
+        df, df.user_id % 2 == 0, cutover_ms=50
+    ).collect()
+    assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"], r["n_c_post"]) == (1, 1, 1, 1)
+    assert r["mean_t_pre"] == 10.0 and r["mean_c_post"] == 7.0
+    assert r["did"] == 8.0
