@@ -5114,6 +5114,18 @@ def q_benford_audit(spark, sf):
 _DID_CUTOVER_MS = 1_705_363_200_000
 
 
+def q_km_survival(spark, sf):
+    """Kaplan-Meier churn survival (behavior.km_survival): last-active
+    day = churn event, suffix-summed at-risk counts over the bounded
+    day grid, and the survival product evaluated as an explicit
+    day-ordered fold of 12-dp-rounded factors — the oracle replays the
+    identical multiply chain with list_reduce, no libm exp/ln in the
+    hash path."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.km_survival(_events(spark, sf))
+
+
 def q_diff_in_diff(spark, sf):
     """Difference-in-differences effect estimate (behavior.diff_in_diff):
     even-id users play the treated arm, the pinned mid-January cutover
@@ -5573,6 +5585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": q_winnow_pairs,
         "column_entropy": q_column_entropy,
         "diff_in_diff": q_diff_in_diff,
+        "km_survival": q_km_survival,
     }
 
 
@@ -10406,6 +10419,32 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # km_survival: same day grid, same suffix at-risk sums, and the
+    # SAME left-to-right factor fold via list_reduce.
+    d["km_survival"] = """
+        WITH last_day AS (
+          SELECT user_id, CAST(max(epoch_ms(ts)) // 86400000 AS BIGINT) AS day
+          FROM events GROUP BY user_id
+        ),
+        deaths AS (SELECT day, count(*) AS churned FROM last_day GROUP BY day),
+        risk AS (
+          SELECT day, churned,
+                 CAST(SUM(churned) OVER (ORDER BY day DESC
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS n_at_risk
+          FROM deaths
+        ),
+        factors AS (
+          SELECT day, churned, n_at_risk,
+                 list(round(1.0 - churned / CAST(n_at_risk AS DOUBLE), 12))
+                   OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS fs
+          FROM risk
+        )
+        SELECT day, churned, n_at_risk,
+               round(list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fs),
+                                 (a, b) -> a * b), 6) AS survival
+        FROM factors
     """
     # diff_in_diff: the same four conditional cells from one scan.
     d["diff_in_diff"] = f"""

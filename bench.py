@@ -250,6 +250,7 @@ HEADLINE = [
     "winnow_pairs",
     "column_entropy",
     "diff_in_diff",
+    "km_survival",
 ]
 
 

@@ -1107,3 +1107,54 @@ def diff_in_diff(
         *[F.round(mean(lb), 6).alias(f"mean_{lb}") for lb in ("t_pre", "t_post", "c_pre", "c_post")],
         F.round(did, 6).alias("did"),
     )
+
+
+def km_survival(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Kaplan-Meier churn survival curve at day granularity: a user's
+    last-activity day is their churn event (no censoring in a closed
+    observation window — the final day's survivors all "die", which the
+    curve shows honestly as S -> 0). Per day t: d_t users churn,
+    n_t = users still active at t (suffix sum of the churn counts), and
+    S(t) = Π_{s<=t} (1 - d_s/n_s) — retention's statistical twin, on
+    one aggregate per user plus windows over the DAY GRID (bounded by
+    the observation span, the ks_test/emd contract, never by users).
+
+    The cumulative product is evaluated as an explicit left-to-right
+    fold over the day-ordered factor array (collect_list window +
+    F.aggregate), each factor pre-rounded to 12 dp — a deterministic
+    multiply chain any SQL engine replays exactly (list_reduce), where
+    exp(Σ ln) would tie the hash to libm."""
+    from pyspark.sql.window import Window
+
+    last_day = events.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(F.expr(f"{ts_col} div 86400000")).alias("day")
+    )
+    deaths = last_day.groupBy("day").agg(F.count(F.lit(1)).alias("churned"))
+    w_risk = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    at_risk = deaths.withColumn("n_at_risk", F.sum("churned").over(w_risk))
+    factor = F.round(
+        F.lit(1.0) - F.col("churned") / F.col("n_at_risk"), 12
+    )
+    w_surv = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        at_risk.withColumn("_factors", F.collect_list(factor).over(w_surv))
+        .select(
+            "day",
+            "churned",
+            "n_at_risk",
+            F.round(
+                F.aggregate(
+                    "_factors",
+                    F.lit(1.0),
+                    lambda acc, x: acc * x,
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )

@@ -489,3 +489,24 @@ def test_diff_in_diff_hand_computed(spark):
     assert (r["n_t_pre"], r["n_t_post"], r["n_c_pre"], r["n_c_post"]) == (1, 1, 1, 1)
     assert r["mean_t_pre"] == 10.0 and r["mean_c_post"] == 7.0
     assert r["did"] == 8.0
+
+
+# ---------------------------------------------------------- km survival
+
+def test_km_survival_hand_computed(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    DAY = 86_400_000
+    # last-activity days: u1->0, u2->0, u3->1, u4->2
+    rows = [
+        (1, 0 * DAY), (2, 0 * DAY),
+        (3, 0 * DAY), (3, 1 * DAY),
+        (4, 0 * DAY), (4, 2 * DAY),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    got = {r["day"]: r for r in behavior.km_survival(df).collect()}
+    # day 0: d=2 of n=4 -> S = 0.5; day 1: d=1 of n=2 -> S = 0.25;
+    # day 2: d=1 of n=1 -> S = 0 (closed window: everyone churns)
+    assert (got[0]["churned"], got[0]["n_at_risk"], got[0]["survival"]) == (2, 4, 0.5)
+    assert (got[1]["churned"], got[1]["n_at_risk"], got[1]["survival"]) == (1, 2, 0.25)
+    assert (got[2]["churned"], got[2]["n_at_risk"], got[2]["survival"]) == (1, 1, 0.0)

@@ -41,6 +41,9 @@ WAIVERS: dict[str, set[str]] = {
     # EMD's running CDF accumulates over the DISTINCT-bucket grid —
     # domain-bounded after the grouped count, same contract as ks_test
     "emd_drift": {"unpartitioned_window"},
+    # KM's at-risk suffix sum and survival fold run over the DAY GRID —
+    # bounded by the observation span after the per-user aggregate
+    "km_survival": {"unpartitioned_window"},
     "chi_square": {"unpartitioned_window"},
     "mutual_information": {"unpartitioned_window"},
     "vocabulary_growth": {"unpartitioned_window"},
