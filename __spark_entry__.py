@@ -5114,6 +5114,19 @@ def q_benford_audit(spark, sf):
 _DID_CUTOVER_MS = 1_705_363_200_000
 
 
+def q_cusum_drift(spark, sf):
+    """One-sided CUSUM changepoint scan over hourly event-value means
+    (behavior.cusum_changepoint): accumulates persistent small shifts
+    above target+slack that per-point z-scores (hourly_anomalies) never
+    trip. Hour-ordered max/add fold of 6-dp-pinned hourly means over
+    the bounded hour grid; the oracle replays the identical chain."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.cusum_changepoint(
+        _events(spark, sf), target_mean=50.0, slack=5.0, threshold=100.0
+    )
+
+
 def q_km_survival(spark, sf):
     """Kaplan-Meier churn survival (behavior.km_survival): last-active
     day = churn event, suffix-summed at-risk counts over the bounded
@@ -5586,6 +5599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "column_entropy": q_column_entropy,
         "diff_in_diff": q_diff_in_diff,
         "km_survival": q_km_survival,
+        "cusum_drift": q_cusum_drift,
     }
 
 
@@ -10419,6 +10433,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # cusum_drift: same hourly means, same max/add fold via list_reduce.
+    d["cusum_drift"] = """
+        WITH hours AS (
+          SELECT epoch_ms(ts) // 3600000 AS hour, count(*) AS n,
+                 round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                       / count(*), 6) AS hour_mean
+          FROM events GROUP BY 1
+        ),
+        drifts AS (
+          SELECT hour, n, hour_mean,
+                 list(round(hour_mean - 50.0 - 5.0, 6))
+                   OVER (ORDER BY hour ROWS UNBOUNDED PRECEDING) AS ds
+          FROM hours
+        )
+        SELECT hour, n, hour_mean,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds),
+                                 (a, b) -> greatest(CAST(0.0 AS DOUBLE), a + b)),
+                     6) AS cusum,
+               round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ds),
+                                 (a, b) -> greatest(CAST(0.0 AS DOUBLE), a + b)),
+                     6) > 100.0 AS flagged
+        FROM drifts
     """
     # km_survival: same day grid, same suffix at-risk sums, and the
     # SAME left-to-right factor fold via list_reduce.

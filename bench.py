@@ -251,6 +251,7 @@ HEADLINE = [
     "column_entropy",
     "diff_in_diff",
     "km_survival",
+    "cusum_drift",
 ]
 
 

@@ -1158,3 +1158,62 @@ def km_survival(
             ).alias("survival"),
         )
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    target_mean: float,
+    slack: float,
+    threshold: float,
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """One-sided CUSUM drift detector over the hourly mean series:
+    S_t = max(0, S_{t-1} + (x̄_t − target_mean − slack)) — the classic
+    sequential changepoint statistic that accumulates small persistent
+    upward shifts a per-point z-score never trips. Rows where
+    S_t > threshold are flagged; the first flagged hour is the detected
+    changepoint.
+
+    The recursion runs over the HOURLY grid (bounded by the observation
+    span — the km_survival/ks_test window contract), evaluated as an
+    explicit hour-ordered fold of 6-dp-rounded hourly means (the
+    deterministic-chain discipline: any SQL engine replays the same
+    max/add sequence with list_reduce; hourly means pin to 6 dp first
+    so the chain's inputs are bit-identical)."""
+    from pyspark.sql.window import Window
+
+    hours = (
+        events.select(
+            F.expr(f"{ts_col} div 3600000").alias("hour"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("hour_mean"),
+        )
+    )
+    drift = F.round(F.col("hour_mean") - target_mean - slack, 6)
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        hours.withColumn("_drifts", F.collect_list(drift).over(w))
+        .select(
+            "hour",
+            "n",
+            "hour_mean",
+            F.round(
+                F.aggregate(
+                    "_drifts",
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(F.lit(0.0), acc + x),
+                ),
+                6,
+            ).alias("cusum"),
+        )
+        .withColumn("flagged", F.col("cusum") > threshold)
+    )

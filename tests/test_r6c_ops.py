@@ -510,3 +510,28 @@ def test_km_survival_hand_computed(spark):
     assert (got[0]["churned"], got[0]["n_at_risk"], got[0]["survival"]) == (2, 4, 0.5)
     assert (got[1]["churned"], got[1]["n_at_risk"], got[1]["survival"]) == (1, 2, 0.25)
     assert (got[2]["churned"], got[2]["n_at_risk"], got[2]["survival"]) == (1, 1, 0.0)
+
+
+# --------------------------------------------------------------- cusum
+
+def test_cusum_accumulates_persistent_drift_and_resets(spark):
+    from nnanalytics_spark.pipeline import behavior
+
+    HOUR = 3_600_000
+    # hours 0-2 at target (no drift), hours 3-5 shifted +10 (drift +5/h
+    # after slack), hour 6 collapses far below target (reset to 0)
+    rows = []
+    for h, mean in [(0, 50.0), (1, 50.0), (2, 50.0), (3, 60.0), (4, 60.0), (5, 60.0), (6, 0.0)]:
+        rows += [(h * HOUR + i, mean) for i in range(4)]
+    df = spark.createDataFrame(rows, "ts_ms long, value double")
+    got = {
+        r["hour"]: r
+        for r in behavior.cusum_changepoint(
+            df, target_mean=50.0, slack=5.0, threshold=12.0
+        ).collect()
+    }
+    # drift per at-target hour = -5 but S floors at 0
+    assert got[2]["cusum"] == 0.0 and not got[2]["flagged"]
+    assert got[3]["cusum"] == 5.0
+    assert got[5]["cusum"] == 15.0 and got[5]["flagged"]
+    assert got[6]["cusum"] == 0.0 and not got[6]["flagged"]  # reset

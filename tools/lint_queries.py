@@ -44,6 +44,9 @@ WAIVERS: dict[str, set[str]] = {
     # KM's at-risk suffix sum and survival fold run over the DAY GRID —
     # bounded by the observation span after the per-user aggregate
     "km_survival": {"unpartitioned_window"},
+    # CUSUM's fold accumulates over the HOURLY grid — bounded by the
+    # observation span after the per-hour aggregate
+    "cusum_drift": {"unpartitioned_window"},
     "chi_square": {"unpartitioned_window"},
     "mutual_information": {"unpartitioned_window"},
     "vocabulary_growth": {"unpartitioned_window"},
