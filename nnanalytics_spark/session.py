@@ -44,8 +44,13 @@ _DEFAULTS = {
     # the untimed warmup) and never uncommitted, so the storms can't recur.
     # Heap sizing: the full 59-query bench peaks under 6 GB of live heap
     # at sf0.1; 12 GB leaves headroom and stays cheap to fault in.
+    # 2g since the headline surface passed ~200 distinct plans × 3
+    # passes (1g was sized at ~60-180 plans); env-tunable for hosts
+    # where the extra committed code heap matters.
     "spark.driver.extraJavaOptions": (
-        "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing -Xms"
+        "-XX:ReservedCodeCacheSize="
+        + os.environ.get("SPARK_GRAFT_CODE_CACHE", "2g")
+        + " -XX:+UseCodeCacheFlushing -Xms"
         + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     ),
 }
