@@ -5114,6 +5114,28 @@ def q_benford_audit(spark, sf):
 _DID_CUTOVER_MS = 1_705_363_200_000
 
 
+def q_srm_check(spark, sf):
+    """Sample-ratio-mismatch guardrail (stats.srm_check): distinct
+    users per parity arm vs the literal 50/50 split, with per-arm
+    chi-square terms — the assignment-integrity check that gates every
+    experiment readout (a failed SRM invalidates the metrics)."""
+    from nnanalytics_spark.pipeline import stats
+
+    e = _events(spark, sf)
+    arm = F.when(F.col("user_id") % 2 == 0, "treatment").otherwise("control")
+    return stats.srm_check(e, arm, [("treatment", 0.5), ("control", 0.5)])
+
+
+def q_overdispersion(spark, sf):
+    """Poisson overdispersion diagnostic (stats.overdispersion):
+    variance-to-mean ratio of daily event counts per type from exact
+    integer moments — ratio >> 1 means bursty arrivals, so Poisson-based
+    anomaly thresholds and A/B variance estimates are wrong."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.overdispersion(_events(spark, sf))
+
+
 def q_cusum_drift(spark, sf):
     """One-sided CUSUM changepoint scan over hourly event-value means
     (behavior.cusum_changepoint): accumulates persistent small shifts
@@ -5600,6 +5622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diff_in_diff": q_diff_in_diff,
         "km_survival": q_km_survival,
         "cusum_drift": q_cusum_drift,
+        "srm_check": q_srm_check,
+        "overdispersion": q_overdispersion,
     }
 
 
@@ -10433,6 +10457,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # srm_check: distinct units per arm, same 0.5-literal expectations.
+    d["srm_check"] = """
+        WITH counts AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 'treatment' ELSE 'control' END AS arm,
+                 count(DISTINCT user_id) AS n_units
+          FROM events GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n_units) AS n_total FROM counts)
+        SELECT arm, CAST(n_units AS BIGINT) AS n_units,
+               round(n_units / CAST(n_total AS DOUBLE), 6) AS obs_share,
+               CAST(0.5 AS DOUBLE) AS exp_share,
+               round(pow(n_units - 0.5 * n_total, 2) / (0.5 * n_total), 6)
+                 AS chi2_term
+        FROM counts CROSS JOIN tot
+    """
+    # overdispersion: same exact daily-count moments, same formula order.
+    d["overdispersion"] = """
+        WITH daily AS (
+          SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT g, count(*) AS n_days,
+                 SUM(c) AS sx, SUM(c * c) AS sxx
+          FROM daily GROUP BY g
+        )
+        SELECT g AS event_type, CAST(n_days AS BIGINT) AS n_days,
+               round(CAST(sx AS DOUBLE) / n_days, 6) AS mean_daily,
+               round((n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (n_days * (n_days - 1)), 6) AS var_daily,
+               round(((n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (n_days * (n_days - 1)))
+                     / (CAST(sx AS DOUBLE) / n_days), 6) AS dispersion
+        FROM m
     """
     # cusum_drift: same hourly means, same max/add fold via list_reduce.
     d["cusum_drift"] = """

@@ -252,6 +252,8 @@ HEADLINE = [
     "diff_in_diff",
     "km_survival",
     "cusum_drift",
+    "srm_check",
+    "overdispersion",
 ]
 
 

@@ -742,3 +742,78 @@ def theil_sen_slope(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.percentile("_slope", F.lit(0.5)), 6).alias("slope"),
     )
+
+
+def srm_check(
+    df: DataFrame,
+    arm: Column,
+    expected: list[tuple[str, float]],
+    unit_col: str = "user_id",
+) -> DataFrame:
+    """Sample-ratio-mismatch guardrail — the FIRST check any experiment
+    readout runs: do the randomization-unit counts per arm match the
+    intended split? Per arm: distinct units observed, the literal
+    expected share, and the (o−e)²/e chi-square term (Σ terms vs the
+    critical value at |arms|−1 dof says whether assignment is broken —
+    a failed SRM invalidates every downstream metric). One distinct
+    aggregate on (arm, unit), then arithmetic over the |arms|-row
+    table."""
+    exp_share = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(name) for name, _ in expected]),
+            F.array(*[F.lit(s) for _, s in expected]),
+        ),
+        F.col("arm"),
+    )
+    counts = (
+        df.select(arm.alias("arm"), F.col(unit_col).alias("u"))
+        .groupBy("arm")
+        .agg(F.count_distinct("u").alias("n_units"))
+    )
+    tot = counts.agg(F.sum("n_units").alias("n_total"))
+    e = exp_share * F.col("n_total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "arm",
+            "n_units",
+            F.round(F.col("n_units") / F.col("n_total"), 6).alias("obs_share"),
+            F.round(exp_share, 6).alias("exp_share"),
+            F.round(F.pow(F.col("n_units") - e, 2) / e, 6).alias("chi2_term"),
+        )
+    )
+
+
+def overdispersion(
+    events: DataFrame,
+    group: str = "event_type",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Variance-to-mean ratio of DAILY counts per group — the Poisson
+    overdispersion diagnostic (ratio ≈ 1: arrivals look Poisson; ≫ 1:
+    bursty/clumped, so anomaly thresholds and A/B variance estimates
+    based on Poisson assumptions are wrong). Daily counts are exact
+    integers, the sample variance comes from exact Σx/Σx² moments
+    (n·Σx² − (Σx)² over n(n−1) — the module's moment discipline), and
+    only the final ratios are doubles, rounded to 6."""
+    daily = (
+        events.select(F.col(group).alias("g"), F.expr(f"{ts_col} div 86400000").alias("day"))
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dec = "decimal(38,0)"
+    m = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("c").cast(dec)).alias("sx"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sxx"),
+    )
+    n, sx, sxx = (F.col("n_days").cast("double"), F.col("sx").cast("double"), F.col("sxx").cast("double"))
+    mean = sx / n
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    return m.select(
+        F.col("g").alias(group),
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(var / mean, 6).alias("dispersion"),
+    )

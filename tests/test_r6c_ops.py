@@ -535,3 +535,38 @@ def test_cusum_accumulates_persistent_drift_and_resets(spark):
     assert got[3]["cusum"] == 5.0
     assert got[5]["cusum"] == 15.0 and got[5]["flagged"]
     assert got[6]["cusum"] == 0.0 and not got[6]["flagged"]  # reset
+
+
+# ------------------------------------------------ srm / overdispersion
+
+def test_srm_detects_broken_assignment(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    # 90/10 split against an expected 50/50: huge chi2 terms
+    rows = [(i, "x") for i in range(90)] + [(1000 + i, "x") for i in range(10)]
+    df = spark.createDataFrame(rows, "user_id long, pad string")
+    arm = F.when(F.col("user_id") < 1000, "a").otherwise("b")
+    got = {r["arm"]: r for r in stats.srm_check(df, arm, [("a", 0.5), ("b", 0.5)]).collect()}
+    assert got["a"]["n_units"] == 90 and got["b"]["n_units"] == 10
+    assert got["a"]["obs_share"] == 0.9
+    # (90-50)^2/50 = 32
+    assert got["a"]["chi2_term"] == 32.0 and got["b"]["chi2_term"] == 32.0
+
+
+def test_overdispersion_poisson_vs_bursty(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    DAY = 86_400_000
+    rows = []
+    # 'steady': 4 events every day for 4 days -> var 0, dispersion 0
+    for d in range(4):
+        rows += [("steady", d * DAY + i) for i in range(4)]
+    # 'bursty': daily counts 1, 1, 1, 13 -> mean 4, var 36, dispersion 9
+    for d, c in enumerate([1, 1, 1, 13]):
+        rows += [("bursty", d * DAY + i) for i in range(c)]
+    df = spark.createDataFrame(rows, "event_type string, ts_ms long")
+    got = {r["event_type"]: r for r in stats.overdispersion(df).collect()}
+    assert got["steady"]["var_daily"] == 0.0 and got["steady"]["dispersion"] == 0.0
+    assert got["bursty"]["mean_daily"] == 4.0
+    assert got["bursty"]["var_daily"] == 36.0
+    assert got["bursty"]["dispersion"] == 9.0
