@@ -5114,6 +5114,42 @@ def q_benford_audit(spark, sf):
 _DID_CUTOVER_MS = 1_705_363_200_000
 
 
+def q_format_roundtrip(spark, sf):
+    """Multi-format source parity (§2.1 breadth beyond the reference's
+    parquet/OIV surface): the same event projection is written to ORC
+    and JSON-lines, read back through the format-native readers, and
+    aggregated per (format, type) — both format branches must reproduce
+    the parquet-derived oracle numbers exactly, pinning the codec
+    round-trip (ORC preserves longs/doubles natively; JSON re-parses
+    them from text)."""
+    import tempfile
+
+    e = _events(spark, sf).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="nna_fmt_")
+    e.write.orc(f"{base}/orc")
+    e.write.json(f"{base}/json")
+    orc = spark.read.orc(f"{base}/orc").withColumn("fmt", F.lit("orc"))
+    jsn = (
+        spark.read.schema("event_id long, event_type string, cents long")
+        .json(f"{base}/json")
+        .withColumn("fmt", F.lit("json"))
+    )
+    return (
+        orc.unionByName(jsn)
+        .groupBy("fmt", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("sum_cents"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
 def q_srm_check(spark, sf):
     """Sample-ratio-mismatch guardrail (stats.srm_check): distinct
     users per parity arm vs the literal 50/50 split, with per-arm
@@ -5624,6 +5660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_drift": q_cusum_drift,
         "srm_check": q_srm_check,
         "overdispersion": q_overdispersion,
+        "format_roundtrip": q_format_roundtrip,
     }
 
 
@@ -10457,6 +10494,19 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # format_roundtrip: the parquet-derived truth, one row per format —
+    # equality proves both codec round-trips lossless.
+    d["format_roundtrip"] = """
+        WITH agg AS (
+          SELECT event_type, count(*) AS n,
+                 CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+                 min(event_id) AS min_id, max(event_id) AS max_id
+          FROM events GROUP BY event_type
+        )
+        SELECT f.fmt, a.event_type, a.n, a.sum_cents, a.min_id, a.max_id
+        FROM agg a CROSS JOIN (VALUES ('orc'), ('json')) AS f(fmt)
     """
     # srm_check: distinct units per arm, same 0.5-literal expectations.
     d["srm_check"] = """

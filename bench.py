@@ -254,6 +254,7 @@ HEADLINE = [
     "cusum_drift",
     "srm_check",
     "overdispersion",
+    "format_roundtrip",
 ]
 
 
