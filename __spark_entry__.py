@@ -5636,9 +5636,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_histogram": q_memory_histogram,
         "storage_type_histogram": q_storage_type_histogram,
         "relative_time_filter": q_relative_time_filter,
-    # r6 third batch (battery-green now; driver window candidates for
-    # r7): bloom-pruned fact join, Fellegi–Sunter record linkage,
-    # skyline/Pareto frontier:
+    # --- r6 continued-session additions (ALL battery-green at sf0.01
+    # AND sf0.1 at first comparison; none has sat in the driver's
+    # 50-row window yet — they are the r7 window candidates, alongside
+    # the r6b additions above this marker) ---
         "bloom_prune_join": q_bloom_prune_join,
         "record_linkage": q_record_linkage,
         "skyline_frontier": q_skyline_frontier,
