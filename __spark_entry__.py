@@ -5114,6 +5114,17 @@ def q_benford_audit(spark, sf):
 _DID_CUTOVER_MS = 1_705_363_200_000
 
 
+def q_lorenz_deciles(spark, sf):
+    """Lorenz concentration curve of per-user event value (stats.
+    lorenz_deciles): users bucket by NINE broadcast percentile
+    cutpoints — never a global ntile window — then cumulative decile
+    shares accumulate over the ≤10-row grid. The distributional
+    companion to gini_concentration's scalar."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.lorenz_deciles(_events(spark, sf), "value", "user_id")
+
+
 def q_format_roundtrip(spark, sf):
     """Multi-format source parity (§2.1 breadth beyond the reference's
     parquet/OIV surface): the same event projection is written to ORC
@@ -5662,6 +5673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "srm_check": q_srm_check,
         "overdispersion": q_overdispersion,
         "format_roundtrip": q_format_roundtrip,
+        "lorenz_deciles": q_lorenz_deciles,
     }
 
 
@@ -10495,6 +10507,40 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # lorenz_deciles: same cutpoints (quantile_cont == percentile),
+    # same greater-than bucketing, same decile-grid cumulative shares.
+    d["lorenz_deciles"] = """
+        WITH per_key AS (
+          SELECT user_id AS k,
+                 SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM events GROUP BY user_id
+        ),
+        cuts AS (
+          SELECT quantile_cont(cents, 0.1) AS c1, quantile_cont(cents, 0.2) AS c2,
+                 quantile_cont(cents, 0.3) AS c3, quantile_cont(cents, 0.4) AS c4,
+                 quantile_cont(cents, 0.5) AS c5, quantile_cont(cents, 0.6) AS c6,
+                 quantile_cont(cents, 0.7) AS c7, quantile_cont(cents, 0.8) AS c8,
+                 quantile_cont(cents, 0.9) AS c9
+          FROM per_key
+        ),
+        deciles AS (
+          SELECT 1 + CAST(cents > c1 AS INT) + CAST(cents > c2 AS INT)
+                   + CAST(cents > c3 AS INT) + CAST(cents > c4 AS INT)
+                   + CAST(cents > c5 AS INT) + CAST(cents > c6 AS INT)
+                   + CAST(cents > c7 AS INT) + CAST(cents > c8 AS INT)
+                   + CAST(cents > c9 AS INT) AS decile,
+                 count(*) AS n_keys,
+                 CAST(SUM(cents) AS BIGINT) AS cents
+          FROM per_key CROSS JOIN cuts
+          GROUP BY 1
+        ),
+        tot AS (SELECT SUM(cents) AS t FROM deciles)
+        SELECT decile, n_keys, cents,
+               round(CAST(SUM(cents) OVER (ORDER BY decile
+                                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / CAST(t AS DOUBLE), 6) AS cum_share
+        FROM deciles CROSS JOIN tot
     """
     # format_roundtrip: the parquet-derived truth, one row per format —
     # equality proves both codec round-trips lossless.

@@ -255,6 +255,7 @@ HEADLINE = [
     "srm_check",
     "overdispersion",
     "format_roundtrip",
+    "lorenz_deciles",
 ]
 
 

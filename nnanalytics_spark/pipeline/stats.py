@@ -817,3 +817,58 @@ def overdispersion(
         F.round(var, 6).alias("var_daily"),
         F.round(var / mean, 6).alias("dispersion"),
     )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value: str,
+    key_col: str,
+) -> DataFrame:
+    """Lorenz curve at decile granularity — the distributional picture
+    behind the Gini scalar ("the top decile holds X% of the value").
+    Per key: total cents; keys bucket into deciles by NINE exact
+    interpolated percentile cutpoints (broadcast literals — NO global
+    ntile window, the scale-correct way to rank-bucket an unbounded key
+    set: a tie straddling a cutpoint lands by value comparison,
+    identically in any engine); per decile: key count, cents sum, and
+    the cumulative share of total cents (windows over the ≤10-row
+    decile grid). Integer cents + DECIMAL sums keep every share
+    order-free exact."""
+    from pyspark.sql.window import Window
+
+    dec = "decimal(38,0)"
+    per_key = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.sum(F.round(F.col(value) * 100).cast("long")).alias("cents")
+    )
+    cuts = per_key.agg(
+        *[
+            F.percentile("cents", F.lit(i / 10.0)).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (F.col("cents") > F.col(f"c{i}")).cast("int")
+    deciles = (
+        per_key.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("decile"), "cents")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum(F.col("cents").cast(dec)).alias("_s"),
+        )
+    )
+    tot = deciles.agg(F.sum("_s").alias("_t"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.crossJoin(F.broadcast(tot))
+        .withColumn("_cum", F.sum("_s").over(w))
+        .select(
+            "decile",
+            "n_keys",
+            F.col("_s").cast("long").alias("cents"),
+            F.round(
+                F.col("_cum").cast("double") / F.col("_t").cast("double"), 6
+            ).alias("cum_share"),
+        )
+    )

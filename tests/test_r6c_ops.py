@@ -570,3 +570,32 @@ def test_overdispersion_poisson_vs_bursty(spark):
     assert got["bursty"]["mean_daily"] == 4.0
     assert got["bursty"]["var_daily"] == 36.0
     assert got["bursty"]["dispersion"] == 9.0
+
+
+# -------------------------------------------------------------- lorenz
+
+def test_lorenz_uniform_and_concentrated(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    # all-equal values tie every cutpoint: one decile-1 bucket holding
+    # everything (the documented by-value tie semantics)
+    eq = spark.createDataFrame(
+        [(i, 10.0) for i in range(10)], "user_id long, value double"
+    )
+    rows = {r["decile"]: r for r in stats.lorenz_deciles(eq, "value", "user_id").collect()}
+    assert set(rows) == {1} and rows[1]["n_keys"] == 10 and rows[1]["cum_share"] == 1.0
+    # distinct values 1..10: one key per decile, cumulative share = k(k+1)/110
+    lin = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 11)], "user_id long, value double"
+    )
+    rows = {r["decile"]: r for r in stats.lorenz_deciles(lin, "value", "user_id").collect()}
+    assert all(rows[d]["n_keys"] == 1 for d in range(1, 11))
+    assert rows[10]["cum_share"] == 1.0
+    assert rows[1]["cum_share"] == round(1 / 55, 6)
+    # one whale: the top decile holds nearly everything
+    conc = spark.createDataFrame(
+        [(i, 1.0) for i in range(9)] + [(9, 991.0)], "user_id long, value double"
+    )
+    rows = {r["decile"]: r for r in stats.lorenz_deciles(conc, "value", "user_id").collect()}
+    assert rows[10]["cents"] == 99100
+    assert rows[max(d for d in rows if d < 10)]["cum_share"] <= 0.01

@@ -47,6 +47,10 @@ WAIVERS: dict[str, set[str]] = {
     # CUSUM's fold accumulates over the HOURLY grid — bounded by the
     # observation span after the per-hour aggregate
     "cusum_drift": {"unpartitioned_window"},
+    # Lorenz accumulates over the <=10-row DECILE grid (the bounded-grid
+    # contract); the exchange count is the per-key agg + cutpoint agg +
+    # decile agg + totals chain, each over keys-or-smaller inputs
+    "lorenz_deciles": {"unpartitioned_window", "exchange_count"},
     "chi_square": {"unpartitioned_window"},
     "mutual_information": {"unpartitioned_window"},
     "vocabulary_growth": {"unpartitioned_window"},
