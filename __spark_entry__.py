@@ -5114,6 +5114,35 @@ def q_benford_audit(spark, sf):
 _DID_CUTOVER_MS = 1_705_363_200_000
 
 
+# Stopword list for the calibration probe's deterministic "classifier"
+# — shared literal between the Spark side and the oracle.
+_CAL_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def q_calibration_bins(spark, sf):
+    """Classifier calibration / reliability bins (stats.
+    calibration_bins): a deterministic probe classifier (stopword
+    fraction as the 'probability' that a doc contains >= 2 'the'
+    tokens) is binned into ten confidence buckets; per bin the mean
+    confidence, observed accuracy, and N-weighted ECE term. The eval
+    every score-thresholded corpus filter needs before trusting its
+    cutoff; predictions quantize to DECIMAL so bin means are
+    order-free."""
+    from nnanalytics_spark.pipeline import stats
+    from nnanalytics_spark.pipeline.text import tokens as _tokens
+
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _CAL_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_the = F.size(F.filter(toks, lambda x: x == F.lit("the")))
+    scored = d.filter(F.size(toks) > 0).select(
+        F.round(n_stop / F.size(toks), 9).alias("p"),
+        (n_the >= 2).cast("int").alias("y"),
+    )
+    return stats.calibration_bins(scored, "p", "y", bins=10)
+
+
 def q_lorenz_deciles(spark, sf):
     """Lorenz concentration curve of per-user event value (stats.
     lorenz_deciles): users bucket by NINE broadcast percentile
@@ -5674,6 +5703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overdispersion": q_overdispersion,
         "format_roundtrip": q_format_roundtrip,
         "lorenz_deciles": q_lorenz_deciles,
+        "calibration_bins": q_calibration_bins,
     }
 
 
@@ -10507,6 +10537,35 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # calibration_bins: same probe classifier, same quantized bin means.
+    _stop_sql = ", ".join(f"'{s}'" for s in _CAL_STOPWORDS)
+    d["calibration_bins"] = rf"""
+        WITH toks AS (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        scored AS (
+          SELECT round(len(list_filter(t, x -> list_contains([{_stop_sql}], x)))
+                       / CAST(len(t) AS DOUBLE), 9) AS p,
+                 CAST(len(list_filter(t, x -> x = 'the')) >= 2 AS INT) AS y
+          FROM toks WHERE len(t) > 0
+        ),
+        grouped AS (
+          SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+                 count(*) AS n,
+                 SUM(CAST(round(p, 9) AS DECIMAL(28,9))) AS sp,
+                 CAST(SUM(y) AS BIGINT) AS sy
+          FROM scored GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n) AS n_total FROM grouped)
+        SELECT bin, n,
+               round(CAST(sp AS DOUBLE) / n, 6) AS confidence,
+               round(CAST(sy AS DOUBLE) / n, 6) AS accuracy,
+               round((n / CAST(n_total AS DOUBLE))
+                     * abs(CAST(sy AS DOUBLE) / n - CAST(sp AS DOUBLE) / n), 6)
+                 AS ece_term
+        FROM grouped CROSS JOIN tot
     """
     # lorenz_deciles: same cutpoints (quantile_cont == percentile),
     # same greater-than bucketing, same decile-grid cumulative shares.

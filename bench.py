@@ -256,6 +256,7 @@ HEADLINE = [
     "overdispersion",
     "format_roundtrip",
     "lorenz_deciles",
+    "calibration_bins",
 ]
 
 

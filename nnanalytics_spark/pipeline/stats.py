@@ -872,3 +872,54 @@ def lorenz_deciles(
             ).alias("cum_share"),
         )
     )
+
+
+def calibration_bins(
+    df: DataFrame,
+    p_col: str,
+    y_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / ECE bins for a probabilistic classifier:
+    predictions bucket into ``bins`` equal-width confidence bins; per
+    bin the mean predicted confidence, the observed accuracy, their
+    gap, and the N-weighted ECE term (Σ terms = expected calibration
+    error — the go-to eval for quality/toxicity/langid filter models
+    before thresholding a corpus on their scores).
+
+    One conditional aggregate per bin quantities: predictions quantize
+    to 9 dp DECIMAL before summing (order-free means), labels are
+    integer sums, and only the finished ratios divide as doubles. The
+    bin grid is literal-bounded — everything after the single grouped
+    pass is arithmetic on ≤``bins`` rows."""
+    b = F.least(
+        F.floor(F.col(p_col) * bins).cast("int"), F.lit(bins - 1)
+    )
+    grouped = (
+        df.select(
+            b.alias("bin"),
+            F.round(F.col(p_col), 9).cast("decimal(28,9)").alias("_p"),
+            F.col(y_col).cast("long").alias("_y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_p").alias("_sp"),
+            F.sum("_y").alias("_sy"),
+        )
+    )
+    tot = grouped.agg(F.sum("n").alias("_n_total"))
+    conf = F.col("_sp").cast("double") / F.col("n")
+    acc = F.col("_sy").cast("double") / F.col("n")
+    return (
+        grouped.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            F.round(conf, 6).alias("confidence"),
+            F.round(acc, 6).alias("accuracy"),
+            F.round(
+                (F.col("n") / F.col("_n_total")) * F.abs(acc - conf), 6
+            ).alias("ece_term"),
+        )
+    )

@@ -599,3 +599,30 @@ def test_lorenz_uniform_and_concentrated(spark):
     rows = {r["decile"]: r for r in stats.lorenz_deciles(conc, "value", "user_id").collect()}
     assert rows[10]["cents"] == 99100
     assert rows[max(d for d in rows if d < 10)]["cum_share"] <= 0.01
+
+
+# --------------------------------------------------------- calibration
+
+def test_calibration_bins_perfect_and_miscalibrated(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    # perfectly calibrated bin: 4 predictions of 0.75, 3 positives...
+    # actually use p=0.75 with acc exactly 0.75 → ece_term 0
+    rows = [(0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)]
+    # badly calibrated bin: p=0.05 but always positive
+    rows += [(0.05, 1), (0.05, 1)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    got = {r["bin"]: r for r in stats.calibration_bins(df, "p", "y", bins=10).collect()}
+    assert got[7]["confidence"] == 0.75 and got[7]["accuracy"] == 0.75
+    assert got[7]["ece_term"] == 0.0
+    assert got[0]["accuracy"] == 1.0 and got[0]["confidence"] == 0.05
+    # weight 2/6, gap 0.95 → term = round(0.316667, 6)
+    assert got[0]["ece_term"] == round(2 / 6 * 0.95, 6)
+
+
+def test_calibration_top_bin_clamps_p_equal_one(spark):
+    from nnanalytics_spark.pipeline import stats
+
+    df = spark.createDataFrame([(1.0, 1), (0.99, 0)], "p double, y int")
+    got = {r["bin"]: r for r in stats.calibration_bins(df, "p", "y", bins=10).collect()}
+    assert set(got) == {9} and got[9]["n"] == 2  # p=1.0 clamps into bin 9
