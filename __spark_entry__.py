@@ -5114,6 +5114,24 @@ def q_benford_audit(spark, sf):
 _DID_CUTOVER_MS = 1_705_363_200_000
 
 
+def q_jaccard_threshold_sweep(spark, sf):
+    """Dedup threshold-selection sweep: pair counts at Jaccard >= 0.5
+    … 0.9 from ONE pair computation (dedup.prefix_filter_pairs at the
+    loosest threshold, then five conditional counts) — the curve a
+    curation run reads before committing to a dedup cutoff, at the
+    cost of a single candidate generation instead of five."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = dedup.prefix_filter_pairs(d, threshold=0.5)
+    return pairs.agg(
+        *[
+            F.sum((F.col("jaccard") >= F.lit(t)).cast("int")).alias(
+                f"ge_{int(round(t * 100))}"
+            )
+            for t in (0.5, 0.6, 0.7, 0.8, 0.9)
+        ]
+    )
+
+
 # Stopword list for the calibration probe's deterministic "classifier"
 # — shared literal between the Spark side and the oracle.
 _CAL_STOPWORDS = ("the", "a", "of", "and", "to", "in")
@@ -5704,6 +5722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "format_roundtrip": q_format_roundtrip,
         "lorenz_deciles": q_lorenz_deciles,
         "calibration_bins": q_calibration_bins,
+        "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
     }
 
 
@@ -10537,6 +10556,43 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
         FROM rec
+    """
+    # jaccard_threshold_sweep: the unfiltered brute-force pair set at
+    # >= 0.5, then the same five conditional counts.
+    d["jaccard_threshold_sweep"] = r"""
+        WITH sub AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        ),
+        tk AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+          FROM sub WHERE length(trim(text)) > 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS ns FROM tk GROUP BY doc_id),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c
+          JOIN tk a ON a.doc_id = c.id_a
+          JOIN tk b ON b.doc_id = c.id_b AND a.tok = b.tok
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT round(c / (sa.ns + sb.ns - c), 6) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(c / (sa.ns + sb.ns - c), 6) >= 0.5
+        )
+        SELECT CAST(SUM(CAST(jaccard >= 0.5 AS INT)) AS BIGINT) AS ge_50,
+               CAST(SUM(CAST(jaccard >= 0.6 AS INT)) AS BIGINT) AS ge_60,
+               CAST(SUM(CAST(jaccard >= 0.7 AS INT)) AS BIGINT) AS ge_70,
+               CAST(SUM(CAST(jaccard >= 0.8 AS INT)) AS BIGINT) AS ge_80,
+               CAST(SUM(CAST(jaccard >= 0.9 AS INT)) AS BIGINT) AS ge_90
+        FROM pairs
     """
     # calibration_bins: same probe classifier, same quantized bin means.
     _stop_sql = ", ".join(f"'{s}'" for s in _CAL_STOPWORDS)

@@ -257,6 +257,7 @@ HEADLINE = [
     "format_roundtrip",
     "lorenz_deciles",
     "calibration_bins",
+    "jaccard_threshold_sweep",
 ]
 
 
