@@ -626,3 +626,14 @@ def test_calibration_top_bin_clamps_p_equal_one(spark):
     df = spark.createDataFrame([(1.0, 1), (0.99, 0)], "p double, y int")
     got = {r["bin"]: r for r in stats.calibration_bins(df, "p", "y", bins=10).collect()}
     assert set(got) == {9} and got[9]["n"] == 2  # p=1.0 clamps into bin 9
+
+
+# ------------------------------------------------------ threshold sweep
+
+def test_jaccard_sweep_counts_are_monotone(spark):
+    import __spark_entry__ as entry
+
+    (r,) = entry.q_jaccard_threshold_sweep(spark, "/root/testdata/sf0.001").collect()
+    counts = [r[f"ge_{t}"] for t in (50, 60, 70, 80, 90)]
+    assert counts == sorted(counts, reverse=True)  # tightening never adds pairs
+    assert counts[0] > 0  # the dup-heavy corpus has near-dups at 0.5
