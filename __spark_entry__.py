@@ -5401,89 +5401,16 @@ def q_entity_resolution(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+
     # Ordering contract: the driver's CORRECTNESS gate checks the first
-    # 50 entries only. The r5 window prioritizes rows that have never
-    # produced a green driver row; everything rotated out keeps its
-    # recorded credit and a pytest battery guard (see below).
+    # 50 entries only. r7 window = the 50 oldest entries that have
+    # NEVER collected a driver-green row (all r6 additions below the
+    # r6 gate line; VERDICT r6 task #1). The 2 remaining never-checked
+    # entries (calibration_bins, jaccard_threshold_sweep) are first in
+    # line for the r8 window. Net-new queries are PAUSED this round so
+    # rotation debt reaches zero at r8.
     return {
-    # --- r6 WINDOW (first 50 = the driver correctness gate). Goal:
-    # zero rotation debt — after this round every queries() entry has
-    # collected a driver-green row at least once.
-    # (a) the 13 TPC-H tail shapes (battery-green since r5, never
-    # driver-checked):
-        "sql_tpch_q4": q_sql_tpch_q4,
-        "sql_tpch_q6": q_sql_tpch_q6,
-        "sql_tpch_q7": q_sql_tpch_q7,
-        "sql_tpch_q9": q_sql_tpch_q9,
-        "sql_tpch_q11": q_sql_tpch_q11,
-        "sql_tpch_q12": q_sql_tpch_q12,
-        "sql_tpch_q13": q_sql_tpch_q13,
-        "sql_tpch_q14": q_sql_tpch_q14,
-        "sql_tpch_q15": q_sql_tpch_q15,
-        "sql_tpch_q16": q_sql_tpch_q16,
-        "sql_tpch_q19": q_sql_tpch_q19,
-        "sql_tpch_q20": q_sql_tpch_q20,
-        "sql_tpch_q21": q_sql_tpch_q21,
-    # (b) the 13 r5 behavior/text/layout additions, never driver-checked:
-        "pivot_matrix": q_pivot_matrix,
-        "weighted_sample": q_weighted_sample,
-        "scd2_intervals": q_scd2_intervals,
-        "triangle_counts": q_triangle_counts,
-        "path_ngrams": q_path_ngrams,
-        "cooccurrence_lift": q_cooccurrence_lift,
-        "tokenizer_fertility": q_tokenizer_fertility,
-        "doc_length_histogram": q_doc_length_histogram,
-        "growth_accounting": q_growth_accounting,
-        "quantile_normalize": q_quantile_normalize,
-        "resample_hourly": q_resample_hourly,
-        "dup_matrix": q_dup_matrix,
-        "padding_efficiency": q_padding_efficiency,
-    # (c) rows-only -> full-oracle conversions (VERDICT r5 #6):
-    # simhash_blocks now runs text->signature->pairs over an
-    # engine-portable token hash; multimodal_features reports the
-    # decoded-content (count, byte-sum) integrity pair
-        "simhash_blocks": q_simhash_blocks,
-        "multimodal_features": q_multimodal_features,
-    # (d) r6 infrastructure rows: compressed-image ingest, multi-block
-    # simhash pair-set parity, KS fixed-grid mode:
-        "fsimage_gzip_roundtrip": q_fsimage_gzip_roundtrip,
-        "simhash_pairs_multiblock": q_simhash_pairs_multiblock,
-        "ks_test_grid": q_ks_test_grid,
-    # (e) r6 corpus-analysis operators:
-        "ngram_novelty": q_ngram_novelty,
-        "token_burstiness": q_token_burstiness,
-        "rouge_overlap": q_rouge_overlap,
-        "vocabulary_growth": q_vocabulary_growth,
-        "session_entropy": q_session_entropy,
-        "mutual_information": q_mutual_information,
-    # (f) the portable-MinHash conversions (rows-only until r6 — the
-    # oracle now replays signatures, band keys, candidates, and the
-    # Jaccard verification), plus the invariant twin of approx_distinct
-    # (the ONE remaining rows-only entry: HLL sketch values are
-    # engine-defined by nature) and the r4 LSH-ANN twin re-confirmed:
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "lsh_verified_pairs": q_lsh_verified_pairs,
-        "approx_distinct_bound": q_approx_distinct_bound,
-        "ann_lsh_pairs": q_ann_lsh_pairs,
-    # (h) r6 second batch: exact k-NN graph, integer-exact Markov
-    # stationary distribution, namespace snapshot diff:
-        "knn_graph": q_knn_graph,
-        "markov_stationary": q_markov_stationary,
-        "snapshot_diff": q_snapshot_diff,
-        "funnel_conversion_time": q_funnel_conversion_time,
-        "dedup_method_agreement": q_dedup_method_agreement,
-        "forward_fill": q_forward_fill,
-    # (g) oldest recorded credit (r1 rows) re-confirmed at HEAD:
-        "filter_sum": q_filter_sum,
-        "space_histogram": q_space_histogram,
-        "file_type_histogram": q_file_type_histogram,
-    # --- end of the 50-row gate window ---
-    # Everything below holds recorded driver-green credit (round noted
-    # in VERDICT history) and is re-verified at HEAD by
-    # tests/test_oracle_battery.py (value hash + dtype parity at
-    # sf0.01) every pytest run, so rotation cannot rot silently.
-    # r6 late additions (below the full window; first in line for the
-    # r7 rotation):
+    # --- r7 WINDOW (first 50 = the driver correctness gate) ---
         "hard_negatives": q_hard_negatives,
         "embedding_dim_stats": q_embedding_dim_stats,
         "embedding_anisotropy": q_embedding_anisotropy,
@@ -5511,6 +5438,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "eval_coverage": q_eval_coverage,
         "link_negatives": q_link_negatives,
+        "bloom_prune_join": q_bloom_prune_join,
+        "record_linkage": q_record_linkage,
+        "skyline_frontier": q_skyline_frontier,
+        "ndcg_eval": q_ndcg_eval,
+        "entity_resolution": q_entity_resolution,
+        "prefix_filter_pairs": q_prefix_filter_pairs,
+        "data_contract": q_data_contract,
+        "mad_outliers": q_mad_outliers,
+        "emd_drift": q_emd_drift,
+        "stream_ewma_parity": q_stream_ewma_parity,
+        "gini_concentration": q_gini_concentration,
+        "benford_audit": q_benford_audit,
+        "theil_sen_trend": q_theil_sen_trend,
+        "backfill_plan": q_backfill_plan,
+        "winnow_pairs": q_winnow_pairs,
+        "column_entropy": q_column_entropy,
+        "diff_in_diff": q_diff_in_diff,
+        "km_survival": q_km_survival,
+        "cusum_drift": q_cusum_drift,
+        "srm_check": q_srm_check,
+        "overdispersion": q_overdispersion,
+        "format_roundtrip": q_format_roundtrip,
+        "lorenz_deciles": q_lorenz_deciles,
+    # --- end of the 50-row gate window ---
+    # Never driver-checked; FIRST IN LINE for the r8 window:
+        "calibration_bins": q_calibration_bins,
+        "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
+    # Everything below holds recorded driver-green credit (round noted
+    # in VERDICT history) and is re-verified at HEAD every pytest run
+    # by tests/test_oracle_battery.py (row count + schema + value hash
+    # + dtype parity at sf0.01), so rotation cannot rot silently.
+        "sql_tpch_q4": q_sql_tpch_q4,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q7": q_sql_tpch_q7,
+        "sql_tpch_q9": q_sql_tpch_q9,
+        "sql_tpch_q11": q_sql_tpch_q11,
+        "sql_tpch_q12": q_sql_tpch_q12,
+        "sql_tpch_q13": q_sql_tpch_q13,
+        "sql_tpch_q14": q_sql_tpch_q14,
+        "sql_tpch_q15": q_sql_tpch_q15,
+        "sql_tpch_q16": q_sql_tpch_q16,
+        "sql_tpch_q19": q_sql_tpch_q19,
+        "sql_tpch_q20": q_sql_tpch_q20,
+        "sql_tpch_q21": q_sql_tpch_q21,
+        "pivot_matrix": q_pivot_matrix,
+        "weighted_sample": q_weighted_sample,
+        "scd2_intervals": q_scd2_intervals,
+        "triangle_counts": q_triangle_counts,
+        "path_ngrams": q_path_ngrams,
+        "cooccurrence_lift": q_cooccurrence_lift,
+        "tokenizer_fertility": q_tokenizer_fertility,
+        "doc_length_histogram": q_doc_length_histogram,
+        "growth_accounting": q_growth_accounting,
+        "quantile_normalize": q_quantile_normalize,
+        "resample_hourly": q_resample_hourly,
+        "dup_matrix": q_dup_matrix,
+        "padding_efficiency": q_padding_efficiency,
+        "simhash_blocks": q_simhash_blocks,
+        "multimodal_features": q_multimodal_features,
+        "fsimage_gzip_roundtrip": q_fsimage_gzip_roundtrip,
+        "simhash_pairs_multiblock": q_simhash_pairs_multiblock,
+        "ks_test_grid": q_ks_test_grid,
+        "ngram_novelty": q_ngram_novelty,
+        "token_burstiness": q_token_burstiness,
+        "rouge_overlap": q_rouge_overlap,
+        "vocabulary_growth": q_vocabulary_growth,
+        "session_entropy": q_session_entropy,
+        "mutual_information": q_mutual_information,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_verified_pairs": q_lsh_verified_pairs,
+        "approx_distinct_bound": q_approx_distinct_bound,
+        "ann_lsh_pairs": q_ann_lsh_pairs,
+        "knn_graph": q_knn_graph,
+        "markov_stationary": q_markov_stationary,
+        "snapshot_diff": q_snapshot_diff,
+        "funnel_conversion_time": q_funnel_conversion_time,
+        "dedup_method_agreement": q_dedup_method_agreement,
+        "forward_fill": q_forward_fill,
+        "filter_sum": q_filter_sum,
+        "space_histogram": q_space_histogram,
+        "file_type_histogram": q_file_type_histogram,
         "profile_table": q_profile_table,
         "key_skew": q_key_skew,
         "dsir_weights": q_dsir_weights,
@@ -5694,35 +5702,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memory_histogram": q_memory_histogram,
         "storage_type_histogram": q_storage_type_histogram,
         "relative_time_filter": q_relative_time_filter,
-    # --- r6 continued-session additions (ALL battery-green at sf0.01
-    # AND sf0.1 at first comparison; none has sat in the driver's
-    # 50-row window yet — they are the r7 window candidates, alongside
-    # the r6b additions above this marker) ---
-        "bloom_prune_join": q_bloom_prune_join,
-        "record_linkage": q_record_linkage,
-        "skyline_frontier": q_skyline_frontier,
-        "ndcg_eval": q_ndcg_eval,
-        "entity_resolution": q_entity_resolution,
-        "prefix_filter_pairs": q_prefix_filter_pairs,
-        "data_contract": q_data_contract,
-        "mad_outliers": q_mad_outliers,
-        "emd_drift": q_emd_drift,
-        "stream_ewma_parity": q_stream_ewma_parity,
-        "gini_concentration": q_gini_concentration,
-        "benford_audit": q_benford_audit,
-        "theil_sen_trend": q_theil_sen_trend,
-        "backfill_plan": q_backfill_plan,
-        "winnow_pairs": q_winnow_pairs,
-        "column_entropy": q_column_entropy,
-        "diff_in_diff": q_diff_in_diff,
-        "km_survival": q_km_survival,
-        "cusum_drift": q_cusum_drift,
-        "srm_check": q_srm_check,
-        "overdispersion": q_overdispersion,
-        "format_roundtrip": q_format_roundtrip,
-        "lorenz_deciles": q_lorenz_deciles,
-        "calibration_bins": q_calibration_bins,
-        "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
     }
 
 
