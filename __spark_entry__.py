@@ -10943,7 +10943,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM cells),
         steps AS (
-          SELECT CAST(round(abs(SUM(n_a) OVER w / ta - SUM(n_b) OVER w / tb) * 5.0, 9)
+          SELECT CAST(round(abs(SUM(n_a) OVER w / ta - SUM(n_b) OVER w / tb)
+                            * COALESCE(lead(bucket) OVER (ORDER BY bucket) - bucket, 0)
+                            * 5.0, 9)
                       AS DECIMAL(28,9)) AS term
           FROM cells CROSS JOIN tot
           WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)

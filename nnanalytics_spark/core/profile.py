@@ -163,27 +163,39 @@ def contract_check(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     aggregate, not a scan, so a 50-rule contract over 100 TB still costs
     one pass. Rule predicates are TRUE-when-violated Column expressions;
     a NULL predicate result counts as violated (contracts fail closed).
-    """
+
+    Rule names ride as literal Columns (never spliced into SQL text —
+    a name containing a quote is data, not syntax), and every
+    conditional sum coalesces to 0 so an EMPTY input reports
+    n_violations=0 / passed=true explicitly instead of NULLs
+    (ADVICE r6: fail-closed applies to predicates, not to vacuous
+    truth over zero rows)."""
     agg = df.agg(
         F.count(F.lit(1)).alias("_n"),
         *[
-            F.sum(
-                F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)
+            F.coalesce(
+                F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)),
+                F.lit(0).cast("long"),
             ).alias(f"_v{i}")
             for i, (_, cond) in enumerate(rules)
         ],
     )
-    stack_expr = ", ".join(
-        f"'{name}', _v{i}" for i, (name, _) in enumerate(rules)
+    per_rule = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(f"_v{i}").alias("n_violations"),
+                )
+                for i, (name, _) in enumerate(rules)
+            ]
+        )
     )
-    return agg.selectExpr(
-        f"stack({len(rules)}, {stack_expr}) AS (rule, n_violations)",
-        "_n AS n_checked",
-    ).select(
-        "rule",
-        "n_violations",
+    return agg.select(per_rule.alias("_r"), F.col("_n").alias("n_checked")).select(
+        F.col("_r.rule").alias("rule"),
+        F.col("_r.n_violations").alias("n_violations"),
         "n_checked",
-        (F.col("n_violations") == 0).alias("passed"),
+        (F.col("_r.n_violations") == 0).alias("passed"),
     )
 
 

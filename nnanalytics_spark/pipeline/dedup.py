@@ -345,9 +345,15 @@ def remove_dup_spans(
         F.explode(
             F.transform(
                 gram_seq,
+                # per-element element_at, not slice: slice copies
+                # O(|t|) per gram (quadratic per doc; word_grams note)
                 lambda i: F.struct(
                     i.alias("pos"),
-                    F.xxhash64(F.array_join(F.slice("t", i, n), " ")).alias("sg"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            " ", *[F.element_at(F.col("t"), i + k) for k in range(n)]
+                        )
+                    ).alias("sg"),
                 ),
             )
         ).alias("g"),
@@ -1403,11 +1409,16 @@ def winnow_fingerprints(
     (set resemblance) and SimHash (vector similarity).
 
     Engine-portable selection without struct-min: fingerprints compare
-    by the packed key h·2²⁰ + (2²⁰−1−pos) — min over the window frame
-    IS (min hash, rightmost position), and any SQL engine replays the
-    same integer arithmetic. The hash folds to ``hash_bits`` so the
-    pack stays inside int64 (collisions only merge fingerprints, and
-    identically on both sides). Trailing windows shorter than
+    by the packed key h·2^pos_bits + (2^pos_bits−1−pos) — min over the
+    window frame IS (min hash, rightmost position), and any SQL engine
+    replays the same integer arithmetic. The hash folds to
+    ``hash_bits`` so the pack stays inside int64 (collisions only merge
+    fingerprints, and identically on both sides); the position field
+    takes the remaining 62−hash_bits bits (22 bits ≈ 4.1M gram
+    positions per document at the default hash_bits=40), and a
+    per-row execution-time guard raises on any document longer than
+    that instead of letting the position term go negative and corrupt
+    the window-min (ADVICE r6). Trailing windows shorter than
     ``window`` still select (extra recall, same on both engines).
 
     Plan: explode grams with position (map-side), ONE doc-partitioned
@@ -1416,22 +1427,43 @@ def winnow_fingerprints(
     SQL-oracle parity, the simhash_signatures convention."""
     from pyspark.sql import Window as W
 
-    toks = F.split(F.lower(F.trim(F.col(text))), r"\s+")
-    grams = F.when(
-        F.size(toks) < n, F.array().cast("array<string>")
-    ).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    from nnanalytics_spark.pipeline.text import word_grams
+
+    pos_bits = 62 - hash_bits
+    if pos_bits < 16:
+        raise ValueError(
+            f"hash_bits={hash_bits} leaves only {pos_bits} position bits; "
+            "hash_bits must be <= 46 so the packed key fits int64 with a "
+            "usable per-document length bound"
         )
-    )
-    pos_mask = (1 << 20) - 1
+    pos_mask = (1 << pos_bits) - 1
     hasher = gram_hash if gram_hash is not None else F.xxhash64
-    positions = df.select(
-        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    # token array MATERIALIZED before the gram lambda (word_grams
+    # contract: an inline split re-tokenizes the doc once per gram)
+    toked = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.lower(F.trim(F.col(text))), r"\s+").alias("_toks"),
+    )
+    positions = toked.select(
+        "id", F.posexplode(word_grams(F.col("_toks"), n)).alias("pos", "gram")
     ).select(
         "id",
-        "pos",
+        F.when(
+            F.col("pos") > pos_mask,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"winnow_fingerprints: document exceeds {pos_mask + 1} "
+                        "gram positions (raise hash collisions are preferable "
+                        "to silent corruption: lower hash_bits to widen the "
+                        "position field, or pre-chunk the document) id="
+                    ),
+                    F.col("id").cast("string"),
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.col("pos"))
+        .alias("pos"),
         F.pmod(hasher(F.col("gram")), F.lit(1 << hash_bits)).alias("h"),
     )
     key = F.col("h") * (pos_mask + 1) + (pos_mask - F.col("pos"))

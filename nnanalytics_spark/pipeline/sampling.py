@@ -215,11 +215,16 @@ def chunk_documents(
     Map-side only: tokens → slice per chunk index → posexplode. No
     shuffle, no UDF; output rows ≈ corpus_tokens / max_tokens regardless
     of document length skew, so one pathological 10 GB document becomes
-    many rows instead of one giant array cell.
+    many rows instead of one giant array cell. The token array is
+    MATERIALIZED before the chunk lambda (word_grams contract: a
+    captured split expression re-tokenizes the whole doc once per
+    chunk); slice per CHUNK is fine — O(len²/max_tokens) per doc stays
+    ~len·(chunks) with the big constant gone, unlike per-GRAM slicing.
     """
     from nnanalytics_spark.pipeline.text import tokens
 
-    toks = tokens(F.col(text))
+    toked = df.select(F.col(id_col), tokens(F.col(text)).alias("_toks"))
+    toks = F.col("_toks")
     n_chunks = F.greatest(
         F.lit(1), F.ceil(F.size(toks) / F.lit(max_tokens)).cast("int")
     )
@@ -227,7 +232,7 @@ def chunk_documents(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(toks, i * max_tokens + 1, max_tokens),
     )
-    return df.select(
+    return toked.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk"),
     ).select(

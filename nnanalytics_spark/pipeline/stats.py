@@ -576,16 +576,23 @@ def emd_1d(
 ) -> DataFrame:
     """1-D earth mover's distance (Wasserstein-1) between the ``split``
     = true/false populations of ``value``, over fixed-width buckets:
-    EMD = Σ_b |CDF_a(b) − CDF_b(b)| · width — the closed form for one
-    dimension. The distribution-shift metric that, unlike KS (sup) or
-    PSI (log-ratio), weighs HOW FAR mass moved; training-data drift
-    monitors want all three.
+    EMD = Σ_b |CDF_a(b) − CDF_b(b)| · gap_b · width — the closed form
+    for one dimension, integrated over the REAL line. ``gap_b`` is the
+    distance (in bucket units) from occupied bucket b to the NEXT
+    occupied bucket: a CDF gap persists across empty interior buckets,
+    so summing only over occupied rows with unit weight underestimates
+    whenever the two samples leave holes in the grid (A at bucket 0, B
+    at bucket 10 must cost 10·width, not width). The last occupied
+    bucket takes gap 0 — both CDFs are 1 there, |Δ| = 0 regardless.
+    Unlike KS (sup) or PSI (log-ratio), EMD weighs HOW FAR mass moved;
+    training-data drift monitors want all three.
 
     Plan: one grouped count per (bucket, side) — the only full-data
     shuffle — then the running CDFs accumulate over the DISTINCT-bucket
     grid (domain-bounded after aggregation, the ks_two_sample contract:
     pre-bucket unbounded domains with ``bucket_width``). Per-bucket
-    |ΔCDF| terms quantize to DECIMAL(28,9) so the sum is order-free."""
+    |ΔCDF|·gap terms quantize to DECIMAL(28,9) so the sum is
+    order-free."""
     from pyspark.sql.window import Window
 
     cells = (
@@ -601,13 +608,19 @@ def emd_1d(
     )
     tot = cells.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    wlead = Window.orderBy("bucket")
     steps = (
         cells.crossJoin(F.broadcast(tot))
         .withColumn("cum_a", F.sum("n_a").over(w))
         .withColumn("cum_b", F.sum("n_b").over(w))
+        .withColumn(
+            "gap",
+            F.coalesce(F.lead("bucket").over(wlead) - F.col("bucket"), F.lit(0)),
+        )
         .select(
             F.round(
                 F.abs(F.col("cum_a") / F.col("ta") - F.col("cum_b") / F.col("tb"))
+                * F.col("gap")
                 * F.lit(bucket_width),
                 9,
             )

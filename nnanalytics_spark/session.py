@@ -64,12 +64,32 @@ def get_spark(app_name: str = "nnanalytics_spark", **overrides: str) -> SparkSes
     ``get_spark()`` — e.g. the CLI invoked inside a test process whose
     suite session pins ``spark.sql.shuffle.partitions`` — would silently
     clobber the host session's settings. If a session is already active
-    we return it untouched; defaults/overrides apply only on creation.
+    we return it untouched; defaults/overrides apply only on creation —
+    and if the caller PASSED overrides in that case, we warn (ADVICE
+    r6): conf-sensitive callers must learn their settings were ignored
+    rather than debug a mystery plan.
     """
     # getActiveSession is thread-local; fall back to the process-wide
     # instantiated session so worker threads reuse instead of clobber.
     active = SparkSession.getActiveSession() or SparkSession._instantiatedSession
     if active is not None:
+        if overrides:
+            import warnings
+
+            ignored = {
+                k: v
+                for k, v in overrides.items()
+                if active.conf.get(k, None) != str(v)
+            }
+            if ignored:
+                warnings.warn(
+                    "get_spark: an active SparkSession already exists; "
+                    f"requested conf overrides were NOT applied: {ignored}. "
+                    "Stop the session first (spark.stop()) or set the conf "
+                    "at runtime (spark.conf.set) if it is mutable.",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return active
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)

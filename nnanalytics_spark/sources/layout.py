@@ -468,7 +468,14 @@ def missing_partitions(
     and the plan is one broadcast anti-join (the existing set is
     |partitions|-sized, never data-sized). The everyday ops question
     ("what does tonight's backfill need to process?") answered without
-    scanning either side."""
+    scanning either side.
+
+    Directory names are UNESCAPED before comparing (ADVICE r6): Hive
+    layout percent-encodes special characters in partition values
+    (':' → '%3A', '=' → '%3D', Spark's ExternalCatalogUtils
+    escapePathName set) and writes NULL as __HIVE_DEFAULT_PARTITION__,
+    so comparing raw suffixes would report every such partition as
+    perpetually missing and re-backfill it each night."""
     from pyspark.sql import functions as F
 
     hconf = spark._jsc.hadoopConfiguration()
@@ -481,10 +488,39 @@ def missing_partitions(
         for status in fs.listStatus(hpath):
             name = status.getPath().getName()
             if status.isDirectory() and name.startswith(prefix):
-                existing.append(name[len(prefix):])
+                existing.append(_unescape_partition_value(name[len(prefix):]))
     if not existing:
         return expected
     have = spark.createDataFrame(
         [(v,) for v in existing], f"{part_col} string"
-    ).select(F.col(part_col).cast(expected.schema[part_col].dataType))
-    return expected.join(F.broadcast(have), part_col, "left_anti")
+    ).select(
+        F.col(part_col).cast(expected.schema[part_col].dataType).alias("_have")
+    )
+    # null-safe equality: the sink's __HIVE_DEFAULT_PARTITION__ row must
+    # cancel an expected NULL partition, which plain `=` never matches
+    return expected.join(
+        F.broadcast(have), expected[part_col].eqNullSafe(F.col("_have")), "left_anti"
+    )
+
+
+def _unescape_partition_value(name: str) -> str | None:
+    """Invert Hive/Spark partition-path escaping: %XX percent-decoding
+    (ExternalCatalogUtils.unescapePathName — only well-formed two-hex-
+    digit escapes decode; a bare '%' passes through, matching Spark) and
+    the __HIVE_DEFAULT_PARTITION__ sentinel for NULL."""
+    if name == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    out = []
+    i = 0
+    n = len(name)
+    while i < n:
+        c = name[i]
+        if c == "%" and i + 3 <= n:
+            hx = name[i + 1 : i + 3]
+            if all(ch in "0123456789abcdefABCDEF" for ch in hx):
+                out.append(chr(int(hx, 16)))
+                i += 3
+                continue
+        out.append(c)
+        i += 1
+    return "".join(out)

@@ -288,6 +288,50 @@ def test_contract_check_counts_and_fails_closed(spark):
     assert rows["id_in_range"]["passed"]
 
 
+def test_contract_check_quoted_rule_names_and_empty_input(spark):
+    """ADVICE r6: rule names are data, not SQL (apostrophes must not
+    break or inject), and an empty input reports 0 violations / passed
+    explicitly rather than NULLs."""
+    from nnanalytics_spark.core import profile
+
+    df = spark.createDataFrame([(1,)], "id long")
+    rows = {
+        r["rule"]: r
+        for r in profile.contract_check(
+            df, [("o'brien's rule; DROP--", F.col("id") < 0)]
+        ).collect()
+    }
+    assert rows["o'brien's rule; DROP--"]["passed"]
+    empty = df.filter("id < 0")
+    (row,) = profile.contract_check(empty, [("any", F.col("id") < 0)]).collect()
+    assert row["n_violations"] == 0
+    assert row["n_checked"] == 0
+    assert row["passed"] is True
+
+
+# -------------------------------------------------------------- session
+
+def test_get_spark_warns_when_overrides_ignored(spark):
+    """ADVICE r6: get_spark returns the live session untouched; passing
+    overrides in that case must emit a RuntimeWarning naming them."""
+    import warnings
+
+    from nnanalytics_spark.session import get_spark
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        got = get_spark(**{"spark.sql.shuffle.partitions": "7777"})
+    assert got is not None
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("spark.sql.shuffle.partitions" in m for m in msgs)
+    # overrides matching the live conf are not worth warning about
+    current = got.conf.get("spark.sql.shuffle.partitions")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        get_spark(**{"spark.sql.shuffle.partitions": current})
+    assert not [w for w in caught if w.category is RuntimeWarning]
+
+
 # ----------------------------------------------------------- mad / emd
 
 def test_mad_outliers_hand_computed(spark):
@@ -321,6 +365,24 @@ def test_emd_identical_distributions_is_zero_and_shift_is_exact(spark):
     )
     (row,) = stats.emd_1d(shifted, "x", F.col("side") == "a", bucket_width=1.0).collect()
     assert row["emd"] == 1.0
+
+
+def test_emd_gap_buckets_weighted_by_distance(spark):
+    """ADVICE r6 (high): empty interior buckets carry the CDF gap.
+    A entirely at bucket 0, B entirely at bucket 10 → the |ΔCDF| = 1
+    plateau persists across 10 bucket-widths, so EMD = 10·width — the
+    occupied-bucket-only sum used to return width."""
+    from nnanalytics_spark.pipeline import stats
+
+    df = spark.createDataFrame(
+        [("a", 0.0)] * 4 + [("b", 10.0)] * 4, "side string, x double"
+    )
+    (row,) = stats.emd_1d(df, "x", F.col("side") == "a", bucket_width=1.0).collect()
+    assert row["emd"] == 10.0
+    # width scales linearly and buckets rescale: same points, width 5 →
+    # buckets 0 and 2, gap 2 → EMD = 2·5 = 10 (the true |0−10| distance)
+    (row,) = stats.emd_1d(df, "x", F.col("side") == "a", bucket_width=5.0).collect()
+    assert row["emd"] == 10.0
 
 
 # ------------------------------------------------------ gini / benford
@@ -418,6 +480,36 @@ def test_missing_partitions_empty_sink_returns_everything(spark, tmp_path):
     assert missing == ["a", "b"]
 
 
+def test_missing_partitions_unescapes_hive_paths(spark, tmp_path):
+    """ADVICE r6: Spark writes escaped partition directories (':' →
+    '%3A' etc.) and __HIVE_DEFAULT_PARTITION__ for NULL; the planner
+    must decode them or those partitions backfill forever."""
+    from nnanalytics_spark.sources import layout
+
+    df = spark.createDataFrame(
+        [(1, "08:00"), (2, "09:00"), (3, None)], "id long, hr string"
+    )
+    sink = str(tmp_path / "sink")
+    # materialize the escaped-value and the null partitions only
+    df.filter("hr = '08:00' OR hr IS NULL").write.partitionBy("hr").parquet(sink)
+    expected = df.select("hr").distinct()
+    missing = [
+        r["hr"]
+        for r in layout.missing_partitions(spark, expected, sink, "hr").collect()
+    ]
+    assert missing == ["09:00"]
+
+
+def test_unescape_partition_value():
+    from nnanalytics_spark.sources.layout import _unescape_partition_value as u
+
+    assert u("08%3A00") == "08:00"
+    assert u("a%3Db") == "a=b"
+    assert u("100%") == "100%"  # malformed escape passes through
+    assert u("%2541") == "%41"  # decodes once, not recursively
+    assert u("__HIVE_DEFAULT_PARTITION__") is None
+
+
 # ------------------------------------------------------------ winnowing
 
 def test_winnowing_guarantee_shared_run_yields_shared_fingerprint(spark):
@@ -450,6 +542,30 @@ def test_winnowing_density_is_sparse(spark):
     n_grams = 200 - 4 + 1
     # expected density ~ 2/(w+1) = 0.4; assert well under all-grams
     assert n_fps < 0.6 * n_grams
+
+
+def test_winnowing_position_bound_raises_not_corrupts(spark):
+    """ADVICE r6: a document with more gram positions than the packed
+    position field used to flip the pos term negative and corrupt the
+    window-min; now it raises at execution time. hash_bits=46 shrinks
+    the field to 2^16 positions so the case is testable."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from nnanalytics_spark.pipeline import dedup
+
+    long_text = " ".join(f"t{i}" for i in range(70_000))  # > 2^16 grams
+    df = spark.createDataFrame([(1, long_text)], "doc_id long, text string")
+    with pytest.raises(SparkRuntimeException, match="gram positions"):
+        dedup.winnow_fingerprints(df, n=4, window=4, hash_bits=46).count()
+    # and the arg-validation guard: no room left for positions
+    with pytest.raises(ValueError, match="position bits"):
+        dedup.winnow_fingerprints(df, hash_bits=47)
+    # a doc under the bound still fingerprints fine at the same width
+    ok = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    assert dedup.winnow_fingerprints(ok, n=4, window=4, hash_bits=46).count() > 0
 
 
 # ------------------------------------------------------- column entropy
