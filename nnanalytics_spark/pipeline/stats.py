@@ -487,6 +487,7 @@ def skyline(
     maximize: str,
     group_cols: list[str] | None = None,
     id_col: str = "id",
+    bucket_width: float | None = None,
 ) -> DataFrame:
     """Pareto frontier (the skyline operator, Börzsönyi et al. 2001):
     the rows not DOMINATED by any other row of the same group, where y
@@ -510,17 +511,64 @@ def skyline(
     sort; skew is bounded by the largest group, same contract as every
     grouped window in the engine. Ties survive: two rows with identical
     (minimize, maximize) dominate neither and both stay on the frontier
-    — matching the NOT-EXISTS semantics bit for bit."""
+    — matching the NOT-EXISTS semantics bit for bit.
+
+    UNGROUPED mode (``group_cols`` empty) needs one more decision,
+    because the prefix max then partitions by nothing and the level
+    table is bounded only by |distinct minimize| — ~n rows through one
+    window task for a continuous column (the KS trap that grew
+    ks_test_grid). Pass ``bucket_width`` to decompose the global prefix
+    scan EXACTLY (VERDICT r6 #5): levels bucket by
+    floor(minimize/width); per-bucket maxima feed a |buckets|-bounded
+    carry window (the lint-waiver class: window over a bounded grid);
+    each bucket then scans its own levels in parallel with the carried
+    max from all earlier buckets. Same frontier bit for bit — buckets
+    only split the sort, never the dominance test. Without
+    ``bucket_width`` the single-task plan still runs but warns."""
     from pyspark.sql.window import Window
 
     gcols = group_cols or []
     levels = df.groupBy(*gcols, minimize).agg(F.max(maximize).alias("_lvl_max"))
-    w = (
-        Window.partitionBy(*gcols)
-        .orderBy(F.col(minimize).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    levels = levels.withColumn("_prev_max", F.max("_lvl_max").over(w))
+    if not gcols and bucket_width is not None:
+        bucket = F.floor(F.col(minimize) / F.lit(bucket_width))
+        levels = levels.withColumn("_b", bucket)
+        wc = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+        carry = (
+            levels.groupBy("_b")
+            .agg(F.max("_lvl_max").alias("_bmax"))
+            .withColumn("_carry", F.max("_bmax").over(wc))
+            .select("_b", "_carry")
+        )
+        win = (
+            Window.partitionBy("_b")
+            .orderBy(F.col(minimize).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        levels = (
+            levels.join(F.broadcast(carry), "_b")
+            .withColumn("_in_prev", F.max("_lvl_max").over(win))
+            # greatest skips NULLs: first bucket has no carry, first
+            # level per bucket has no in-bucket prefix
+            .withColumn("_prev_max", F.greatest("_carry", "_in_prev"))
+            .drop("_b", "_carry", "_in_prev")
+        )
+    else:
+        if not gcols:
+            import warnings
+
+            warnings.warn(
+                "skyline: ungrouped with no bucket_width funnels all "
+                "|distinct minimize| levels through ONE window task; pass "
+                "bucket_width to decompose the prefix scan (exact) at scale",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        w = (
+            Window.partitionBy(*gcols)
+            .orderBy(F.col(minimize).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        levels = levels.withColumn("_prev_max", F.max("_lvl_max").over(w))
     out = df.join(levels, [*gcols, minimize])
     return (
         out.filter(
