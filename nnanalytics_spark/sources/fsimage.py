@@ -170,13 +170,21 @@ def parse_summary(path: str) -> dict:
     return out
 
 
-# FileSummary.codec class names Hadoop writes -> zlib wbits for the
-# streaming inflater (31 = gzip member, 15 = zlib/DefaultCodec stream).
+# FileSummary.codec class names Hadoop writes -> decode recipe:
+# ("zlib", wbits) streams through zlib (31 = gzip member, 15 =
+# zlib/DefaultCodec stream); ("block", name) streams through the Hadoop
+# BlockCompressorStream framing in sources/blockcodec.py (Lz4Codec /
+# SnappyCodec — the last ingest gap vs NameNodeLoader.java:361, which
+# accepts whatever CompressionCodec the image declares).
 _CODECS = {
-    "org.apache.hadoop.io.compress.GzipCodec": 31,
-    "gzip": 31,
-    "org.apache.hadoop.io.compress.DefaultCodec": 15,
-    "deflate": 15,
+    "org.apache.hadoop.io.compress.GzipCodec": ("zlib", 31),
+    "gzip": ("zlib", 31),
+    "org.apache.hadoop.io.compress.DefaultCodec": ("zlib", 15),
+    "deflate": ("zlib", 15),
+    "org.apache.hadoop.io.compress.Lz4Codec": ("block", "lz4"),
+    "lz4": ("block", "lz4"),
+    "org.apache.hadoop.io.compress.SnappyCodec": ("block", "snappy"),
+    "snappy": ("block", "snappy"),
 }
 
 
@@ -192,12 +200,13 @@ def _inflate_sections(
     import tempfile
     import zlib
 
-    wbits = _CODECS.get(summary["codec"])
-    if wbits is None:
+    recipe = _CODECS.get(summary["codec"])
+    if recipe is None:
         raise NotImplementedError(
             f"unsupported image codec {summary['codec']!r} "
             f"(supported: {sorted(_CODECS)})"
         )
+    kind, arg = recipe
     fd, sidecar = tempfile.mkstemp(prefix="fsimage_inflated_", dir=scratch_dir)
     sections: dict[str, tuple[int, int]] = {}
     chunk = 1 << 20
@@ -208,22 +217,37 @@ def _inflate_sections(
                 continue
             off, ln = summary["sections"][name]
             src.seek(off)
-            dec = zlib.decompressobj(wbits)
-            remaining, written = ln, 0
-            while remaining:
-                raw = src.read(min(chunk, remaining))
-                if not raw:
-                    raise ValueError(
-                        f"image truncated inside section {name!r}: "
-                        f"{remaining} of {ln} compressed bytes missing"
-                    )
-                remaining -= len(raw)
-                out = dec.decompress(raw)
+            written = 0
+            if kind == "zlib":
+                dec = zlib.decompressobj(arg)
+                remaining = ln
+                while remaining:
+                    raw = src.read(min(chunk, remaining))
+                    if not raw:
+                        raise ValueError(
+                            f"image truncated inside section {name!r}: "
+                            f"{remaining} of {ln} compressed bytes missing"
+                        )
+                    remaining -= len(raw)
+                    out = dec.decompress(raw)
+                    dst.write(out)
+                    written += len(out)
+                out = dec.flush()
                 dst.write(out)
                 written += len(out)
-            out = dec.flush()
-            dst.write(out)
-            written += len(out)
+            else:  # Hadoop block framing (lz4 / snappy)
+                from nnanalytics_spark.sources.blockcodec import (
+                    hadoop_block_decompress_iter,
+                )
+
+                try:
+                    for out in hadoop_block_decompress_iter(src.read, ln, arg):
+                        dst.write(out)
+                        written += len(out)
+                except ValueError as exc:
+                    raise ValueError(
+                        f"image section {name!r}: {exc}"
+                    ) from exc
             sections[name] = (pos, written)
             pos += written
     return sidecar, sections
@@ -531,7 +555,10 @@ def write_fsimage_binary(
     ``codec="gzip"`` compresses each section as an independent gzip
     stream and stamps FileSummary.codec with Hadoop's GzipCodec class
     name — the on-disk shape `dfs.image.compress=true` produces (the
-    FileSummary trailer itself stays uncompressed, per the format)."""
+    FileSummary trailer itself stays uncompressed, per the format).
+    ``codec="lz4"`` / ``codec="snappy"`` write each section in Hadoop's
+    BlockCompressorStream framing (sources/blockcodec.py) and stamp the
+    matching Hadoop codec class name."""
     import gzip
     import os
 
@@ -619,11 +646,22 @@ def write_fsimage_binary(
         if codec == "gzip":
             # mtime=0: deterministic bytes (gzip headers embed a timestamp)
             blob = gzip.compress(blob, mtime=0)
+        elif codec in ("lz4", "snappy"):
+            from nnanalytics_spark.sources.blockcodec import hadoop_block_compress
+
+            blob = hadoop_block_compress(blob, codec)
+        elif codec is not None:
+            raise ValueError(f"unsupported writer codec {codec!r}")
         section_index.append((name, len(body), len(blob)))
         body += blob
     summary = _w_uint(1, 1) + _w_uint(2, (1 << 32) - 64)  # ondiskVersion=1, layout=-64
-    if codec == "gzip":
-        summary += _w_bytes(3, b"org.apache.hadoop.io.compress.GzipCodec")
+    _CODEC_CLASS = {
+        "gzip": b"org.apache.hadoop.io.compress.GzipCodec",
+        "lz4": b"org.apache.hadoop.io.compress.Lz4Codec",
+        "snappy": b"org.apache.hadoop.io.compress.SnappyCodec",
+    }
+    if codec is not None:
+        summary += _w_bytes(3, _CODEC_CLASS[codec])
     for name, off, ln in section_index:
         summary += _w_bytes(
             4, _w_bytes(1, name.encode()) + _w_uint(2, ln) + _w_uint(3, off)

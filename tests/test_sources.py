@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from nnanalytics_spark.core import ir
@@ -167,8 +168,55 @@ def test_fsimage_unknown_codec_rejected(tmp_path):
 
     img = fsimage.write_fsimage_binary(str(tmp_path), n_dirs=2, files_per_dir=2)
     summary = fsimage.parse_summary(img)
-    summary["codec"] = "org.apache.hadoop.io.compress.Lz4Codec"
-    with pytest.raises(NotImplementedError, match="Lz4Codec"):
+    summary["codec"] = "org.apache.hadoop.io.compress.ZStandardCodec"
+    with pytest.raises(NotImplementedError, match="ZStandardCodec"):
+        fsimage._inflate_sections(img, summary, ("INODE",), None)
+
+
+@pytest.mark.parametrize("codec", ["lz4", "snappy"])
+def test_fsimage_block_codec_sections_match_uncompressed(spark, tmp_path, codec):
+    """Lz4Codec / SnappyCodec images (Hadoop BlockCompressorStream
+    framing — the last ingest gap vs NameNodeLoader.java:361) decode to
+    rows IDENTICAL to the uncompressed image, through the same
+    streaming-sidecar path as gzip."""
+    from nnanalytics_spark.sources import fsimage
+
+    plain = fsimage.write_fsimage_binary(
+        str(tmp_path / "p"), n_dirs=3, files_per_dir=7
+    )
+    comp = fsimage.write_fsimage_binary(
+        str(tmp_path / "c"), n_dirs=3, files_per_dir=7, codec=codec
+    )
+    s = fsimage.parse_summary(comp)
+    assert s["codec"] == {
+        "lz4": "org.apache.hadoop.io.compress.Lz4Codec",
+        "snappy": "org.apache.hadoop.io.compress.SnappyCodec",
+    }[codec]
+    rp = sorted(
+        tuple(r) for r in fsimage.read_fsimage_binary(spark, plain, batch=8).collect()
+    )
+    rc = sorted(
+        tuple(r)
+        for r in fsimage.read_fsimage_binary(
+            spark, comp, batch=8, scratch_dir=str(tmp_path)
+        ).collect()
+    )
+    assert len(rc) == 1 + 3 + 3 * 7
+    assert rp == rc
+
+
+def test_fsimage_block_codec_truncated_section_raises(tmp_path):
+    """A block-compressed section whose declared length cuts a chunk in
+    half must raise, not decode a prefix silently."""
+    from nnanalytics_spark.sources import fsimage
+
+    img = fsimage.write_fsimage_binary(
+        str(tmp_path), n_dirs=2, files_per_dir=3, codec="lz4"
+    )
+    summary = fsimage.parse_summary(img)
+    off, ln = summary["sections"]["INODE"]
+    summary["sections"]["INODE"] = (off, ln - 3)
+    with pytest.raises(ValueError, match="INODE"):
         fsimage._inflate_sections(img, summary, ("INODE",), None)
 
 
