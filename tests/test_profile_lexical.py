@@ -39,12 +39,44 @@ def test_profile_counts_nulls_distinct(spark):
     assert (got["v"]["min_value"], got["v"]["max_value"]) == ("a", "b")
 
 
-def test_profile_single_pass_plan(spark):
-    """The whole profile is ONE aggregate over one scan — no per-column
-    jobs: exactly one Scan in the optimized plan."""
+def test_profile_plan_strategies(spark):
+    """No per-column jobs in any regime. Exact over safe types plans
+    the two-scan unpivot strategy (NO Expand — the r6 profile_table
+    cost was the Expand); HLL mode is one scan, no Expand; float
+    columns (grouping-normalization hazard) fall back to the one-scan
+    Expand plan."""
     df = spark.range(10).select(F.col("id"), (F.col("id") % 3).alias("m"))
-    plan = profile(df)._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Range") == 1
+    plan = profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Range") == 2 and "Expand" not in plan
+    hll = profile(df, exact_distinct=False)
+    plan_hll = hll._jdf.queryExecution().executedPlan().toString()
+    assert plan_hll.count("Range") == 1 and "Expand" not in plan_hll
+    dbl = spark.range(10).select(
+        (F.col("id") * 0.5).alias("x"), (F.col("id") * 0.25).alias("y")
+    )
+    plan_dbl = profile(dbl, exact_distinct=True)._jdf.queryExecution().executedPlan().toString()
+    assert plan_dbl.count("Range") == 1 and "Expand" in plan_dbl
+
+
+def test_profile_unpivot_matches_expand_and_handles_all_null(spark):
+    """Both exact strategies agree value-for-value, including an
+    all-NULL column (no (column, value) rows → n_distinct 0)."""
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (1, "b", None)],
+        "k long, v string, z string",
+    )
+    cols = ["k", "v", "z"]
+    via_unpivot = sorted(tuple(r) for r in profile(df, cols, exact_distinct=True).collect())
+    dbl = df.select(*[F.col(c) for c in cols], (F.col("k") * 1.0).alias("_f"))
+    via_expand = sorted(
+        tuple(r)
+        for r in profile(dbl, cols + ["_f"], exact_distinct=True)
+        .filter("column != '_f'")
+        .collect()
+    )
+    assert via_unpivot == via_expand
+    z = [r for r in via_unpivot if r[0] == "z"][0]
+    assert z[1] == 0 and z[3] == 0  # n, n_distinct for the all-NULL column
 
 
 def test_profile_auto_flips_wide_profiles_to_hll(spark):
@@ -52,13 +84,16 @@ def test_profile_auto_flips_wide_profiles_to_hll(spark):
     count_distinct Expand; wider profiles must drop the Expand entirely
     (HLL partial aggregates) — the 100 TB default-safety regime."""
     wide = spark.range(100).select(
-        *[(F.col("id") * (i + 1)).alias(f"c{i}") for i in range(12)]
+        *[(F.col("id") * (i + 1) * 0.5).alias(f"c{i}") for i in range(12)]
     )
     plan_wide = profile(wide)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" not in plan_wide, plan_wide
+    assert plan_wide.count("Range") == 1  # HLL: one scan, no second pass
     narrow = spark.range(100).select(
-        *[(F.col("id") * (i + 1)).alias(f"c{i}") for i in range(4)]
+        *[(F.col("id") * (i + 1) * 0.5).alias(f"c{i}") for i in range(4)]
     )
+    # double columns pin the exact path to the Expand strategy, so the
+    # auto trip-wire is observable in the plan
     plan_narrow = profile(narrow)._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan_narrow, plan_narrow
     # explicit True still forces exact no matter the width
