@@ -147,14 +147,16 @@ def test_sql_q5_broadcasts_all_dims_one_fact_shuffle(spark):
     assert len(rows) >= 1 and all(r["revenue"] > 0 for r in rows)
 
 
-def test_profile_is_one_scan(spark):
-    """The column profiler computes every statistic in ONE pass: a single
-    FileScan feeds the whole plan (the Expand for exact distincts rides
-    that same scan)."""
+def test_profile_is_two_lean_scans_no_expand(spark):
+    """The exact column profiler plans the two-scan unpivot strategy
+    (r7): one plain aggregate pass for n/nulls/min/max plus one stacked
+    (column, value) dedup pass — and NO Expand anywhere (the Expand
+    multiplied every row by the profiled-column count and was the
+    slowest non-streaming bench row in r6; measured 2.7x faster)."""
     df = entry.q_profile_table(spark, SF)
     plan = plan_of(df)
-    assert plan.count("FileScan") == 1, plan
-    assert "Expand" in plan  # exact count_distinct path (documented cost)
+    assert plan.count("FileScan") == 2, plan
+    assert "Expand" not in plan, plan
 
 
 def test_video_payloads_never_shuffle(spark):
