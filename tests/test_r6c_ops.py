@@ -134,6 +134,81 @@ def test_linkage_decision_band_boundaries(spark):
     assert row["decision"] == "possible"
 
 
+def test_blocking_diagnostic_prices_pairs_with_total_row(spark):
+    """blocking_diagnostic reports per-block a x b candidate counts
+    (heaviest first) and a NULL-key TOTAL row — without ever building
+    the pair space (r7: the diagnostic that would have priced the
+    nation-only entity_resolution blowup before launch)."""
+    a = spark.createDataFrame(
+        [(i, "hot" if i < 6 else "cold") for i in range(8)], "id long, blk string"
+    )
+    b = spark.createDataFrame(
+        [(i + 100, "hot" if i < 4 else "cold") for i in range(6)],
+        "id long, blk string",
+    )
+    rows = linkage.blocking_diagnostic(a, b, ["blk"]).collect()
+    per = {r["blk"]: (r["n_a"], r["n_b"], r["pairs"]) for r in rows if r["blk"]}
+    assert per == {"hot": (6, 4, 24), "cold": (2, 2, 4)}
+    assert rows[0]["blk"] == "hot"  # heaviest first
+    total = [r for r in rows if r["blk"] is None][0]
+    assert (total["n_a"], total["n_b"], total["pairs"]) == (8, 6, 28)
+
+
+def test_entity_resolution_composite_blocking_is_lossless(spark):
+    """r7 scale fix: the (nation, segment, band +/-1) blocking emits
+    exactly the match set nation-only blocking emitted."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        tuple(r) for r in entry.q_entity_resolution(spark, sf).collect()
+    )
+    # reference result: nation-only candidates, same scorer
+    from nnanalytics_spark.pipeline import dedup
+
+    c = entry._t(spark, sf, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0)
+    b = c.filter(F.col("c_custkey") % 2 == 1)
+    fields = [
+        linkage.FieldModel(
+            "segment",
+            F.col("a_c_mktsegment") == F.col("b_c_mktsegment"),
+            *entry._FS_FIELDS[0][1:],
+        ),
+        linkage.FieldModel(
+            "bal_band",
+            F.abs(F.floor(F.col("a_c_acctbal")) - F.floor(F.col("b_c_acctbal"))) <= 100,
+            *entry._FS_FIELDS[1][1:],
+        ),
+        linkage.FieldModel(
+            "bal_sign",
+            (F.col("a_c_acctbal") >= 0) == (F.col("b_c_acctbal") >= 0),
+            *entry._FS_FIELDS[2][1:],
+        ),
+    ]
+    matches = (
+        linkage.linkage_pairs(
+            a, b, ["c_nationkey"], fields, id_col="c_custkey", upper=2.0, lower=0.0
+        )
+        .filter(F.col("decision") == "match")
+        .select("id_a", "id_b")
+    )
+    comp = dedup.dup_clusters(c.select("c_custkey"), matches, id_col="c_custkey")
+    want = sorted(
+        tuple(r)
+        for r in comp.groupBy(F.col("cluster").alias("entity_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.min("node").alias("min_key"),
+            F.max("node").alias("max_key"),
+            F.sum((F.col("node") % 2 == 0).cast("int")).alias("n_list_a"),
+        )
+        .filter(F.col("n_records") > 1)
+        .collect()
+    )
+    assert got == want
+
+
 # -------------------------------------------------------------- skyline
 
 def test_skyline_hand_fixture_with_ties_and_groups(spark):
