@@ -53,7 +53,16 @@ def scale(spark, out_dir: str) -> None:
         return spark.read.parquet(f"{SRC}/{name}.parquet")
 
     def write(df, name):
-        df.coalesce(8).write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+        # single parquet FILE per table, matching the driver testdata
+        # layout — streaming queries glob `events.parquet` as a file
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        stage = f"{out_dir}/_stage_{name}"
+        df.coalesce(8).write.mode("overwrite").parquet(stage)
+        pq.write_table(pq.read_table(stage), f"{out_dir}/{name}.parquet")
+        shutil.rmtree(stage)
         print(f"  {name}: {spark.read.parquet(f'{out_dir}/{name}.parquet').count()} rows", flush=True)
 
     docs = read("documents")
