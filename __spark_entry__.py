@@ -4920,7 +4920,17 @@ def q_record_linkage(spark, sf):
     account balance, balance sign — contribute literal log2(m/u)
     weights summed entirely inside the join stage's codegen. Pairs
     scoring above the lower threshold survive; the oracle replays the
-    block join and the same literal CASE arithmetic."""
+    block join and the same literal CASE arithmetic.
+
+    Scale note (r7 sf1 probe, BENCH_sf1_extended.json): this report's
+    OUTPUT is the scored candidate set, so under a bounded block key
+    it is quadratic in the corpus by definition (64x wall / 100x rows
+    at 10x input) — kept single-field deliberately to exhibit the
+    full match/possible/nonmatch decision distribution at gate scale.
+    Price any blocking with linkage.blocking_diagnostic first; when
+    only MATCHES are wanted, compose in every required-agreement
+    field (lossless blocking — see q_entity_resolution, 2.1x at
+    10x)."""
     from nnanalytics_spark.pipeline import linkage
 
     c = _t(spark, sf, "customer")
