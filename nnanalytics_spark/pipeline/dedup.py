@@ -563,10 +563,15 @@ def lsh_verified_pairs(
 
 
 def simhash(text_col: Column, bits: int = 64) -> Column:
-    """SimHash: per token, xxhash64 supplies the bit pattern; each bit
-    position accumulates +1/-1 by token; the sign vector re-packs into a
-    64-bit fingerprint. Pure expressions: one transform per bit over the
-    token array, no UDF, no shuffle."""
+    """SimHash as a single COLUMN expression: per token, xxhash64
+    supplies the bit pattern; each bit position accumulates +1/-1 by
+    token; the sign vector re-packs into a 64-bit fingerprint. Pure
+    expressions, no UDF, no shuffle — but each of the ``bits``
+    aggregates re-evaluates the tokenize+hash argument (the HOF
+    re-evaluation rule), a 64x constant per row. Convenient for ad-hoc
+    per-row use; corpus-scale signature builds should use
+    ``simhash_signatures`` (explode + one count-collapsed aggregate,
+    hash computed once per distinct token)."""
     toks = F.split(F.lower(F.trim(text_col)), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     def mask(i: int) -> int:

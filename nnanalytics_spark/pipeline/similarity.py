@@ -591,12 +591,24 @@ def quantization_error(
     folds) on a single scan — quantized vectors never materialize into a
     shuffle; only (label, mse, scale) doubles reach the one groupBy.
     Zero vectors (scale 0) emit mse 0 so the report never divides by
-    zero. round-half-up matches the SQL oracle's round()."""
+    zero. round-half-up matches the SQL oracle's round().
+
+    The scale fold is MATERIALIZED in a projection before the error
+    fold references it: a HOF lambda re-evaluates captured expressions
+    per element, so an inline scale would re-run its own O(d) fold for
+    every component — O(d²) per row, ~1M ops/row at d=1024 (the
+    word_grams re-evaluation rule)."""
     v = F.col(vec_col).cast("array<double>")
-    scale = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / 127.0
+    scale_expr = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / 127.0
+    )
+    staged = df.select(
+        F.col(label_col).alias("label"), v.alias("_v"), scale_expr.alias("_scale")
+    )
+    vb, scale = F.col("_v"), F.col("_scale")
     # reconstruct each component and fold the squared error in one pass
     sqerr = F.aggregate(
-        v,
+        vb,
         F.lit(0.0),
         lambda acc, x: acc
         + F.pow(
@@ -609,10 +621,10 @@ def quantization_error(
             2,
         ),
     )
-    per_vec = df.select(
-        F.col(label_col).alias("label"),
+    per_vec = staged.select(
+        "label",
         scale.alias("scale"),
-        F.when(scale == 0.0, F.lit(0.0)).otherwise(sqerr / F.size(v)).alias("mse"),
+        F.when(scale == 0.0, F.lit(0.0)).otherwise(sqerr / F.size(vb)).alias("mse"),
     )
     return per_vec.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
