@@ -5438,14 +5438,68 @@ def q_entity_resolution(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering contract: the driver's CORRECTNESS gate checks the first
-    # 50 entries only. r7 window = the 50 oldest entries that have
-    # NEVER collected a driver-green row (all r6 additions below the
-    # r6 gate line; VERDICT r6 task #1). The 2 remaining never-checked
-    # entries (calibration_bins, jaccard_threshold_sweep) are first in
-    # line for the r8 window. Net-new queries are PAUSED this round so
-    # rotation debt reaches zero at r8.
+    # 50 entries only. r8 window = the 2 never-driver-checked entries
+    # (calibration_bins, jaccard_threshold_sweep — rotation debt goes
+    # to ZERO this round; VERDICT r7 task #1) + the 48 rows whose
+    # driver-green certificate is oldest (all 41 rows last checked in
+    # r1, plus the 7 oldest r2 rows) for re-certification at HEAD.
+    # Every entry below the gate line holds recorded driver-green
+    # credit and is re-verified at HEAD on every pytest run by
+    # tests/test_oracle_battery.py (row count + schema + value hash +
+    # dtype parity at sf0.01).
     return {
-    # --- r7 WINDOW (first 50 = the driver correctness gate) ---
+    # --- r8 WINDOW (first 50 = the driver correctness gate) ---
+        "calibration_bins": q_calibration_bins,
+        "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
+        "relative_time_filter": q_relative_time_filter,
+        "storage_type_histogram": q_storage_type_histogram,
+        "memory_histogram": q_memory_histogram,
+        "json_extract": q_json_extract,
+        "sql_tpch_q5": q_sql_tpch_q5,
+        "sql_tpch_q3": q_sql_tpch_q3,
+        "salted_join_agg": q_salted_join_agg,
+        "range_join_bands": q_range_join_bands,
+        "window_lead_lag": q_window_lead_lag,
+        "stats_by_group": q_stats_by_group,
+        "median_by_group": q_median_by_group,
+        "cube_agg": q_cube_agg,
+        "approx_distinct": q_approx_distinct,
+        "asof_last_click": q_asof_last_click,
+        "set_ops": q_set_ops,
+        "window_running": q_window_running,
+        "pivot": q_pivot,
+        "rollup": q_rollup,
+        "distinct_count": q_distinct_count,
+        "join_semi": q_join_semi,
+        "join_anti": q_join_anti,
+        "join_revenue": q_join_revenue,
+        "windowed_counts": q_windowed_counts,
+        "topk_per_group": q_topk_per_group,
+        "parent_dir": q_parent_dir,
+        "users": q_users,
+        "transform_whatif": q_transform_whatif,
+        "divide": q_divide,
+        "histogram_bottom": q_histogram_bottom,
+        "histogram_top": q_histogram_top,
+        "histogram_having": q_histogram_having,
+        "histogram3_multiagg": q_histogram3_multiagg,
+        "histogram2": q_histogram2,
+        "histogram_find_minmax": q_histogram_find_minmax,
+        "histogram_avg": q_histogram_avg,
+        "histogram_sum": q_histogram_sum,
+        "find_min": q_find_min,
+        "find_max": q_find_max,
+        "dump_keys": q_dump_keys,
+        "filter_date_ops": q_filter_date_ops,
+        "filter_string_ops": q_filter_string_ops,
+        "text_repetition": q_text_repetition,
+        "multimodal_decode": q_multimodal_decode,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
+        "text_fingerprint": q_text_fingerprint,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+    # --- end of the 50-row gate window ---
         "hard_negatives": q_hard_negatives,
         "embedding_dim_stats": q_embedding_dim_stats,
         "embedding_anisotropy": q_embedding_anisotropy,
@@ -5496,14 +5550,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overdispersion": q_overdispersion,
         "format_roundtrip": q_format_roundtrip,
         "lorenz_deciles": q_lorenz_deciles,
-    # --- end of the 50-row gate window ---
-    # Never driver-checked; FIRST IN LINE for the r8 window:
-        "calibration_bins": q_calibration_bins,
-        "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
-    # Everything below holds recorded driver-green credit (round noted
-    # in VERDICT history) and is re-verified at HEAD every pytest run
-    # by tests/test_oracle_battery.py (row count + schema + value hash
-    # + dtype parity at sf0.01), so rotation cannot rot silently.
         "sql_tpch_q4": q_sql_tpch_q4,
         "sql_tpch_q6": q_sql_tpch_q6,
         "sql_tpch_q7": q_sql_tpch_q7,
@@ -5687,56 +5733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_histogram": q_shard_histogram,
         "corpus_curation": q_corpus_curation,
         "text_tokens": q_text_tokens,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "pii_scrub": q_pii_scrub,
-        "pack_sequences": q_pack_sequences,
-        "multimodal_decode": q_multimodal_decode,
-        "text_repetition": q_text_repetition,
         "multimodal_feature_hist": q_multimodal_feature_hist,
         "minhash_recall": q_minhash_recall,
-        "filter_string_ops": q_filter_string_ops,
-        "filter_date_ops": q_filter_date_ops,
-        "dump_keys": q_dump_keys,
-        "find_max": q_find_max,
-        "find_min": q_find_min,
-        "histogram_sum": q_histogram_sum,
-        "histogram_avg": q_histogram_avg,
-        "histogram_find_minmax": q_histogram_find_minmax,
-        "histogram2": q_histogram2,
-        "histogram3_multiagg": q_histogram3_multiagg,
-        "histogram_having": q_histogram_having,
-        "histogram_top": q_histogram_top,
-        "histogram_bottom": q_histogram_bottom,
-        "divide": q_divide,
-        "transform_whatif": q_transform_whatif,
-        "users": q_users,
-        "parent_dir": q_parent_dir,
-        "topk_per_group": q_topk_per_group,
-        "windowed_counts": q_windowed_counts,
-        "join_revenue": q_join_revenue,
-        "join_anti": q_join_anti,
-        "join_semi": q_join_semi,
-        "distinct_count": q_distinct_count,
-        "rollup": q_rollup,
-        "pivot": q_pivot,
-        "window_running": q_window_running,
-        "set_ops": q_set_ops,
-        "asof_last_click": q_asof_last_click,
-        "approx_distinct": q_approx_distinct,
-        "cube_agg": q_cube_agg,
-        "median_by_group": q_median_by_group,
-        "stats_by_group": q_stats_by_group,
-        "window_lead_lag": q_window_lead_lag,
-        "range_join_bands": q_range_join_bands,
-        "salted_join_agg": q_salted_join_agg,
-        "sql_tpch_q3": q_sql_tpch_q3,
-        "sql_tpch_q5": q_sql_tpch_q5,
-        "json_extract": q_json_extract,
-        "memory_histogram": q_memory_histogram,
-        "storage_type_histogram": q_storage_type_histogram,
-        "relative_time_filter": q_relative_time_filter,
     }
 
 
