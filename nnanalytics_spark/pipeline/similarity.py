@@ -672,14 +672,24 @@ def random_projection(
     return df.select(F.col(id_col), *[proj(j) for j in range(out_dim)])
 
 
-def assign_cells_rounded(df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+def assign_cells_rounded(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
     """Nearest-centroid cell assignment with ROUND(cos, 6) + lowest-cell
     tie-break — the oracle-reproducible variant of ivf_assign. Rounding
     before the argmax means an engine's 1-ulp dot-product difference
     cannot flip the chosen cell unless two centroids tie to 6 dp, and a
     6-dp tie resolves to the lower cell index on both engines (numpy
-    argmax returns the FIRST maximum; the SQL twin orders by sim DESC,
-    cell ASC). Broadcast centroids, Arrow-batched matmul, map-side only."""
+    stable sort keeps the FIRST maximum; the SQL twin orders by sim
+    DESC, cell ASC). ``nprobe`` > 1 emits one row per (id, cell) for
+    the vector's top-nprobe cells — the multi-probe replication that
+    buys cross-cell recall for within-cell pair generators at nprobe²x
+    pair cost. Broadcast centroids, Arrow-batched matmul, map-side
+    only."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -690,6 +700,7 @@ def assign_cells_rounded(df: DataFrame, centroids, id_col: str = "vec_id", vec_c
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cents = b_cent.value
         cent_norms = np.linalg.norm(cents, axis=1)
+        take = min(nprobe, len(cents))
         for pdf in batches:
             mat = np.array(list(pdf["v"]), dtype=np.float64)
             sims = np.round(
@@ -697,7 +708,21 @@ def assign_cells_rounded(df: DataFrame, centroids, id_col: str = "vec_id", vec_c
                 / (np.linalg.norm(mat, axis=1)[:, None] * cent_norms[None, :]),
                 6,
             )
-            yield pd.DataFrame({"id": pdf["id"], "cell": np.argmax(sims, axis=1), "v": pdf["v"]})
+            if take == 1:
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "cell": np.argmax(sims, axis=1), "v": pdf["v"]}
+                )
+                continue
+            # stable sort on -sims: descending sim, ties keep lower cell
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            idx = np.repeat(np.arange(len(pdf)), take)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy()[idx],
+                    "cell": order.ravel(),
+                    "v": pdf["v"].to_numpy()[idx],
+                }
+            )
 
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     return src.mapInPandas(assign, "id long, cell int, v array<double>")
@@ -1097,15 +1122,20 @@ def _blocked_local_topk(
     vec_col: str,
     rows_per_block: int,
     label_col: str | None,
+    cell_col: str | None = None,
 ) -> DataFrame:
-    """Shared kernel for knn_graph / hard_negatives: block-decomposed
-    exact cosine with per-row LOCAL top-k inside each block-pair task
-    (shuffle out of the kernel bounded by n·B·k candidate rows), then a
-    global per-id row_number window with the SAME (cos desc, neighbor id
-    asc) tie-break, so a tie crossing a local boundary keeps exactly the
-    rows the global window keeps. ``label_col`` masks same-label
-    neighbors inside the numpy block (the hard-negative variant); None
-    masks only self-pairs."""
+    """Shared kernel for knn_graph / hard_negatives / cell_knn:
+    block-decomposed exact cosine with per-row LOCAL top-k inside each
+    block-pair task (shuffle out of the kernel bounded by n·B·k
+    candidate rows), then a global per-id row_number window with the
+    SAME (cos desc, neighbor id asc) tie-break, so a tie crossing a
+    local boundary keeps exactly the rows the global window keeps.
+    ``label_col`` masks same-label neighbors inside the numpy block
+    (the hard-negative variant); None masks only self-pairs.
+    ``cell_col`` restricts candidates to vectors sharing the cell
+    (the IVF-bounded variant): every id lives in exactly one cell, so
+    the per-id merge window is unchanged while the pair space drops
+    from n² to Σ|cell|²."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.window import Window as W
@@ -1114,6 +1144,8 @@ def _blocked_local_topk(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")]
     if label_col is not None:
         cols.insert(1, F.col(label_col).alias("lbl"))
+    if cell_col is not None:
+        cols.insert(0, F.col(cell_col).alias("cell"))
     src = df.select(*cols)
     n = src.count()
     n_blocks = max(1, math.ceil(n / rows_per_block))
@@ -1124,6 +1156,8 @@ def _blocked_local_topk(
         [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
     )
     carry = ["id", "lbl", "v"] if label_col is not None else ["id", "v"]
+    if cell_col is not None:
+        carry = ["cell"] + carry
     left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
         "bl", "br", F.lit(0).alias("side"), *carry
     )
@@ -1151,7 +1185,7 @@ def _blocked_local_topk(
         return out_id, out_nbr, out_sim
 
     def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        bl, br = key
+        bl, br = key[-2], key[-1]
         if bl == br:
             a = b = pdf
         else:
@@ -1175,7 +1209,8 @@ def _blocked_local_topk(
             ia, na, sa = ia + ib, na + nb, sa + sb
         return pd.DataFrame({"id": ia, "nbr": na, "cos_sim": sa})
 
-    cands = both.groupBy("bl", "br").applyInPandas(
+    keys = ["cell", "bl", "br"] if cell_col is not None else ["bl", "br"]
+    cands = both.groupBy(*keys).applyInPandas(
         kernel, "id long, nbr long, cos_sim double"
     )
     w = W.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())
@@ -1217,6 +1252,102 @@ def hard_negatives(
     masked scores never leave the task)."""
     return _blocked_local_topk(df, k, id_col, vec_col, rows_per_block, label_col)
 
+
+def cell_knn(
+    df: DataFrame,
+    k: int = 5,
+    stride: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Cell-bounded approximate kNN — the SCALE path for neighbor
+    graphs: pin every ``stride``-th vector (by id) as a centroid, assign
+    each vector to its nearest centroid with assign_cells_rounded's
+    round-6 + lowest-cell tie-break, and rank neighbors WITHIN the cell
+    only. The centroid count grows with the corpus (n/stride), so cell
+    depth stays ~stride and total pair work is Σ|cell|² ≈ stride·n —
+    linear in n at fixed stride, vs knn_graph's exact n² kernel (the
+    r7 sf1 probe measured link_negatives' exact-kNN path at 12.5x wall
+    for 10x rows; this path is the fix). Recall is approximate: a true
+    neighbor in a different cell is missed — raise stride (deeper
+    cells) or move to a persisted multi-probe index (ivf_build_pinned +
+    ivf_search_rounded) when recall matters more than cost. The
+    centroid collect() is n/stride rows on the driver — the same
+    driver-held index as ivf_build_pinned; persist via ivf_build_pinned
+    for corpora where that matters. Deterministic end to end (pinned
+    centroids, round-6 argmax, round-6 local==global top-k tie-break),
+    so an oracle can replay assignment and ranking exactly."""
+    cents = (
+        df.filter(F.col(id_col) % stride == 0)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .collect()
+    )
+    assigned = assign_cells_rounded(df, [r["v"] for r in cents], id_col, vec_col)
+    return _blocked_local_topk(
+        assigned, k, "id", "v", rows_per_block, None, cell_col="cell"
+    ).withColumnRenamed("id", id_col)
+
+
+def bounded_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    candidate_pairs: DataFrame | None = None,
+    stride: int = 200,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 8192,
+) -> DataFrame:
+    """Candidate-restricted near-dup pairs ≥ ``threshold`` — the
+    BOUNDED sibling of all_pairs_above (whose exact kernel is O(n²) by
+    contract; the r7 sf1 probe measured 11x wall at 10x rows for the
+    method-agreement query riding it). The candidate set is the union
+    of (a) within-cell pairs under pinned stride-centroids with
+    ``nprobe``-way multi-probe assignment (n/stride cells; pair work
+    ≈ nprobe²·stride·n — linear in n at fixed stride/nprobe) and
+    (b) caller-supplied ``candidate_pairs`` (id_a < id_b), each
+    re-scored with the same round-6 cosine. Output: (id_a, id_b,
+    cos_sim), distinct.
+
+    Approximation contract: every emitted pair truly clears the
+    threshold (scores are exact); pairs can only be MISSED, and only
+    when the two vectors share none of their nprobe cells AND the pair
+    is not in ``candidate_pairs``. For method-agreement reports this
+    means the intersection with any pair set passed as candidates is
+    EXACT — only the "semantic-only" count is a lower bound, short by
+    the cross-cell near-dups. At nprobe=1 recall on the r8 test corpus
+    is ~50%; at the default nprobe=2 it is 100% (threshold-0.4 pairs
+    always share a top-2 cell there) — tests/test_r8_ops.py pins
+    bounded == exact at gate scale and the sf1 probe prices the
+    linear-cost claim."""
+    cents = (
+        df.filter(F.col(id_col) % stride == 0)
+        .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .collect()
+    )
+    assigned = assign_cells_rounded(
+        df, [r["v"] for r in cents], id_col, vec_col, nprobe=nprobe
+    )
+    cell_pairs = within_cell_pairs_above(
+        assigned, threshold, rows_per_block=rows_per_block
+    ).select("id_a", "id_b", "cos_sim")
+    if candidate_pairs is None:
+        return cell_pairs.distinct()
+    v = df.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    scored = (
+        candidate_pairs.select("id_a", "id_b")
+        .join(v.withColumnRenamed("_vid", "id_a").withColumnRenamed("_v", "_va"), "id_a")
+        .join(v.withColumnRenamed("_vid", "id_b").withColumnRenamed("_v", "_vb"), "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    return cell_pairs.unionByName(scored).distinct()
 
 
 def dim_stats(
@@ -1418,6 +1549,8 @@ def link_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_ids: int | None = None,
+    method: str = "exact",
+    stride: int = 200,
 ) -> DataFrame:
     """Contrastive training-pair construction for embedding models:
     per anchor, its ``k_pos`` nearest neighbors as label-1 positives and
@@ -1429,13 +1562,25 @@ def link_negatives(
     pay for.
 
     ``n_ids`` (default: max id + 1) is the corrupt-tail id space; pass
-    it explicitly on sparse id spaces. Plan: positives ride the blocked
-    exact k-NN kernel; negatives are row-local arithmetic + one
-    anti-join on (anchor, candidate) against the positive set — no
-    shuffle carries vectors."""
+    it explicitly on sparse id spaces. ``method`` picks the positive
+    miner: "exact" = knn_graph's n² blocked kernel (small corpora /
+    gold evaluation); "cell" = cell_knn's pinned-centroid cell-bounded
+    kNN (linear at fixed ``stride`` — the corpus-scale path; positives
+    are cell-local approximate neighbors, which for contrastive
+    training is standard practice: any sufficiently-near neighbor is a
+    valid positive). Negatives are row-local arithmetic + one anti-join
+    on (anchor, candidate) against the positive set — no shuffle
+    carries vectors."""
+    if method not in ("exact", "cell"):
+        raise ValueError(f"method must be 'exact' or 'cell', got {method!r}")
     if n_ids is None:
         n_ids = int(df.agg(F.max(id_col)).head()[0]) + 1
-    pos = knn_graph(df, k=k_pos, id_col=id_col, vec_col=vec_col).select(
+    miner = (
+        knn_graph(df, k=k_pos, id_col=id_col, vec_col=vec_col)
+        if method == "exact"
+        else cell_knn(df, k=k_pos, stride=stride, id_col=id_col, vec_col=vec_col)
+    )
+    pos = miner.select(
         F.col(id_col).alias("anchor"), F.col("nbr").alias("other")
     )
     slots = df.select(F.col(id_col).alias("anchor")).crossJoin(

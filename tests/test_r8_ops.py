@@ -1,0 +1,213 @@
+"""Unit tests for the r8 scale reshapes (VERDICT r7 tasks #2/#4):
+lossless-composite-blocked record_linkage, cell-bounded kNN positives
+for link_negatives, multi-probe bounded_pairs_above for the
+dedup-method-agreement report, and the bounded linkage_decisions
+exhibit — each pinned against the exact / unblocked reference
+computation at test scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from nnanalytics_spark.pipeline import dedup, linkage, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- record_linkage
+
+def test_record_linkage_composite_blocking_is_lossless(spark):
+    """The (nation, segment, band +/-1) blocked driver query emits
+    exactly the match set the UNBLOCKED nation join emits — the
+    losslessness contract behind VERDICT r7 task #2 (match at
+    upper=2.0 requires segment AND bal_band agreement, so composing
+    them into the block key cannot drop a match)."""
+    import __spark_entry__ as entry
+
+    got = sorted(tuple(r) for r in entry.q_record_linkage(spark, SF).collect())
+    c = entry._t(spark, SF, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0)
+    b = c.filter(F.col("c_custkey") % 2 == 1)
+    want = sorted(
+        tuple(r)
+        for r in linkage.linkage_pairs(
+            a, b, ["c_nationkey"], entry._fs_fields(linkage),
+            id_col="c_custkey", upper=2.0, lower=0.0,
+        )
+        .filter(F.col("decision") == "match")
+        .collect()
+    )
+    assert len(got) > 0
+    assert got == want
+
+
+def test_linkage_decisions_input_is_bounded(spark):
+    """The decision-distribution exhibit caps each side at 500 rows, so
+    n_pairs sums to the capped nation join's size — never the corpus
+    pair space."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_linkage_decisions(spark, SF).collect()
+    c = entry._t(spark, SF, "customer")
+    a = c.filter(F.col("c_custkey") % 2 == 0).orderBy("c_custkey").limit(500)
+    b = c.filter(F.col("c_custkey") % 2 == 1).orderBy("c_custkey").limit(500)
+    want = a.join(b, "c_nationkey").count()
+    assert sum(r["n_pairs"] for r in rows) == want
+    assert {r["decision"] for r in rows} <= {"match", "possible", "nonmatch"}
+
+
+# ------------------------------------------------------ cell_knn
+
+def test_cell_knn_single_cell_equals_exact_knn(spark):
+    """With stride > max(id) only vec_id 0 pins a centroid, every
+    vector lands in the one cell, and cell_knn IS knn_graph."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    hi = int(emb.agg(F.max("vec_id")).head()[0]) + 1
+    got = sorted(tuple(r) for r in similarity.cell_knn(emb, k=3, stride=hi).collect())
+    want = sorted(tuple(r) for r in similarity.knn_graph(emb, k=3).collect())
+    assert got == want
+
+
+def test_cell_knn_neighbors_are_cell_local(spark):
+    """Every (id, nbr) edge joins two vectors assigned to the same
+    pinned cell, and ranks are 1..k dense per id in (cos desc, nbr asc)
+    order."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.cell_knn(emb, k=3, stride=200).collect()
+    cents = (
+        emb.filter(F.col("vec_id") % 200 == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cell = {
+        r["id"]: r["cell"]
+        for r in similarity.assign_cells_rounded(
+            emb, [r["v"] for r in cents]
+        ).collect()
+    }
+    assert len(cents) == 3  # 500 ids, stride 200 -> centroids 0/200/400
+    by_id: dict[int, list] = {}
+    for r in out:
+        assert cell[r["vec_id"]] == cell[r["nbr"]]
+        by_id.setdefault(r["vec_id"], []).append(r)
+    for rows in by_id.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        key = [(-r["cos_sim"], r["nbr"]) for r in rows]
+        assert key == sorted(key)
+
+
+def test_link_negatives_cell_method(spark):
+    """method="cell": positives == cell_knn edges, negatives never
+    collide with a positive (the accidental-hit anti-join), and an
+    unknown method raises."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.link_negatives(emb, k_pos=3, k_neg=3, method="cell", stride=200)
+    rows = out.collect()
+    pos = {(r["anchor"], r["other"]) for r in rows if r["label"] == 1}
+    neg = {(r["anchor"], r["other"]) for r in rows if r["label"] == 0}
+    want_pos = {
+        (r["vec_id"], r["nbr"])
+        for r in similarity.cell_knn(emb, k=3, stride=200).collect()
+    }
+    assert pos == want_pos
+    assert pos.isdisjoint(neg)
+    assert all(a != o for a, o in neg)
+    with pytest.raises(ValueError, match="method"):
+        similarity.link_negatives(emb, method="lsh")
+
+
+# -------------------------------------------- bounded_pairs_above
+
+def test_bounded_pairs_above_equals_exact_at_test_scale(spark):
+    """nprobe=2 multi-probe recovers EVERY threshold-0.4 pair of the
+    exact O(n²) kernel on the test corpus (the documented bound the
+    driver query's agreement numbers rest on), with identical round-6
+    scores."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in similarity.all_pairs_above(emb, threshold=0.4).collect()
+    }
+    bounded = {
+        (r["id_a"], r["id_b"], r["cos_sim"])
+        for r in similarity.bounded_pairs_above(emb, 0.4, stride=200).collect()
+    }
+    assert len(exact) > 0
+    assert bounded == exact
+
+
+def test_bounded_pairs_candidate_rescore_is_exact(spark):
+    """Caller-supplied candidate pairs are re-scored with the exact
+    round-6 cosine and thresholded — a below-threshold candidate never
+    leaks into the output, an above-threshold one always appears even
+    from a cell the probe misses (guaranteed n_both exactness for
+    pair_set_agreement)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.all_pairs_above(emb, threshold=0.0).collect()
+    }
+    # candidates: two real pairs straddling the threshold + one junk id pair
+    above = min(p for p, s in exact.items() if s >= 0.4)
+    below = min(p for p, s in exact.items() if s < 0.1)
+    cand = spark.createDataFrame(
+        [above, below], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.bounded_pairs_above(
+            emb, 0.4, candidate_pairs=cand, stride=200
+        ).collect()
+    }
+    assert above in out and out[above] == exact[above]
+    assert below not in out
+
+
+def test_pair_set_agreement_bounded_matches_exact_report(spark):
+    """The driver query's full agreement row (bounded semantic side)
+    equals the exact-kernel report at test scale — the regression pin
+    for VERDICT r7 task #4's "within the documented bound" criterion."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    lex = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100).select(
+        "id_a", "id_b"
+    )
+    bounded = dedup.pair_set_agreement(
+        lex,
+        similarity.bounded_pairs_above(
+            emb, 0.4, candidate_pairs=lex, stride=200
+        ).select("id_a", "id_b"),
+    ).collect()[0]
+    exact = dedup.pair_set_agreement(
+        lex, similarity.all_pairs_above(emb, threshold=0.4).select("id_a", "id_b")
+    ).collect()[0]
+    assert tuple(bounded) == tuple(exact)
+
+
+def test_multi_probe_assignment_shape(spark):
+    """nprobe=2 emits exactly two DISTINCT cells per vector, ranked by
+    (round-6 cos desc, cell asc); nprobe=1 stays the argmax path."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = (
+        emb.filter(F.col("vec_id") % 200 == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    cvecs = [r["v"] for r in cents]
+    one = similarity.assign_cells_rounded(emb, cvecs).groupBy("id").count().collect()
+    assert all(r["count"] == 1 for r in one)
+    two = similarity.assign_cells_rounded(emb, cvecs, nprobe=2).collect()
+    per = {}
+    for r in two:
+        per.setdefault(r["id"], set()).add(r["cell"])
+    assert all(len(cells) == 2 for cells in per.values())
+    # the nprobe=1 cell is always among the nprobe=2 cells
+    top1 = {
+        r["id"]: r["cell"]
+        for r in similarity.assign_cells_rounded(emb, cvecs).collect()
+    }
+    assert all(top1[i] in cells for i, cells in per.items())
