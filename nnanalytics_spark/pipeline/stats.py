@@ -530,6 +530,14 @@ def skyline(
     gcols = group_cols or []
     levels = df.groupBy(*gcols, minimize).agg(F.max(maximize).alias("_lvl_max"))
     if not gcols and bucket_width is not None:
+        # ADVICE r7: width 0 floors to NULL buckets (inner join matches
+        # nothing → silently EMPTY frontier); a negative width inverts
+        # bucket order (carry maxes over LARGER minimize values →
+        # silently WRONG frontier). Fail loud instead.
+        if not bucket_width > 0:
+            raise ValueError(
+                f"bucket_width must be > 0, got {bucket_width!r}"
+            )
         bucket = F.floor(F.col(minimize) / F.lit(bucket_width))
         levels = levels.withColumn("_b", bucket)
         wc = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)

@@ -53,7 +53,17 @@ def lz4_block_decompress(data: bytes) -> bytes:
     """Pure-Python raw LZ4 *block* decode (the public block format:
     token byte = literal-length nibble | match-length nibble, 255-run
     length extensions, 2-byte little-endian match offsets, overlapping
-    copies repeat the window). Self-terminating — needs no size hint."""
+    copies repeat the window). Self-terminating — needs no size hint.
+    Truncated/malformed input raises ValueError (never IndexError —
+    fsimage._inflate_sections' handler keys on ValueError to add
+    section context; ADVICE r7)."""
+    try:
+        return _lz4_block_decompress(data)
+    except IndexError:
+        raise ValueError("lz4: truncated input") from None
+
+
+def _lz4_block_decompress(data: bytes) -> bytes:
     out = bytearray()
     pos, n = 0, len(data)
     while pos < n:
@@ -114,6 +124,8 @@ def _lz4_literal_only(data: bytes) -> bytes:
 def _uvarint(data: bytes, pos: int) -> tuple[int, int]:
     value, shift = 0, 0
     while True:
+        if pos >= len(data):
+            raise ValueError("snappy: truncated varint")
         b = data[pos]
         pos += 1
         value |= (b & 0x7F) << shift
@@ -126,7 +138,15 @@ def snappy_block_decompress(data: bytes) -> bytes:
     """Pure-Python raw Snappy decode (the public format: preamble
     varint of uncompressed length; elements tagged by the low 2 bits —
     00 literal, 01 copy/1-byte offset, 10 copy/2-byte LE offset,
-    11 copy/4-byte LE offset)."""
+    11 copy/4-byte LE offset). Truncated/malformed input raises
+    ValueError (never IndexError; ADVICE r7)."""
+    try:
+        return _snappy_block_decompress(data)
+    except IndexError:
+        raise ValueError("snappy: truncated input") from None
+
+
+def _snappy_block_decompress(data: bytes) -> bytes:
     expected, pos = _uvarint(data, 0)
     out = bytearray()
     n = len(data)
@@ -138,6 +158,8 @@ def snappy_block_decompress(data: bytes) -> bytes:
             length = tag >> 2
             if length >= 60:
                 nb = length - 59
+                if pos + nb > n:
+                    raise ValueError("snappy: truncated literal length")
                 length = int.from_bytes(data[pos : pos + nb], "little")
                 pos += nb
             length += 1
@@ -152,10 +174,14 @@ def snappy_block_decompress(data: bytes) -> bytes:
             pos += 1
         elif kind == 2:
             length = (tag >> 2) + 1
+            if pos + 2 > n:
+                raise ValueError("snappy: truncated copy offset")
             offset = int.from_bytes(data[pos : pos + 2], "little")
             pos += 2
         else:
             length = (tag >> 2) + 1
+            if pos + 4 > n:
+                raise ValueError("snappy: truncated copy offset")
             offset = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4
         if offset == 0 or offset > len(out):

@@ -540,12 +540,7 @@ class AnalyticsWebServer:
                 # toLocalIterator pulls one partition at a time; the
                 # handler writes chunked HTTP. max_dump_rows (ctor, None
                 # = unlimited) is a plan-level LIMIT safety cap on top.
-                dump = (
-                    df
-                    if self.max_dump_rows is None
-                    else df.limit(self.max_dump_rows)
-                )
-                return 200, "text/plain", _stream_paths(dump)
+                return 200, "text/plain", _PathStream(df, self.max_dump_rows)
             rows = df.collect()
             self._maybe_email(endpoint, params, rows)
             if len(rows) == 1 and len(rows[0]) == 1:
@@ -656,22 +651,47 @@ def _one(params: dict[str, list[str]], name: str) -> str | None:
 _DUMP_BATCH_ROWS = 8192
 
 
-def _stream_paths(df):
-    """Generator of text chunks for a path dump: pull rows through
+class _PathStream:
+    """Iterable of text chunks for a path dump: pull rows through
     toLocalIterator (one partition resident at a time — driver memory
     bounded by a partition, not the result) and join every
     _DUMP_BATCH_ROWS paths into one chunk. Body is byte-identical to
-    the old '\\n'.join(paths) + '\\n' (empty dump → a single newline)."""
-    emitted = False
-    buf: list[str] = []
-    for row in df.toLocalIterator(prefetchPartitions=True):
-        buf.append(str(row[0]))
-        if len(buf) >= _DUMP_BATCH_ROWS:
+    the old '\\n'.join(paths) + '\\n' (empty dump → a single newline).
+
+    ``max_rows`` (None = unlimited, matching the reference's unbounded
+    servlet stream) is the safety cap: the plan fetches ONE row past it
+    so a capped dump is distinguishable from a complete one —
+    ``truncated`` flips True the moment the extra row appears, the
+    handler emits the X-NNA-Truncated chunked trailer, and a warning
+    lands in the server log (ADVICE r7: a silent cap with a clean
+    terminator was unreadable to backfill tooling)."""
+
+    def __init__(self, df, max_rows: int | None) -> None:
+        self._df = df if max_rows is None else df.limit(max_rows + 1)
+        self._max = max_rows
+        self.truncated = False
+
+    def __iter__(self):
+        emitted = False
+        n = 0
+        buf: list[str] = []
+        for row in self._df.toLocalIterator(prefetchPartitions=True):
+            n += 1
+            if self._max is not None and n > self._max:
+                self.truncated = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "path dump truncated at max_dump_rows=%d", self._max
+                )
+                break
+            buf.append(str(row[0]))
+            if len(buf) >= _DUMP_BATCH_ROWS:
+                yield "\n".join(buf) + "\n"
+                emitted = True
+                buf = []
+        if buf or not emitted:
             yield "\n".join(buf) + "\n"
-            emitted = True
-            buf = []
-    if buf or not emitted:
-        yield "\n".join(buf) + "\n"
 
 
 def _wall_ms() -> int:
@@ -738,14 +758,40 @@ def _make_handler(server: AnalyticsWebServer):
             self.wfile.write(data)
 
         def _stream(self, status: int, ctype: str, chunks) -> None:
-            """Chunked-transfer write of a text-chunk generator, with
+            """Chunked-transfer write of a text-chunk iterable, with
             streaming gzip when the client accepts it (the reference's
             StreamingGzipOutputStream leg — path dumps compress ~10x).
             zlib.compressobj(wbits=31) emits a gzip-framed stream one
             deflate block at a time; empty compressor outputs are
             skipped because a zero-length HTTP chunk would terminate
-            the body early."""
+            the body early.
+
+            Failure semantics (ADVICE r7): the FIRST chunk is pulled
+            BEFORE the status line, so a Spark execution error that
+            surfaces when the lazy dump actually runs still maps to a
+            full 500 response. A failure after bytes have been sent
+            cannot be un-sent — the connection is aborted WITHOUT the
+            terminal 0-chunk, so chunked-aware clients see truncation
+            instead of a clean EOF. A dump capped by max_dump_rows
+            finishes cleanly but carries the ``X-NNA-Truncated: true``
+            chunked trailer (declared up front via the Trailer
+            header)."""
             import zlib
+
+            it = iter(chunks)
+            try:
+                first = next(it)
+            except StopIteration:
+                first = None
+            except Exception as exc:
+                # execution failed before any byte went out → real 500
+                data = f"{type(exc).__name__}: {exc}".encode("utf-8")
+                self.send_response(500)
+                self.send_header("Content-Type", "text/plain; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+                return
 
             accepts_gzip = "gzip" in (self.headers.get("Accept-Encoding") or "")
             comp = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS) if accepts_gzip else None
@@ -754,6 +800,7 @@ def _make_handler(server: AnalyticsWebServer):
             if comp is not None:
                 self.send_header("Content-Encoding", "gzip")
             self.send_header("Transfer-Encoding", "chunked")
+            self.send_header("Trailer", "X-NNA-Truncated")
             self.end_headers()
 
             def _write(piece: bytes) -> None:
@@ -763,15 +810,39 @@ def _make_handler(server: AnalyticsWebServer):
                     self.wfile.write(b"\r\n")
 
             try:
-                for chunk in chunks:
+                if first is not None:
+                    _write(
+                        comp.compress(first.encode("utf-8"))
+                        if comp is not None
+                        else first.encode("utf-8")
+                    )
+                    self.wfile.flush()
+                for chunk in it:
                     data = chunk.encode("utf-8")
                     _write(comp.compress(data) if comp is not None else data)
                     self.wfile.flush()
-                if comp is not None:
-                    _write(comp.flush())
-                self.wfile.write(b"0\r\n\r\n")
             except BrokenPipeError:
-                pass  # client went away mid-dump; nothing to unwind
+                return  # client went away mid-dump; nothing to unwind
+            except Exception:
+                # mid-stream execution failure: abort the connection
+                # WITHOUT the terminal 0-chunk so the client detects a
+                # truncated body rather than mistaking it for success
+                self.close_connection = True
+                return
+            if comp is not None:
+                try:
+                    _write(comp.flush())
+                except BrokenPipeError:
+                    return
+            trailer = (
+                b"X-NNA-Truncated: true\r\n"
+                if getattr(chunks, "truncated", False)
+                else b""
+            )
+            try:
+                self.wfile.write(b"0\r\n" + trailer + b"\r\n")
+            except BrokenPipeError:
+                pass
 
         def do_GET(self) -> None:  # noqa: N802 (http.server API)
             self._serve("GET")

@@ -111,6 +111,27 @@ def test_bad_offsets_raise():
         bc.snappy_block_decompress(bytes([5, (0 << 2) | 0]) + b"a" + bytes([1, 9]))
 
 
+def test_truncated_raw_blocks_raise_valueerror_not_indexerror():
+    """ADVICE r7: byte reads past the end of truncated input must raise
+    ValueError (which _inflate_sections re-wraps with section context),
+    never a raw IndexError."""
+    # lz4: token promises a 255-run literal length extension, input ends
+    with pytest.raises(ValueError):
+        bc.lz4_block_decompress(bytes([0xF0]))
+    # lz4: match offset cut in half
+    with pytest.raises(ValueError):
+        bc.lz4_block_decompress(bytes([0x10]) + b"a" + bytes([0x01]))
+    # snappy: truncated preamble varint (continuation bit set, no next byte)
+    with pytest.raises(ValueError):
+        bc.snappy_block_decompress(bytes([0x80]))
+    # snappy: 2-byte copy offset with only one byte left
+    with pytest.raises(ValueError):
+        bc.snappy_block_decompress(bytes([5, (0 << 2) | 0]) + b"a" + bytes([2, 9]))
+    # snappy: multi-byte literal length extension truncated
+    with pytest.raises(ValueError):
+        bc.snappy_block_decompress(bytes([5, (60 << 2) | 0]))
+
+
 def test_unknown_codec_rejected():
     with pytest.raises(ValueError, match="codec"):
         bc.hadoop_block_compress(b"x", "zstd")

@@ -154,6 +154,39 @@ def test_blocking_diagnostic_prices_pairs_with_total_row(spark):
     assert (total["n_a"], total["n_b"], total["pairs"]) == (8, 6, 28)
 
 
+def test_blocking_diagnostic_total_counts_one_sided_blocks(spark):
+    """ADVICE r7: the TOTAL row's n_a/n_b are the FULL table sizes even
+    when blocks exist on only one side — only `pairs` is restricted to
+    co-occurring blocks."""
+    a = spark.createDataFrame(
+        [(1, "both"), (2, "both"), (3, "a_only"), (4, "a_only")],
+        "id long, blk string",
+    )
+    b = spark.createDataFrame(
+        [(10, "both"), (11, "b_only")], "id long, blk string"
+    )
+    rows = linkage.blocking_diagnostic(a, b, ["blk"]).collect()
+    per = {r["blk"]: r["pairs"] for r in rows if r["blk"]}
+    assert per == {"both": 2}  # one-sided blocks contribute no pairs
+    total = [r for r in rows if r["blk"] is None][0]
+    assert (total["n_a"], total["n_b"], total["pairs"]) == (4, 2, 2)
+    # empty co-occurrence still yields a zero-pairs total, not NULL
+    c = spark.createDataFrame([(20, "zzz")], "id long, blk string")
+    t = [r for r in linkage.blocking_diagnostic(a, c, ["blk"]).collect() if r["blk"] is None][0]
+    assert (t["n_a"], t["n_b"], t["pairs"]) == (4, 1, 0)
+
+
+def test_skyline_bucket_width_must_be_positive(spark):
+    """ADVICE r7: width 0 (NULL buckets -> silently empty frontier) and
+    negative widths (inverted carry -> silently wrong frontier) raise."""
+    df = spark.createDataFrame(
+        [(1, 1.0, 5), (2, 2.0, 7)], "id long, cost double, gain int"
+    )
+    for bad in (0, -1.5):
+        with pytest.raises(ValueError, match="bucket_width"):
+            stats.skyline(df, minimize="cost", maximize="gain", bucket_width=bad)
+
+
 def test_entity_resolution_composite_blocking_is_lossless(spark):
     """r7 scale fix: the (nation, segment, band +/-1) blocking emits
     exactly the match set nation-only blocking emitted."""

@@ -504,29 +504,134 @@ def test_path_dump_streams_chunked_with_bounded_memory(server, monkeypatch):
 
 
 def test_path_dump_generator_yields_incrementally(engine, monkeypatch):
-    """_stream_paths never holds more than one batch: with batch=2 a
+    """_PathStream never holds more than one batch: with batch=2 a
     6-row dump yields 3 chunks whose concatenation equals the full
-    dump, and an empty dump yields exactly one '\\n' (old-body parity)."""
+    dump, and an empty dump yields exactly one '\\n' (old-body parity).
+    An uncapped stream never reports truncation; a capped one flips
+    ``truncated`` only when rows were actually dropped."""
     from nnanalytics_spark.core.ir import Query
     from nnanalytics_spark.web import server as srvmod
 
     monkeypatch.setattr(srvmod, "_DUMP_BATCH_ROWS", 2)
     df = engine.dump_paths(Query(set="files", filters=[], now_ms=NOW)).limit(6)
-    chunks = list(srvmod._stream_paths(df))
+    stream = srvmod._PathStream(df, None)
+    chunks = list(stream)
     assert len(chunks) == 3
     assert all(len(c.rstrip("\n").split("\n")) == 2 for c in chunks)
-    empty = df.filter("path = '/no/such/path'")
-    assert list(srvmod._stream_paths(empty)) == ["\n"]
+    assert stream.truncated is False
+    empty = srvmod._PathStream(df.filter("path = '/no/such/path'"), None)
+    assert list(empty) == ["\n"]
+    assert empty.truncated is False
+    capped = srvmod._PathStream(df, 4)
+    assert sum(len(c.rstrip("\n").split("\n")) for c in list(capped)) == 4
+    assert capped.truncated is True
+    exact = srvmod._PathStream(df, 6)
+    assert sum(len(c.rstrip("\n").split("\n")) for c in list(exact)) == 6
+    assert exact.truncated is False
 
 
 def test_path_dump_max_rows_cap(engine):
-    """The ctor cap becomes a plan-level LIMIT on unlimited dumps."""
+    """The ctor cap becomes a plan-level LIMIT on unlimited dumps, and
+    a capped dump is SIGNALLED: the chunked response declares and
+    carries the X-NNA-Truncated trailer (ADVICE r7 — a consumer must
+    be able to tell a capped dump from a complete one)."""
+    import socket
+
     srv = AnalyticsWebServer(engine, now_ms=NOW, max_dump_rows=3)
     port = srv.start()
     try:
-        status, _, body = get(("127.0.0.1", port), "/filter?set=files")
-        assert status == 200
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/filter?set=files")
+        resp = conn.getresponse()
+        body = resp.read().decode()
+        assert resp.status == 200
+        assert resp.getheader("Trailer") == "X-NNA-Truncated"
         assert len([ln for ln in body.splitlines() if ln]) == 3
+        conn.close()
+        # http.client discards chunked trailers — assert the raw wire
+        with socket.create_connection(("127.0.0.1", port), timeout=120) as s:
+            s.sendall(
+                b"GET /filter?set=files HTTP/1.1\r\n"
+                b"Host: x\r\nConnection: close\r\n\r\n"
+            )
+            wire = b""
+            while True:
+                piece = s.recv(65536)
+                if not piece:
+                    break
+                wire += piece
+        assert wire.endswith(b"0\r\nX-NNA-Truncated: true\r\n\r\n")
+    finally:
+        srv.stop()
+
+
+def test_path_dump_uncapped_has_no_truncation_trailer(server):
+    """A complete dump terminates cleanly with no truncation trailer."""
+    conn = http.client.HTTPConnection(*server, timeout=120)
+    conn.request("GET", "/filter?set=files&filters=fileSize:gte:0")
+    resp = conn.getresponse()
+    resp.read()
+    assert resp.status == 200
+    assert resp.headers.get("X-NNA-Truncated") is None
+    conn.close()
+
+
+def test_path_dump_early_execution_error_maps_to_500(engine, monkeypatch):
+    """ADVICE r7: the first batch is pulled BEFORE the status line, so
+    a Spark failure at execution time (not parse time) still produces
+    a real 500 — not a 200 with a truncated chunked body."""
+    from nnanalytics_spark.web import server as srvmod
+
+    class _Boom:
+        truncated = False
+
+        def __iter__(self):
+            raise RuntimeError("executor lost")
+            yield  # pragma: no cover
+
+    srv = AnalyticsWebServer(engine, now_ms=NOW)
+    monkeypatch.setattr(
+        srvmod.AnalyticsWebServer,
+        "_analytic",
+        lambda self, *a, **k: (200, "text/plain", _Boom()),
+    )
+    port = srv.start()
+    try:
+        status, _, body = get(("127.0.0.1", port), "/filter?set=files")
+        assert status == 500
+        assert "executor lost" in body
+    finally:
+        srv.stop()
+
+
+def test_path_dump_midstream_error_aborts_without_terminator(engine, monkeypatch):
+    """A failure AFTER bytes are sent cannot become a 500 — the
+    connection must drop without the terminal 0-chunk so a
+    chunked-aware client raises instead of accepting a short body."""
+    from nnanalytics_spark.web import server as srvmod
+
+    class _MidBoom:
+        truncated = False
+
+        def __iter__(self):
+            yield "/a\n/b\n"
+            raise RuntimeError("stage failed mid-dump")
+
+    srv = AnalyticsWebServer(engine, now_ms=NOW)
+    monkeypatch.setattr(
+        srvmod.AnalyticsWebServer,
+        "_analytic",
+        lambda self, *a, **k: (200, "text/plain", _MidBoom()),
+    )
+    port = srv.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("GET", "/filter?set=files")
+        resp = conn.getresponse()
+        assert resp.status == 200  # headers were already committed
+        with pytest.raises(http.client.IncompleteRead):
+            resp.read()
+        conn.close()
     finally:
         srv.stop()
 
