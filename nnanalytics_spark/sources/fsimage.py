@@ -185,7 +185,51 @@ _CODECS = {
     "lz4": ("block", "lz4"),
     "org.apache.hadoop.io.compress.SnappyCodec": ("block", "snappy"),
     "snappy": ("block", "snappy"),
+    # BZip2Codec writes a standard multi-stream .bz2 ("BZh" blocks);
+    # ZStandardCodec a standard zstd frame sequence — stdlib bz2 and
+    # pyarrow's CompressedInputStream decode both streamingly. Closes
+    # the last codec rows vs NameNodeLoader.java:361 (VERDICT r7 #6).
+    "org.apache.hadoop.io.compress.BZip2Codec": ("bz2", None),
+    "bzip2": ("bz2", None),
+    "org.apache.hadoop.io.compress.ZStandardCodec": ("zstd", None),
+    "zstd": ("zstd", None),
 }
+
+
+class _SliceReader:
+    """Minimal bounded file-object view over ``fh[start:start+length)``
+    — what pyarrow's CompressedInputStream needs to stream-decode one
+    compressed section without loading it, or letting the decoder run
+    past the section into the next one."""
+
+    def __init__(self, fh, start: int, length: int) -> None:
+        self._fh = fh
+        self._fh.seek(start)
+        self._remaining = length
+        self.closed = False
+
+    def read(self, n: int = -1) -> bytes:
+        if self._remaining <= 0:
+            return b""
+        want = self._remaining if n is None or n < 0 else min(n, self._remaining)
+        data = self._fh.read(want)
+        self._remaining -= len(data)
+        return data
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    def writable(self) -> bool:
+        return False
+
+    def close(self) -> None:  # pyarrow closes its wrapper; keep fh open
+        self.closed = True
+
+    def flush(self) -> None:
+        pass
 
 
 def _inflate_sections(
@@ -235,6 +279,60 @@ def _inflate_sections(
                 out = dec.flush()
                 dst.write(out)
                 written += len(out)
+            elif kind == "bz2":
+                import bz2
+
+                dec = bz2.BZ2Decompressor()
+                remaining = ln
+                stream_open = False
+                while remaining:
+                    raw = src.read(min(chunk, remaining))
+                    if not raw:
+                        raise ValueError(
+                            f"image truncated inside section {name!r}: "
+                            f"{remaining} of {ln} compressed bytes missing"
+                        )
+                    remaining -= len(raw)
+                    data = raw
+                    while data:
+                        try:
+                            out = dec.decompress(data)
+                        except OSError as exc:
+                            raise ValueError(
+                                f"image section {name!r}: bad bzip2 data ({exc})"
+                            ) from exc
+                        dst.write(out)
+                        written += len(out)
+                        stream_open = True
+                        if not dec.eof:
+                            break
+                        # multi-stream member boundary (Hadoop's saver can
+                        # concatenate streams): restart on the leftover
+                        data = dec.unused_data
+                        dec = bz2.BZ2Decompressor()
+                        stream_open = False
+                if stream_open:
+                    raise ValueError(
+                        f"image section {name!r}: bzip2 stream ends "
+                        "mid-member (section length cuts the stream)"
+                    )
+            elif kind == "zstd":
+                import pyarrow as pa
+
+                try:
+                    stream = pa.input_stream(
+                        _SliceReader(src, off, ln), compression="zstd"
+                    )
+                    while True:
+                        out = stream.read(chunk)
+                        if not out:
+                            break
+                        dst.write(out)
+                        written += len(out)
+                except (pa.lib.ArrowInvalid, OSError) as exc:
+                    raise ValueError(
+                        f"image section {name!r}: bad zstd data ({exc})"
+                    ) from exc
             else:  # Hadoop block framing (lz4 / snappy)
                 from nnanalytics_spark.sources.blockcodec import (
                     hadoop_block_decompress_iter,
@@ -650,6 +748,14 @@ def write_fsimage_binary(
             from nnanalytics_spark.sources.blockcodec import hadoop_block_compress
 
             blob = hadoop_block_compress(blob, codec)
+        elif codec == "bzip2":
+            import bz2
+
+            blob = bz2.compress(blob)
+        elif codec == "zstd":
+            import pyarrow as pa
+
+            blob = pa.Codec("zstd").compress(blob, asbytes=True)
         elif codec is not None:
             raise ValueError(f"unsupported writer codec {codec!r}")
         section_index.append((name, len(body), len(blob)))
@@ -659,6 +765,8 @@ def write_fsimage_binary(
         "gzip": b"org.apache.hadoop.io.compress.GzipCodec",
         "lz4": b"org.apache.hadoop.io.compress.Lz4Codec",
         "snappy": b"org.apache.hadoop.io.compress.SnappyCodec",
+        "bzip2": b"org.apache.hadoop.io.compress.BZip2Codec",
+        "zstd": b"org.apache.hadoop.io.compress.ZStandardCodec",
     }
     if codec is not None:
         summary += _w_bytes(3, _CODEC_CLASS[codec])

@@ -168,16 +168,17 @@ def test_fsimage_unknown_codec_rejected(tmp_path):
 
     img = fsimage.write_fsimage_binary(str(tmp_path), n_dirs=2, files_per_dir=2)
     summary = fsimage.parse_summary(img)
-    summary["codec"] = "org.apache.hadoop.io.compress.ZStandardCodec"
-    with pytest.raises(NotImplementedError, match="ZStandardCodec"):
+    summary["codec"] = "com.example.compress.MysteryCodec"
+    with pytest.raises(NotImplementedError, match="MysteryCodec"):
         fsimage._inflate_sections(img, summary, ("INODE",), None)
 
 
-@pytest.mark.parametrize("codec", ["lz4", "snappy"])
+@pytest.mark.parametrize("codec", ["lz4", "snappy", "bzip2", "zstd"])
 def test_fsimage_block_codec_sections_match_uncompressed(spark, tmp_path, codec):
-    """Lz4Codec / SnappyCodec images (Hadoop BlockCompressorStream
-    framing — the last ingest gap vs NameNodeLoader.java:361) decode to
-    rows IDENTICAL to the uncompressed image, through the same
+    """Lz4Codec / SnappyCodec (Hadoop BlockCompressorStream framing) and
+    BZip2Codec / ZStandardCodec (standard bz2 / zstd streams) images —
+    the full codec set NameNodeLoader.java:361 accepts — decode to rows
+    IDENTICAL to the uncompressed image, through the same
     streaming-sidecar path as gzip."""
     from nnanalytics_spark.sources import fsimage
 
@@ -191,6 +192,8 @@ def test_fsimage_block_codec_sections_match_uncompressed(spark, tmp_path, codec)
     assert s["codec"] == {
         "lz4": "org.apache.hadoop.io.compress.Lz4Codec",
         "snappy": "org.apache.hadoop.io.compress.SnappyCodec",
+        "bzip2": "org.apache.hadoop.io.compress.BZip2Codec",
+        "zstd": "org.apache.hadoop.io.compress.ZStandardCodec",
     }[codec]
     rp = sorted(
         tuple(r) for r in fsimage.read_fsimage_binary(spark, plain, batch=8).collect()
@@ -205,13 +208,15 @@ def test_fsimage_block_codec_sections_match_uncompressed(spark, tmp_path, codec)
     assert rp == rc
 
 
-def test_fsimage_block_codec_truncated_section_raises(tmp_path):
-    """A block-compressed section whose declared length cuts a chunk in
-    half must raise, not decode a prefix silently."""
+@pytest.mark.parametrize("codec", ["lz4", "bzip2", "zstd"])
+def test_fsimage_block_codec_truncated_section_raises(tmp_path, codec):
+    """A compressed section whose declared length cuts the stream short
+    must raise, not decode a prefix silently — for the Hadoop block
+    framing AND the standard-stream codecs."""
     from nnanalytics_spark.sources import fsimage
 
     img = fsimage.write_fsimage_binary(
-        str(tmp_path), n_dirs=2, files_per_dir=3, codec="lz4"
+        str(tmp_path), n_dirs=2, files_per_dir=3, codec=codec
     )
     summary = fsimage.parse_summary(img)
     off, ln = summary["sections"]["INODE"]
