@@ -235,6 +235,7 @@ HEADLINE = [
     "link_negatives",
     "bloom_prune_join",
     "record_linkage",
+    "linkage_decisions",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",
@@ -336,8 +337,13 @@ def main() -> None:
             pass  # the measured pass surfaces real failures
     _release_cached(spark)
 
+    # Measured-pass count (default 2, min-of-N recorded per query) —
+    # overridable via SPARK_GRAFT_BENCH_RUNS; the artifact records it
+    # so a reader can tell a min-of-2 row from a single-pass one
+    # (VERDICT r7 #7: single-run noise faked a 1.6x regression).
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(runs):
         for name in HEADLINE:
             start = time.perf_counter()
             queries[name](spark, sf_dir).collect()
@@ -360,6 +366,7 @@ def main() -> None:
                 "metric": "headline_queries_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
+                "runs": runs,
                 "queries": timings,
                 "sf": sf_val,
             },
@@ -375,6 +382,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {k: round(v, 2) for k, v in qdict.items()},
                 "nq": len(timings),
+                "runs": runs,
                 "full": "BENCH_FULL.json",
                 "sf": sf_val,
             },

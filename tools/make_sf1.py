@@ -24,6 +24,23 @@ session shapes) are preserved rather than artificially squared:
   lineitem shift o_orderkey together; customer and orders shift
   custkey together) so joins stay referentially intact. nation/region
   are dimensions and stay as-is.
+
+SKEW MODE (``--skew``, VERDICT r7 #3): the plain generator keeps
+per-key DEPTH flat (disjoint vocabularies), so hot-shingle /
+hot-bucket / hot-vertex behavior goes unmeasured. --skew grows
+per-key depth deliberately:
+
+- documents: ~SHARE_PCT% of token occurrences (hash-chosen, so the
+  same tokens everywhere) keep their GLOBAL identity across all 10
+  copies — shingles/grams made entirely of shared tokens get ~10x
+  df (hot keys), the rest stay copy-local. Zipf-flavored: one
+  shared-or-not draw per distinct token, applied at every occurrence.
+- embeddings: every 10th base vector's copies get epsilon 0 — 10-deep
+  exact-duplicate vector clusters (hot ANN/SemDedup buckets).
+- events: every 10th base user keeps its user_id across copies — hot
+  vertices with 10x event depth (event_ids stay globally unique).
+
+Output default /tmp/sfdata/sf1skew; probe with scale_probe --skew.
 """
 
 from __future__ import annotations
@@ -39,13 +56,15 @@ from nnanalytics_spark.session import get_spark
 
 SRC = "/root/testdata/sf0.1"
 COPIES = 10
+#: skew mode: % of token occurrences that keep global identity
+SHARE_PCT = 30
 
 
 def _copies(spark):
     return spark.range(COPIES).select(F.col("id").alias("_copy"))
 
 
-def scale(spark, out_dir: str) -> None:
+def scale(spark, out_dir: str, skew: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     cp = _copies(spark)
 
@@ -67,12 +86,19 @@ def scale(spark, out_dir: str) -> None:
 
     docs = read("documents")
     max_doc = docs.agg(F.max("doc_id")).head()[0] + 1
+    if skew:
+        # hash-chosen global tokens stay shared across copies (hot keys)
+        def _suffix(t):
+            return F.when(
+                F.pmod(F.xxhash64(t), F.lit(100)) < F.lit(SHARE_PCT), t
+            ).otherwise(F.concat(t, F.lit("_c"), F.col("_copy").cast("string")))
+    else:
+        def _suffix(t):
+            return F.concat(t, F.lit("_c"), F.col("_copy").cast("string"))
+
     suffixed_tokens = F.when(F.col("_copy") == 0, F.col("text")).otherwise(
         F.array_join(
-            F.transform(
-                F.split(F.col("text"), r"\s+"),
-                lambda t: F.concat(t, F.lit("_c"), F.col("_copy").cast("string")),
-            ),
+            F.transform(F.split(F.col("text"), r"\s+"), _suffix),
             " ",
         )
     )
@@ -89,13 +115,17 @@ def scale(spark, out_dir: str) -> None:
 
     emb = read("embeddings")
     max_vec = emb.agg(F.max("vec_id")).head()[0] + 1
+    eps = F.col("_copy").cast("float") * 1e-3
+    if skew:
+        # every 10th base vector: identical copies (hot ANN buckets)
+        eps = F.when(F.pmod(F.col("vec_id"), 10) == 0, F.lit(0.0)).otherwise(eps)
     write(
         emb.crossJoin(cp).select(
             (F.col("vec_id") + F.col("_copy") * max_vec).alias("vec_id"),
             F.transform(
                 F.col("embedding"),
                 lambda x, i: (
-                    x + (F.col("_copy").cast("float") * 1e-3) * ((i % 7).cast("float") - 3.0)
+                    x + eps * ((i % 7).cast("float") - 3.0)
                 ).cast("float"),
             ).alias("embedding"),
             "label",
@@ -106,11 +136,17 @@ def scale(spark, out_dir: str) -> None:
     ev = read("events")
     max_ev = ev.agg(F.max("event_id")).head()[0] + 1
     max_user = ev.agg(F.max("user_id")).head()[0] + 1
+    shifted_user = F.col("user_id") + F.col("_copy") * max_user
+    if skew:
+        # every 10th base user keeps identity across copies (hot vertex)
+        shifted_user = F.when(
+            F.pmod(F.col("user_id"), 10) == 0, F.col("user_id")
+        ).otherwise(shifted_user)
     write(
         ev.crossJoin(cp).select(
             (F.col("event_id") + F.col("_copy") * max_ev).alias("event_id"),
             "ts",
-            (F.col("user_id") + F.col("_copy") * max_user).alias("user_id"),
+            shifted_user.alias("user_id"),
             "event_type",
             "value",
             "props",
@@ -170,11 +206,13 @@ def scale(spark, out_dir: str) -> None:
 
 
 def main() -> None:
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfdata/sf1"
+    args = [a for a in sys.argv[1:] if a != "--skew"]
+    skew = "--skew" in sys.argv[1:]
+    out = args[0] if args else ("/tmp/sfdata/sf1skew" if skew else "/tmp/sfdata/sf1")
     spark = get_spark("make_sf1")
     spark.sparkContext.setLogLevel("ERROR")
-    scale(spark, out)
-    print(f"sf1 dataset at {out}", flush=True)
+    scale(spark, out, skew=skew)
+    print(f"sf1{' skew' if skew else ''} dataset at {out}", flush=True)
 
 
 if __name__ == "__main__":
