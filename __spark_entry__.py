@@ -1837,6 +1837,70 @@ def q_shard_histogram(spark, sf):
     )
 
 
+def q_corpus_version_diff(spark, sf):
+    """Corpus-version manifest diff (dedup.survivor_diff — VERDICT r7
+    #8): snapshot A = the corpus before ingest (doc_id % 10 != 7),
+    snapshot B = after ingesting the batch AND pruning policy-removed
+    docs (doc_id % 20 == 6 dropped). Survivors = keep_best winners per
+    8-token content-prefix family (the coarse canonical key that makes
+    near-dup families real at gate scale), ranked by raw length with
+    id tie-break. Output: every survivor-set change with its reason —
+    added / promoted / removed / displaced, all four non-empty on this
+    corpus. Two hash aggregates + id-only joins; at 100 TB the same
+    classification runs off persisted per-version survivor manifests.
+    The oracle replays the prefix key, both winner windows, and the
+    membership CASEs."""
+    d = _t(spark, sf, "documents")
+    old = d.filter(F.col("doc_id") % 10 != 7)
+    new = d.filter(F.col("doc_id") % 20 != 6)
+    key = F.array_join(
+        F.slice(F.split(dedup.normalized(F.col("text")), " "), 1, 8), " "
+    )
+    return dedup.survivor_diff(old, new, key=key)
+
+
+def q_curation_pipeline(spark, sf):
+    """The composed end-to-end curation DAG (VERDICT r7 #8): quality
+    gate → near-dup family dedup → decontamination → temperature-scaled
+    mixture plan, as ONE Spark plan, so cross-operator interactions
+    (filter pushdown through the dedup aggregate, the contamination
+    scan seeing only survivors, the mixture reading the cleaned corpus)
+    are exercised and timed together instead of stage-by-stage:
+
+    1. quality: text.quality_score >= 0.5 over the train split
+       (doc_id % 50 != 0; every 50th doc is the held-out eval set);
+    2. dedup: keep_best per 8-token content-prefix family, ranked by
+       the quality score itself (best copy survives, id tie-break);
+    3. decontaminate: drop survivors sharing >=5% of any eval doc's
+       trigram shingles (dedup.decontaminate — broadcast anti-join);
+    4. mix: sampling.temperature_mixture (UniMax/mT5 rule, T=10/3,
+       10M-char budget) over the cleaned survivors.
+
+    Every stage is individually driver-verified elsewhere
+    (corpus_curation, dedup_keep_best, decontaminate,
+    temperature_mixture); this row pins their composition. The oracle
+    replays all four stages in one WITH chain."""
+    from nnanalytics_spark.pipeline import sampling
+
+    d = _t(spark, sf, "documents")
+    evals = d.filter(F.col("doc_id") % 50 == 0)
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    scored = train.withColumn("quality", text.quality_score(F.col("text"))).filter(
+        F.col("quality") >= 0.5
+    )
+    key = F.array_join(
+        F.slice(F.split(dedup.normalized(F.col("text")), " "), 1, 8), " "
+    )
+    survivors = dedup.keep_best(scored, quality_col="quality", key=key).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = scored.join(survivors, "doc_id")
+    clean = dedup.decontaminate(kept, evals, min_overlap_frac=0.05)
+    return sampling.temperature_mixture(
+        clean, temperature=3.333333, token_budget=10_000_000
+    )
+
+
 def q_corpus_curation(spark, sf):
     """End-to-end curation pipeline composition: exact-dedup keeper ∧
     quality ≥ 0.5 ∧ predicted-language = 'en' → per-source survivor count
@@ -5581,6 +5645,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Net-new this round (growth resumed at zero rotation debt);
     # first in line for the r9 window:
         "linkage_decisions": q_linkage_decisions,
+        "corpus_version_diff": q_corpus_version_diff,
+        "curation_pipeline": q_curation_pipeline,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -10609,6 +10675,141 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(score AS DECIMAL(28,6))) AS DOUBLE) AS sum_score
         FROM scored
         GROUP BY 1
+    """
+    # corpus_version_diff: replay the prefix-family key, both keep_best
+    # winner windows (quality = raw length, id tie-break), and the
+    # membership CASEs that name each change's reason.
+    d["corpus_version_diff"] = """
+        WITH norm AS (
+          SELECT doc_id, length(text) AS q,
+                 array_to_string(
+                   (regexp_split_to_array(
+                      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+                   )[1:8], ' ') AS key
+          FROM documents
+        ),
+        old_n AS (SELECT * FROM norm WHERE doc_id % 10 != 7),
+        new_n AS (SELECT * FROM norm WHERE doc_id % 20 != 6),
+        sa AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+              PARTITION BY key ORDER BY q DESC, doc_id ASC) AS rn
+            FROM old_n) WHERE rn = 1
+        ),
+        sb AS (
+          SELECT doc_id FROM (
+            SELECT doc_id, row_number() OVER (
+              PARTITION BY key ORDER BY q DESC, doc_id ASC) AS rn
+            FROM new_n) WHERE rn = 1
+        ),
+        entered AS (
+          SELECT b.doc_id, 'entered' AS change,
+                 CASE WHEN o.doc_id IS NOT NULL THEN 'promoted'
+                      ELSE 'added' END AS reason
+          FROM sb b
+          LEFT JOIN sa a ON a.doc_id = b.doc_id
+          LEFT JOIN old_n o ON o.doc_id = b.doc_id
+          WHERE a.doc_id IS NULL
+        ),
+        gone AS (
+          SELECT a.doc_id, 'left' AS change,
+                 CASE WHEN nn.doc_id IS NOT NULL THEN 'displaced'
+                      ELSE 'removed' END AS reason
+          FROM sa a
+          LEFT JOIN sb b ON b.doc_id = a.doc_id
+          LEFT JOIN new_n nn ON nn.doc_id = a.doc_id
+          WHERE b.doc_id IS NULL
+        )
+        SELECT doc_id, change, reason FROM entered
+        UNION ALL
+        SELECT doc_id, change, reason FROM gone
+    """
+    # curation_pipeline: the four stages as one WITH chain — quality
+    # (corpus_curation's replay), prefix-family keep_best ranked by
+    # that quality, the trigram contamination scan restricted to the
+    # survivors, and the temperature mixture over the cleaned set.
+    d["curation_pipeline"] = """
+        WITH f AS (
+          SELECT doc_id, source, text, n_chars,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 len(regexp_extract_all(text, '[^\\w\\s]'))
+                   / GREATEST(length(text), 1) AS praw
+          FROM documents WHERE doc_id % 50 != 0
+        ),
+        g AS (
+          SELECT doc_id, source, n_chars, text, toks, praw,
+                 len(list_filter(list_transform(toks, t -> lower(t)),
+                     t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                'for','on','with','as','at','by','from','that','this')))
+                   / GREATEST(len(toks), 1) AS sraw,
+                 list_reduce(list_prepend(0, [length(t) for t in toks]), (a,b) -> a + b)
+                   / GREATEST(len(toks), 1) AS mwl,
+                 LEAST(length(text) / 200.0, 1.0) AS length_ok
+          FROM f
+        ),
+        q AS (
+          SELECT doc_id, source, n_chars, text,
+                 round((length_ok + (1.0 - LEAST(praw * 5.0, 1.0))
+                        + LEAST(sraw * 4.0, 1.0)
+                        + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6)
+                   AS quality
+          FROM g
+        ),
+        scored AS (SELECT * FROM q WHERE quality >= 0.5),
+        keyed AS (
+          SELECT *, array_to_string(
+                   (regexp_split_to_array(
+                      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+                   )[1:8], ' ') AS key
+          FROM scored
+        ),
+        kept AS (
+          SELECT doc_id, source, n_chars, text FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY key ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM keyed) WHERE rn = 1
+        ),
+        toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS shingle
+          FROM toks
+        ),
+        ev AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 = 0),
+        evn AS (SELECT doc_id, count(*) AS n_eval FROM ev GROUP BY 1),
+        tr AS (
+          SELECT sh.doc_id, sh.shingle FROM sh
+          JOIN kept k ON k.doc_id = sh.doc_id
+        ),
+        hits AS (
+          SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, count(*) AS n_common
+          FROM tr JOIN ev ON tr.shingle = ev.shingle
+          GROUP BY 1, 2
+        ),
+        bad AS (
+          SELECT DISTINCT train_id FROM hits
+          JOIN evn ON evn.doc_id = eval_id
+          WHERE round(n_common / evn.n_eval, 6) >= 0.05
+        ),
+        clean AS (
+          SELECT * FROM kept WHERE doc_id NOT IN (SELECT train_id FROM bad)
+        ),
+        sizes AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS size
+          FROM clean GROUP BY 1
+        ),
+        powed AS (SELECT *, pow(size, 1.0 / 3.333333) AS p FROM sizes),
+        tot AS (SELECT sum(size) AS tot_size, sum(p) AS tot_p FROM powed)
+        SELECT source, n_docs, size,
+               round(size / tot_size, 6) AS natural_share,
+               round(p / tot_p, 6) AS rate,
+               round(10000000 * (round(p / tot_p, 6) / size), 6) AS epochs
+        FROM powed, tot ORDER BY source
     """
     # ndcg_eval: replay judged rows (one SELECT per pinned query), both
     # rankings, and the literal-discount DECIMAL-quantized sums.

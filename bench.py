@@ -236,6 +236,8 @@ HEADLINE = [
     "bloom_prune_join",
     "record_linkage",
     "linkage_decisions",
+    "corpus_version_diff",
+    "curation_pipeline",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -187,6 +187,66 @@ def test_pair_set_agreement_bounded_matches_exact_report(spark):
     assert tuple(bounded) == tuple(exact)
 
 
+# ------------------------------------------------- survivor_diff
+
+def test_survivor_diff_all_four_reasons(spark):
+    """Closed-form corpus versioning: two snapshots hand-built so each
+    change reason fires exactly once — added (new unique content),
+    promoted (shadowed doc whose winner was removed), removed (survivor
+    gone), displaced (better copy arrived)."""
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta"),   # winner of family "alpha beta" (longer? same) — id tie-break
+            (2, "alpha beta"),   # shadowed duplicate
+            (3, "gamma delta"),  # unique survivor, will be removed
+            (4, "epsilon zeta"), # survivor, will be displaced
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (2, "alpha beta"),        # old winner 1 removed -> 2 promoted
+            (4, "epsilon zeta"),
+            (0, "epsilon zeta plus"), # same family? no — different text
+            (5, "eta theta"),         # brand-new unique -> added
+            (6, "epsilon zeta more words"),  # longer twin? different text
+        ],
+        "doc_id long, text string",
+    )
+    # use a 1-token prefix key so families collapse on the first word
+    key = F.element_at(F.split(dedup.normalized(F.col("text")), " "), 1)
+    out = {
+        (r["doc_id"], r["change"], r["reason"])
+        for r in dedup.survivor_diff(old, new, key=key).collect()
+    }
+    # families by first token: alpha{1,2}, gamma{3}, epsilon{4,0,6}
+    # old survivors: alpha->1 (len tie, min id), gamma->3, epsilon->4
+    # new survivors: alpha->2, epsilon->6 (longest), eta->5
+    assert out == {
+        (2, "entered", "promoted"),
+        (5, "entered", "added"),
+        (6, "entered", "added"),
+        (3, "left", "removed"),
+        (1, "left", "removed"),
+        (4, "left", "displaced"),
+    }
+
+
+def test_keep_best_custom_key_groups_families(spark):
+    """keep_best(key=...) groups by the caller's canonical key and the
+    winner maximizes (quality, -id) within the family."""
+    df = spark.createDataFrame(
+        [(1, "aa x", 5.0), (2, "aa y", 9.0), (3, "bb z", 1.0)],
+        "doc_id long, text string, q double",
+    )
+    key = F.element_at(F.split(F.col("text"), " "), 1)
+    rows = {
+        r["norm_text"]: (r["keep_id"], r["keep_quality"], r["dup_count"])
+        for r in dedup.keep_best(df, quality_col="q", key=key).collect()
+    }
+    assert rows == {"aa": (2, 9.0, 2), "bb": (3, 1.0, 1)}
+
+
 def test_multi_probe_assignment_shape(spark):
     """nprobe=2 emits exactly two DISTINCT cells per vector, ranked by
     (round-6 cos desc, cell asc); nprobe=1 stays the argmax path."""

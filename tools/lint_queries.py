@@ -66,6 +66,10 @@ WAIVERS: dict[str, set[str]] = {
     "dedup_method_agreement": {"exchange_count"},
     "lexical_cosine": {"exchange_count"},
     "minhash_recall": {"exchange_count"},
+    # the composed curation DAG (quality → keep_best → decontaminate →
+    # mixture): 12 exchanges = the four stages' own shuffles chained —
+    # exactly the composition this row exists to time as one plan
+    "curation_pipeline": {"exchange_count"},
 }
 
 
