@@ -5308,6 +5308,90 @@ def q_calibration_bins(spark, sf):
     return stats.calibration_bins(scored, "p", "y", bins=10)
 
 
+def q_classifier_auc(spark, sf):
+    """Exact tie-aware ROC-AUC (stats.classifier_auc — Mann-Whitney
+    formulation) of the same probe classifier calibration_bins audits
+    (stopword fraction scoring "doc contains >= 2 'the'"): one grouped
+    pass to per-distinct-score counts, a bounded-grid cumulative
+    window, and a single integer-exact division. Completes the
+    filter-model eval family: calibration says whether the
+    probabilities are honest, AUC whether the ranking works at any
+    threshold."""
+    from nnanalytics_spark.pipeline import stats
+    from nnanalytics_spark.pipeline.text import tokens as _tokens
+
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _CAL_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_the = F.size(F.filter(toks, lambda x: x == F.lit("the")))
+    scored = d.filter(F.size(toks) > 0).select(
+        F.round(n_stop / F.size(toks), 9).alias("p"),
+        (n_the >= 2).cast("int").alias("y"),
+    )
+    return stats.classifier_auc(scored, "p", "y")
+
+
+def q_t_closeness(spark, sf):
+    """t-closeness audit (privacy.t_closeness_violations) — the
+    escalation past q_l_diversity's distinct-l check: classes whose
+    sensitive-value DISTRIBUTION sits more than t=0.25 total-variation
+    away from the table's leak even when l-diverse. QI =
+    (event_type, utc_day), sensitive = value-cents mod 10; aggregated
+    per event_type (violations, rows at risk, worst distance) so the
+    audit stays bounded. All distribution arithmetic is 9-dp DECIMAL
+    until the final halving, so the distances are engine-exact."""
+    from nnanalytics_spark.pipeline import privacy
+
+    ev = _events(spark, sf).select(
+        "event_type",
+        F.expr("ts_ms div 86400000").alias("utc_day"),
+        (F.floor(F.col("value") * 100) % 10).alias("sens"),
+    )
+    v = privacy.t_closeness_violations(
+        ev, ["event_type", "utc_day"], "sens", t=0.25
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("violating_classes"),
+        F.sum("class_size").alias("rows_at_risk"),
+        F.max("t_distance").alias("max_t_distance"),
+    )
+
+
+def q_interval_overlap(spark, sf):
+    """Keyed interval-overlap join (core/joins.py:interval_overlap_join):
+    each view/click event spawns an activity window
+    [ts_ms, ts_ms + value·10000 ms]; the report finds every same-user
+    (view, click) pair whose windows overlap and sums concurrent time
+    per user. Banded-equi-join plan — intervals replicate to the
+    1-hour bands they touch (window ≤ 82 min ⇒ ≤3 bands each), the join is a plain (user, band)
+    equi-join in codegen, and the band-ownership rule (pair counted
+    only in the overlap-start band) dedups with zero extra exchanges.
+    The oracle brute-forces the per-user non-equi join; equality is the
+    banding's losslessness proof."""
+    from nnanalytics_spark.core import joins
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        "event_type",
+        F.col("event_id"),
+        F.col("ts_ms").alias("s"),
+        (F.col("ts_ms") + F.floor(F.col("value") * 10000).cast("long")).alias("e"),
+    )
+    a = ev.filter(F.col("event_type") == "view").select("user_id", F.col("event_id"), "s", "e")
+    b = ev.filter(F.col("event_type") == "click").select("user_id", F.col("event_id"), "s", "e")
+    pairs = joins.interval_overlap_join(
+        a, b, ["user_id"], "s", "e", "s", "e", band_width=3_600_000
+    )
+    overlap = F.least(F.col("a_e"), F.col("b_e")) - F.greatest(
+        F.col("a_s"), F.col("b_s")
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(overlap).alias("overlap_ms"),
+    )
+
+
 def q_lorenz_deciles(spark, sf):
     """Lorenz concentration curve of per-user event value (stats.
     lorenz_deciles): users bucket by NINE broadcast percentile
@@ -5647,6 +5731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkage_decisions": q_linkage_decisions,
         "corpus_version_diff": q_corpus_version_diff,
         "curation_pipeline": q_curation_pipeline,
+        "classifier_auc": q_classifier_auc,
+        "t_closeness": q_t_closeness,
+        "interval_overlap": q_interval_overlap,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -10810,6 +10897,107 @@ def oracle_sql() -> dict[str, str]:
                round(p / tot_p, 6) AS rate,
                round(10000000 * (round(p / tot_p, 6) / size), 6) AS epochs
         FROM powed, tot ORDER BY source
+    """
+    # classifier_auc: the calibration probe's (p, y), then the
+    # Mann-Whitney grid — integer-exact numerator (wins doubled +
+    # ties), one final division.
+    d["classifier_auc"] = """
+        WITH toks AS (
+          SELECT regexp_split_to_array(trim(text), '\\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        scored AS (
+          SELECT round(len(list_filter(t, x -> list_contains(['the', 'a', 'of', 'and', 'to', 'in'], x)))
+                       / CAST(len(t) AS DOUBLE), 9) AS p,
+                 CAST(len(list_filter(t, x -> x = 'the')) >= 2 AS INT) AS y
+          FROM toks WHERE len(t) > 0
+        ),
+        per AS (
+          SELECT p AS s, CAST(sum(y) AS BIGINT) AS np,
+                 CAST(sum(1 - y) AS BIGINT) AS nn
+          FROM scored GROUP BY 1
+        ),
+        c AS (
+          SELECT np, nn,
+                 coalesce(sum(nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+          FROM per
+        )
+        SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+               CAST(sum(nn) AS BIGINT) AS n_neg,
+               round(sum(2 * np * cum_neg + np * nn)
+                     / CAST(2 * sum(np) * sum(nn) AS DOUBLE), 6) AS auc
+        FROM c
+    """
+    # t_closeness: replay the 9-dp DECIMAL distribution arithmetic —
+    # global fractions, per-class fractions, and the closed-form TVD
+    # fold over absent values.
+    d["t_closeness"] = """
+        WITH ev AS (
+          SELECT event_type,
+                 epoch_ms(ts) // 86400000 AS utc_day,
+                 CAST(floor(value * 100) AS BIGINT) % 10 AS sens
+          FROM events
+        ),
+        tot AS (SELECT count(*) AS n FROM ev),
+        gdist AS (
+          SELECT sens, CAST(round(count(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 9)
+                            AS DECIMAL(19,9)) AS p
+          FROM ev GROUP BY 1
+        ),
+        cls AS (
+          SELECT event_type, utc_day, sens, count(*) AS cc
+          FROM ev GROUP BY 1, 2, 3
+        ),
+        sized AS (
+          SELECT *, sum(cc) OVER (PARTITION BY event_type, utc_day) AS class_size
+          FROM cls
+        ),
+        q AS (
+          SELECT s.*, CAST(round(cc / CAST(class_size AS DOUBLE), 9)
+                           AS DECIMAL(19,9)) AS qf, g.p
+          FROM sized s JOIN gdist g USING (sens)
+        ),
+        per_class AS (
+          SELECT event_type, utc_day,
+                 max(class_size) AS class_size,
+                 sum(abs(qf - p)) AS s1,
+                 sum(p) AS s2
+          FROM q GROUP BY 1, 2
+        ),
+        viol AS (
+          SELECT event_type, class_size,
+                 round(CAST(s1 + CAST(1 AS DECIMAL(19,9)) - s2 AS DOUBLE) / 2, 6)
+                   AS t_distance
+          FROM per_class
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS violating_classes,
+               CAST(sum(class_size) AS BIGINT) AS rows_at_risk,
+               max(t_distance) AS max_t_distance
+        FROM viol WHERE t_distance > 0.25
+        GROUP BY 1
+    """
+    # interval_overlap: brute-force per-user non-equi join — equality
+    # with Spark's banded plan proves the band-ownership dedup exact.
+    d["interval_overlap"] = """
+        WITH ev AS (
+          SELECT user_id, event_type, event_id,
+                 epoch_ms(ts) AS s,
+                 epoch_ms(ts) + CAST(floor(value * 10000) AS BIGINT) AS e
+          FROM events
+        ),
+        a AS (SELECT user_id, event_id, s, e FROM ev WHERE event_type = 'view'),
+        b AS (SELECT user_id, event_id, s, e FROM ev WHERE event_type = 'click'),
+        pairs AS (
+          SELECT a.user_id,
+                 least(a.e, b.e) - greatest(a.s, b.s) AS overlap_ms
+          FROM a JOIN b ON a.user_id = b.user_id
+                        AND a.s <= b.e AND b.s <= a.e
+        )
+        SELECT user_id, count(*) AS n_pairs,
+               CAST(sum(overlap_ms) AS BIGINT) AS overlap_ms
+        FROM pairs GROUP BY 1
     """
     # ndcg_eval: replay judged rows (one SELECT per pinned query), both
     # rankings, and the literal-discount DECIMAL-quantized sums.

@@ -238,6 +238,9 @@ HEADLINE = [
     "linkage_decisions",
     "corpus_version_diff",
     "curation_pipeline",
+    "classifier_auc",
+    "t_closeness",
+    "interval_overlap",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

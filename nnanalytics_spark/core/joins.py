@@ -124,3 +124,70 @@ def bloom_prune_join(
     bitmap = build_bloom(dim, dim_key, num_bits, num_hashes)
     pruned = fact.filter(bloom_might_contain(F.col(fact_key), bitmap, num_hashes))
     return pruned.join(dim, pruned[fact_key] == dim[dim_key])
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    band_width: int,
+) -> DataFrame:
+    """Keyed interval-overlap join — all (a, b) pairs sharing the equi
+    ``keys`` whose [start, end] intervals overlap (closed intervals:
+    a_start <= b_end AND b_start <= a_end). The interval-pattern sibling
+    of the as-of and banded range joins: concurrency analysis, session
+    overlap, effective-dated dimension intersection.
+
+    A naive plan is a non-equi join — at scale a per-key cross product.
+    This plan BANDs time: each interval replicates to every
+    ``band_width``-wide band it touches (``sequence(floor(s/w),
+    floor(e/w))`` + explode), the join runs on (keys…, band) as a plain
+    equi-join inside codegen, and the overlap predicate filters within
+    the band. Dedup is algebraic, not a distinct: a qualifying pair is
+    kept ONLY in the band containing the overlap start
+    (floor(greatest(a_start, b_start)/w)), which exactly one replica
+    pair occupies — so no exchange for dedup, and the output is emitted
+    once no matter how many bands both intervals span.
+
+    Cost: replication factor = interval_len/band_width + 1 per side —
+    pick ``band_width`` around the typical interval length (≥ max
+    length gives ≤2 bands/interval). Candidate pairs per (key, band)
+    are bounded by per-key interval density within one band, the same
+    depth dial every banded generator in this engine exposes.
+
+    Columns come back prefixed ``a_`` / ``b_`` (the linkage_pairs
+    convention) with the shared keys unprefixed."""
+    def banded(df: DataFrame, start: str, end: str, prefix: str) -> DataFrame:
+        s, e = F.col(start), F.col(end)
+        out = df.select(
+            *[F.col(k) for k in keys],
+            *[
+                F.col(c).alias(f"{prefix}{c}")
+                for c in df.columns
+                if c not in keys
+            ],
+        )
+        return out.withColumn(
+            "_band",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{prefix}{start}") / band_width),
+                    F.floor(F.col(f"{prefix}{end}") / band_width),
+                )
+            ),
+        )
+
+    pa = banded(a, a_start, a_end, "a_")
+    pb = banded(b, b_start, b_end, "b_")
+    sa, ea = F.col(f"a_{a_start}"), F.col(f"a_{a_end}")
+    sb, eb = F.col(f"b_{b_start}"), F.col(f"b_{b_end}")
+    return (
+        pa.join(pb, [*keys, "_band"])
+        .filter((sa <= eb) & (sb <= ea))
+        .filter(F.col("_band") == F.floor(F.greatest(sa, sb) / band_width))
+        .drop("_band")
+    )

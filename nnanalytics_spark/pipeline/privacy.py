@@ -58,6 +58,70 @@ def k_anonymity_summary(
     )
 
 
+def t_closeness_violations(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) —
+    the escalation past l-diversity: a class can hold l distinct
+    sensitive values yet still leak if its DISTRIBUTION differs sharply
+    from the table's (the classic "rare disease concentrated in one
+    block" case). For a categorical sensitive attribute the paper's
+    distance is total variation; a class violates when
+    TVD(class dist, global dist) > t.
+
+    Returns one row per violating class: the QI columns, class_size,
+    and t_distance (round-6). Empty result == the release satisfies
+    t-closeness at this t.
+
+    Plan: one aggregate for the global distribution (|values| rows —
+    broadcast), one for per-(class, value) counts, a partitioned
+    window for class sizes, then a per-class sum. TVD over the values
+    ABSENT from a class is folded in closed form —
+    TVD = ½(Σ_present |q−p| + (1 − Σ_present p)) — so the join stays
+    |class×present-values|, never dense class×vocabulary. Fractions
+    quantize to 9-dp DECIMAL before the per-class sums, making every
+    sum order-free and the distance engine-exact."""
+    from pyspark.sql.window import Window as W
+
+    dec = "decimal(19,9)"
+    total = df.count()
+    glob = (
+        df.groupBy(sensitive_col)
+        .agg(F.count(F.lit(1)).alias("_gc"))
+        .select(
+            sensitive_col,
+            F.round(F.col("_gc") / F.lit(total), 9).cast(dec).alias("_p"),
+        )
+    )
+    cls = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_cc")
+    )
+    cls = cls.withColumn(
+        "class_size", F.sum("_cc").over(W.partitionBy(*quasi_cols))
+    ).withColumn("_q", F.round(F.col("_cc") / F.col("class_size"), 9).cast(dec))
+    joined = cls.join(F.broadcast(glob), sensitive_col)
+    per_class = joined.groupBy(*quasi_cols).agg(
+        F.max("class_size").alias("class_size"),
+        F.sum(F.abs(F.col("_q") - F.col("_p"))).alias("_s1"),
+        F.sum("_p").alias("_s2"),
+    )
+    dist = F.round(
+        (
+            F.col("_s1") + F.lit(1).cast(dec) - F.col("_s2")
+        ).cast("double")
+        / 2,
+        6,
+    )
+    return (
+        per_class.withColumn("t_distance", dist)
+        .filter(F.col("t_distance") > t)
+        .select(*quasi_cols, "class_size", "t_distance")
+    )
+
+
 def l_diversity_violations(
     df: DataFrame,
     quasi_cols: Sequence[str],

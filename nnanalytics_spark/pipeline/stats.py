@@ -943,6 +943,59 @@ def lorenz_deciles(
     )
 
 
+def classifier_auc(
+    df: DataFrame,
+    score_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact ROC-AUC of a scoring classifier via the Mann-Whitney
+    U statistic — the threshold-free twin of calibration_bins (that
+    one asks "are the probabilities honest"; this asks "does the score
+    rank positives above negatives at all"). Tie-aware:
+    AUC = [Σ_pairs 1(s⁺ > s⁻) + ½·1(s⁺ = s⁻)] / (P·N).
+
+    Plan: never the pair space — one grouped pass to per-DISTINCT-score
+    (n_pos, n_neg), then a cumulative window over the score grid:
+    each distinct score s contributes n_pos(s)·cum_neg_below(s) wins
+    plus ½·n_pos(s)·n_neg(s) ties. The window is unpartitioned but runs
+    over the post-aggregation DISTINCT-score grid (the ks_test /
+    emd_drift bounded-grid contract), and every quantity is an exact
+    integer until the single final division — the numerator is
+    2·wins + ties in halves, so the round-6 AUC is engine-exact.
+    Returns one row: n_pos, n_neg, auc."""
+    from pyspark.sql.window import Window as W
+
+    per_score = (
+        df.select(
+            F.col(score_col).alias("_s"), F.col(y_col).cast("long").alias("_y")
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("_y").alias("np"),
+            F.sum(F.lit(1) - F.col("_y")).alias("nn"),
+        )
+    )
+    w = W.orderBy("_s").rowsBetween(W.unboundedPreceding, -1)
+    contrib = per_score.withColumn(
+        "cum_neg", F.coalesce(F.sum("nn").over(w), F.lit(0))
+    ).select(
+        "np",
+        "nn",
+        (F.lit(2) * F.col("np") * F.col("cum_neg") + F.col("np") * F.col("nn")).alias(
+            "num2"
+        ),
+    )
+    return contrib.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.round(
+            F.sum("num2").cast("double")
+            / (F.lit(2) * F.sum("np") * F.sum("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
 def calibration_bins(
     df: DataFrame,
     p_col: str,

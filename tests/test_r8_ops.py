@@ -271,3 +271,91 @@ def test_multi_probe_assignment_shape(spark):
         for r in similarity.assign_cells_rounded(emb, cvecs).collect()
     }
     assert all(top1[i] in cells for i, cells in per.items())
+
+
+# -------------------------------------------- r8 net-new operators
+
+def test_t_closeness_closed_form(spark):
+    """Hand-computed TVD: global dist of sens over 8 rows = {0: 1/2,
+    1: 1/2}; class A (4 rows, all sens=0) has TVD = ½(|1−.5| + .5) =
+    0.5; class B (4 rows, 2/2 split) has TVD 0. Only A violates at
+    t=0.2, and the closed-form absent-value fold prices sens=1 (absent
+    from A) correctly."""
+    from nnanalytics_spark.pipeline import privacy
+
+    rows = [("A", 0)] * 4 + [("B", 0)] * 2 + [("B", 1)] * 4
+    # global = {0: 6/10, 1: 4/10}; A all-0: TVD = ½(|1−.6| + .4) = .4
+    # (the .4 term is sens=1, ABSENT from A — the closed-form fold);
+    # B (2/6, 4/6): TVD = ½(|1/3−.6| + |2/3−.4|) = .266667
+    df = spark.createDataFrame(rows, "qi string, sens int")
+    out = privacy.t_closeness_violations(df, ["qi"], "sens", t=0.3).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert r["qi"] == "A" and r["class_size"] == 4
+    assert r["t_distance"] == 0.4
+    both = {
+        r["qi"]: r["t_distance"]
+        for r in privacy.t_closeness_violations(df, ["qi"], "sens", t=0.1).collect()
+    }
+    assert both == {"A": 0.4, "B": 0.266667}
+    assert (
+        privacy.t_closeness_violations(df, ["qi"], "sens", t=0.41).count() == 0
+    )
+
+
+def test_classifier_auc_known_values(spark):
+    """Perfect ranking → AUC 1; reversed → 0; all-tied scores → 0.5;
+    a hand case with one tie → (wins + ½·ties)/(P·N)."""
+    from nnanalytics_spark.pipeline import stats
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "p double, y int"
+    )
+    assert stats.classifier_auc(perfect, "p", "y").head()["auc"] == 1.0
+    reverse = spark.createDataFrame(
+        [(0.1, 1), (0.2, 0)], "p double, y int"
+    )
+    assert stats.classifier_auc(reverse, "p", "y").head()["auc"] == 0.0
+    tied = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "p double, y int"
+    )
+    assert stats.classifier_auc(tied, "p", "y").head()["auc"] == 0.5
+    # pos scores {0.7, 0.5}, neg {0.5, 0.3}: pairs = 4; wins: .7>.5, .7>.3,
+    # .5>.3 = 3; tie: .5=.5 → ½ → AUC = 3.5/4
+    mixed = spark.createDataFrame(
+        [(0.7, 1), (0.5, 1), (0.5, 0), (0.3, 0)], "p double, y int"
+    )
+    row = stats.classifier_auc(mixed, "p", "y").head()
+    assert (row["n_pos"], row["n_neg"], row["auc"]) == (2, 2, 0.875)
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """The banded plan emits each overlapping pair EXACTLY once —
+    including pairs whose overlap spans several shared bands — and
+    equals the naive non-equi join."""
+    from nnanalytics_spark.core import joins
+
+    a = spark.createDataFrame(
+        [(1, 10, 0, 25), (1, 11, 40, 45), (2, 12, 0, 5), (1, 13, 90, 99)],
+        "user long, id long, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [(1, 20, 5, 50), (1, 21, 24, 26), (2, 22, 6, 8), (3, 23, 0, 100)],
+        "user long, id long, s long, e long",
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in joins.interval_overlap_join(
+            a, b, ["user"], "s", "e", "s", "e", band_width=10
+        ).collect()
+    )
+    want = sorted(
+        (ra[1], rb[1])
+        for ra in a.collect()
+        for rb in b.collect()
+        if ra[0] == rb[0] and ra[2] <= rb[3] and rb[2] <= ra[3]
+    )
+    assert got == want
+    # sanity: the fixture includes a pair overlapping across >1 band
+    # (a 10: [0,25] vs b 20: [5,50] share bands 0,1,2) — counted once
+    assert (10, 20) in got and got.count((10, 20)) == 1

@@ -38,6 +38,9 @@ WAIVERS: dict[str, set[str]] = {
     # aggregated (not per-row) curve points
     "ks_test": {"unpartitioned_window"},
     "ks_test_grid": {"unpartitioned_window"},
+    # Mann-Whitney cumulative runs over the post-aggregation DISTINCT-
+    # score grid — the ks_test bounded-grid contract
+    "classifier_auc": {"unpartitioned_window"},
     # EMD's running CDF accumulates over the DISTINCT-bucket grid —
     # domain-bounded after the grouped count, same contract as ks_test
     "emd_drift": {"unpartitioned_window"},
