@@ -5392,6 +5392,41 @@ def q_interval_overlap(spark, sf):
     )
 
 
+def q_bootstrap_ci(spark, sf):
+    """Poisson-bootstrap percentile CI for mean(o_totalprice)
+    (stats.bootstrap_ci — Chamandy et al. 2012): 100 replicates, each
+    row drawing a deterministic Poisson(1) weight per replicate from
+    the Knuth-hash uniform pushed through literal inverse-CDF
+    thresholds. THE bootstrap that survives 100 TB: one map-side pass
+    ×B, a B-row aggregate, no global resample. rand()-free, so the
+    oracle replays every weight and both interval endpoints exactly."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.bootstrap_ci(
+        _t(spark, sf, "orders"), "o_totalprice", "o_orderkey", replicates=100
+    )
+
+
+def q_cuped(spark, sf):
+    """CUPED variance reduction (stats.cuped_adjustment — Deng et al.
+    WSDM'13): per user, even-UTC-days value plays the pre-period
+    covariate X and odd-days value the experiment metric Y; the report
+    is θ = cov/var and the variance-reduction factor the adjustment
+    buys. One DECIMAL moment pass over per-user sums."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        F.when(F.expr("ts_ms div 86400000") % 2 == 1, F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+        F.when(F.expr("ts_ms div 86400000") % 2 == 0, F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("x"),
+    )
+    return stats.cuped_adjustment(ev, "y", "x", "user_id")
+
+
 def q_lorenz_deciles(spark, sf):
     """Lorenz concentration curve of per-user event value (stats.
     lorenz_deciles): users bucket by NINE broadcast percentile
@@ -5734,6 +5769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_auc": q_classifier_auc,
         "t_closeness": q_t_closeness,
         "interval_overlap": q_interval_overlap,
+        "bootstrap_ci": q_bootstrap_ci,
+        "cuped": q_cuped,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -10977,6 +11014,85 @@ def oracle_sql() -> dict[str, str]:
                max(t_distance) AS max_t_distance
         FROM viol WHERE t_distance > 0.25
         GROUP BY 1
+    """
+    # bootstrap_ci: replay the Knuth-hash uniforms, the literal
+    # Poisson(1) inverse-CDF weights, the replicate means, and the
+    # percentile ranks.
+    from nnanalytics_spark.pipeline.stats import (
+        _BOOT_MOD,
+        _BOOT_MULT,
+        _POISSON1_CDF,
+    )
+
+    _w_case = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {i}" for i, c in enumerate(_POISSON1_CDF)
+    ) + f" ELSE {len(_POISSON1_CDF)} END"
+    d["bootstrap_ci"] = f"""
+        WITH b AS (SELECT unnest(range(100)) AS rep),
+        drawn AS (
+          SELECT rep,
+                 (((o_orderkey * 100 + rep + 1) * {_BOOT_MULT})
+                   % {_BOOT_MOD}) / CAST({_BOOT_MOD} AS DOUBLE) AS u,
+                 CAST(round(o_totalprice, 9) AS DECIMAL(18,9)) AS v
+          FROM orders CROSS JOIN b
+        ),
+        weighted AS (SELECT rep, {_w_case} AS w, v FROM drawn),
+        reps AS (
+          SELECT rep, round(CAST(sum(w * v) AS DOUBLE) / sum(w), 9) AS m
+          FROM weighted GROUP BY 1
+        ),
+        ranked AS (
+          SELECT m, row_number() OVER (ORDER BY m, rep) AS rk FROM reps
+        ),
+        base AS (
+          SELECT count(*) AS n,
+                 round(CAST(SUM(CAST(round(o_totalprice, 9) AS DECIMAL(18,9)))
+                            AS DOUBLE) / count(*), 6) AS mean
+          FROM orders
+        )
+        SELECT n, mean,
+               (SELECT round(m, 6) FROM ranked WHERE rk = 3) AS ci_lo,
+               (SELECT round(m, 6) FROM ranked WHERE rk = 98) AS ci_hi,
+               CAST(100 AS INT) AS replicates
+        FROM base
+    """
+    # cuped: per-user DECIMAL sums for the odd/even-day split, one
+    # moment aggregate, the closed-form theta / variance identities.
+    d["cuped"] = """
+        WITH ev AS (
+          SELECT user_id, epoch_ms(ts) // 86400000 AS day, value FROM events
+        ),
+        pu AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN day % 2 = 1
+                               THEN CAST(round(value, 9) AS DECIMAL(18,9))
+                               ELSE CAST(0 AS DECIMAL(18,9)) END)
+                      AS DECIMAL(18,9)) AS y,
+                 CAST(SUM(CASE WHEN day % 2 = 0
+                               THEN CAST(round(value, 9) AS DECIMAL(18,9))
+                               ELSE CAST(0 AS DECIMAL(18,9)) END)
+                      AS DECIMAL(18,9)) AS x
+          FROM ev GROUP BY 1
+        ),
+        m AS (
+          SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM pu
+        )
+        SELECT CAST(n AS BIGINT) AS n_units,
+               round((CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+                     / (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6) AS theta,
+               round(CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n), 6) AS var_y,
+               round((CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+                     - (CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+                       * (CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+                       / (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)), 6) AS var_adjusted,
+               round(1 - ((CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+                     - (CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+                       * (CAST(sxy AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n))
+                       / (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)))
+                     / (CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)), 6) AS variance_reduction
+        FROM m
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

@@ -241,6 +241,8 @@ HEADLINE = [
     "classifier_auc",
     "t_closeness",
     "interval_overlap",
+    "bootstrap_ci",
+    "cuped",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

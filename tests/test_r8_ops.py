@@ -359,3 +359,53 @@ def test_interval_overlap_join_matches_bruteforce(spark):
     # sanity: the fixture includes a pair overlapping across >1 band
     # (a 10: [0,25] vs b 20: [5,50] share bands 0,1,2) — counted once
     assert (10, 20) in got and got.count((10, 20)) == 1
+
+
+def test_bootstrap_ci_deterministic_and_sane(spark):
+    """Poisson bootstrap: rand()-free, so two runs are identical; a
+    constant metric has a zero-width interval at the constant; for a
+    real column the interval brackets the mean."""
+    from nnanalytics_spark.pipeline import stats
+
+    const = spark.createDataFrame(
+        [(i, 7.5) for i in range(100)], "id long, v double"
+    )
+    row = stats.bootstrap_ci(const, "v", "id", replicates=50).head()
+    assert (row["ci_lo"], row["ci_hi"], row["mean"]) == (7.5, 7.5, 7.5)
+    assert (row["n"], row["replicates"]) == (100, 50)
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(500)], "id long, v double"
+    )
+    r1 = stats.bootstrap_ci(df, "v", "id", replicates=100).head()
+    r2 = stats.bootstrap_ci(df, "v", "id", replicates=100).head()
+    assert tuple(r1) == tuple(r2)
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    assert r1["ci_lo"] < r1["ci_hi"]  # non-degenerate width
+
+
+def test_cuped_perfect_and_hand_case(spark):
+    """y perfectly linear in x → variance_reduction 1 and theta = the
+    slope; a hand-computed 3-unit case replays the closed form."""
+    from nnanalytics_spark.pipeline import stats
+
+    lin = spark.createDataFrame(
+        [(u, 2.0 * u + 1.0, float(u)) for u in range(1, 21)],
+        "unit long, y double, x double",
+    )
+    row = stats.cuped_adjustment(lin, "y", "x", "unit").head()
+    assert row["theta"] == 2.0
+    assert row["var_adjusted"] == 0.0
+    assert row["variance_reduction"] == 1.0
+
+    # units: (x, y) = (0,1), (1,3), (2,4) — var_x = 2/3, cov = 1,
+    # theta = 1.5, var_y = 14/9, var_adj = 14/9 - 1.5 = 1/18
+    hand = spark.createDataFrame(
+        [(1, 1.0, 0.0), (2, 3.0, 1.0), (3, 4.0, 2.0)],
+        "unit long, y double, x double",
+    )
+    r = stats.cuped_adjustment(hand, "y", "x", "unit").head()
+    assert r["n_units"] == 3
+    assert r["theta"] == 1.5
+    assert r["var_y"] == round(14 / 9, 6)
+    assert r["var_adjusted"] == round(14 / 9 - 1.5, 6)

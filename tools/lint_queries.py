@@ -41,6 +41,8 @@ WAIVERS: dict[str, set[str]] = {
     # Mann-Whitney cumulative runs over the post-aggregation DISTINCT-
     # score grid — the ks_test bounded-grid contract
     "classifier_auc": {"unpartitioned_window"},
+    # percentile rank over the B-row replicate-mean grid (B literal)
+    "bootstrap_ci": {"unpartitioned_window"},
     # EMD's running CDF accumulates over the DISTINCT-bucket grid —
     # domain-bounded after the grouped count, same contract as ks_test
     "emd_drift": {"unpartitioned_window"},
