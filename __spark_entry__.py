@@ -5427,6 +5427,58 @@ def q_cuped(spark, sf):
     return stats.cuped_adjustment(ev, "y", "x", "user_id")
 
 
+def q_conformal_threshold(spark, sf):
+    """Split-conformal calibration (stats.conformal_threshold): per-type
+    mean value fit on the calibration split (event_id % 5 != 0) plays
+    the point predictor, nonconformity = |value − fit|, and the report
+    returns the finite-sample-corrected ⌈(n+1)(1−α)⌉ threshold plus the
+    REALIZED coverage on the held-out fifth — the distribution-free
+    guarantee checked, not assumed. Completes the eval-confidence
+    family (calibration_bins → classifier_auc → conformal). DECIMAL
+    means + round-9 scores keep both engines' rank arithmetic
+    identical."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf).select(
+        "event_type", "value", (F.col("event_id") % 5 != 0).alias("cal")
+    )
+    dec = "decimal(18,9)"
+    cm = (
+        ev.filter("cal")
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value"), 9).cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("m")
+        )
+    )
+    scored = ev.join(F.broadcast(cm), "event_type").select(
+        F.round(F.abs(F.col("value") - F.col("m")), 9).alias("score"), "cal"
+    )
+    return stats.conformal_threshold(scored, "score", "cal", alpha=0.1)
+
+
+def q_jackknife_ratio(spark, sf):
+    """Delete-one-user jackknife CI for revenue-per-event
+    (stats.jackknife_ratio_ci): num = purchase value, den = 1 per
+    event, units = users — the ratio-metric standard error a naive
+    row-level variance gets wrong because a user's rows correlate.
+    Closed-form leave-one-out replicates from broadcast totals; one
+    per-user aggregate, no resampling loop."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("num"),
+        F.lit(1.0).alias("den"),
+    )
+    return stats.jackknife_ratio_ci(ev, "num", "den", "user_id")
+
+
 def q_lorenz_deciles(spark, sf):
     """Lorenz concentration curve of per-user event value (stats.
     lorenz_deciles): users bucket by NINE broadcast percentile
@@ -5771,6 +5823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_overlap": q_interval_overlap,
         "bootstrap_ci": q_bootstrap_ci,
         "cuped": q_cuped,
+        "conformal_threshold": q_conformal_threshold,
+        "jackknife_ratio": q_jackknife_ratio,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -11093,6 +11147,89 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)))
                      / (CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)), 6) AS variance_reduction
         FROM m
+    """
+    # conformal_threshold: replay the calibration-split means, the
+    # round-9 scores, the distinct-score cumulative rank, and the
+    # held-out coverage.
+    d["conformal_threshold"] = """
+        WITH ev AS (
+          SELECT event_type, value, event_id % 5 != 0 AS cal FROM events
+        ),
+        cm AS (
+          SELECT event_type,
+                 round(CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+                            AS DOUBLE) / count(*), 9) AS m
+          FROM ev WHERE cal GROUP BY 1
+        ),
+        scored AS (
+          SELECT round(abs(value - m), 9) AS s, CAST(cal AS INT) AS c
+          FROM ev JOIN cm USING (event_type)
+        ),
+        per AS (
+          SELECT s, sum(c) AS nc, sum(1 - c) AS nt FROM scored GROUP BY 1
+        ),
+        cum AS (
+          SELECT *, sum(nc) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) AS cum_cal
+          FROM per
+        ),
+        tot AS (
+          SELECT CAST(sum(nc) AS BIGINT) AS n_cal,
+                 CAST(sum(nt) AS BIGINT) AS n_test
+          FROM per
+        ),
+        q AS (
+          SELECT min(s) AS q_hat FROM cum, tot
+          WHERE cum_cal >= least(CAST(ceil((n_cal + 1) * 0.9) AS BIGINT), n_cal)
+        ),
+        cov AS (
+          SELECT sum(CASE WHEN s <= q_hat THEN nt ELSE 0 END) AS c
+          FROM per, q
+        )
+        SELECT n_cal, n_test, q_hat,
+               round(c / CAST(n_test AS DOUBLE), 6) AS test_coverage,
+               CAST(0.1 AS DOUBLE) AS alpha
+        FROM tot, q, cov
+    """
+    # jackknife_ratio: per-user DECIMAL sums, broadcast totals, the
+    # closed-form leave-one-out replicates, and the (n-1)/n variance.
+    d["jackknife_ratio"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN event_type = 'purchase'
+                               THEN CAST(round(value, 9) AS DECIMAL(18,9))
+                               ELSE CAST(0 AS DECIMAL(18,9)) END)
+                      AS DECIMAL(18,9)) AS y,
+                 CAST(SUM(CAST(1 AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS x
+          FROM events GROUP BY 1
+        ),
+        tot AS (SELECT count(*) AS n, sum(y) AS sy, sum(x) AS sx FROM pu),
+        reps AS (
+          SELECT CAST(round(CAST(sy - y AS DOUBLE) / CAST(sx - x AS DOUBLE), 9)
+                      AS DECIMAL(18,9)) AS r
+          FROM pu, tot
+        ),
+        m AS (
+          SELECT count(*) AS n, sum(r) AS sr,
+                 sum(CAST(r * r AS DECIMAL(38,18))) AS srr
+          FROM reps
+        )
+        SELECT CAST(m.n AS BIGINT) AS n_units,
+               round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS ratio,
+               round(sqrt((m.n - 1.0) / m.n
+                          * (CAST(srr AS DOUBLE)
+                             - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / m.n)), 6)
+                 AS jk_se,
+               round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)
+                     - 1.959964 * sqrt((m.n - 1.0) / m.n
+                          * (CAST(srr AS DOUBLE)
+                             - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / m.n)), 6)
+                 AS ci_lo,
+               round(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE)
+                     + 1.959964 * sqrt((m.n - 1.0) / m.n
+                          * (CAST(srr AS DOUBLE)
+                             - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / m.n)), 6)
+                 AS ci_hi
+        FROM m, tot
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

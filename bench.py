@@ -243,6 +243,8 @@ HEADLINE = [
     "interval_overlap",
     "bootstrap_ci",
     "cuped",
+    "conformal_threshold",
+    "jackknife_ratio",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -1045,6 +1045,133 @@ def bootstrap_ci(
     )
 
 
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    split_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Split-conformal calibration (Vovk et al.; Lei et al. 2018) — the
+    distribution-free guarantee layer over any point predictor: given
+    per-row nonconformity scores and a calibration/test split flag,
+    q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration score, and then
+    P(test score ≤ q̂) ≥ 1−α holds with no assumptions on the model.
+    The report returns the threshold AND the realized test coverage, so
+    the guarantee is checked, not assumed.
+
+    Plan: one grouped pass to the DISTINCT-score grid with per-split
+    counts, a cumulative window over that grid (the ks_test
+    bounded-grid contract) to find the k-th order statistic without a
+    global row sort, and a final scalar aggregate for coverage.
+    ``split_col``: true = calibration row, false = test row. Scores
+    quantize to 9 dp so the rank arithmetic is engine-exact."""
+    from pyspark.sql.window import Window as W
+
+    s = F.round(F.col(score_col), 9)
+    per = (
+        df.select(
+            s.alias("_s"),
+            F.col(split_col).cast("int").alias("_cal"),
+        )
+        .groupBy("_s")
+        .agg(
+            F.sum("_cal").alias("nc"),
+            F.sum(F.lit(1) - F.col("_cal")).alias("nt"),
+        )
+    )
+    w = W.orderBy("_s").rowsBetween(W.unboundedPreceding, 0)
+    cum = per.withColumn("cum_cal", F.sum("nc").over(w))
+    tot = per.agg(
+        F.sum("nc").alias("n_cal"), F.sum("nt").alias("n_test")
+    )
+    with_k = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "_k", F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha))
+    )
+    qhat = (
+        with_k.filter(F.col("cum_cal") >= F.least(F.col("_k"), F.col("n_cal")))
+        .agg(F.min("_s").alias("q_hat"))
+    )
+    covered = (
+        per.crossJoin(F.broadcast(qhat))
+        .agg(
+            F.sum(F.when(F.col("_s") <= F.col("q_hat"), F.col("nt")).otherwise(0)).alias(
+                "_cov"
+            )
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(qhat))
+        .crossJoin(F.broadcast(covered))
+        .select(
+            "n_cal",
+            "n_test",
+            F.col("q_hat"),
+            F.round(F.col("_cov") / F.col("n_test"), 6).alias("test_coverage"),
+            F.lit(alpha).alias("alpha"),
+        )
+    )
+
+
+def jackknife_ratio_ci(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    unit_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Delete-one-unit jackknife CI for a RATIO metric R = ΣY/ΣX over
+    randomization units — the standard error experimentation stacks
+    report for per-user ratio metrics (revenue per session, CTR), where
+    the naive row-level variance is wrong because rows within a unit
+    correlate. Leave-unit-out replicates have the closed form
+    R_i = (Sy − y_i)/(Sx − x_i), so the whole estimate is one per-unit
+    aggregate + broadcast totals — no resampling loop, no second scan.
+
+    var_jk = (n−1)/n · Σ(R_i − R̄)², with R_i and the squared terms
+    quantized to 9 dp DECIMAL before summing (order-free). Returns one
+    row: n_units, ratio, jk_se, ci_lo, ci_hi."""
+    dec = "decimal(18,9)"
+    per_unit = df.groupBy(unit_col).agg(
+        F.sum(F.round(F.col(num_col), 9).cast(dec)).cast(dec).alias("_y"),
+        F.sum(F.round(F.col(den_col), 9).cast(dec)).cast(dec).alias("_x"),
+    )
+    tot = per_unit.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("sy"),
+        F.sum("_x").alias("sx"),
+    )
+    ri = F.round(
+        (F.col("sy") - F.col("_y")).cast("double")
+        / (F.col("sx") - F.col("_x")).cast("double"),
+        9,
+    )
+    reps = per_unit.crossJoin(F.broadcast(tot)).select(
+        ri.cast(dec).alias("_r")
+    )
+    m = reps.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_r").alias("sr"),
+        F.sum((F.col("_r") * F.col("_r")).cast("decimal(38,18)")).alias("srr"),
+    )
+    n = F.col("n").cast("double")
+    sr, srr = F.col("sr").cast("double"), F.col("srr").cast("double")
+    var_jk = (n - 1) / n * (srr - sr * sr / n)
+    se = F.sqrt(var_jk)
+    ratio = tot.select(
+        (F.col("sy").cast("double") / F.col("sx").cast("double")).alias("_ratio")
+    )
+    return (
+        m.crossJoin(F.broadcast(ratio))
+        .select(
+            F.col("n").alias("n_units"),
+            F.round("_ratio", 6).alias("ratio"),
+            F.round(se, 6).alias("jk_se"),
+            F.round(F.col("_ratio") - F.lit(z) * se, 6).alias("ci_lo"),
+            F.round(F.col("_ratio") + F.lit(z) * se, 6).alias("ci_hi"),
+        )
+    )
+
+
 def cuped_adjustment(
     df: DataFrame,
     y_col: str,

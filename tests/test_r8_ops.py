@@ -409,3 +409,44 @@ def test_cuped_perfect_and_hand_case(spark):
     assert r["theta"] == 1.5
     assert r["var_y"] == round(14 / 9, 6)
     assert r["var_adjusted"] == round(14 / 9 - 1.5, 6)
+
+
+def test_conformal_threshold_guarantee_and_rank(spark):
+    """Closed-form: 9 calibration scores 1..9, alpha=0.2 → k =
+    ceil(10·0.8) = 8 → q_hat = 8; test rows 5 and 9 → coverage 0.5
+    (5 ≤ 8 covered, 9 > 8 not)."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(float(i), True) for i in range(1, 10)] + [
+        (5.0, False),
+        (9.0, False),
+    ]
+    df = spark.createDataFrame(rows, "score double, cal boolean")
+    r = stats.conformal_threshold(df, "score", "cal", alpha=0.2).head()
+    assert (r["n_cal"], r["n_test"]) == (9, 2)
+    assert r["q_hat"] == 8.0
+    assert r["test_coverage"] == 0.5
+    # alpha so strict that k caps at n_cal -> q_hat = max score
+    r2 = stats.conformal_threshold(df, "score", "cal", alpha=0.01).head()
+    assert r2["q_hat"] == 9.0
+
+
+def test_jackknife_ratio_hand_case(spark):
+    """3 units with (y, x) = (2,1), (4,2), (6,3): every leave-one-out
+    ratio is exactly 2 → se 0 and a zero-width interval at 2."""
+    from nnanalytics_spark.pipeline import stats
+
+    exact = spark.createDataFrame(
+        [(1, 2.0, 1.0), (2, 4.0, 2.0), (3, 6.0, 3.0)],
+        "u long, num double, den double",
+    )
+    r = stats.jackknife_ratio_ci(exact, "num", "den", "u").head()
+    assert (r["ratio"], r["jk_se"], r["ci_lo"], r["ci_hi"]) == (2.0, 0.0, 2.0, 2.0)
+    # heterogeneous units -> positive se, interval brackets the ratio
+    mixed = spark.createDataFrame(
+        [(1, 10.0, 1.0), (2, 1.0, 1.0), (3, 5.0, 2.0), (4, 0.0, 1.0)],
+        "u long, num double, den double",
+    )
+    r2 = stats.jackknife_ratio_ci(mixed, "num", "den", "u").head()
+    assert r2["jk_se"] > 0
+    assert r2["ci_lo"] < r2["ratio"] < r2["ci_hi"]

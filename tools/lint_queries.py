@@ -43,6 +43,11 @@ WAIVERS: dict[str, set[str]] = {
     "classifier_auc": {"unpartitioned_window"},
     # percentile rank over the B-row replicate-mean grid (B literal)
     "bootstrap_ci": {"unpartitioned_window"},
+    # k-th order statistic over the post-aggregation DISTINCT-score
+    # grid (ks_test contract); the exchanges are the fit/score/rank/
+    # coverage stages of the composed split-conformal flow, each a
+    # keyed-or-scalar aggregate
+    "conformal_threshold": {"unpartitioned_window", "exchange_count"},
     # EMD's running CDF accumulates over the DISTINCT-bucket grid —
     # domain-bounded after the grouped count, same contract as ks_test
     "emd_drift": {"unpartitioned_window"},
