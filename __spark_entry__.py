@@ -5479,6 +5479,18 @@ def q_jackknife_ratio(spark, sf):
     return stats.jackknife_ratio_ci(ev, "num", "den", "user_id")
 
 
+def q_rake_keywords(spark, sf):
+    """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
+    2010): top-20 stopword-delimited phrases by degree/frequency word
+    scoring. Word scores quantize to DECIMAL before the phrase sum, so
+    the ranking is engine-exact; the oracle replays tokenization, the
+    stopword-prefix grouping, both word statistics, and the final
+    ordering."""
+    from nnanalytics_spark.pipeline import lexical
+
+    return lexical.rake_keywords(_t(spark, sf, "documents"), top_k=20)
+
+
 def q_lorenz_deciles(spark, sf):
     """Lorenz concentration curve of per-user event value (stats.
     lorenz_deciles): users bucket by NINE broadcast percentile
@@ -5825,6 +5837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped": q_cuped,
         "conformal_threshold": q_conformal_threshold,
         "jackknife_ratio": q_jackknife_ratio,
+        "rake_keywords": q_rake_keywords,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -11147,6 +11160,63 @@ def oracle_sql() -> dict[str, str]:
                        / (CAST(sxx AS DOUBLE)/n - (CAST(sx AS DOUBLE)/n)*(CAST(sx AS DOUBLE)/n)))
                      / (CAST(syy AS DOUBLE)/n - (CAST(sy AS DOUBLE)/n)*(CAST(sy AS DOUBLE)/n)), 6) AS variance_reduction
         FROM m
+    """
+    # rake_keywords: replay tokenization, the stopword-prefix phrase
+    # grouping (zipped parallel unnests give positions), word
+    # degree/frequency, and the DECIMAL phrase sums.
+    d["rake_keywords"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        toks AS (
+          SELECT doc_id, unnest(arr) AS tok,
+                 unnest(range(1, len(arr) + 1)) AS pos
+          FROM base
+        ),
+        grouped AS (
+          SELECT doc_id, tok, pos,
+                 sum(CASE WHEN tok IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'for', 'on', 'with', 'as', 'at', 'by', 'from', 'that', 'this') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS grp
+          FROM toks
+        ),
+        words AS (
+          SELECT doc_id, grp, pos, tok FROM grouped
+          WHERE tok NOT IN ('the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'for', 'on', 'with', 'as', 'at', 'by', 'from', 'that', 'this')
+        ),
+        phrases AS (
+          SELECT doc_id, grp,
+                 array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+                 count(*) AS plen
+          FROM words GROUP BY 1, 2
+        ),
+        occ AS (
+          SELECT w.tok, p.plen
+          FROM words w JOIN phrases p USING (doc_id, grp)
+        ),
+        wscore AS (
+          SELECT tok,
+                 CAST(round(sum(plen) / CAST(count(*) AS DOUBLE), 9)
+                      AS DECIMAL(18,9)) AS wscore
+          FROM occ GROUP BY 1
+        ),
+        pscore AS (
+          SELECT w.doc_id, w.grp, sum(s.wscore) AS ps
+          FROM words w JOIN wscore s USING (tok)
+          GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT p.phrase,
+                 count(*) AS n_occurrences,
+                 CAST(max(p.plen) AS BIGINT) AS n_words,
+                 round(CAST(max(ps) AS DOUBLE), 6) AS score
+          FROM phrases p JOIN pscore USING (doc_id, grp)
+          GROUP BY 1
+        )
+        SELECT phrase, n_occurrences, n_words, score
+        FROM ranked ORDER BY score DESC, phrase LIMIT 20
     """
     # conformal_threshold: replay the calibration-split means, the
     # round-9 scores, the distinct-score cumulative rank, and the

@@ -245,6 +245,7 @@ HEADLINE = [
     "cuped",
     "conformal_threshold",
     "jackknife_ratio",
+    "rake_keywords",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -136,3 +136,86 @@ def token_cooccurrence(
         .limit(top_pairs)
         .select("tok_a", "tok_b", "n_ab", "n_a", "n_b")
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose, Engel, Cramer & Cowley 2010) —
+    the unsupervised keyphrase scorer a corpus-exploration pass runs
+    before building taxonomies or search facets: candidate phrases are
+    the maximal stopword-free token runs, a word scores
+    degree/frequency (degree = Σ length of the phrases it appears in —
+    words that live in long multiword phrases outrank isolated
+    frequent ones), and a phrase scores the sum of its words' scores.
+
+    Returns the global top ``top_k`` phrases by (score desc, phrase
+    asc): phrase, n_occurrences, n_words, score.
+
+    Plan: posexplode → per-doc stopword-prefix-count window (phrase
+    group ids; partitioned by doc, never global) → one keyed aggregate
+    per (doc, group) for phrases → word stats as two keyed aggregates
+    → a broadcast word-score join back. Word scores quantize to 9-dp
+    DECIMAL before the per-phrase sum, so identical phrases score
+    bit-identically in any engine and the final ranking is exact.
+    Whitespace tokens (punctuation rides its word — the corpus
+    tokenizer's contract); pass a custom ``stopwords`` list to widen
+    phrase boundaries."""
+    from pyspark.sql.window import Window as W
+
+    from nnanalytics_spark.pipeline.text import STOPWORDS
+
+    sw = stopwords if stopwords is not None else STOPWORDS
+    dec = "decimal(18,9)"
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(tokens(F.lower(F.col(text)))).alias("pos", "tok"),
+    )
+    grp = F.sum(F.col("tok").isin(sw).cast("int")).over(
+        W.partitionBy("_id").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    )
+    words = (
+        toks.withColumn("_grp", grp)
+        .filter(~F.col("tok").isin(sw))
+        .select("_id", "_grp", "pos", "tok")
+    )
+    phrases = words.groupBy("_id", "_grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    occ = words.join(phrases.select("_id", "_grp", "plen"), ["_id", "_grp"])
+    wstats = occ.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    wscore = wstats.select(
+        "tok",
+        F.round(F.col("degree") / F.col("freq"), 9).cast(dec).alias("wscore"),
+    )
+    # no broadcast hint: the word-score side is vocabulary-sized
+    # (unbounded at corpus scale) — let AQE pick the strategy
+    pscore = (
+        words.join(wscore, "tok")
+        .groupBy("_id", "_grp")
+        .agg(F.sum("wscore").alias("_ps"))
+    )
+    ranked = (
+        phrases.join(pscore, ["_id", "_grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("plen").alias("n_words"),
+            F.round(F.max("_ps").cast("double"), 6).alias("score"),
+        )
+    )
+    return ranked.orderBy(F.col("score").desc(), "phrase").limit(top_k)

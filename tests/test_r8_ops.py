@@ -450,3 +450,33 @@ def test_jackknife_ratio_hand_case(spark):
     r2 = stats.jackknife_ratio_ci(mixed, "num", "den", "u").head()
     assert r2["jk_se"] > 0
     assert r2["ci_lo"] < r2["ratio"] < r2["ci_hi"]
+
+
+def test_rake_keywords_hand_corpus(spark):
+    """Classic RAKE behavior on a tiny corpus: multiword phrases whose
+    words co-occur in long runs outrank frequent isolated words."""
+    from nnanalytics_spark.pipeline import lexical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning models and deep learning data"),
+            (2, "the deep learning models"),
+            (3, "data of models"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = lexical.rake_keywords(docs, top_k=10).collect()
+    by_phrase = {r["phrase"]: r for r in rows}
+    # phrases: doc1 -> "deep learning models" (grp pre-'and'),
+    # "deep learning data"; doc2 -> "deep learning models"; doc3 ->
+    # "data", "models"
+    assert by_phrase["deep learning models"]["n_occurrences"] == 2
+    assert by_phrase["deep learning models"]["n_words"] == 3
+    # word stats: deep: freq 3, degree 9 -> 3; learning: 3/9 -> 3;
+    # models: freq 3, degree 3+3+1 = 7 -> 7/3; data: freq 2, degree 3+1=4 -> 2
+    assert by_phrase["deep learning models"]["score"] == round(3 + 3 + 7 / 3, 6)
+    assert by_phrase["deep learning data"]["score"] == round(3 + 3 + 2.0, 6)
+    assert by_phrase["data"]["score"] == 2.0
+    assert by_phrase["models"]["score"] == round(7 / 3, 6)
+    # ranking: the 3-word phrases outrank the singletons
+    assert rows[0]["phrase"] == "deep learning models"
