@@ -5479,6 +5479,41 @@ def q_jackknife_ratio(spark, sf):
     return stats.jackknife_ratio_ci(ev, "num", "den", "user_id")
 
 
+def q_capture_recapture(spark, sf):
+    """Chapman capture-recapture estimate of the true near-dup pair
+    population (dedup.capture_recapture): the lexical and semantic
+    detectors from dedup_method_agreement play the two capture
+    occasions, and N̂ = (n1+1)(n2+1)/(m+1) − 1 prices how many pairs
+    BOTH methods missed — the follow-up question the agreement report
+    begs. Slim pair-table join + closed-form arithmetic; independence
+    caveat documented (lexical vs embedding signals are as independent
+    as this corpus offers)."""
+    docs = _t(spark, sf, "documents")
+    lex = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100).select(
+        "id_a", "id_b"
+    )
+    sem = similarity.bounded_pairs_above(
+        _t(spark, sf, "embeddings"), threshold=0.4, candidate_pairs=lex, stride=200
+    ).select("id_a", "id_b")
+    return dedup.capture_recapture(lex, sem)
+
+
+def q_source_ablation(spark, sf):
+    """Leave-one-source-out quality ablation (sampling.source_ablation):
+    per source, the corpus mean quality WITHOUT that source and the
+    delta it contributes — the data-valuation read before re-weighting
+    a mixture. Closed form from one grouped DECIMAL pass + broadcast
+    totals; no per-source rescans."""
+    from nnanalytics_spark.pipeline import sampling
+
+    d = _t(spark, sf, "documents")
+    toks = text.tokens(F.col("text"))
+    scored = d.filter(F.size(toks) > 0).select(
+        "source", text.quality_score(F.col("text")).alias("q")
+    )
+    return sampling.source_ablation(scored, "q")
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -5838,6 +5873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_threshold": q_conformal_threshold,
         "jackknife_ratio": q_jackknife_ratio,
         "rake_keywords": q_rake_keywords,
+        "capture_recapture": q_capture_recapture,
+        "source_ablation": q_source_ablation,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -11300,6 +11337,93 @@ def oracle_sql() -> dict[str, str]:
                              - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) / m.n)), 6)
                  AS ci_hi
         FROM m, tot
+    """
+    # capture_recapture: the SAME lex/sem pair chain as
+    # dedup_method_agreement (spliced so the two stay in lockstep),
+    # with Chapman's estimator replacing the agreement tail.
+    _dma_chain = d["dedup_method_agreement"].split("        SELECT CAST(SUM")[0]
+    d["capture_recapture"] = _dma_chain + """        , c AS (
+          SELECT CAST(SUM(CASE WHEN in_l THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                 CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                 CAST(SUM(CASE WHEN in_l AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both,
+                 count(*) AS n_union
+          FROM j
+        )
+        SELECT n_a, n_b, n_both, n_union,
+               round((CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+                     / (CAST(n_both AS DOUBLE) + 1) - 1, 6) AS n_hat,
+               round(sqrt((CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+                     * (CAST(n_a AS DOUBLE) - CAST(n_both AS DOUBLE))
+                     * (CAST(n_b AS DOUBLE) - CAST(n_both AS DOUBLE))
+                     / ((CAST(n_both AS DOUBLE) + 1) * (CAST(n_both AS DOUBLE) + 1)
+                        * (CAST(n_both AS DOUBLE) + 2))), 6) AS se,
+               round((CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+                     / (CAST(n_both AS DOUBLE) + 1) - 1
+                     - 1.959964 * sqrt((CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+                     * (CAST(n_a AS DOUBLE) - CAST(n_both AS DOUBLE))
+                     * (CAST(n_b AS DOUBLE) - CAST(n_both AS DOUBLE))
+                     / ((CAST(n_both AS DOUBLE) + 1) * (CAST(n_both AS DOUBLE) + 1)
+                        * (CAST(n_both AS DOUBLE) + 2))), 6) AS ci_lo,
+               round((CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+                     / (CAST(n_both AS DOUBLE) + 1) - 1
+                     + 1.959964 * sqrt((CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+                     * (CAST(n_a AS DOUBLE) - CAST(n_both AS DOUBLE))
+                     * (CAST(n_b AS DOUBLE) - CAST(n_both AS DOUBLE))
+                     / ((CAST(n_both AS DOUBLE) + 1) * (CAST(n_both AS DOUBLE) + 1)
+                        * (CAST(n_both AS DOUBLE) + 2))), 6) AS ci_hi,
+               round(greatest((CAST(n_a AS DOUBLE) + 1) * (CAST(n_b AS DOUBLE) + 1)
+                     / (CAST(n_both AS DOUBLE) + 1) - 1
+                     - CAST(n_union AS DOUBLE), 0.0), 6) AS miss_hat
+        FROM c
+    """
+    # source_ablation: the quality replay (corpus_curation's CTEs) into
+    # per-source DECIMAL sums and the closed-form leave-one-out means.
+    d["source_ablation"] = """
+        WITH f AS (
+          SELECT doc_id, source, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 len(regexp_extract_all(text, '[^\\w\\s]'))
+                   / GREATEST(length(text), 1) AS praw
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        g AS (
+          SELECT doc_id, source, toks, praw,
+                 len(list_filter(list_transform(toks, t -> lower(t)),
+                     t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                'for','on','with','as','at','by','from','that','this')))
+                   / GREATEST(len(toks), 1) AS sraw,
+                 list_reduce(list_prepend(0, [length(t) for t in toks]), (a,b) -> a + b)
+                   / GREATEST(len(toks), 1) AS mwl,
+                 LEAST(length(text) / 200.0, 1.0) AS length_ok
+          FROM f
+        ),
+        q AS (
+          SELECT source,
+                 round((length_ok + (1.0 - LEAST(praw * 5.0, 1.0))
+                        + LEAST(sraw * 4.0, 1.0)
+                        + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6)
+                   AS quality
+          FROM g
+        ),
+        per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(SUM(CAST(round(quality, 9) AS DECIMAL(18,9)))
+                      AS DECIMAL(28,9)) AS s
+          FROM q GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+                 CAST(sum(s) AS DECIMAL(28,9)) AS ss
+          FROM per
+        )
+        SELECT source, n_docs,
+               round(n_docs / CAST(n AS DOUBLE), 6) AS share,
+               round(CAST(s AS DOUBLE) / n_docs, 6) AS mean_in_source,
+               round(CAST(ss - s AS DOUBLE) / (n - n_docs), 6) AS loo_mean,
+               round(CAST(ss AS DOUBLE) / n
+                     - CAST(ss - s AS DOUBLE) / (n - n_docs), 6) AS delta
+        FROM per, tot
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

@@ -246,6 +246,8 @@ HEADLINE = [
     "conformal_threshold",
     "jackknife_ratio",
     "rake_keywords",
+    "capture_recapture",
+    "source_ablation",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

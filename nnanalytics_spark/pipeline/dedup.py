@@ -1027,6 +1027,62 @@ def keep_best(
     )
 
 
+def capture_recapture(
+    pairs_a: DataFrame,
+    pairs_b: DataFrame,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Chapman capture-recapture estimate of the TRUE near-duplicate
+    pair population from two independent detectors — the ecology
+    estimator (Chapman 1951) applied to dedup QA: detector A found n1
+    pairs, detector B found n2, they agree on m, so
+    N̂ = (n1+1)(n2+1)/(m+1) − 1 estimates how many near-dup pairs exist
+    INCLUDING the ones both methods missed, and N̂ − |A ∪ B| is the
+    blind spot neither method sees. The honest answer to "is 95%
+    agreement good?" — it depends how much both missed.
+
+    Variance (Seber 1970):
+    var = (n1+1)(n2+1)(n1−m)(n2−m)/((m+1)²(m+2)), CI = N̂ ± z·√var.
+    Independence caveat in the docstring is the contract: correlated
+    detectors (e.g. two lexical methods) bias N̂ low.
+
+    Inputs are (id_a, id_b) pair tables; one full-outer join of slim
+    pair sets + closed-form arithmetic on the three counts. Returns
+    one row: n_a, n_b, n_both, n_union, n_hat, se, ci_lo, ci_hi,
+    miss_hat (= n_hat − n_union, clamped at 0)."""
+    a = pairs_a.select("id_a", "id_b", F.lit(True).alias("_a"))
+    b = pairs_b.select("id_a", "id_b", F.lit(True).alias("_b"))
+    j = a.join(b, ["id_a", "id_b"], "full_outer")
+    counts = j.agg(
+        F.sum(F.when(F.col("_a").isNotNull(), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("_b").isNotNull(), 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when(F.col("_a").isNotNull() & F.col("_b").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+        F.count(F.lit(1)).alias("n_union"),
+    )
+    n1, n2, m = [F.col(c).cast("double") for c in ("n_a", "n_b", "n_both")]
+    n_hat = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    var = (
+        (n1 + 1) * (n2 + 1) * (n1 - m) * (n2 - m)
+        / ((m + 1) * (m + 1) * (m + 2))
+    )
+    se = F.sqrt(var)
+    return counts.select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_union",
+        F.round(n_hat, 6).alias("n_hat"),
+        F.round(se, 6).alias("se"),
+        F.round(n_hat - F.lit(z) * se, 6).alias("ci_lo"),
+        F.round(n_hat + F.lit(z) * se, 6).alias("ci_hi"),
+        F.round(
+            F.greatest(n_hat - F.col("n_union").cast("double"), F.lit(0.0)), 6
+        ).alias("miss_hat"),
+    )
+
+
 def survivor_diff(
     old: DataFrame,
     new: DataFrame,

@@ -466,3 +466,48 @@ def training_order(
         .withColumn("position", F.row_number().over(w) - 1)
         .drop("sort_key")
     )
+
+
+def source_ablation(
+    df: DataFrame,
+    metric_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Leave-one-source-out ablation of a corpus-level mean — the
+    cheapest data-valuation signal a mixture owner reads before
+    re-weighting: for each source, what the corpus mean metric becomes
+    WITHOUT it, and the delta that source contributes. A source whose
+    removal RAISES mean quality is a pruning candidate; one whose
+    removal craters coverage is load-bearing. Closed form from
+    per-source aggregates — never a per-source rescan:
+    loo_mean_s = (S − s_s)/(N − n_s) from one grouped pass + broadcast
+    totals. DECIMAL sums keep every mean order-free; rounds to 6.
+
+    Returns one row per source: n_docs, share, mean_in_source,
+    loo_mean, delta (= full mean − loo_mean: positive means the source
+    pulls the corpus mean UP)."""
+    dec = "decimal(28,9)"
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col(metric_col), 9).cast("decimal(18,9)")).cast(dec).alias("_s"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_n"), F.sum("_s").cast(dec).alias("_ss")
+    )
+    full_mean = F.col("_ss").cast("double") / F.col("_n")
+    loo = (F.col("_ss") - F.col("_s")).cast("double") / (
+        F.col("_n") - F.col("n_docs")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_n"), 6).alias("share"),
+            F.round(F.col("_s").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_in_source"
+            ),
+            F.round(loo, 6).alias("loo_mean"),
+            F.round(full_mean - loo, 6).alias("delta"),
+        )
+    )

@@ -480,3 +480,41 @@ def test_rake_keywords_hand_corpus(spark):
     assert by_phrase["models"]["score"] == round(7 / 3, 6)
     # ranking: the 3-word phrases outrank the singletons
     assert rows[0]["phrase"] == "deep learning models"
+
+
+def test_capture_recapture_hand_case(spark):
+    """Chapman estimator on a closed case: A finds 5 pairs, B finds 4,
+    overlap 2 → N̂ = 6·5/3 − 1 = 9, union 7, blind spot 2."""
+    a = spark.createDataFrame(
+        [(i, i + 100) for i in range(5)], "id_a long, id_b long"
+    )
+    b = spark.createDataFrame(
+        [(i, i + 100) for i in (0, 1, 50, 51)], "id_a long, id_b long"
+    )
+    r = dedup.capture_recapture(a, b).head()
+    assert (r["n_a"], r["n_b"], r["n_both"], r["n_union"]) == (5, 4, 2, 7)
+    assert r["n_hat"] == 9.0
+    assert r["miss_hat"] == 2.0
+    assert r["ci_lo"] <= r["n_hat"] <= r["ci_hi"]
+    # identical detectors -> N̂ = union and zero blind spot / zero se
+    r2 = dedup.capture_recapture(a, a).head()
+    assert r2["n_hat"] == 5.0 and r2["miss_hat"] == 0.0 and r2["se"] == 0.0
+
+
+def test_source_ablation_closed_form(spark):
+    """Three sources with known means: removing the low-quality source
+    raises the corpus mean (negative delta = the source pulls DOWN)."""
+    from nnanalytics_spark.pipeline import sampling
+
+    rows = (
+        [("good", 0.9)] * 4 + [("mid", 0.5)] * 4 + [("bad", 0.1)] * 2
+    )
+    df = spark.createDataFrame(rows, "source string, q double")
+    out = {r["source"]: r for r in sampling.source_ablation(df, "q").collect()}
+    # full mean = (3.6 + 2.0 + 0.2)/10 = 0.58
+    assert out["bad"]["n_docs"] == 2 and out["bad"]["share"] == 0.2
+    assert out["bad"]["mean_in_source"] == 0.1
+    assert out["bad"]["loo_mean"] == 0.7  # (5.8 - 0.2)/8
+    assert out["bad"]["delta"] == round(0.58 - 0.7, 6)  # pulls mean down
+    assert out["good"]["loo_mean"] == round((5.8 - 3.6) / 6, 6)
+    assert out["good"]["delta"] > 0  # pulls mean up

@@ -74,6 +74,9 @@ WAIVERS: dict[str, set[str]] = {
     "dup_matrix": {"exchange_count"},
     "snapshot_diff": {"exchange_count"},
     "dedup_method_agreement": {"exchange_count"},
+    # same composed lex+sem pair chain as dedup_method_agreement, plus
+    # the Chapman scalar tail
+    "capture_recapture": {"exchange_count"},
     "lexical_cosine": {"exchange_count"},
     "minhash_recall": {"exchange_count"},
     # the composed curation DAG (quality → keep_best → decontaminate →
