@@ -5514,6 +5514,112 @@ def q_source_ablation(spark, sf):
     return sampling.source_ablation(scored, "q")
 
 
+def q_mde_power(spark, sf):
+    """Pre-launch power calculation (stats.mde_power): with the parity
+    arms' observed per-USER variance and sizes, the minimum detectable
+    effect a two-sided α=0.05 / 80%-power test can see — the "is this
+    experiment worth running at this traffic?" answer. Variance over
+    per-unit sums (rows within a user correlate), one DECIMAL moment
+    pass, closed-form MDE from literal z constants."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "treatment")
+        .otherwise("control")
+        .alias("arm"),
+    )
+    return stats.mde_power(ev, "value", "user_id", "arm")
+
+
+def q_msprt_always_valid(spark, sf):
+    """Always-valid sequential p-value (stats.msprt_always_valid —
+    Johari et al. KDD'17 mSPRT): the per-day monitoring curve that
+    tolerates daily peeking, over the parity-arm event stream with a
+    pinned plug-in σ². Everything past one (day, arm) log aggregate
+    runs on the bounded day grid."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf).select(
+        F.expr("ts_ms div 86400000").alias("day"),
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "treatment")
+        .otherwise("control")
+        .alias("arm"),
+    )
+    return stats.msprt_always_valid(ev, "value", "arm", "day")
+
+
+def q_bh_fdr(spark, sf):
+    """Benjamini–Hochberg FDR over a per-source drift-test family
+    (stats.bh_fdr): each source's 3-bin quality distribution gets a
+    2-dof goodness-of-fit chi-square against the pooled corpus bins
+    (survival of χ²₂ is exactly exp(−x/2) — closed form on both
+    engines), and the step-up correction prices which sources actually
+    drifted once 20 simultaneous tests are on the table. One grouped
+    pass over documents; the BH window runs on the |sources|-row
+    family, never the corpus."""
+    from nnanalytics_spark.pipeline import stats, text
+
+    d = _t(spark, sf, "documents")
+    q = text.quality_score(F.col("text"))
+    b = (
+        d.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "source",
+            F.when(q <= 0.78, 0).when(q <= 0.82, 1).otherwise(2).alias("bin"),
+        )
+    )
+    # aggregate (source, bin) FIRST so the heavy quality expression is
+    # evaluated exactly once per document — conditional sums directly
+    # over `bin` would let projection collapse inline the quality HOFs
+    # into every aggregate branch (the r7 word_grams lesson)
+    counts = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    # (source, bin) is ≤ 3·|sources| rows but feeds BOTH the per-source
+    # table and the pooled totals — the lazy checkpoint keeps the
+    # document scan + quality HOFs at ONE execution
+    counts = counts.localCheckpoint(eager=False)
+    per = counts.groupBy("source").agg(
+        F.sum("c").alias("n_docs"),
+        F.sum(F.when(F.col("bin") == 0, F.col("c")).otherwise(0)).alias("o0"),
+        F.sum(F.when(F.col("bin") == 1, F.col("c")).otherwise(0)).alias("o1"),
+        F.sum(F.when(F.col("bin") == 2, F.col("c")).otherwise(0)).alias("o2"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("N"),
+        F.sum("o0").alias("g0"),
+        F.sum("o1").alias("g1"),
+        F.sum("o2").alias("g2"),
+    )
+
+    def term(o, g):
+        e = F.col("n_docs").cast("double") * F.col(g) / F.col("N")
+        dev = F.col(o).cast("double") - e
+        return F.when(F.col(g) > 0, dev * dev / e).otherwise(F.lit(0.0))
+
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(term("o0", "g0") + term("o1", "g1") + term("o2", "g2"), 9).alias(
+            "chi2"
+        ),
+    )
+    tested = scored.withColumn(
+        "p_value", F.round(F.exp(-F.col("chi2") / 2), 9)
+    )
+    out = stats.bh_fdr(tested, "p_value", ["source"])
+    return out.select(
+        "source",
+        "n_docs",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p_value", 6).alias("p_value"),
+        F.col("p_rank").cast("long").alias("p_rank"),
+        "p_adj",
+        "reject",
+    )
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -5875,6 +5981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake_keywords,
         "capture_recapture": q_capture_recapture,
         "source_ablation": q_source_ablation,
+        "mde_power": q_mde_power,
+        "msprt_always_valid": q_msprt_always_valid,
+        "bh_fdr": q_bh_fdr,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -11424,6 +11533,223 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(ss AS DOUBLE) / n
                      - CAST(ss - s AS DOUBLE) / (n - n_docs), 6) AS delta
         FROM per, tot
+    """
+    # mde_power: per-user DECIMAL sums into conditional arm moments and
+    # the closed-form minimum detectable effect (z literals summed in
+    # SQL so the constant is the identical IEEE double).
+    d["mde_power"] = """
+        WITH ev AS (
+          SELECT user_id, value,
+                 CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                      ELSE 'control' END AS arm
+          FROM events
+        ),
+        pu AS (
+          SELECT user_id, arm,
+                 CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+                      AS DECIMAL(18,9)) AS v
+          FROM ev GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT
+            CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nc,
+            CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nt,
+            SUM(CASE WHEN arm = 'control' THEN v
+                     ELSE CAST(0 AS DECIMAL(18,9)) END) AS sc,
+            SUM(CASE WHEN arm = 'treatment' THEN v
+                     ELSE CAST(0 AS DECIMAL(18,9)) END) AS st,
+            SUM(CASE WHEN arm = 'control' THEN CAST(v * v AS DECIMAL(38,18))
+                     ELSE CAST(0 AS DECIMAL(38,18)) END) AS scc,
+            SUM(CASE WHEN arm = 'treatment' THEN CAST(v * v AS DECIMAL(38,18))
+                     ELSE CAST(0 AS DECIMAL(38,18)) END) AS stt
+          FROM pu
+        )
+        SELECT nc AS n_control, nt AS n_treatment,
+               round(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS mean_control,
+               round(sqrt((CAST(scc AS DOUBLE)
+                           - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                          / (CAST(nc AS DOUBLE) - 1)), 6) AS sd_control,
+               round(sqrt((CAST(stt AS DOUBLE)
+                           - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                          / (CAST(nt AS DOUBLE) - 1)), 6) AS sd_treatment,
+               round((1.959964 + 0.841621)
+                     * sqrt((CAST(scc AS DOUBLE)
+                             - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                            / (CAST(nc AS DOUBLE) - 1) / CAST(nc AS DOUBLE)
+                            + (CAST(stt AS DOUBLE)
+                               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                              / (CAST(nt AS DOUBLE) - 1) / CAST(nt AS DOUBLE)), 6)
+                 AS mde_abs,
+               round((1.959964 + 0.841621)
+                     * sqrt((CAST(scc AS DOUBLE)
+                             - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                            / (CAST(nc AS DOUBLE) - 1) / CAST(nc AS DOUBLE)
+                            + (CAST(stt AS DOUBLE)
+                               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                              / (CAST(nt AS DOUBLE) - 1) / CAST(nt AS DOUBLE))
+                     / (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)), 6) AS mde_rel
+        FROM m
+    """
+    # msprt_always_valid: (day, arm) DECIMAL aggregate, cumulative
+    # windows, the pinned 9-dp plug-in sigma^2 and the closed-form
+    # mixture likelihood ratio; p = 1 / running max Lambda.
+    d["msprt_always_valid"] = """
+        WITH ev AS (
+          SELECT epoch_ms(ts) // 86400000 AS day, value,
+                 CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                      ELSE 'control' END AS arm
+          FROM events
+        ),
+        pd AS (
+          SELECT day,
+                 CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS dnc,
+                 CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS dnt,
+                 CAST(SUM(CASE WHEN arm = 'control'
+                               THEN CAST(round(value, 9) AS DECIMAL(18,9))
+                               ELSE CAST(0 AS DECIMAL(18,9)) END)
+                      AS DECIMAL(18,9)) AS dsc,
+                 CAST(SUM(CASE WHEN arm = 'treatment'
+                               THEN CAST(round(value, 9) AS DECIMAL(18,9))
+                               ELSE CAST(0 AS DECIMAL(18,9)) END)
+                      AS DECIMAL(18,9)) AS dst
+          FROM ev GROUP BY 1
+        ),
+        cum AS (
+          SELECT day,
+                 CAST(SUM(dnc) OVER w AS BIGINT) AS nc,
+                 CAST(SUM(dnt) OVER w AS BIGINT) AS nt,
+                 SUM(dsc) OVER w AS sc,
+                 SUM(dst) OVER w AS st
+          FROM pd
+          WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+        ),
+        mom AS (
+          SELECT count(*) AS n,
+                 SUM(CAST(round(value, 9) AS DECIMAL(18,9))) AS s,
+                 SUM(CAST(CAST(round(value, 9) AS DECIMAL(18,9))
+                          * CAST(round(value, 9) AS DECIMAL(18,9))
+                          AS DECIMAL(38,18))) AS ss
+          FROM ev
+        ),
+        sig AS (
+          SELECT round(CAST(ss AS DOUBLE) / n
+                       - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 9)
+                   AS sig2
+          FROM mom
+        ),
+        staged AS (
+          SELECT day, nc AS n_control, nt AS n_treatment,
+                 round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                       - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS mean_diff,
+                 round(sqrt((sig2 * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE)))
+                            / ((sig2 * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE)))
+                               + sig2))
+                       * exp((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                              - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                             * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                                - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                             * sig2
+                             / (2.0 * (sig2 * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE)))
+                                * ((sig2 * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(nt AS DOUBLE)))
+                                   + sig2))), 9) AS lam
+          FROM cum, sig
+          WHERE nc > 0 AND nt > 0
+        )
+        SELECT day, n_control, n_treatment, mean_diff,
+               round(lam, 6) AS lambda_n,
+               round(least(1.0, 1.0 / max(lam)
+                     OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6)
+                 AS p_always_valid
+        FROM staged
+    """
+    # bh_fdr: the source_ablation quality replay binned at the literal
+    # tercile edges, 2-dof GOF chi-square vs pooled bins (survival =
+    # exp(-x/2) exactly), then the BH step-up as a rank-DESC running
+    # min over the 20-row family.
+    d["bh_fdr"] = """
+        WITH f AS (
+          SELECT doc_id, source, text,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 len(regexp_extract_all(text, '[^\\w\\s]'))
+                   / GREATEST(length(text), 1) AS praw
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        g AS (
+          SELECT doc_id, source, toks, praw,
+                 len(list_filter(list_transform(toks, t -> lower(t)),
+                     t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                'for','on','with','as','at','by','from','that','this')))
+                   / GREATEST(len(toks), 1) AS sraw,
+                 list_reduce(list_prepend(0, [length(t) for t in toks]), (a,b) -> a + b)
+                   / GREATEST(len(toks), 1) AS mwl,
+                 LEAST(length(text) / 200.0, 1.0) AS length_ok
+          FROM f
+        ),
+        q AS (
+          SELECT source,
+                 round((length_ok + (1.0 - LEAST(praw * 5.0, 1.0))
+                        + LEAST(sraw * 4.0, 1.0)
+                        + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6)
+                   AS quality
+          FROM g
+        ),
+        per AS (
+          SELECT source, count(*) AS n_docs,
+                 SUM(CASE WHEN quality <= 0.78 THEN 1 ELSE 0 END) AS o0,
+                 SUM(CASE WHEN quality > 0.78 AND quality <= 0.82 THEN 1 ELSE 0 END) AS o1,
+                 SUM(CASE WHEN quality > 0.82 THEN 1 ELSE 0 END) AS o2
+          FROM q GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_docs) AS BIGINT) AS N,
+                 CAST(sum(o0) AS BIGINT) AS g0,
+                 CAST(sum(o1) AS BIGINT) AS g1,
+                 CAST(sum(o2) AS BIGINT) AS g2
+          FROM per
+        ),
+        sc AS (
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                 round(
+                   CASE WHEN g0 > 0 THEN
+                     (CAST(o0 AS DOUBLE) - CAST(n_docs AS DOUBLE) * g0 / N)
+                     * (CAST(o0 AS DOUBLE) - CAST(n_docs AS DOUBLE) * g0 / N)
+                     / (CAST(n_docs AS DOUBLE) * g0 / N) ELSE 0.0 END
+                   + CASE WHEN g1 > 0 THEN
+                     (CAST(o1 AS DOUBLE) - CAST(n_docs AS DOUBLE) * g1 / N)
+                     * (CAST(o1 AS DOUBLE) - CAST(n_docs AS DOUBLE) * g1 / N)
+                     / (CAST(n_docs AS DOUBLE) * g1 / N) ELSE 0.0 END
+                   + CASE WHEN g2 > 0 THEN
+                     (CAST(o2 AS DOUBLE) - CAST(n_docs AS DOUBLE) * g2 / N)
+                     * (CAST(o2 AS DOUBLE) - CAST(n_docs AS DOUBLE) * g2 / N)
+                     / (CAST(n_docs AS DOUBLE) * g2 / N) ELSE 0.0 END, 9) AS chi2
+          FROM per, tot
+        ),
+        tested AS (
+          SELECT source, n_docs, chi2,
+                 round(exp(-chi2 / 2), 9) AS p_value,
+                 CAST(row_number() OVER (ORDER BY round(exp(-chi2 / 2), 9) ASC,
+                                         source ASC) AS BIGINT) AS p_rank,
+                 CAST(count(*) OVER () AS BIGINT) AS m
+          FROM sc
+        ),
+        adj AS (
+          SELECT source, n_docs, chi2, p_value, p_rank,
+                 least(1.0, min(round(p_value * CAST(m AS DOUBLE) / p_rank, 9))
+                       OVER (ORDER BY p_rank DESC ROWS UNBOUNDED PRECEDING))
+                   AS p_adj_raw
+          FROM tested
+        )
+        SELECT source, n_docs,
+               round(chi2, 6) AS chi2,
+               round(p_value, 6) AS p_value,
+               p_rank,
+               round(p_adj_raw, 6) AS p_adj,
+               round(p_adj_raw, 6) <= 0.10 AS reject
+        FROM adj
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

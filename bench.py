@@ -248,6 +248,9 @@ HEADLINE = [
     "rake_keywords",
     "capture_recapture",
     "source_ablation",
+    "mde_power",
+    "msprt_always_valid",
+    "bh_fdr",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

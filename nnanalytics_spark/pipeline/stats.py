@@ -1327,3 +1327,216 @@ def calibration_bins(
             ).alias("ece_term"),
         )
     )
+
+
+def mde_power(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    arm_col: str,
+    control: str = "control",
+    treatment: str = "treatment",
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Minimum detectable effect for a two-arm experiment — the power
+    calculation a platform runs BEFORE launch to answer "is this test
+    even worth running at this traffic?": with the observed per-unit
+    variance and arm sizes, the smallest true lift a two-sided α=0.05
+    test detects with 80% power is
+
+        MDE = (z_{α/2} + z_{β}) · sqrt(s²_c/n_c + s²_t/n_t)
+
+    (z literals 1.959964 / 0.841621 — no stats tables in either
+    engine). Randomization-unit correctness matters as much as the
+    formula: variance is computed over PER-UNIT sums, not rows, because
+    rows within a unit correlate (same discipline as jackknife_ratio_ci).
+
+    One per-unit DECIMAL aggregate, then a single conditional-moment
+    pass over the per-unit table → ONE output row: n/mean/sd per arm,
+    mde_abs, mde_rel (relative to the control mean). Sample (n−1)
+    variances. Scales as a map-side-combined two-level aggregate; no
+    window, no join."""
+    dec = "decimal(18,9)"
+    per_unit = df.groupBy(unit_col, arm_col).agg(
+        F.sum(F.round(F.col(value_col), 9).cast(dec)).cast(dec).alias("_v")
+    )
+    is_c = F.col(arm_col) == control
+    is_t = F.col(arm_col) == treatment
+    zero = F.lit(0).cast(dec)
+    m = per_unit.agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_c, F.col("_v")).otherwise(zero)).alias("sc"),
+        F.sum(F.when(is_t, F.col("_v")).otherwise(zero)).alias("st"),
+        F.sum(
+            F.when(is_c, (F.col("_v") * F.col("_v")).cast("decimal(38,18)"))
+            .otherwise(F.lit(0).cast("decimal(38,18)"))
+        ).alias("scc"),
+        F.sum(
+            F.when(is_t, (F.col("_v") * F.col("_v")).cast("decimal(38,18)"))
+            .otherwise(F.lit(0).cast("decimal(38,18)"))
+        ).alias("stt"),
+    )
+    nc, nt = F.col("nc").cast("double"), F.col("nt").cast("double")
+    sc, st = F.col("sc").cast("double"), F.col("st").cast("double")
+    scc, stt = F.col("scc").cast("double"), F.col("stt").cast("double")
+    var_c = (scc - sc * sc / nc) / (nc - 1)
+    var_t = (stt - st * st / nt) / (nt - 1)
+    se = F.sqrt(var_c / nc + var_t / nt)
+    mde = F.lit(z_alpha + z_power) * se
+    return m.select(
+        F.col("nc").alias("n_control"),
+        F.col("nt").alias("n_treatment"),
+        F.round(sc / nc, 6).alias("mean_control"),
+        F.round(F.sqrt(var_c), 6).alias("sd_control"),
+        F.round(F.sqrt(var_t), 6).alias("sd_treatment"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / (sc / nc), 6).alias("mde_rel"),
+    )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    value_col: str,
+    arm_col: str,
+    day_col: str,
+    control: str = "control",
+    treatment: str = "treatment",
+) -> DataFrame:
+    """Always-valid p-value sequence via the mixture sequential
+    probability ratio test (Johari, Koomen, Pekelis & Walsh, "Peeking
+    at A/B tests", KDD 2017) — the sequential monitor that lets an
+    experimenter look at the dashboard EVERY day without inflating
+    false positives, which fixed-horizon t-tests cannot survive.
+
+    Two-sample normal mSPRT with plug-in variance: at cumulative day n
+
+        V_n  = σ²(1/n_c + 1/n_t)
+        Λ_n  = sqrt(V_n/(V_n+τ²)) · exp(δ̂_n² τ² / (2 V_n (V_n+τ²)))
+        p_n  = min(1, 1 / max_{m≤n} Λ_m)        (monotone by design)
+
+    σ² is the pooled per-observation variance over the full log, pinned
+    to 9 dp so the exp() argument is the identical double on both
+    engines; τ² = σ² (the standard default mixing scale — sensitivity
+    tuned to effects on the order of one observation SD).
+
+    Plan shape: one (day, arm) DECIMAL aggregate, cumulative sums over
+    the tiny |days|×2 table, a broadcast one-row σ² scalar, then the
+    closed-form Λ and a running max — everything after the first
+    aggregate runs on a bounded grid, so the 100 TB cost is the single
+    map-side-combined log pass."""
+    from pyspark.sql import Window as W
+
+    dec = "decimal(18,9)"
+    day = F.col(day_col)
+    is_c = F.col(arm_col) == control
+    is_t = F.col(arm_col) == treatment
+    zero = F.lit(0).cast(dec)
+    per_day = df.groupBy(day.alias("day")).agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("_dnc"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("_dnt"),
+        F.sum(
+            F.when(is_c, F.round(F.col(value_col), 9).cast(dec)).otherwise(zero)
+        ).cast(dec).alias("_dsc"),
+        F.sum(
+            F.when(is_t, F.round(F.col(value_col), 9).cast(dec)).otherwise(zero)
+        ).cast(dec).alias("_dst"),
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_day.select(
+        "day",
+        F.sum("_dnc").over(w).alias("nc"),
+        F.sum("_dnt").over(w).alias("nt"),
+        F.sum("_dsc").over(w).alias("sc"),
+        F.sum("_dst").over(w).alias("st"),
+    )
+    # pooled per-observation variance (population), 9 dp pinned
+    mom = df.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.round(F.col(value_col), 9).cast(dec)).alias("_s"),
+        F.sum(
+            (F.round(F.col(value_col), 9).cast(dec)
+             * F.round(F.col(value_col), 9).cast(dec)).cast("decimal(38,18)")
+        ).alias("_ss"),
+    )
+    sig2 = F.round(
+        F.col("_ss").cast("double") / F.col("_n")
+        - (F.col("_s").cast("double") / F.col("_n"))
+        * (F.col("_s").cast("double") / F.col("_n")),
+        9,
+    )
+    sigma = mom.select(sig2.alias("_sig2"))
+    nc, nt = F.col("nc").cast("double"), F.col("nt").cast("double")
+    delta = F.col("st").cast("double") / nt - F.col("sc").cast("double") / nc
+    v = F.col("_sig2") * (F.lit(1.0) / nc + F.lit(1.0) / nt)
+    tau2 = F.col("_sig2")
+    lam = F.round(
+        F.sqrt(v / (v + tau2))
+        * F.exp(delta * delta * tau2 / (F.lit(2.0) * v * (v + tau2))),
+        9,
+    )
+    staged = (
+        cum.filter((F.col("nc") > 0) & (F.col("nt") > 0))
+        .crossJoin(F.broadcast(sigma))
+        .select(
+            "day",
+            F.col("nc").alias("n_control"),
+            F.col("nt").alias("n_treatment"),
+            F.round(delta, 6).alias("mean_diff"),
+            lam.alias("_lam"),
+        )
+    )
+    wmax = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = F.max("_lam").over(wmax)
+    return staged.select(
+        "day",
+        "n_control",
+        "n_treatment",
+        "mean_diff",
+        F.round(F.col("_lam"), 6).alias("lambda_n"),
+        F.round(F.least(F.lit(1.0), F.lit(1.0) / run), 6).alias("p_always_valid"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list[str],
+    q: float = 0.10,
+) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR correction (Benjamini & Hochberg
+    1995) over a family of per-group test p-values — the multiple-
+    testing control a metrics platform applies when ONE experiment
+    readout fans out into dozens of per-segment / per-metric tests and
+    "something is p<0.05 somewhere" is guaranteed by chance alone.
+
+    adjusted p_(i) = min_{j≥i}( m·p_(j)/j ) capped at 1, computed as a
+    running min over the rank-DESC window; reject where p_adj ≤ q. The
+    input is a per-group test table (one row per hypothesis, m = row
+    count), so the window runs over the bounded family — never the
+    corpus. Ties in p break by the key columns so the rank (and hence
+    the adjustment) is the same total order on both engines."""
+    from pyspark.sql import Window as W
+
+    # m via an unbounded window count (the family is bounded by
+    # contract) — a df.count() action here would execute the whole
+    # upstream chain a SECOND time just to fetch the literal
+    order = [F.col(p_col).asc()] + [F.col(k).asc() for k in key_cols]
+    rnk = F.row_number().over(W.orderBy(*order))
+    m = F.count(F.lit(1)).over(
+        W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    raw = F.round(F.col(p_col) * m.cast("double") / F.col("_rank"), 9)
+    wdesc = W.orderBy(F.col("_rank").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    adj = F.least(F.lit(1.0), F.min("_raw").over(wdesc))
+    return (
+        df.withColumn("_rank", rnk)
+        .withColumn("_raw", raw)
+        .withColumn("p_adj", F.round(adj, 6))
+        .withColumn("reject", F.col("p_adj") <= F.lit(q))
+        .drop("_raw")
+        .withColumnRenamed("_rank", "p_rank")
+    )

@@ -518,3 +518,90 @@ def test_source_ablation_closed_form(spark):
     assert out["bad"]["delta"] == round(0.58 - 0.7, 6)  # pulls mean down
     assert out["good"]["loo_mean"] == round((5.8 - 3.6) / 6, 6)
     assert out["good"]["delta"] > 0  # pulls mean up
+
+
+# ------------------------------------------------ experiment monitoring
+
+def test_mde_power_closed_form(spark):
+    """Hand case: control per-unit sums {1,2,3} (s²=1), treatment {2,4}
+    (s²=2) — MDE = (1.959964+0.841621)·sqrt(1/3 + 2/2)."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(1, "control", 1.0), (2, "control", 2.0), (3, "control", 3.0),
+            (4, "treatment", 2.0), (5, "treatment", 4.0)]
+    df = spark.createDataFrame(rows, ["user_id", "arm", "value"])
+    r = stats.mde_power(df, "value", "user_id", "arm").collect()[0]
+    import math
+
+    se = math.sqrt(1.0 / 3 + 2.0 / 2)
+    assert r["n_control"] == 3 and r["n_treatment"] == 2
+    assert r["mean_control"] == 2.0
+    assert r["sd_control"] == 1.0
+    assert abs(r["mde_abs"] - round((1.959964 + 0.841621) * se, 6)) < 1e-9
+    assert abs(r["mde_rel"] - round((1.959964 + 0.841621) * se / 2.0, 6)) < 1e-9
+
+
+def test_mde_power_splits_rows_within_units(spark):
+    """Two rows for the same unit must collapse to ONE per-unit sum
+    before the variance — the randomization-unit discipline."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(1, "control", 0.5), (1, "control", 0.5), (2, "control", 2.0),
+            (3, "control", 3.0), (4, "treatment", 2.0), (5, "treatment", 4.0)]
+    df = spark.createDataFrame(rows, ["user_id", "arm", "value"])
+    r = stats.mde_power(df, "value", "user_id", "arm").collect()[0]
+    assert r["n_control"] == 3  # not 4: unit 1 collapses
+    assert r["sd_control"] == 1.0
+
+
+def test_msprt_monotone_and_day1_lambda(spark):
+    """p_always_valid is nonincreasing by construction, and day-1
+    Lambda matches the closed form recomputed in Python from the
+    pinned sigma^2."""
+    import math
+
+    from nnanalytics_spark.pipeline import stats
+
+    rows = []
+    for day, arm, vals in [
+        (0, "control", [1.0, 2.0]), (0, "treatment", [3.0, 4.0]),
+        (1, "control", [1.5]), (1, "treatment", [5.0]),
+        (2, "control", [2.0, 1.0]), (2, "treatment", [4.5, 5.5]),
+    ]:
+        rows += [(day, arm, v) for v in vals]
+    df = spark.createDataFrame(rows, ["day", "arm", "value"])
+    out = stats.msprt_always_valid(df, "value", "arm", "day").orderBy("day").collect()
+    ps = [r["p_always_valid"] for r in out]
+    assert ps == sorted(ps, reverse=True)
+    vals = [v for _, _, v in rows]
+    n = len(vals)
+    sig2 = round(sum(v * v for v in vals) / n - (sum(vals) / n) ** 2, 9)
+    nc = nt = 2
+    delta = (3.0 + 4.0) / 2 - (1.0 + 2.0) / 2
+    v_n = sig2 * (1.0 / nc + 1.0 / nt)
+    lam = round(
+        math.sqrt(v_n / (v_n + sig2))
+        * math.exp(delta * delta * sig2 / (2.0 * v_n * (v_n + sig2))),
+        9,
+    )
+    assert out[0]["lambda_n"] == round(lam, 6)
+    assert out[0]["p_always_valid"] == round(min(1.0, 1.0 / lam), 6)
+
+
+def test_bh_fdr_textbook(spark):
+    """BH on p = {0.005, 0.01, 0.03, 0.04}: raw m·p/i = {0.02, 0.02,
+    0.04, 0.04}, step-up adjusted identical; q=0.03 rejects exactly the
+    first two."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [("a", 0.01), ("b", 0.04), ("c", 0.03), ("d", 0.005)]
+    df = spark.createDataFrame(rows, ["metric", "p_value"])
+    out = {
+        r["metric"]: r
+        for r in stats.bh_fdr(df, "p_value", ["metric"], q=0.03).collect()
+    }
+    assert out["d"]["p_adj"] == 0.02 and out["a"]["p_adj"] == 0.02
+    assert out["c"]["p_adj"] == 0.04 and out["b"]["p_adj"] == 0.04
+    assert out["d"]["reject"] and out["a"]["reject"]
+    assert not out["c"]["reject"] and not out["b"]["reject"]
+    assert [out[k]["p_rank"] for k in ("d", "a", "c", "b")] == [1, 2, 3, 4]

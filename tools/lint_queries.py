@@ -61,6 +61,12 @@ WAIVERS: dict[str, set[str]] = {
     # contract); the exchange count is the per-key agg + cutpoint agg +
     # decile agg + totals chain, each over keys-or-smaller inputs
     "lorenz_deciles": {"unpartitioned_window", "exchange_count"},
+    # mSPRT's cumulative sums and running-max Lambda run over the DAY
+    # GRID after the (day, arm) aggregate — km_survival's contract
+    "msprt_always_valid": {"unpartitioned_window"},
+    # BH rank + step-up running min over the |sources|-row hypothesis
+    # family (one row per test by construction)
+    "bh_fdr": {"unpartitioned_window"},
     "chi_square": {"unpartitioned_window"},
     "mutual_information": {"unpartitioned_window"},
     "vocabulary_growth": {"unpartitioned_window"},
