@@ -5620,6 +5620,37 @@ def q_bh_fdr(spark, sf):
     )
 
 
+def q_isotonic_calibration(spark, sf):
+    """Exact isotonic calibration (stats.isotonic_fit — PAVA via its
+    closed minimax form): the calibration_bins probe classifier's
+    reliability curve, made monotone — the probability map a
+    score-thresholded corpus filter would actually deploy. One corpus
+    aggregate to the 10-bin grid, then a bounded B³ minimax over
+    prefix sums (no iteration, no UDF)."""
+    from nnanalytics_spark.pipeline import stats
+    from nnanalytics_spark.pipeline.text import tokens as _tokens
+
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _CAL_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_the = F.size(F.filter(toks, lambda x: x == F.lit("the")))
+    scored = d.filter(F.size(toks) > 0).select(
+        F.round(n_stop / F.size(toks), 9).alias("p"),
+        (n_the >= 2).cast("int").alias("y"),
+    )
+    return stats.isotonic_fit(scored, "p", "y", bins=10).orderBy("bin")
+
+
+def q_good_turing(spark, sf):
+    """Good–Turing unseen-mass estimate (text.good_turing — Good 1953):
+    frequency-of-frequencies over the corpus vocabulary; the r=0 row's
+    gt_mass = N₁/N prices how much probability belongs to tokens never
+    seen — the convergence readout next to vocabulary_growth's Heaps
+    curve. One token-count shuffle, then bounded grids."""
+    return text.good_turing(_t(spark, sf, "documents"))
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -5984,6 +6015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mde_power": q_mde_power,
         "msprt_always_valid": q_msprt_always_valid,
         "bh_fdr": q_bh_fdr,
+        "isotonic_calibration": q_isotonic_calibration,
+        "good_turing": q_good_turing,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -11750,6 +11783,77 @@ def oracle_sql() -> dict[str, str]:
                round(p_adj_raw, 6) AS p_adj,
                round(p_adj_raw, 6) <= 0.10 AS reject
         FROM adj
+    """
+    # isotonic_calibration: the calibration_bins probe chain into the
+    # closed minimax PAVA form over prefix sums — a bounded B^3
+    # enumeration on the 10-bin grid.
+    _stop_sql = ", ".join(f"'{s}'" for s in _CAL_STOPWORDS)
+    d["isotonic_calibration"] = rf"""
+        WITH toks AS (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        scored AS (
+          SELECT round(len(list_filter(t, x -> list_contains([{_stop_sql}], x)))
+                       / CAST(len(t) AS DOUBLE), 9) AS p,
+                 CAST(len(list_filter(t, x -> x = 'the')) >= 2 AS INT) AS y
+          FROM toks WHERE len(t) > 0
+        ),
+        grouped AS (
+          SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+                 count(*) AS n,
+                 CAST(SUM(y) AS BIGINT) AS sy
+          FROM scored GROUP BY 1
+        ),
+        pref AS (
+          SELECT bin, n, sy,
+                 SUM(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+                 SUM(sy) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cy
+          FROM grouped
+        ),
+        pairs AS (
+          SELECT j.bin AS j, k.bin AS k,
+                 CAST(k.cy - (j.cy - j.sy) AS DOUBLE)
+                 / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg
+          FROM pref j JOIN pref k ON k.bin >= j.bin
+        ),
+        inner_ AS (
+          SELECT i.bin AS i, p.j AS j, min(p.avg) AS mn
+          FROM pairs p JOIN pref i ON p.j <= i.bin AND p.k >= i.bin
+          GROUP BY 1, 2
+        ),
+        fit AS (SELECT i, round(max(mn), 6) AS iso_rate FROM inner_ GROUP BY 1)
+        SELECT g.bin, g.n,
+               round(CAST(g.sy AS DOUBLE) / g.n, 6) AS raw_rate,
+               f.iso_rate
+        FROM pref g JOIN fit f ON g.bin = f.i
+        ORDER BY g.bin
+    """
+    # good_turing: token frequency-of-frequencies and the literal
+    # 6-row r grid with the closed-form adjusted counts and masses.
+    d["good_turing"] = r"""
+        WITH toks AS (
+          SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        tc AS (SELECT tok, count(*) AS r FROM toks GROUP BY 1),
+        fof AS (SELECT r, count(*) AS n_types FROM tc GROUP BY 1),
+        tot AS (SELECT CAST(SUM(r * n_types) AS BIGINT) AS n_tokens FROM fof),
+        grid AS (SELECT unnest(range(0, 6)) AS r)
+        SELECT g.r,
+               CAST(coalesce(c.n_types, 0) AS BIGINT) AS n_types,
+               CAST(coalesce(x.n_types, 0) AS BIGINT) AS next_types,
+               CASE WHEN coalesce(c.n_types, 0) > 0
+                    THEN round(CAST(g.r + 1 AS DOUBLE) * coalesce(x.n_types, 0)
+                               / coalesce(c.n_types, 0), 6)
+                    ELSE 0.0 END AS r_star,
+               round(CAST(g.r AS DOUBLE) * coalesce(c.n_types, 0) / n_tokens, 6)
+                 AS ml_mass,
+               round(CAST(g.r + 1 AS DOUBLE) * coalesce(x.n_types, 0) / n_tokens, 6)
+                 AS gt_mass
+        FROM grid g
+        LEFT JOIN fof c ON c.r = g.r
+        LEFT JOIN fof x ON x.r = g.r + 1, tot
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

@@ -251,6 +251,8 @@ HEADLINE = [
     "mde_power",
     "msprt_always_valid",
     "bh_fdr",
+    "isotonic_calibration",
+    "good_turing",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -1165,3 +1165,71 @@ def phrase_occurrences(
             F.size(tokens(prefix)).alias("first_token_offset"),
         )
     )
+
+
+def good_turing(docs: DataFrame, text_col: str = "text", max_r: int = 5) -> DataFrame:
+    """Good–Turing frequency-of-frequencies estimate (Good 1953) over
+    the corpus vocabulary — the classic answer to "how much probability
+    mass belongs to words we have NOT seen yet?", which prices how far
+    vocabulary collection has converged (the companion readout to the
+    Heaps'-law curve in vocabulary_growth).
+
+    Per frequency r ≤ max_r: the type count N_r, the adjusted count
+    r* = (r+1)·N_{r+1}/N_r, the maximum-likelihood mass r·N_r/N and the
+    Good–Turing mass (r+1)·N_{r+1}/N. The r=0 row is the headline: its
+    gt_mass = N_1/N is the estimated probability that the NEXT token is
+    a brand-new type.
+
+    Plan: one token explode + (token) count — the same single shuffle
+    any vocabulary statistic pays — then the frequency histogram and a
+    literal (max_r+1)-row grid join, all bounded."""
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("r"))
+    fof = tc.groupBy("r").agg(F.count(F.lit(1)).alias("n_types"))
+    # N_r table is bounded by the max token frequency; it feeds the
+    # totals AND two grid joins — checkpoint keeps the corpus shuffle
+    # at one execution
+    fof = fof.localCheckpoint(eager=False)
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_types")).alias("n_tokens")
+    )
+    grid = docs.sparkSession.range(0, max_r + 1).select(F.col("id").alias("r"))
+    cur = fof.withColumnRenamed("n_types", "_cur")
+    nxt = fof.select((F.col("r") - 1).alias("r"), F.col("n_types").alias("_nxt"))
+    g = (
+        grid.join(cur, "r", "left")
+        .join(nxt, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            F.coalesce("_cur", F.lit(0)).alias("n_types"),
+            F.coalesce("_nxt", F.lit(0)).alias("next_types"),
+            "n_tokens",
+        )
+    )
+    r_star = F.when(
+        F.col("n_types") > 0,
+        F.round(
+            (F.col("r") + 1).cast("double")
+            * F.col("next_types")
+            / F.col("n_types"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return g.select(
+        "r",
+        "n_types",
+        "next_types",
+        r_star.alias("r_star"),
+        F.round(
+            F.col("r").cast("double") * F.col("n_types") / F.col("n_tokens"), 6
+        ).alias("ml_mass"),
+        F.round(
+            (F.col("r") + 1).cast("double")
+            * F.col("next_types")
+            / F.col("n_tokens"),
+            6,
+        ).alias("gt_mass"),
+    )

@@ -605,3 +605,60 @@ def test_bh_fdr_textbook(spark):
     assert out["d"]["reject"] and out["a"]["reject"]
     assert not out["c"]["reject"] and not out["b"]["reject"]
     assert [out[k]["p_rank"] for k in ("d", "a", "c", "b")] == [1, 2, 3, 4]
+
+
+# ------------------------------------------------ isotonic / good-turing
+
+def test_isotonic_fit_pools_violations(spark):
+    """Bin rates [0.1, 0.4, 0.3, 0.8] — PAVA pools the middle pair to
+    0.35 and leaves the monotone ends alone."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = []
+    for b, (n, pos) in enumerate([(10, 1), (10, 4), (10, 3), (10, 8)]):
+        p = b / 10 + 0.05
+        rows += [(p, 1)] * pos + [(p, 0)] * (n - pos)
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = {r["bin"]: r for r in stats.isotonic_fit(df, "p", "y", bins=10).collect()}
+    assert out[0]["iso_rate"] == 0.1
+    assert out[1]["iso_rate"] == 0.35 and out[2]["iso_rate"] == 0.35
+    assert out[3]["iso_rate"] == 0.8
+    assert out[1]["raw_rate"] == 0.4 and out[2]["raw_rate"] == 0.3
+
+
+def test_isotonic_fit_weighted_pooling(spark):
+    """Unequal bin weights: rates 0.5 (n=2) then 0.3 (n=10) pool to the
+    WEIGHTED mean 4/12, not the midpoint."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(0.15, 1), (0.15, 0)] + [(0.25, 1)] * 3 + [(0.25, 0)] * 7
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = {r["bin"]: r for r in stats.isotonic_fit(df, "p", "y", bins=10).collect()}
+    assert out[1]["iso_rate"] == out[2]["iso_rate"] == round(4 / 12, 6)
+
+
+def test_isotonic_fit_monotone_and_mass_preserving(spark):
+    """On the real corpus probe: iso_rate is nondecreasing in bin and
+    Σ n·iso equals Σ y (PAVA preserves each pooled block's mass)."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_isotonic_calibration(spark, SF).collect()
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)
+    got = sum(r["n"] * r["iso_rate"] for r in rows)
+    want = sum(r["n"] * r["raw_rate"] for r in rows)
+    assert abs(got - want) < 1e-3
+
+
+def test_good_turing_hand_corpus(spark):
+    """Corpus 'a a a b b c': N=6, N1=N2=N3=1 — pins every closed-form
+    column including the r=0 unseen mass N1/N."""
+    from nnanalytics_spark.pipeline import text as t
+
+    df = spark.createDataFrame([(1, "a a a b b c")], ["doc_id", "text"])
+    out = {r["r"]: r for r in t.good_turing(df).collect()}
+    assert out[0]["gt_mass"] == round(1 / 6, 6) and out[0]["r_star"] == 0.0
+    assert out[1]["r_star"] == 2.0 and out[1]["ml_mass"] == round(1 / 6, 6)
+    assert out[2]["r_star"] == 3.0 and out[2]["gt_mass"] == 0.5
+    assert out[3]["r_star"] == 0.0 and out[3]["ml_mass"] == 0.5
+    assert out[4]["n_types"] == 0 and out[5]["gt_mass"] == 0.0
