@@ -5651,6 +5651,45 @@ def q_good_turing(spark, sf):
     return text.good_turing(_t(spark, sf, "documents"))
 
 
+def q_tail_index(spark, sf):
+    """Hill tail-index over word-bigram frequencies
+    (stats.hill_tail_index — Hill 1975): α̂ of the gram-frequency Zipf
+    tail from the top-100 order statistics. key_skew says how skewed
+    keys are today; α̂ prices how the hot-shingle tail GROWS with
+    corpus size — the number the r8 skew probe said the pair-generator
+    diagnostics still lacked. Bigrams (the shingle family's unit), not
+    unigrams: the synthetic vocabulary is only 31 types. One gram-count
+    shuffle + distributed TakeOrdered(k+1); token array materialized
+    before the gram lambda (word_grams contract)."""
+    from nnanalytics_spark.pipeline import stats
+
+    d = _t(spark, sf, "documents")
+    base = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        text.tokens(F.col("text")).alias("_toks")
+    )
+    grams = base.select(F.explode(text.word_grams(F.col("_toks"), 2)).alias("tok"))
+    tc = grams.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return stats.hill_tail_index(tc, "cnt", "tok", k=100)
+
+
+def q_simpsons_check(spark, sf):
+    """Mantel–Haenszel stratified association + Simpson's-paradox flag
+    (stats.stratified_association — Mantel & Haenszel 1959): does the
+    pooled exposure→outcome odds ratio survive controlling for event
+    type, or does the direction flip? The confounding guard before any
+    pooled corpus association is trusted. One grouped conditional-count
+    pass; DECIMAL CMH terms."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf)
+    return stats.stratified_association(
+        ev,
+        exposure=F.col("user_id") % 2 == 0,
+        outcome=F.col("value") > 50.0,
+        stratum_col="event_type",
+    )
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6017,6 +6056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bh_fdr": q_bh_fdr,
         "isotonic_calibration": q_isotonic_calibration,
         "good_turing": q_good_turing,
+        "tail_index": q_tail_index,
+        "simpsons_check": q_simpsons_check,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -11854,6 +11895,78 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         LEFT JOIN fof c ON c.r = g.r
         LEFT JOIN fof x ON x.r = g.r + 1, tot
+    """
+    # tail_index: token counts, top-101 by (cnt DESC, tok ASC), Hill's
+    # log fold with 9-dp DECIMAL terms over the bounded k rows.
+    d["tail_index"] = r"""
+        WITH t AS (
+          SELECT string_split_regex(trim(text), '\s+') AS tk
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        g AS (
+          SELECT unnest([array_to_string(tk[i:i+1], ' ')
+                         for i in range(1, len(tk))]) AS tok
+          FROM t WHERE len(tk) >= 2
+        ),
+        tc AS (SELECT tok, count(*) AS cnt FROM g GROUP BY 1),
+        nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM tc),
+        top AS (SELECT cnt AS x, tok FROM tc ORDER BY cnt DESC, tok ASC LIMIT 101),
+        ranked AS (
+          SELECT x, row_number() OVER (ORDER BY x DESC, tok ASC) AS rk FROM top
+        ),
+        thr AS (SELECT x AS xk1 FROM ranked WHERE rk = 101),
+        terms AS (
+          SELECT CAST(round(ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE)), 9)
+                      AS DECIMAL(28,9)) AS t
+          FROM ranked, thr WHERE rk <= 100
+        ),
+        agg AS (SELECT CAST(count(*) AS BIGINT) AS k_used, SUM(t) AS s FROM terms)
+        SELECT n_keys, k_used AS k, xk1 AS tail_threshold,
+               round(CAST(k_used AS DOUBLE) / CAST(s AS DOUBLE), 6) AS hill_alpha,
+               round(CAST(k_used AS DOUBLE) / CAST(s AS DOUBLE)
+                     / sqrt(CAST(k_used AS DOUBLE)), 6) AS alpha_se
+        FROM agg, nk, thr
+    """
+    # simpsons_check: grouped 2x2 conditional counts, per-stratum ORs,
+    # and the TOTAL row's crude vs Mantel-Haenszel common OR with the
+    # reversal flag; CMH terms quantize to DECIMAL before summing.
+    d["simpsons_check"] = """
+        WITH ev AS (
+          SELECT event_type AS stratum, (user_id % 2 = 0) AS e,
+                 (value > 50.0) AS o
+          FROM events
+        ),
+        per AS (
+          SELECT stratum,
+                 CAST(SUM(CASE WHEN e AND o THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(SUM(CASE WHEN e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                 CAST(SUM(CASE WHEN NOT e AND o THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                 CAST(SUM(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM ev GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(SUM(a) AS BIGINT) AS a, CAST(SUM(b) AS BIGINT) AS b,
+                 CAST(SUM(c) AS BIGINT) AS c, CAST(SUM(d) AS BIGINT) AS d,
+                 SUM(CAST(round(CAST(a AS DOUBLE) * d / CAST(a + b + c + d AS DOUBLE), 9)
+                          AS DECIMAL(28,9))) AS num,
+                 SUM(CAST(round(CAST(b AS DOUBLE) * c / CAST(a + b + c + d AS DOUBLE), 9)
+                          AS DECIMAL(28,9))) AS den
+          FROM per
+        )
+        SELECT stratum, a, b, c, d, a + b + c + d AS n,
+               CASE WHEN b > 0 AND c > 0
+                    THEN round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6)
+               END AS odds_ratio,
+               CAST(NULL AS DOUBLE) AS cmh_or,
+               CAST(NULL AS BOOLEAN) AS reversed
+        FROM per
+        UNION ALL
+        SELECT 'TOTAL', a, b, c, d, a + b + c + d,
+               round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c), 6),
+               round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6),
+               (CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) > 1.0)
+                 <> (CAST(num AS DOUBLE) / CAST(den AS DOUBLE) > 1.0)
+        FROM tot
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

@@ -253,6 +253,8 @@ HEADLINE = [
     "bh_fdr",
     "isotonic_calibration",
     "good_turing",
+    "tail_index",
+    "simpsons_check",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

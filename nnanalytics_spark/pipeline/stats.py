@@ -1618,3 +1618,153 @@ def isotonic_fit(
             "iso_rate",
         )
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the Pareto tail index (Hill 1975) over a
+    key-frequency table — the scale-pricing companion to the key_skew /
+    simhash_block_diagnostic family: key_skew reports how skewed the
+    keys are TODAY; α̂ says how the hot tail GROWS, because for a
+    power-law tail the top-key share scales like n^(1-1/α) — α near 1
+    means the hottest key keeps absorbing a constant fraction of a
+    100 TB corpus and salting is mandatory, large α means the tail
+    thins and plain hash partitioning holds.
+
+        α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)),   SE ≈ α̂/√k
+
+    Plan: distributed TakeOrdered of the top k+1 frequencies (orderBy
+    DESC + limit — no global sort materialization), then the log fold
+    on the bounded k-row table with 9-dp DECIMAL term sums (order-free)
+    and a broadcast total-key count. Ties at the boundary break by key
+    so both engines pick the identical top set."""
+    top = (
+        df.select(F.col(value_col).alias("x"), F.col(key_col).alias("_k"))
+        .orderBy(F.col("x").desc(), F.col("_k").asc())
+        .limit(k + 1)
+    )
+    # bounded (k+1)-row table feeds the threshold AND the numerator
+    top = top.localCheckpoint(eager=False)
+    from pyspark.sql import Window as W
+
+    rnk = F.row_number().over(W.orderBy(F.col("x").desc(), F.col("_k").asc()))
+    ranked = top.select("x", rnk.alias("rk"))
+    thr = ranked.filter(F.col("rk") == k + 1).select(F.col("x").alias("xk1"))
+    terms = (
+        ranked.filter(F.col("rk") <= k)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.round(
+                F.log(F.col("x").cast("double") / F.col("xk1").cast("double")), 9
+            )
+            .cast("decimal(28,9)")
+            .alias("_t")
+        )
+    )
+    n_keys = df.agg(F.count(F.lit(1)).alias("n_keys"))
+    agg = terms.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum("_t").alias("_s"),
+    )
+    alpha = F.col("k_used").cast("double") / F.col("_s").cast("double")
+    return (
+        agg.crossJoin(F.broadcast(n_keys))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "n_keys",
+            F.col("k_used").alias("k"),
+            F.col("xk1").alias("tail_threshold"),
+            F.round(alpha, 6).alias("hill_alpha"),
+            F.round(alpha / F.sqrt(F.col("k_used").cast("double")), 6).alias(
+                "alpha_se"
+            ),
+        )
+    )
+
+
+def stratified_association(
+    df: DataFrame,
+    exposure: "F.Column",
+    outcome: "F.Column",
+    stratum_col: str,
+) -> DataFrame:
+    """Mantel–Haenszel stratified 2×2 association (Mantel & Haenszel
+    1959) with a Simpson's-paradox flag — the confounding check a data
+    platform runs before trusting any POOLED association read off a
+    mixed corpus: per stratum the odds ratio, plus a TOTAL row carrying
+    the crude (pooled) OR, the CMH common OR
+
+        OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ)
+
+    and reversed = (crude side of 1) ≠ (CMH side of 1) — true means the
+    pooled number points the WRONG way once strata are controlled.
+
+    One grouped conditional-count pass; cross-products go through
+    double BEFORE multiplying (a·d of two 1e11 counts overflows int64
+    at corpus scale) and the CMH terms quantize to 9-dp DECIMAL so the
+    stratum sum is order-free."""
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum((exposure & outcome).cast("long")).alias("a"),
+        F.sum((exposure & ~outcome).cast("long")).alias("b"),
+        F.sum((~exposure & outcome).cast("long")).alias("c"),
+        F.sum((~exposure & ~outcome).cast("long")).alias("d"),
+    )
+    # the |strata|-row table feeds the per-stratum rows AND the TOTAL
+    per = per.localCheckpoint(eager=False)
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("n")
+    orr = F.when(
+        (F.col("b") > 0) & (F.col("c") > 0),
+        F.round(
+            F.col("a").cast("double") * F.col("d")
+            / (F.col("b").cast("double") * F.col("c")),
+            6,
+        ),
+    )
+    strata = per.select(
+        "stratum",
+        "a",
+        "b",
+        "c",
+        "d",
+        n,
+        orr.alias("odds_ratio"),
+        F.lit(None).cast("double").alias("cmh_or"),
+        F.lit(None).cast("boolean").alias("reversed"),
+    )
+    nn = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    tot = per.agg(
+        F.sum("a").alias("a"),
+        F.sum("b").alias("b"),
+        F.sum("c").alias("c"),
+        F.sum("d").alias("d"),
+        F.sum(
+            F.round(F.col("a").cast("double") * F.col("d") / nn, 9).cast(
+                "decimal(28,9)"
+            )
+        ).alias("_num"),
+        F.sum(
+            F.round(F.col("b").cast("double") * F.col("c") / nn, 9).cast(
+                "decimal(28,9)"
+            )
+        ).alias("_den"),
+    )
+    crude = F.col("a").cast("double") * F.col("d") / (
+        F.col("b").cast("double") * F.col("c")
+    )
+    cmh = F.col("_num").cast("double") / F.col("_den").cast("double")
+    total = tot.select(
+        F.lit("TOTAL").alias("stratum"),
+        "a",
+        "b",
+        "c",
+        "d",
+        n,
+        F.round(crude, 6).alias("odds_ratio"),
+        F.round(cmh, 6).alias("cmh_or"),
+        ((crude > 1.0) != (cmh > 1.0)).alias("reversed"),
+    )
+    return strata.unionByName(total)

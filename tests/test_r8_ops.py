@@ -662,3 +662,57 @@ def test_good_turing_hand_corpus(spark):
     assert out[2]["r_star"] == 3.0 and out[2]["gt_mass"] == 0.5
     assert out[3]["r_star"] == 0.0 and out[3]["ml_mass"] == 0.5
     assert out[4]["n_types"] == 0 and out[5]["gt_mass"] == 0.0
+
+
+# ------------------------------------------------ tail index / CMH
+
+def test_hill_tail_index_closed_form(spark):
+    """Frequencies {32,16,8,4,...}: k=3 gives terms ln8+ln4+ln2 = 6·ln2,
+    so alpha = 3/(6·ln2) with the same 9-dp term quantization."""
+    import math
+
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [("a", 32), ("b", 16), ("c", 8), ("d", 4), ("e", 2), ("f", 1)]
+    df = spark.createDataFrame(rows, ["tok", "cnt"])
+    r = stats.hill_tail_index(df, "cnt", "tok", k=3).collect()[0]
+    s = sum(round(math.log(x / 4.0), 9) for x in (32, 16, 8))
+    assert r["n_keys"] == 6 and r["k"] == 3 and r["tail_threshold"] == 4
+    assert r["hill_alpha"] == round(3 / s, 6)
+    assert r["alpha_se"] == round(3 / s / math.sqrt(3.0), 6)
+
+
+def test_hill_tail_index_needs_k_plus_one_keys(spark):
+    """Fewer than k+1 distinct keys → empty result (no tail to fit),
+    never a wrong number."""
+    from nnanalytics_spark.pipeline import stats
+
+    df = spark.createDataFrame([("a", 5), ("b", 3)], ["tok", "cnt"])
+    assert stats.hill_tail_index(df, "cnt", "tok", k=100).count() == 0
+
+
+def test_stratified_association_simpsons_reversal(spark):
+    """Textbook reversal: both strata have OR < 1 (S1 54/84, S2 42/72)
+    but the pooled crude OR is 1.5 — reversed must be True and CMH
+    96/156 stays on the stratified side."""
+    from pyspark.sql import functions as F
+
+    from nnanalytics_spark.pipeline import stats
+
+    rows = []
+    for s, a, b, c, d in [("S1", 18, 12, 7, 3), ("S2", 2, 8, 9, 21)]:
+        rows += [(s, 1, 1)] * a + [(s, 1, 0)] * b + [(s, 0, 1)] * c + [(s, 0, 0)] * d
+    df = spark.createDataFrame(rows, ["stratum", "e", "o"])
+    out = {
+        r["stratum"]: r
+        for r in stats.stratified_association(
+            df, F.col("e") == 1, F.col("o") == 1, "stratum"
+        ).collect()
+    }
+    assert out["S1"]["odds_ratio"] == round(54 / 84, 6)
+    assert out["S2"]["odds_ratio"] == round(42 / 72, 6)
+    t = out["TOTAL"]
+    assert t["odds_ratio"] == 1.5
+    assert t["cmh_or"] == round(96 / 156, 6)
+    assert t["reversed"] is True
+    assert (t["a"], t["b"], t["c"], t["d"]) == (20, 20, 16, 24)

@@ -61,6 +61,9 @@ WAIVERS: dict[str, set[str]] = {
     # contract); the exchange count is the per-key agg + cutpoint agg +
     # decile agg + totals chain, each over keys-or-smaller inputs
     "lorenz_deciles": {"unpartitioned_window", "exchange_count"},
+    # Hill rank window runs AFTER the distributed orderBy().limit(k+1)
+    # prune — (k+1)-row input, the zipf_slope contract
+    "tail_index": {"unpartitioned_window"},
     # mSPRT's cumulative sums and running-max Lambda run over the DAY
     # GRID after the (day, arm) aggregate — km_survival's contract
     "msprt_always_valid": {"unpartitioned_window"},
