@@ -5690,6 +5690,46 @@ def q_simpsons_check(spark, sf):
     )
 
 
+def q_negbinom_fit(spark, sf):
+    """Negative-binomial daily-count fit (stats.negbinom_fit): the
+    parametric burst model overdispersion's var/mean ≫ 1 calls for —
+    method-of-moments r and p per event type, plus P(0), the
+    zero-activity-day share a Poisson model underestimates. Exact
+    DECIMAL moments; var ≤ mean reports NULLs, not a negative r."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.negbinom_fit(_events(spark, sf))
+
+
+def q_entropy_rate(spark, sf):
+    """Markov entropy rate of the behavior chain (behavior.entropy_rate):
+    per-state conditional entropy and the TOTAL row's Σ(n_s/N)·H_s —
+    how predictable the next event is given the current one. Composes
+    event_transitions; everything past the one windowed transition
+    build runs on the |types|² matrix with 9-dp DECIMAL terms."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.entropy_rate(_events(spark, sf))
+
+
+def q_quantile_treatment(spark, sf):
+    """Quantile treatment effects (stats.quantile_treatment): exact
+    interpolated per-user metric quantiles per parity arm at
+    q ∈ {.25,.5,.75,.9} and their gaps — the distributional readout
+    that tells a whale-tail lift from a uniform shift before a rollout.
+    One percentile aggregate per arm over per-unit DECIMAL sums."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "treatment")
+        .otherwise("control")
+        .alias("arm"),
+    )
+    return stats.quantile_treatment(ev, "value", "user_id", "arm")
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6058,6 +6098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": q_good_turing,
         "tail_index": q_tail_index,
         "simpsons_check": q_simpsons_check,
+        "negbinom_fit": q_negbinom_fit,
+        "entropy_rate": q_entropy_rate,
+        "quantile_treatment": q_quantile_treatment,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -11967,6 +12010,110 @@ def oracle_sql() -> dict[str, str]:
                (CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) > 1.0)
                  <> (CAST(num AS DOUBLE) / CAST(den AS DOUBLE) > 1.0)
         FROM tot
+    """
+    # negbinom_fit: overdispersion's exact daily moments into the
+    # closed-form method-of-moments NB parameters; var<=mean -> NULLs.
+    d["negbinom_fit"] = """
+        WITH daily AS (
+          SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT g, count(*) AS n_days,
+                 SUM(c) AS sx, SUM(c * c) AS sxx
+          FROM daily GROUP BY g
+        ),
+        f AS (
+          SELECT g, CAST(n_days AS BIGINT) AS n_days,
+                 CAST(sx AS DOUBLE) / n_days AS mean,
+                 (n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (n_days * (n_days - 1)) AS var
+          FROM m
+        )
+        SELECT g AS event_type, n_days,
+               round(mean, 6) AS mean_daily,
+               round(var, 6) AS var_daily,
+               CASE WHEN var > mean
+                    THEN round(mean * mean / (var - mean), 6) END AS nb_r,
+               CASE WHEN var > mean THEN round(mean / var, 6) END AS nb_p,
+               CASE WHEN var > mean
+                    THEN round(pow(mean / var, mean * mean / (var - mean)), 6)
+               END AS p_zero
+        FROM f
+    """
+    # entropy_rate: the event_transitions matrix into per-state
+    # conditional entropies (9-dp DECIMAL terms) and the TOTAL rate.
+    d["entropy_rate"] = """
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(ts), event_id) AS prev_type
+          FROM events
+        ),
+        matrix AS (
+          SELECT prev_type AS from_type, event_type AS to_type,
+                 count(*) AS cnt
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2
+        ),
+        ns AS (
+          SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS n_out
+          FROM matrix GROUP BY 1
+        ),
+        terms AS (
+          SELECT m.from_type, n.n_out,
+                 CAST(round((CAST(m.cnt AS DOUBLE) / n.n_out)
+                            * ln(CAST(n.n_out AS DOUBLE) / m.cnt), 9)
+                      AS DECIMAL(28,9)) AS t
+          FROM matrix m JOIN ns n USING (from_type)
+        ),
+        per_state AS (
+          SELECT from_type, n_out, SUM(t) AS h FROM terms GROUP BY 1, 2
+        ),
+        tot AS (SELECT CAST(SUM(n_out) AS BIGINT) AS N FROM per_state),
+        rate AS (
+          SELECT SUM(CAST(round((CAST(n_out AS DOUBLE) / N)
+                                * CAST(h AS DOUBLE), 9)
+                          AS DECIMAL(28,9))) AS r
+          FROM per_state, tot
+        )
+        SELECT from_type, n_out,
+               round(CAST(n_out AS DOUBLE) / N, 6) AS share,
+               round(CAST(h AS DOUBLE), 6) AS h_nats
+        FROM per_state, tot
+        UNION ALL
+        SELECT 'TOTAL', N, 1.0, round(CAST(r AS DOUBLE), 6)
+        FROM rate, tot
+    """
+    # quantile_treatment: per-unit DECIMAL sums, one quantile_cont
+    # array per arm (same interpolation as Spark percentile), pivot.
+    d["quantile_treatment"] = """
+        WITH ev AS (
+          SELECT user_id, value,
+                 CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                      ELSE 'control' END AS arm
+          FROM events
+        ),
+        pu AS (
+          SELECT user_id, arm,
+                 CAST(CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+                           AS DECIMAL(18,9)) AS DOUBLE) AS v
+          FROM ev GROUP BY 1, 2
+        ),
+        qs AS (
+          SELECT arm,
+                 unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[])) AS q,
+                 unnest(quantile_cont(v, [0.25, 0.5, 0.75, 0.9])) AS qv
+          FROM pu GROUP BY arm
+        )
+        SELECT q,
+               round(max(CASE WHEN arm = 'control' THEN qv END), 6) AS control_q,
+               round(max(CASE WHEN arm = 'treatment' THEN qv END), 6) AS treatment_q,
+               round(max(CASE WHEN arm = 'treatment' THEN qv END)
+                     - max(CASE WHEN arm = 'control' THEN qv END), 6) AS qte
+        FROM qs GROUP BY q
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

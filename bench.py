@@ -255,6 +255,9 @@ HEADLINE = [
     "good_turing",
     "tail_index",
     "simpsons_check",
+    "negbinom_fit",
+    "entropy_rate",
+    "quantile_treatment",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

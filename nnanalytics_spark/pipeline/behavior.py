@@ -1217,3 +1217,66 @@ def cusum_changepoint(
         )
         .withColumn("flagged", F.col("cusum") > threshold)
     )
+
+
+def entropy_rate(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts_us",
+    event_type: str = "event_type",
+) -> DataFrame:
+    """Entropy rate of the first-order behavior Markov chain — how
+    predictable the NEXT event is given the current one, in nats:
+    per state s the conditional entropy H_s = Σ_t (n_st/n_s)·ln(n_s/n_st),
+    and the TOTAL row's rate H = Σ_s (n_s/N)·H_s. The compressibility /
+    bot-detection readout that completes the transition family:
+    event_transitions gives the matrix, markov_stationary its long-run
+    mix, session_entropy the per-user marginal — this is the chain's
+    intrinsic unpredictability (0 = deterministic flows).
+
+    Everything past the one (user)-windowed transition build runs on
+    the |types|² matrix; entropy terms quantize to 9-dp DECIMAL so the
+    sums are order-free."""
+    tm = event_transitions(events, user, ts, event_type).select(
+        "from_type", "to_type", "cnt"
+    )
+    # |types|^2 matrix feeds n_s, the term table, and the totals
+    tm = tm.localCheckpoint(eager=False)
+    ns = tm.groupBy("from_type").agg(F.sum("cnt").alias("n_out"))
+    terms = tm.join(F.broadcast(ns), "from_type").select(
+        "from_type",
+        "n_out",
+        F.round(
+            (F.col("cnt").cast("double") / F.col("n_out"))
+            * F.log(F.col("n_out").cast("double") / F.col("cnt")),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("_t"),
+    )
+    per_state = terms.groupBy("from_type", "n_out").agg(F.sum("_t").alias("_h"))
+    per_state = per_state.localCheckpoint(eager=False)
+    tot_n = per_state.agg(F.sum("n_out").alias("_N"))
+    states = per_state.crossJoin(F.broadcast(tot_n)).select(
+        "from_type",
+        F.col("n_out"),
+        F.round(F.col("n_out").cast("double") / F.col("_N"), 6).alias("share"),
+        F.round(F.col("_h").cast("double"), 6).alias("h_nats"),
+    )
+    rate_terms = per_state.crossJoin(F.broadcast(tot_n)).select(
+        F.col("_N"),
+        F.round(
+            (F.col("n_out").cast("double") / F.col("_N"))
+            * F.col("_h").cast("double"),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("_rt"),
+    )
+    total = rate_terms.groupBy("_N").agg(F.sum("_rt").alias("_rate")).select(
+        F.lit("TOTAL").alias("from_type"),
+        F.col("_N").alias("n_out"),
+        F.lit(1.0).alias("share"),
+        F.round(F.col("_rate").cast("double"), 6).alias("h_nats"),
+    )
+    return states.unionByName(total)

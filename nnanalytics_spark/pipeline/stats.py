@@ -1768,3 +1768,99 @@ def stratified_association(
         ((crude > 1.0) != (cmh > 1.0)).alias("reversed"),
     )
     return strata.unionByName(total)
+
+
+def negbinom_fit(
+    events: DataFrame,
+    group: str = "event_type",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Method-of-moments negative-binomial fit of daily event counts —
+    the parametric follow-up the overdispersion diagnostic begs: once
+    var/mean ≫ 1 says "not Poisson", NB(r, p) with
+
+        p = m/v,   r = m²/(v − m),   P(0) = p^r
+
+    is the standard burst model (Poisson-gamma mixture), and P(0) is
+    directly actionable: the expected share of ZERO-activity days a
+    Poisson model would badly underestimate. Same exact integer moment
+    discipline as overdispersion (one daily-count aggregate, Σx/Σx² in
+    DECIMAL, doubles only in the finished formula); groups with
+    var ≤ mean (no overdispersion to model) report NULL fit columns
+    rather than a garbage negative r."""
+    daily = (
+        events.select(
+            F.col(group).alias("g"), F.expr(f"{ts_col} div 86400000").alias("day")
+        )
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dec = "decimal(38,0)"
+    m = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("c").cast(dec)).alias("sx"),
+        F.sum(F.col("c").cast(dec) * F.col("c").cast(dec)).alias("sxx"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    mean = sx / n
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    over = var > mean
+    r = mean * mean / (var - mean)
+    p = mean / var
+    return m.select(
+        F.col("g").alias(group),
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.when(over, F.round(r, 6)).alias("nb_r"),
+        F.when(over, F.round(p, 6)).alias("nb_p"),
+        F.when(over, F.round(F.pow(p, r), 6)).alias("p_zero"),
+    )
+
+
+def quantile_treatment(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    arm_col: str,
+    quantiles: tuple = (0.25, 0.5, 0.75, 0.9),
+    control: str = "control",
+    treatment: str = "treatment",
+) -> DataFrame:
+    """Quantile treatment effects — the distributional readout a mean
+    difference hides: per quantile q, the exact interpolated per-unit
+    metric quantile in each arm and their gap. A lift concentrated in
+    the p90 tail (whales) and a uniform shift both move the mean the
+    same way; QTE tells them apart before a rollout decision.
+
+    Per-unit DECIMAL sums (randomization-unit discipline), ONE exact
+    percentile aggregate per arm with the full quantile array (not one
+    pass per q), then a |quantiles|-row pivot. percentile() here and
+    quantile_cont() in the oracle share the same (1−h)·lo + h·hi
+    interpolation — the module's established cross-engine pair."""
+    dec = "decimal(18,9)"
+    per_unit = df.groupBy(unit_col, arm_col).agg(
+        F.sum(F.round(F.col(value_col), 9).cast(dec)).cast(dec).alias("_v")
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    qs = per_unit.groupBy(arm_col).agg(
+        F.percentile(F.col("_v").cast("double"), qarr).alias("_qs")
+    )
+    exploded = qs.select(
+        F.col(arm_col).alias("_arm"), F.posexplode("_qs").alias("_i", "_qv")
+    ).select(
+        F.element_at(qarr, F.col("_i") + 1).alias("q"), "_arm", "_qv"
+    )
+    is_c = F.col("_arm") == control
+    is_t = F.col("_arm") == treatment
+    piv = exploded.groupBy("q").agg(
+        F.max(F.when(is_c, F.col("_qv"))).alias("_cq"),
+        F.max(F.when(is_t, F.col("_qv"))).alias("_tq"),
+    )
+    return piv.select(
+        "q",
+        F.round("_cq", 6).alias("control_q"),
+        F.round("_tq", 6).alias("treatment_q"),
+        F.round(F.col("_tq") - F.col("_cq"), 6).alias("qte"),
+    )

@@ -716,3 +716,67 @@ def test_stratified_association_simpsons_reversal(spark):
     assert t["cmh_or"] == round(96 / 156, 6)
     assert t["reversed"] is True
     assert (t["a"], t["b"], t["c"], t["d"]) == (20, 20, 16, 24)
+
+
+# ------------------------------------------ NB fit / entropy rate / QTE
+
+def test_negbinom_fit_closed_form(spark):
+    """Daily counts {1,3,8}: mean 4, var 13 → r=16/9, p=4/13,
+    P(0)=(4/13)^(16/9); an exactly-Poisson-or-under group reports
+    NULL fit columns."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = []
+    for day, c in [(0, 1), (1, 3), (2, 8)]:
+        rows += [("bursty", day * 86400000 + i) for i in range(c)]
+    for day in range(3):
+        rows += [("flat", day * 86400000 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ms"])
+    out = {r["event_type"]: r for r in stats.negbinom_fit(df).collect()}
+    b = out["bursty"]
+    assert b["mean_daily"] == 4.0 and b["var_daily"] == 13.0
+    assert b["nb_r"] == round(16 / 9, 6) and b["nb_p"] == round(4 / 13, 6)
+    assert b["p_zero"] == round((4 / 13) ** (16 / 9), 6)
+    f = out["flat"]
+    assert f["var_daily"] == 0.0
+    assert f["nb_r"] is None and f["nb_p"] is None and f["p_zero"] is None
+
+
+def test_entropy_rate_hand_chain(spark):
+    """Sequence A A A B: from-A distribution {A:2, B:1} →
+    H_A = (2/3)ln(3/2) + (1/3)ln 3, and the TOTAL rate equals H_A
+    (state A owns all transitions); a deterministic A B A B chain
+    rates 0."""
+    import math
+
+    from nnanalytics_spark.pipeline import behavior
+
+    rows = [(1, i, i * 1000, t) for i, t in enumerate(["A", "A", "A", "B"])]
+    df = spark.createDataFrame(rows, ["user_id", "event_id", "ts_us", "event_type"])
+    out = {r["from_type"]: r for r in behavior.entropy_rate(df).collect()}
+    h_a = round(
+        round((2 / 3) * math.log(3 / 2), 9) + round((1 / 3) * math.log(3), 9), 6
+    )
+    assert out["A"]["h_nats"] == h_a and out["A"]["n_out"] == 3
+    assert out["TOTAL"]["h_nats"] == h_a and out["TOTAL"]["share"] == 1.0
+
+    det = [(1, i, i * 1000, t) for i, t in enumerate(["A", "B", "A", "B", "A"])]
+    ddf = spark.createDataFrame(det, ["user_id", "event_id", "ts_us", "event_type"])
+    tot = [r for r in behavior.entropy_rate(ddf).collect() if r["from_type"] == "TOTAL"]
+    assert tot[0]["h_nats"] == 0.0
+
+
+def test_quantile_treatment_interpolation(spark):
+    """Per-unit sums control {1,2,3,4} vs treatment {2,4,6,8}: the
+    interpolated medians are 2.5 and 5.0, so QTE(0.5)=2.5; QTE(0.25)
+    = 3.5-1.75."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(i, "control", float(i)) for i in (1, 2, 3, 4)]
+    rows += [(10 + i, "treatment", 2.0 * i) for i in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, ["user_id", "arm", "value"])
+    out = {r["q"]: r for r in stats.quantile_treatment(df, "value", "user_id", "arm").collect()}
+    assert out[0.5]["control_q"] == 2.5 and out[0.5]["treatment_q"] == 5.0
+    assert out[0.5]["qte"] == 2.5
+    assert out[0.25]["control_q"] == 1.75 and out[0.25]["treatment_q"] == 3.5
+    assert out[0.9]["qte"] == round(7.4 - 3.7, 6)
