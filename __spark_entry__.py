@@ -5730,6 +5730,64 @@ def q_quantile_treatment(spark, sf):
     return stats.quantile_treatment(ev, "value", "user_id", "arm")
 
 
+def q_covariate_balance(spark, sf):
+    """Standardized-mean-difference balance check (stats.
+    covariate_balance — Austin 2009): per pre-treatment covariate
+    (per-user total value, event count, active days), the SMD between
+    the parity arms and the |SMD|<0.1 verdict — the randomization QA
+    that runs right after srm_check. One melt + one conditional-moment
+    pass; DECIMAL sums."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value"), 9).cast("decimal(18,9)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.expr("ts_ms div 86400000")).alias("active_days"),
+    )
+    per_user = per_user.withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, "treatment").otherwise("control"),
+    )
+    return stats.covariate_balance(
+        per_user, ["total_value", "n_events", "active_days"], "arm"
+    )
+
+
+def q_gains_curve(spark, sf):
+    """Cumulative gains / lift over score deciles (stats.gains_curve):
+    the calibration_bins probe classifier ranked DESC — what share of
+    all positives the top slices capture, and the lift over random.
+    The review-queue-cutoff readout beside classifier_auc. One corpus
+    aggregate, prefix sums on the 10-row grid."""
+    from nnanalytics_spark.pipeline import stats
+    from nnanalytics_spark.pipeline.text import tokens as _tokens
+
+    d = _t(spark, sf, "documents")
+    toks = _tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _CAL_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    n_the = F.size(F.filter(toks, lambda x: x == F.lit("the")))
+    scored = d.filter(F.size(toks) > 0).select(
+        F.round(n_stop / F.size(toks), 9).alias("p"),
+        (n_the >= 2).cast("int").alias("y"),
+    )
+    return stats.gains_curve(scored, "p", "y", bins=10).orderBy("bin")
+
+
+def q_autocorrelation(spark, sf):
+    """Lag-1..7 ACF of daily event counts per type
+    (stats.autocorrelation): the seasonality/burst-memory readout that
+    picks smoothing windows — strong lag-7 = weekly cycle. One
+    daily-count aggregate; mean/denominator/lagged self-join all run
+    on the bounded day grid with 9-dp DECIMAL terms."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.autocorrelation(_events(spark, sf))
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6101,6 +6159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negbinom_fit": q_negbinom_fit,
         "entropy_rate": q_entropy_rate,
         "quantile_treatment": q_quantile_treatment,
+        "covariate_balance": q_covariate_balance,
+        "gains_curve": q_gains_curve,
+        "autocorrelation": q_autocorrelation,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -12114,6 +12175,136 @@ def oracle_sql() -> dict[str, str]:
                round(max(CASE WHEN arm = 'treatment' THEN qv END)
                      - max(CASE WHEN arm = 'control' THEN qv END), 6) AS qte
         FROM qs GROUP BY q
+    """
+    # covariate_balance: per-user covariates, a UNION-ALL melt, and
+    # the conditional-moment SMD with sample variances.
+    d["covariate_balance"] = """
+        WITH pu AS (
+          SELECT user_id,
+                 CAST(CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+                           AS DECIMAL(18,9)) AS DOUBLE) AS total_value,
+                 count(*) AS n_events,
+                 count(DISTINCT epoch_ms(ts) // 86400000) AS active_days,
+                 CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                      ELSE 'control' END AS arm
+          FROM events GROUP BY user_id
+        ),
+        melted AS (
+          SELECT arm, 'total_value' AS cov,
+                 CAST(round(total_value, 9) AS DECIMAL(18,9)) AS x FROM pu
+          UNION ALL
+          SELECT arm, 'n_events',
+                 CAST(round(CAST(n_events AS DOUBLE), 9) AS DECIMAL(18,9)) FROM pu
+          UNION ALL
+          SELECT arm, 'active_days',
+                 CAST(round(CAST(active_days AS DOUBLE), 9) AS DECIMAL(18,9)) FROM pu
+        ),
+        m AS (
+          SELECT cov,
+                 CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+                 CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+                 SUM(CASE WHEN arm = 'control' THEN x
+                          ELSE CAST(0 AS DECIMAL(18,9)) END) AS sc,
+                 SUM(CASE WHEN arm = 'treatment' THEN x
+                          ELSE CAST(0 AS DECIMAL(18,9)) END) AS st,
+                 SUM(CASE WHEN arm = 'control' THEN CAST(x * x AS DECIMAL(38,18))
+                          ELSE CAST(0 AS DECIMAL(38,18)) END) AS scc,
+                 SUM(CASE WHEN arm = 'treatment' THEN CAST(x * x AS DECIMAL(38,18))
+                          ELSE CAST(0 AS DECIMAL(38,18)) END) AS stt
+          FROM melted GROUP BY cov
+        )
+        SELECT cov AS covariate, nc AS n_control, nt AS n_treatment,
+               round(CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS mean_control,
+               round(CAST(st AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS mean_treatment,
+               round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                      - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                     / sqrt(((CAST(stt AS DOUBLE)
+                              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                             / (CAST(nt AS DOUBLE) - 1)
+                             + (CAST(scc AS DOUBLE)
+                                - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                               / (CAST(nc AS DOUBLE) - 1)) / 2), 6) AS smd,
+               abs(round((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+                      - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                     / sqrt(((CAST(stt AS DOUBLE)
+                              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                             / (CAST(nt AS DOUBLE) - 1)
+                             + (CAST(scc AS DOUBLE)
+                                - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                               / (CAST(nc AS DOUBLE) - 1)) / 2), 6)) < 0.1 AS balanced
+        FROM m
+    """
+    # gains_curve: the probe classifier binned, DESC prefix sums on the
+    # bounded grid, lift = recall / example-share.
+    d["gains_curve"] = rf"""
+        WITH toks AS (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS t
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        scored AS (
+          SELECT round(len(list_filter(t, x -> list_contains([{_stop_sql}], x)))
+                       / CAST(len(t) AS DOUBLE), 9) AS p,
+                 CAST(len(list_filter(t, x -> x = 'the')) >= 2 AS INT) AS y
+          FROM toks WHERE len(t) > 0
+        ),
+        grouped AS (
+          SELECT least(CAST(floor(p * 10) AS INT), 9) AS bin,
+                 count(*) AS n, CAST(SUM(y) AS BIGINT) AS pos
+          FROM scored GROUP BY 1
+        ),
+        tot AS (SELECT SUM(n) AS tn, SUM(pos) AS tp FROM grouped),
+        cum AS (
+          SELECT bin, n, pos,
+                 SUM(n) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cn,
+                 SUM(pos) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cp
+          FROM grouped
+        )
+        SELECT bin, n, pos,
+               round(CAST(cn AS DOUBLE) / tn, 6) AS cum_frac_examples,
+               round(CAST(cp AS DOUBLE) / tp, 6) AS cum_recall,
+               round((CAST(cp AS DOUBLE) / tp) / (CAST(cn AS DOUBLE) / tn), 6)
+                 AS lift
+        FROM cum, tot
+        ORDER BY bin
+    """
+    # autocorrelation: daily counts, 9-dp-pinned mean, DECIMAL-quantized
+    # centered products over the lag-exploded day-grid self-join.
+    d["autocorrelation"] = """
+        WITH daily AS (
+          SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT g, count(*) AS n_days, SUM(c) AS sx FROM daily GROUP BY g
+        ),
+        mean AS (
+          SELECT g, round(CAST(sx AS DOUBLE) / n_days, 9) AS mu FROM m
+        ),
+        centered AS (
+          SELECT d.g, d.day, CAST(d.c AS DOUBLE) - mu AS dx
+          FROM daily d JOIN mean USING (g)
+        ),
+        denom AS (
+          SELECT g, SUM(CAST(round(dx * dx, 9) AS DECIMAL(28,9))) AS den
+          FROM centered GROUP BY g
+        ),
+        lags AS (SELECT unnest(range(1, 8)) AS lag),
+        pairs AS (
+          SELECT l.g, lg.lag, l.dx AS dx1, r.dx AS dx2
+          FROM centered l
+          CROSS JOIN lags lg
+          JOIN centered r ON r.g = l.g AND r.day = l.day + lg.lag
+        ),
+        num AS (
+          SELECT g, lag, count(*) AS n_pairs,
+                 SUM(CAST(round(dx1 * dx2, 9) AS DECIMAL(28,9))) AS nu
+          FROM pairs GROUP BY 1, 2
+        )
+        SELECT n.g AS event_type, CAST(n.lag AS BIGINT) AS lag,
+               CAST(n.n_pairs AS BIGINT) AS n_pairs,
+               round(CAST(nu AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
+        FROM num n JOIN denom USING (g)
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

@@ -258,6 +258,9 @@ HEADLINE = [
     "negbinom_fit",
     "entropy_rate",
     "quantile_treatment",
+    "covariate_balance",
+    "gains_curve",
+    "autocorrelation",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -1864,3 +1864,196 @@ def quantile_treatment(
         F.round("_tq", 6).alias("treatment_q"),
         F.round(F.col("_tq") - F.col("_cq"), 6).alias("qte"),
     )
+
+
+def covariate_balance(
+    df: DataFrame,
+    covariate_cols: list[str],
+    arm_col: str,
+    control: str = "control",
+    treatment: str = "treatment",
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Standardized mean differences across experiment arms — the
+    randomization-quality check that runs right after srm_check: for
+    each pre-treatment covariate,
+
+        SMD = (x̄_t − x̄_c) / sqrt((s²_t + s²_c)/2)
+
+    with |SMD| < 0.1 the conventional "balanced" bar (Austin 2009). A
+    covariate out of balance means the arms differ BEFORE treatment and
+    every downstream metric needs adjustment (CUPED / stratification).
+
+    One melt (explode of a literal covariate struct array — columns →
+    rows without a second scan) + one grouped conditional-moment pass;
+    9-dp DECIMAL sums, sample variances, one output row per covariate."""
+    melted = df.select(
+        F.col(arm_col).alias("_arm"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("cov"),
+                        F.round(F.col(c).cast("double"), 9)
+                        .cast("decimal(18,9)")
+                        .alias("x"),
+                    )
+                    for c in covariate_cols
+                ]
+            )
+        ).alias("_s"),
+    ).select("_arm", F.col("_s.cov").alias("cov"), F.col("_s.x").alias("x"))
+    is_c = F.col("_arm") == control
+    is_t = F.col("_arm") == treatment
+    zero = F.lit(0).cast("decimal(18,9)")
+    zero2 = F.lit(0).cast("decimal(38,18)")
+    sq = (F.col("x") * F.col("x")).cast("decimal(38,18)")
+    m = melted.groupBy("cov").agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_c, F.col("x")).otherwise(zero)).alias("sc"),
+        F.sum(F.when(is_t, F.col("x")).otherwise(zero)).alias("st"),
+        F.sum(F.when(is_c, sq).otherwise(zero2)).alias("scc"),
+        F.sum(F.when(is_t, sq).otherwise(zero2)).alias("stt"),
+    )
+    nc, nt = F.col("nc").cast("double"), F.col("nt").cast("double")
+    sc, st = F.col("sc").cast("double"), F.col("st").cast("double")
+    scc, stt = F.col("scc").cast("double"), F.col("stt").cast("double")
+    var_c = (scc - sc * sc / nc) / (nc - 1)
+    var_t = (stt - st * st / nt) / (nt - 1)
+    smd = (st / nt - sc / nc) / F.sqrt((var_t + var_c) / 2)
+    return m.select(
+        F.col("cov").alias("covariate"),
+        F.col("nc").alias("n_control"),
+        F.col("nt").alias("n_treatment"),
+        F.round(sc / nc, 6).alias("mean_control"),
+        F.round(st / nt, 6).alias("mean_treatment"),
+        F.round(smd, 6).alias("smd"),
+        (F.abs(F.round(smd, 6)) < threshold).alias("balanced"),
+    )
+
+
+def gains_curve(
+    df: DataFrame,
+    p_col: str,
+    y_col: str,
+    bins: int = 10,
+) -> DataFrame:
+    """Cumulative gains / lift curve over score deciles — the targeting
+    readout beside classifier_auc and calibration_bins: rank by score
+    DESC, and per decile report what share of all positives the top
+    slice captures (cum_recall) and the lift over random (recall /
+    share-of-examples). The "do the top 20% of scores hold 60% of the
+    duplicates?" answer that decides a review-queue cutoff.
+
+    One corpus aggregate to the score-bin grid, then prefix sums over
+    the DESC-ordered bounded grid. Exact integer counts; doubles only
+    in the final ratios."""
+    from pyspark.sql import Window as W
+
+    b = F.least(F.floor(F.col(p_col) * bins).cast("int"), F.lit(bins - 1))
+    grouped = (
+        df.select(b.alias("bin"), F.col(y_col).cast("long").alias("_y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos"))
+    )
+    # the B-row grid feeds the cumulative window AND the totals
+    grouped = grouped.localCheckpoint(eager=False)
+    tot = grouped.agg(
+        F.sum("n").alias("_tn"), F.sum("pos").alias("_tp")
+    )
+    w = W.orderBy(F.col("bin").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = grouped.select(
+        "bin",
+        "n",
+        "pos",
+        F.sum("n").over(w).alias("_cn"),
+        F.sum("pos").over(w).alias("_cp"),
+    )
+    share = F.col("_cn").cast("double") / F.col("_tn")
+    recall = F.col("_cp").cast("double") / F.col("_tp")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "pos",
+            F.round(share, 6).alias("cum_frac_examples"),
+            F.round(recall, 6).alias("cum_recall"),
+            F.round(recall / share, 6).alias("lift"),
+        )
+    )
+
+
+def autocorrelation(
+    events: DataFrame,
+    group: str = "event_type",
+    ts_col: str = "ts_ms",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lag-k autocorrelation of daily event counts per group, k = 1..
+    max_lag — the seasonality/burst-memory readout that picks smoothing
+    windows and anomaly baselines (a strong lag-7 says weekly cycle;
+    fast decay says bursts are short): ACF_k = Σ(x_t−m)(x_{t+k}−m) /
+    Σ(x_t−m)² over the observed day grid.
+
+    One daily-count aggregate (the only corpus pass), then everything —
+    mean, denominator, the lag-exploded self-join — runs on the bounded
+    |groups|×|days| grid. The mean pins to 9 dp and every product term
+    quantizes to 9-dp DECIMAL, so both sums are order-free."""
+    daily = (
+        events.select(
+            F.col(group).alias("g"), F.expr(f"{ts_col} div 86400000").alias("day")
+        )
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # the day grid feeds mean, denominator, and both join sides
+    daily = daily.localCheckpoint(eager=False)
+    m = daily.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("c").cast("decimal(38,0)")).alias("_sx"),
+    )
+    mean = m.select(
+        "g",
+        "n_days",
+        F.round(F.col("_sx").cast("double") / F.col("n_days"), 9).alias("mu"),
+    )
+    centered = daily.join(F.broadcast(mean), "g").select(
+        "g", "day", "mu", (F.col("c").cast("double") - F.col("mu")).alias("dx")
+    )
+    denom = centered.groupBy("g").agg(
+        F.sum(F.round(F.col("dx") * F.col("dx"), 9).cast("decimal(28,9)")).alias(
+            "_den"
+        )
+    )
+    lags = F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias(
+        "lag"
+    )
+    lhs = centered.select("g", "day", F.col("dx").alias("dx1"), lags)
+    rhs = centered.select(
+        "g", F.col("day").alias("day2"), F.col("dx").alias("dx2")
+    )
+    pairs = lhs.join(
+        rhs,
+        (lhs["g"] == rhs["g"]) & (rhs["day2"] == lhs["day"] + F.col("lag")),
+    ).select(lhs["g"].alias("g"), "lag", "dx1", "dx2")
+    num = pairs.groupBy("g", "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round(F.col("dx1") * F.col("dx2"), 9).cast("decimal(28,9)")).alias(
+            "_num"
+        ),
+    )
+    return (
+        num.join(F.broadcast(denom), "g")
+        .select(
+            F.col("g").alias(group),
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"), 6
+            ).alias("acf"),
+        )
+    )

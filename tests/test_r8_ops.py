@@ -780,3 +780,63 @@ def test_quantile_treatment_interpolation(spark):
     assert out[0.5]["qte"] == 2.5
     assert out[0.25]["control_q"] == 1.75 and out[0.25]["treatment_q"] == 3.5
     assert out[0.9]["qte"] == round(7.4 - 3.7, 6)
+
+
+# ------------------------------------- balance / gains / autocorrelation
+
+def test_covariate_balance_closed_form(spark):
+    """Covariate with identical arm distributions → SMD 0, balanced;
+    one shifted by exactly 1 pooled-SD → SMD 1, unbalanced."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        rows.append((i, "control", v, v))
+        rows.append((100 + i, "treatment", v, v + 1.0))  # sd=1 in both arms
+    df = spark.createDataFrame(rows, ["user_id", "arm", "same", "shifted"])
+    out = {
+        r["covariate"]: r
+        for r in stats.covariate_balance(df, ["same", "shifted"], "arm").collect()
+    }
+    assert out["same"]["smd"] == 0.0 and out["same"]["balanced"]
+    assert out["shifted"]["smd"] == 1.0 and not out["shifted"]["balanced"]
+
+
+def test_gains_curve_closed_form(spark):
+    """Two bins: top bin holds 8 of 10 positives in half the examples →
+    cum_recall 0.8 at share 0.5, lift 1.6; full curve ends at (1, 1, 1)."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(0.95, 1)] * 8 + [(0.95, 0)] * 2 + [(0.05, 1)] * 2 + [(0.05, 0)] * 8
+    df = spark.createDataFrame(rows, ["p", "y"])
+    out = {r["bin"]: r for r in stats.gains_curve(df, "p", "y", bins=10).collect()}
+    top = out[9]
+    assert top["cum_frac_examples"] == 0.5 and top["cum_recall"] == 0.8
+    assert top["lift"] == 1.6
+    bot = out[0]
+    assert bot["cum_frac_examples"] == 1.0 and bot["cum_recall"] == 1.0
+    assert bot["lift"] == 1.0
+
+
+def test_autocorrelation_alternating_series(spark):
+    """Daily counts alternating 1,3,1,3,...: lag-1 ACF is −1·(n_pairs/n)
+    -ish; exact closed form from the centered products — recomputed in
+    Python with the same 9-dp quantization."""
+    from nnanalytics_spark.pipeline import stats
+
+    counts = [1, 3] * 5  # 10 days
+    rows = []
+    for day, c in enumerate(counts):
+        rows += [("t", day * 86400000 + i) for i in range(c)]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ms"])
+    out = {
+        r["lag"]: r for r in stats.autocorrelation(df, max_lag=2).collect()
+    }
+    mu = round(sum(counts) / len(counts), 9)
+    dx = [c - mu for c in counts]
+    den = sum(round(d * d, 9) for d in dx)
+    num1 = sum(round(dx[i] * dx[i + 1], 9) for i in range(9))
+    num2 = sum(round(dx[i] * dx[i + 2], 9) for i in range(8))
+    assert out[1]["acf"] == round(num1 / den, 6) and out[1]["n_pairs"] == 9
+    assert out[2]["acf"] == round(num2 / den, 6) and out[2]["n_pairs"] == 8
+    assert out[1]["acf"] < 0 < out[2]["acf"]

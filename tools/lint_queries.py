@@ -61,6 +61,9 @@ WAIVERS: dict[str, set[str]] = {
     # contract); the exchange count is the per-key agg + cutpoint agg +
     # decile agg + totals chain, each over keys-or-smaller inputs
     "lorenz_deciles": {"unpartitioned_window", "exchange_count"},
+    # gains prefix sums run over the 10-row score-bin grid after the
+    # corpus aggregate — the calibration_bins bounded-grid contract
+    "gains_curve": {"unpartitioned_window"},
     # Hill rank window runs AFTER the distributed orderBy().limit(k+1)
     # prune — (k+1)-row input, the zipf_slope contract
     "tail_index": {"unpartitioned_window"},
