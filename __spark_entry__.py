@@ -5788,6 +5788,28 @@ def q_autocorrelation(spark, sf):
     return stats.autocorrelation(_events(spark, sf))
 
 
+def q_code_detection(spark, sf):
+    """Code-vs-prose routing report (text.code_detection_report): per
+    source, the share of documents whose expression-only code-likeness
+    score (symbol density + cross-language keywords + snake/camelCase
+    identifiers) crosses 0.5 — the StarCoder-style cleanup pass before
+    a corpus joins an NL mixture. One scan, one grouped aggregate,
+    whole-stage codegen throughout."""
+    return text.code_detection_report(_t(spark, sf, "documents"))
+
+
+def q_holt_forecast(spark, sf):
+    """Holt linear-trend smoothing of daily counts per type
+    (stats.holt_forecast — Holt 1957): final level/trend state and the
+    1-day / 7-day forecasts. The sequential recursion folds over the
+    BOUNDED day grid (cusum contract) as a sort_array + aggregate()
+    chain; the oracle replays it as a recursive CTE — identical double
+    sequence, complement factors written as explicit literals."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.holt_forecast(_events(spark, sf))
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6162,6 +6184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "covariate_balance": q_covariate_balance,
         "gains_curve": q_gains_curve,
         "autocorrelation": q_autocorrelation,
+        "code_detection": q_code_detection,
+        "holt_forecast": q_holt_forecast,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -12305,6 +12329,75 @@ def oracle_sql() -> dict[str, str]:
                CAST(n.n_pairs AS BIGINT) AS n_pairs,
                round(CAST(nu AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf
         FROM num n JOIN denom USING (g)
+    """
+    # code_detection: the three expression features replayed (global
+    # regexp_replace, keyword/identifier list_filters) into the same
+    # weighted score and per-source rollup.
+    _kw_sql = ", ".join(f"'{k}'" for k in text._CODE_KEYWORDS)
+    d["code_detection"] = rf"""
+        WITH base AS (
+          SELECT source, text,
+                 regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        sc AS (
+          SELECT source,
+                 round(
+                   LEAST((length(text)
+                          - length(regexp_replace(text, '[{{}}();=\[\]<>]', '', 'g')))
+                         / GREATEST(length(text), 1) * 8.0, 1.0) * 0.4
+                   + LEAST(len(list_filter(toks,
+                                t -> list_contains([{_kw_sql}], lower(t))))
+                           / GREATEST(len(toks), 1) * 5.0, 1.0) * 0.4
+                   + LEAST(len(list_filter(toks,
+                                t -> regexp_matches(t, '^[a-z]+(_[a-z0-9]+)+$')
+                                     OR regexp_matches(t, '^[a-z]+([A-Z][a-z0-9]+)+$')))
+                           / GREATEST(len(toks), 1) * 5.0, 1.0) * 0.2,
+                 6) AS s
+          FROM base
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_code,
+               round(SUM(CASE WHEN s >= 0.5 THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS code_share,
+               round(CAST(SUM(CAST(s AS DECIMAL(18,9))) AS DOUBLE) / count(*), 6)
+                 AS avg_score
+        FROM sc GROUP BY source
+    """
+    # holt_forecast: the identical double recursion walked as a
+    # recursive CTE over the per-group day series.
+    d["holt_forecast"] = """
+        WITH RECURSIVE daily AS (
+          SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        series AS (
+          SELECT g, row_number() OVER (PARTITION BY g ORDER BY day) AS t,
+                 CAST(c AS DOUBLE) AS x
+          FROM daily
+        ),
+        n AS (SELECT g, CAST(count(*) AS INT) AS n_days FROM series GROUP BY 1),
+        init AS (
+          SELECT s1.g, 1 AS t, s1.x AS l, s2.x - s1.x AS b
+          FROM series s1 JOIN series s2 ON s2.g = s1.g AND s2.t = 2
+          WHERE s1.t = 1
+        ),
+        st AS (
+          SELECT g, t, l, b FROM init
+          UNION ALL
+          SELECT st.g, st.t + 1,
+                 0.5 * s.x + 0.5 * (st.l + st.b),
+                 0.3 * (0.5 * s.x + 0.5 * (st.l + st.b) - st.l) + 0.7 * st.b
+          FROM st JOIN series s ON s.g = st.g AND s.t = st.t + 1
+        )
+        SELECT st.g AS event_type, n.n_days,
+               round(st.l, 6) AS level,
+               round(st.b, 6) AS trend,
+               round(st.l + st.b, 6) AS forecast_1d,
+               round(st.l + 7.0 * st.b, 6) AS forecast_7d
+        FROM st JOIN n ON n.g = st.g
+        WHERE st.t = n.n_days AND n.n_days >= 2
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

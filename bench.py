@@ -261,6 +261,8 @@ HEADLINE = [
     "covariate_balance",
     "gains_curve",
     "autocorrelation",
+    "code_detection",
+    "holt_forecast",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -2057,3 +2057,85 @@ def autocorrelation(
             ).alias("acf"),
         )
     )
+
+
+def holt_forecast(
+    events: DataFrame,
+    group: str = "event_type",
+    ts_col: str = "ts_ms",
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing (Holt 1957) over daily
+    event counts per group — the capacity-planning forecast one notch
+    above a moving average: level + trend recursion
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+
+    initialized l₁ = x₁, b₁ = x₂ − x₁, folded in day order; the report
+    is the final state and the h-step forecasts l + h·b for h = 1, 7.
+
+    The recursion is sequential but the SERIES is the bounded day grid
+    (cusum_drift's contract): one daily-count aggregate, then a
+    sort_array + aggregate() fold per group — deterministic because the
+    inputs are exact integer counts and both engines replay the same
+    double chain (the oracle walks it as a recursive CTE). The (1−α),
+    (1−β) factors are passed as EXPLICIT literals — 1-0.3 is not the
+    same IEEE double as 0.7."""
+    one_m_alpha = {0.5: 0.5, 0.3: 0.7}.get(alpha, None)
+    one_m_beta = {0.5: 0.5, 0.3: 0.7}.get(beta, None)
+    if one_m_alpha is None or one_m_beta is None:
+        raise ValueError(
+            "alpha/beta limited to {0.5, 0.3}: the complement literal must "
+            "be written exactly in both engines (1-x drifts a ulp)"
+        )
+    daily = (
+        events.select(
+            F.col(group).alias("g"), F.expr(f"{ts_col} div 86400000").alias("day")
+        )
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    series = daily.groupBy("g").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"].cast("double"),
+        ).alias("xs")
+    )
+    x1 = F.element_at("xs", 1)
+    x2 = F.element_at("xs", 2)
+    init = F.struct(x1.alias("l"), (x2 - x1).alias("b"))
+    rest = F.slice("xs", 2, F.greatest(F.size("xs") - 1, F.lit(0)))
+    state = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.struct(
+            (
+                F.lit(alpha) * x + F.lit(one_m_alpha) * (acc["l"] + acc["b"])
+            ).alias("l"),
+            (
+                F.lit(beta)
+                * (
+                    F.lit(alpha) * x
+                    + F.lit(one_m_alpha) * (acc["l"] + acc["b"])
+                    - acc["l"]
+                )
+                + F.lit(one_m_beta) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    return (
+        series.filter(F.size("xs") >= 2)
+        .select("g", F.size("xs").alias("n_days"), state.alias("_st"))
+        .select(
+            F.col("g").alias(group),
+            "n_days",
+            F.round(F.col("_st.l"), 6).alias("level"),
+            F.round(F.col("_st.b"), 6).alias("trend"),
+            F.round(F.col("_st.l") + F.col("_st.b"), 6).alias("forecast_1d"),
+            F.round(F.col("_st.l") + F.lit(7.0) * F.col("_st.b"), 6).alias(
+                "forecast_7d"
+            ),
+        )
+    )

@@ -1233,3 +1233,76 @@ def good_turing(docs: DataFrame, text_col: str = "text", max_r: int = 5) -> Data
             6,
         ).alias("gt_mass"),
     )
+
+
+_CODE_KEYWORDS = (
+    "def", "return", "import", "class", "function", "const", "var",
+    "let", "void", "int", "public", "static", "elif", "lambda",
+    "struct", "enum", "typedef", "fn", "impl", "println",
+)
+
+
+def code_score(text_col: Column, tok_col: Column) -> Column:
+    """Composite [0,1] code-likeness score — the code-vs-prose filter a
+    pretraining pipeline runs before routing documents to the code or
+    natural-language mixture (the StarCoder/CodeParrot-style cleanup
+    pass), expression-only so it stays in whole-stage codegen:
+
+      - symbol density: {}();=[]<> chars per char (prose ≈ 0)
+      - keyword share: tokens in a 20-word cross-language keyword list
+      - identifier share: snake_case / camelCase token patterns
+
+    score = 0.4·min(1, 8·sym) + 0.4·min(1, 5·kw) + 0.2·min(1, 5·ident),
+    rounded to 6. ``tok_col`` must be a MATERIALIZED token column (the
+    word_grams HOF contract)."""
+    sym = (
+        F.length(text_col)
+        - F.length(F.regexp_replace(text_col, r"[{}();=\[\]<>]", ""))
+    ) / F.greatest(F.length(text_col), F.lit(1))
+    ntok = F.greatest(F.size(tok_col), F.lit(1))
+    kw_arr = F.array(*[F.lit(k) for k in _CODE_KEYWORDS])
+    kw = F.size(
+        F.filter(tok_col, lambda t: F.array_contains(kw_arr, F.lower(t)))
+    ) / ntok
+    ident = F.size(
+        F.filter(
+            tok_col,
+            lambda t: t.rlike(r"^[a-z]+(_[a-z0-9]+)+$")
+            | t.rlike(r"^[a-z]+([A-Z][a-z0-9]+)+$"),
+        )
+    ) / ntok
+    return F.round(
+        F.least(sym * 8.0, F.lit(1.0)) * 0.4
+        + F.least(kw * 5.0, F.lit(1.0)) * 0.4
+        + F.least(ident * 5.0, F.lit(1.0)) * 0.2,
+        6,
+    )
+
+
+def code_detection_report(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5
+) -> DataFrame:
+    """Per-source code-contamination report over code_score: document
+    counts, the share crossing ``threshold``, and the DECIMAL-exact
+    mean score — the routing readout before a corpus mixes into an NL
+    training set. One scan, one grouped aggregate."""
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        "source", F.col(text_col).alias("_txt"), tokens(F.col(text_col)).alias("_toks")
+    )
+    scored = base.select(
+        "source", code_score(F.col("_txt"), F.col("_toks")).alias("s")
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("s") >= threshold).cast("long")).alias("n_code"),
+        F.round(
+            F.sum((F.col("s") >= threshold).cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("code_share"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_score"),
+    )

@@ -840,3 +840,56 @@ def test_autocorrelation_alternating_series(spark):
     assert out[1]["acf"] == round(num1 / den, 6) and out[1]["n_pairs"] == 9
     assert out[2]["acf"] == round(num2 / den, 6) and out[2]["n_pairs"] == 8
     assert out[1]["acf"] < 0 < out[2]["acf"]
+
+
+# ----------------------------------------- code detection / holt
+
+def test_code_score_separates_code_from_prose(spark):
+    """A python snippet scores high (symbols + keywords + snake_case),
+    plain prose scores near zero, and the report's share reflects the
+    0.5 threshold."""
+    from nnanalytics_spark.pipeline import text as t
+
+    code = "def snake_case_fn(arg_one): return arg_one + other_val;"
+    prose = "the quiet afternoon settled over the harbor town gently"
+    df = spark.createDataFrame(
+        [(1, code, "src"), (2, prose, "src")], ["doc_id", "text", "source"]
+    )
+    rep = t.code_detection_report(df).collect()[0]
+    assert rep["n_docs"] == 2 and rep["n_code"] == 1
+    assert rep["code_share"] == 0.5
+    base = df.select(
+        t.tokens(F.col("text")).alias("_toks"), F.col("text").alias("_txt")
+    )
+    scores = sorted(
+        r[0] for r in base.select(t.code_score(F.col("_txt"), F.col("_toks"))).collect()
+    )
+    assert scores[0] < 0.1 and scores[1] >= 0.5
+
+
+def test_holt_forecast_hand_series(spark):
+    """Counts {2,4,6}: l1=2, b1=2 → step x=4: l=4,b=2 → step x=6: l=6,
+    b=2 — a perfect linear series converges to its own slope, and the
+    7-day forecast extrapolates it."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = []
+    for day, c in [(0, 2), (1, 4), (2, 6)]:
+        rows += [("t", day * 86400000 + i) for i in range(c)]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ms"])
+    r = stats.holt_forecast(df).collect()[0]
+    assert r["n_days"] == 3
+    assert r["level"] == 6.0 and r["trend"] == 2.0
+    assert r["forecast_1d"] == 8.0 and r["forecast_7d"] == 20.0
+
+
+def test_holt_forecast_rejects_unpinned_smoothing(spark):
+    """alpha/beta outside the literal-complement table raise — the
+    1-x ulp-drift guard."""
+    import pytest as _pytest
+
+    from nnanalytics_spark.pipeline import stats
+
+    df = spark.createDataFrame([("t", 0)], ["event_type", "ts_ms"])
+    with _pytest.raises(ValueError):
+        stats.holt_forecast(df, alpha=0.42)
