@@ -5810,6 +5810,37 @@ def q_holt_forecast(spark, sf):
     return stats.holt_forecast(_events(spark, sf))
 
 
+def q_shingle_df_sweep(spark, sf):
+    """max_shingle_df pricing sweep (dedup.shingle_df_sweep): exact
+    candidate-pair counts per cap, read off the shingle df HISTOGRAM —
+    no pairs generated. The blocking_diagnostic of the shingle world:
+    shows where the d² blow-up lives and what each cap buys, for the
+    cost of the index count the pair generator pays anyway."""
+    return dedup.shingle_df_sweep(_t(spark, sf, "documents"))
+
+
+def q_fingerprint_collisions(spark, sf):
+    """31-bit rolling-hash collision audit (dedup.fingerprint_collisions):
+    docs sharing a fingerprint WITHOUT sharing text, against the
+    birthday bound C(n,2)/(2³¹−1) — the width-sizing evidence that
+    forces a 128-bit fingerprint at 100 TB. Two keyed aggregates,
+    md5 as engine-portable text identity."""
+    return dedup.fingerprint_collisions(_t(spark, sf, "documents"))
+
+
+def q_aa_test(spark, sf):
+    """A/A placebo guardrail (stats.aa_test): the control arm split by
+    an independent hash bit must read null — |z| ≥ 1.96 means broken
+    instrumentation, checked before any real experiment readout. Odd
+    users (the parity control arm) split on (user_id div 2) parity."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf).filter(F.col("user_id") % 2 == 1)
+    return stats.aa_test(
+        ev, "value", "user_id", split_a=(F.expr("user_id div 2") % 2 == 0)
+    )
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6186,6 +6217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorrelation": q_autocorrelation,
         "code_detection": q_code_detection,
         "holt_forecast": q_holt_forecast,
+        "shingle_df_sweep": q_shingle_df_sweep,
+        "fingerprint_collisions": q_fingerprint_collisions,
+        "aa_test": q_aa_test,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -12398,6 +12432,122 @@ def oracle_sql() -> dict[str, str]:
                round(st.l + 7.0 * st.b, 6) AS forecast_7d
         FROM st JOIN n ON n.g = st.g
         WHERE st.t = n.n_days AND n.n_days >= 2
+    """
+    # shingle_df_sweep: the pair generator's shingle chain into a df
+    # histogram and the per-cap exact pair sums.
+    d["shingle_df_sweep"] = r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in range(1, len(t) - 1)])) AS s
+          FROM toks
+        ),
+        dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        hist AS (SELECT df, count(*) AS n_sh FROM dfc GROUP BY 1),
+        tot AS (
+          SELECT CAST(SUM(n_sh) AS BIGINT) AS tot_sh,
+                 SUM(CAST(CAST(df * (df - 1) / 2 AS BIGINT) AS DECIMAL(38,0))
+                     * n_sh) AS tot_pairs
+          FROM hist
+        ),
+        grid AS (SELECT unnest([25, 50, 100, 200]) AS cap),
+        kept AS (
+          SELECT cap,
+                 CAST(SUM(n_sh) AS BIGINT) AS n_kept,
+                 SUM(CAST(CAST(df * (df - 1) / 2 AS BIGINT) AS DECIMAL(38,0))
+                     * n_sh) AS pairs
+          FROM grid JOIN hist ON hist.df <= grid.cap
+          GROUP BY cap
+        )
+        SELECT CAST(cap AS INT) AS cap, n_kept,
+               tot_sh - n_kept AS n_hot_dropped,
+               CAST(pairs AS BIGINT) AS candidate_pairs,
+               round(1.0 - CAST(pairs AS DOUBLE) / CAST(tot_pairs AS DOUBLE), 6)
+                 AS pair_reduction
+        FROM kept, tot
+        ORDER BY cap
+    """
+    # fingerprint_collisions: the text_fingerprint chain + md5 identity
+    # into the two-level exact collision count and the birthday bound.
+    d["fingerprint_collisions"] = r"""
+        WITH fps AS (
+          SELECT list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       string_split_regex(
+                         lower(regexp_replace(text, '\s+', ' ', 'g')), ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS fp,
+                 md5(text) AS tid
+          FROM documents
+        ),
+        g1 AS (SELECT fp, tid, count(*) AS c FROM fps GROUP BY 1, 2),
+        g2 AS (
+          SELECT fp, SUM(c) AS n, count(*) AS dt,
+                 CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS same_text
+          FROM g1 GROUP BY fp
+        )
+        SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_fingerprints,
+               CAST(SUM(CASE WHEN dt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS collision_fps,
+               CAST(SUM(CAST(n * (n - 1) / 2 AS BIGINT) - same_text) AS BIGINT)
+                 AS colliding_pairs,
+               round(CAST(SUM(n) AS DOUBLE) * (SUM(n) - 1) / 2 / 2147483647.0, 6)
+                 AS expected_random_collisions
+        FROM g2
+    """
+    # aa_test: per-unit DECIMAL sums over the odd-user control arm,
+    # split on the next hash bit, two-sample z closed form.
+    d["aa_test"] = """
+        WITH ev AS (
+          SELECT user_id, value, ((user_id // 2) % 2 = 0) AS a
+          FROM events WHERE user_id % 2 = 1
+        ),
+        pu AS (
+          SELECT user_id, a,
+                 CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+                      AS DECIMAL(18,9)) AS v
+          FROM ev GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT
+            CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+            SUM(CASE WHEN a THEN v ELSE CAST(0 AS DECIMAL(18,9)) END) AS s1,
+            SUM(CASE WHEN NOT a THEN v ELSE CAST(0 AS DECIMAL(18,9)) END) AS s2,
+            SUM(CASE WHEN a THEN CAST(v * v AS DECIMAL(38,18))
+                     ELSE CAST(0 AS DECIMAL(38,18)) END) AS ss1,
+            SUM(CASE WHEN NOT a THEN CAST(v * v AS DECIMAL(38,18))
+                     ELSE CAST(0 AS DECIMAL(38,18)) END) AS ss2
+          FROM pu
+        )
+        SELECT n1 AS n_a1, n2 AS n_a2,
+               round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mean_a1,
+               round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mean_a2,
+               round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / sqrt((CAST(ss1 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE) - 1) / CAST(n1 AS DOUBLE)
+                            + (CAST(ss2 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                              / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE)), 6)
+                 AS z_stat,
+               abs(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                      - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                     / sqrt((CAST(ss1 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                            / (CAST(n1 AS DOUBLE) - 1) / CAST(n1 AS DOUBLE)
+                            + (CAST(ss2 AS DOUBLE)
+                               - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                              / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE)), 6))
+                 < 1.959964 AS aa_pass
+        FROM m
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

@@ -263,6 +263,9 @@ HEADLINE = [
     "autocorrelation",
     "code_detection",
     "holt_forecast",
+    "shingle_df_sweep",
+    "fingerprint_collisions",
+    "aa_test",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -1624,3 +1624,118 @@ def winnow_shared_pairs(fps: DataFrame) -> DataFrame:
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count_distinct(F.col("a.fingerprint")).alias("shared_fps"))
     )
+
+
+def shingle_df_sweep(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    caps: tuple = (25, 50, 100, 200),
+) -> DataFrame:
+    """Price the max_shingle_df knob BEFORE any pair join: for each
+    candidate cap, the exact candidate-pair count the inverted-index
+    self-join would emit — Σ over kept shingles of df·(df−1)/2 — read
+    straight off the shingle document-frequency HISTOGRAM. This is the
+    blocking_diagnostic of the shingle world: a shingle with df = d
+    contributes d² pairs, so the sweep shows exactly where the
+    quadratic blow-up lives and what each cap buys (pair_reduction vs
+    the uncapped index), for the cost of one shingle count — no pairs
+    are ever generated.
+
+    Plan: one shingle explode + (shingle) count (the same single
+    shuffle the pair generator pays for its index), collapsed to the
+    tiny df-frequency histogram, then a literal |caps|-row grid join.
+    Pair terms are BIGINT (exact to df ≈ 3·10⁹ — beyond that the
+    shingle is stop-worded by ANY sane cap) summed into DECIMAL(38,0),
+    order-free."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text), n)).alias("s")
+    )
+    dfc = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    hist = dfc.groupBy("df").agg(F.count(F.lit(1)).alias("n_sh"))
+    # the df histogram is bounded by max df; it feeds every cap row
+    hist = hist.localCheckpoint(eager=False)
+    pair_term = (
+        (F.col("df") * (F.col("df") - 1) / 2).cast("long").cast("decimal(38,0)")
+        * F.col("n_sh")
+    )
+    tot = hist.agg(
+        F.sum("n_sh").alias("_tot_sh"),
+        F.sum(pair_term).alias("_tot_pairs"),
+    )
+    grid = df.sparkSession.range(0, len(caps)).select(
+        F.element_at(F.array(*[F.lit(c) for c in caps]), (F.col("id") + 1).cast("int")).alias(
+            "cap"
+        )
+    )
+    kept = grid.join(hist, hist["df"] <= grid["cap"]).groupBy("cap").agg(
+        F.sum("n_sh").alias("n_kept"),
+        F.sum(pair_term).alias("_pairs"),
+    )
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select(
+            "cap",
+            "n_kept",
+            (F.col("_tot_sh") - F.col("n_kept")).alias("n_hot_dropped"),
+            F.col("_pairs").cast("long").alias("candidate_pairs"),
+            F.round(
+                F.lit(1.0)
+                - F.col("_pairs").cast("double") / F.col("_tot_pairs").cast("double"),
+                6,
+            ).alias("pair_reduction"),
+        )
+        .orderBy("cap")
+    )
+
+
+def fingerprint_collisions(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audit the rolling-hash fingerprint's collision behavior at
+    corpus scale — the width-sizing check behind dedup_exact-by-
+    fingerprint: documents sharing a fingerprint WITHOUT sharing text
+    are false merges, and their count against the birthday bound
+    C(n,2)/(2³¹−1) says whether the 31-bit space is already saturated
+    (at 100 TB it is — this row is the evidence that forces the
+    128-bit upgrade).
+
+    Two keyed aggregates — (fp, md5(text)) then (fp) — so colliding
+    pairs = C(n_fp, 2) − Σ C(n_same_text, 2) stays exact integer
+    arithmetic; md5 stands in for full-text equality (engine-portable,
+    collision-free at any realistic corpus size)."""
+    from nnanalytics_spark.pipeline.text import fingerprint
+
+    g1 = (
+        docs.select(
+            fingerprint(F.col(text)).alias("fp"), F.md5(F.col(text)).alias("tid")
+        )
+        .groupBy("fp", "tid")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    g2 = g1.groupBy("fp").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("dt"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("_same"),
+    )
+    pairs_fp = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    agg = g2.agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.sum((F.col("dt") > 1).cast("long")).alias("collision_fps"),
+        F.sum(pairs_fp - F.col("_same")).alias("colliding_pairs"),
+    )
+    expected = (
+        F.col("n_docs").cast("double")
+        * (F.col("n_docs") - 1)
+        / 2
+        / F.lit(2147483647.0)
+    )
+    return agg.select(
+        "n_docs",
+        "n_fingerprints",
+        "collision_fps",
+        "colliding_pairs",
+        F.round(expected, 6).alias("expected_random_collisions"),
+    )

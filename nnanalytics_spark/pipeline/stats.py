@@ -2139,3 +2139,51 @@ def holt_forecast(
             ),
         )
     )
+
+
+def aa_test(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    split_a: "F.Column",
+    z_bound: float = 1.959964,
+) -> DataFrame:
+    """A/A placebo test — split ONE arm by an independent hash bit and
+    run the same two-sample z on per-unit sums: the result must be
+    null, and a |z| past the bound means the instrumentation or the
+    split itself is broken (the cheapest end-to-end health check an
+    experimentation stack has; run it continuously, before any real
+    readout is trusted).
+
+    Same per-unit DECIMAL moment discipline as mde_power; one row:
+    sizes, means, z_stat, and the |z| < 1.96 pass verdict."""
+    dec = "decimal(18,9)"
+    per_unit = df.groupBy(F.col(unit_col), split_a.alias("_a")).agg(
+        F.sum(F.round(F.col(value_col), 9).cast(dec)).cast(dec).alias("_v")
+    )
+    is_a = F.col("_a")
+    zero = F.lit(0).cast(dec)
+    zero2 = F.lit(0).cast("decimal(38,18)")
+    sq = (F.col("_v") * F.col("_v")).cast("decimal(38,18)")
+    m = per_unit.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(is_a, F.col("_v")).otherwise(zero)).alias("s1"),
+        F.sum(F.when(~is_a, F.col("_v")).otherwise(zero)).alias("s2"),
+        F.sum(F.when(is_a, sq).otherwise(zero2)).alias("ss1"),
+        F.sum(F.when(~is_a, sq).otherwise(zero2)).alias("ss2"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
+    ss1, ss2 = F.col("ss1").cast("double"), F.col("ss2").cast("double")
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
+    z = (s1 / n1 - s2 / n2) / F.sqrt(v1 / n1 + v2 / n2)
+    return m.select(
+        F.col("n1").alias("n_a1"),
+        F.col("n2").alias("n_a2"),
+        F.round(s1 / n1, 6).alias("mean_a1"),
+        F.round(s2 / n2, 6).alias("mean_a2"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(F.round(z, 6)) < z_bound).alias("aa_pass"),
+    )

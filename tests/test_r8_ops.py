@@ -893,3 +893,58 @@ def test_holt_forecast_rejects_unpinned_smoothing(spark):
     df = spark.createDataFrame([("t", 0)], ["event_type", "ts_ms"])
     with _pytest.raises(ValueError):
         stats.holt_forecast(df, alpha=0.42)
+
+
+# ----------------------------------- df sweep / fp collisions / AA
+
+def test_shingle_df_sweep_closed_form(spark):
+    """Three docs sharing one 3-gram ('x y z' df=3); caps below 3 drop
+    it — candidate_pairs falls by C(3,2)=3 and the count matches the
+    direct Σ df(df−1)/2."""
+    from nnanalytics_spark.pipeline import dedup
+
+    docs = [
+        (1, "x y z a b c"),
+        (2, "x y z d e f"),
+        (3, "x y z g h i"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["cap"]: r for r in dedup.shingle_df_sweep(df, caps=(2, 3)).collect()}
+    # every other shingle is unique (df=1, 0 pairs); 'x y z' df=3 -> 3 pairs
+    assert out[3]["candidate_pairs"] == 3 and out[3]["n_hot_dropped"] == 0
+    assert out[2]["candidate_pairs"] == 0 and out[2]["n_hot_dropped"] == 1
+    assert out[2]["pair_reduction"] == 1.0 and out[3]["pair_reduction"] == 0.0
+
+
+def test_fingerprint_collisions_counts_false_merges(spark):
+    """Identical texts share a fingerprint legitimately (0 colliding
+    pairs); a synthetic corpus of distinct texts reports collisions
+    only if fingerprints actually clash."""
+    from nnanalytics_spark.pipeline import dedup
+
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "different text")],
+        ["doc_id", "text"],
+    )
+    r = dedup.fingerprint_collisions(df).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["colliding_pairs"] == 0  # duplicates are NOT collisions
+    assert r["n_fingerprints"] == 2
+
+
+def test_aa_test_null_on_identical_halves(spark):
+    """Two A/A halves drawn identically → z = 0, pass; a deliberately
+    shifted half fails the bound."""
+    from pyspark.sql import functions as F
+
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(i, float(v)) for i, v in zip(range(8), [1, 2, 3, 4, 1, 2, 3, 4])]
+    df = spark.createDataFrame(rows, ["user_id", "value"])
+    r = stats.aa_test(df, "value", "user_id", split_a=(F.col("user_id") < 4)).collect()[0]
+    assert r["z_stat"] == 0.0 and r["aa_pass"]
+
+    shifted = [(i, float(v)) for i, v in zip(range(8), [1, 2, 3, 4, 101, 102, 103, 104])]
+    df2 = spark.createDataFrame(shifted, ["user_id", "value"])
+    r2 = stats.aa_test(df2, "value", "user_id", split_a=(F.col("user_id") < 4)).collect()[0]
+    assert not r2["aa_pass"] and abs(r2["z_stat"]) > 50
