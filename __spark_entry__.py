@@ -2464,6 +2464,8 @@ def q_stream_locf_parity(spark, sf):
 # oracle; both sides recurse with the SAME two literal doubles
 # (repr-interpolated), so every smoothed value is bit-identical.
 _EWMA_ALPHA = 0.3
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
 
 
 def q_stream_ewma_parity(spark, sf):
@@ -2544,6 +2546,84 @@ def q_stream_ewma_parity(spark, sf):
             F.when(
                 F.abs(F.col("value") - F.col("prev_s")) > 50, 1
             ).otherwise(0).cast("int").alias("is_anomaly"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def q_stream_holt_parity(spark, sf):
+    """Stateful streaming Holt level+trend with batch parity
+    (streaming/stateful.py:streaming_holt): the streaming twin of
+    holt_forecast — EWMA tracks a level, Holt also tracks its slope, so
+    a climbing metric doesn't read as a permanent anomaly. Per-user
+    values buffer until the watermark passes, then flush the
+    (l, b) recursion in EVENT-TIME order; the sink is hash-checked
+    against a recursive-CTE oracle replaying the identical
+    literal-by-literal chain. Same segmented-parquet +
+    far-future-sentinel harness as stream_ewma_parity; %4==2 users."""
+    import os
+    import tempfile
+    import time
+
+    from nnanalytics_spark.streaming.stateful import streaming_holt
+
+    ev = (
+        _events(spark, sf)
+        .filter(F.col("user_id") % 4 == 2)
+        .select("user_id", "event_id", "ts_ms", "value")
+    )
+    max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    seg_dir = tempfile.mkdtemp(prefix="nna_holt_seg_")
+    schema = "user_id long, event_id long, ts_ms long, value double"
+
+    def _sentinel(uid: int, ts: int) -> DataFrame:
+        return spark.range(1).select(
+            F.lit(uid).cast("long").alias("user_id"),
+            F.lit(uid).cast("long").alias("event_id"),
+            F.lit(ts).cast("long").alias("ts_ms"),
+            F.lit(0.0).cast("double").alias("value"),
+        )
+
+    sent1 = _sentinel(-1, max_ts + 10 * 86_400_000)
+    sent2 = _sentinel(-2, max_ts + 11 * 86_400_000)
+    base_mtime = time.time() - 3600
+    for i, seg in enumerate((ev, sent1, sent2)):
+        path = f"{seg_dir}/seg{i}"
+        seg.coalesce(1).write.parquet(path)
+        for name in os.listdir(path):
+            os.utime(os.path.join(path, name), (base_mtime + 10 * i,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{seg_dir}/*")
+    )
+    out_dir = tempfile.mkdtemp(prefix="nna_holt_sink_")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            streaming_holt(stream, alpha=_HOLT_ALPHA, beta=_HOLT_BETA)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    sunk = spark.read.parquet(f"{out_dir}/data")
+    return (
+        sunk.filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.round("level", 6).alias("level"),
+            F.round("trend", 6).alias("trend"),
         )
         .orderBy("event_id")
     )
@@ -6220,6 +6300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_df_sweep": q_shingle_df_sweep,
         "fingerprint_collisions": q_fingerprint_collisions,
         "aa_test": q_aa_test,
+        "stream_holt_parity": q_stream_holt_parity,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -12686,6 +12767,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, value, round(s, 6) AS ewma,
                CAST(CASE WHEN abs(value - prev_s) > 50 THEN 1 ELSE 0 END
                     AS INT) AS is_anomaly
+        FROM rec
+    """
+    # stream_holt_parity: the same recursive-CTE replay as the EWMA
+    # parity, carrying (l, b) state through the recursion; complements
+    # injected as Python-computed double reprs, matching the fold.
+    d["stream_holt_parity"] = f"""
+        WITH RECURSIVE src AS (
+          SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts), event_id) AS rn
+          FROM events WHERE user_id % 4 = 2
+        ),
+        rec AS (
+          SELECT user_id, event_id, value, rn,
+                 value AS l, CAST(0.0 AS DOUBLE) AS b
+          FROM src WHERE rn = 1
+          UNION ALL
+          SELECT s.user_id, s.event_id, s.value, s.rn,
+                 CAST({_HOLT_ALPHA!r} AS DOUBLE) * s.value
+                   + CAST({(1.0 - _HOLT_ALPHA)!r} AS DOUBLE) * (r.l + r.b),
+                 CAST({_HOLT_BETA!r} AS DOUBLE)
+                   * ((CAST({_HOLT_ALPHA!r} AS DOUBLE) * s.value
+                       + CAST({(1.0 - _HOLT_ALPHA)!r} AS DOUBLE) * (r.l + r.b))
+                      - r.l)
+                   + CAST({(1.0 - _HOLT_BETA)!r} AS DOUBLE) * r.b
+          FROM rec r JOIN src s ON s.user_id = r.user_id AND s.rn = r.rn + 1
+        )
+        SELECT user_id, event_id, value,
+               round(l, 6) AS level, round(b, 6) AS trend
         FROM rec
     """
     # jaccard_threshold_sweep: the unfiltered brute-force pair set at

@@ -266,6 +266,7 @@ HEADLINE = [
     "shingle_df_sweep",
     "fingerprint_collisions",
     "aa_test",
+    "stream_holt_parity",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

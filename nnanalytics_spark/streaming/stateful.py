@@ -314,3 +314,103 @@ def streaming_ewma(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+_HOLT_OUTPUT = (
+    "user_id long, event_id long, ts_ms long, value double, "
+    "level double, trend double"
+)
+_HOLT_STATE = "ids array<long>, tss array<long>, vals array<double>"
+
+
+def streaming_holt(
+    events: DataFrame,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ts_col: str = "ts_ms",
+    value_col: str = "value",
+) -> DataFrame:
+    """EXACT per-key Holt level+trend smoothing over a stream — the
+    streaming twin of stats.holt_forecast and the next step up from
+    streaming_ewma (EWMA tracks a level; Holt also tracks its SLOPE, so
+    a steadily climbing metric doesn't read as a permanent anomaly):
+
+        l_0 = x_0,  b_0 = 0
+        l_i = α·x_i + (1−α)(l_{i−1} + b_{i−1})
+        b_i = β(l_i − l_{i−1}) + (1−β)·b_{i−1}
+
+    Rows buffer in per-key state until the event-time watermark passes
+    the key's last activity, then flush in (ts, event_id) order — the
+    streaming_forward_fill contract: within-horizon arrival order can
+    never change the recursion. Evaluated one literal double op at a
+    time, so the DuckDB recursive-CTE oracle replays every bit. State
+    bounds/eviction identical to streaming_ewma (per-key rows within
+    the horizon, EventTimeTimeout flush)."""
+    one_m_a = 1.0 - alpha
+    one_m_b = 1.0 - beta
+    src = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.col(ts_col).cast("long").alias("ts_ms"),
+        F.col(value_col).cast("double").alias("value"),
+        F.timestamp_millis(F.col(ts_col).cast("long")).alias("ts"),
+    ).withWatermark("ts", "1 hour")
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            ids, tss, vals = state.get
+            state.remove()
+            a_ids = np.asarray(ids, dtype=np.int64)
+            a_tss = np.asarray(tss, dtype=np.int64)
+            a_vals = np.asarray(vals, dtype=np.float64)
+            order = np.lexsort((a_ids, a_tss))
+            a_ids, a_tss, a_vals = a_ids[order], a_tss[order], a_vals[order]
+            levels = np.empty(len(a_vals), dtype=np.float64)
+            trends = np.empty(len(a_vals), dtype=np.float64)
+            l = b = 0.0
+            for i, x in enumerate(a_vals):
+                if i == 0:
+                    l, b = x, 0.0
+                else:
+                    # same literal-by-literal chain the oracle replays
+                    ln = alpha * x + one_m_a * (l + b)
+                    b = beta * (ln - l) + one_m_b * b
+                    l = ln
+                levels[i] = l
+                trends[i] = b
+            yield pd.DataFrame(
+                {
+                    "user_id": np.full(len(a_ids), key[0], dtype=np.int64),
+                    "event_id": a_ids,
+                    "ts_ms": a_tss,
+                    "value": a_vals,
+                    "level": levels,
+                    "trend": trends,
+                }
+            )
+            return
+        ids, tss, vals = (
+            (list(state.get[0]), list(state.get[1]), list(state.get[2]))
+            if state.exists
+            else ([], [], [])
+        )
+        for pdf in pdfs:
+            ids.extend(pdf["event_id"].astype("int64").tolist())
+            tss.extend(pdf["ts_ms"].astype("int64").tolist())
+            vals.extend(pdf["value"].astype("float64").tolist())
+        state.update((ids, tss, vals))
+        state.setTimeoutTimestamp(max(tss) + 1)
+        return
+        yield  # pragma: no cover — makes the function a generator
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=_HOLT_OUTPUT,
+        stateStructType=_HOLT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

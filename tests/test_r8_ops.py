@@ -948,3 +948,40 @@ def test_aa_test_null_on_identical_halves(spark):
     df2 = spark.createDataFrame(shifted, ["user_id", "value"])
     r2 = stats.aa_test(df2, "value", "user_id", split_a=(F.col("user_id") < 4)).collect()[0]
     assert not r2["aa_pass"] and abs(r2["z_stat"]) > 50
+
+
+# ------------------------------------------------ streaming holt
+
+def test_stream_holt_parity_matches_python_recursion(spark):
+    """The streamed sink for one user equals the Python replay of the
+    (l, b) recursion in (ts, event_id) order — the within-horizon
+    arrival-order-independence contract."""
+    import __spark_entry__ as entry
+
+    rows = entry.q_stream_holt_parity(spark, SF).collect()
+    assert len(rows) > 0
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    uid, urows = sorted(by_user.items())[0]
+    ev = (
+        entry._events(spark, SF)
+        .filter(F.col("user_id") == uid)
+        .select("event_id", "ts_ms", "value")
+        .collect()
+    )
+    ev.sort(key=lambda r: (r["ts_ms"], r["event_id"]))
+    a, oma, b_, omb = 0.5, 1.0 - 0.5, 0.3, 1.0 - 0.3
+    l = b = 0.0
+    want = {}
+    for i, e in enumerate(ev):
+        x = e["value"]
+        if i == 0:
+            l, b = x, 0.0
+        else:
+            ln = a * x + oma * (l + b)
+            b = b_ * (ln - l) + omb * b
+            l = ln
+        want[e["event_id"]] = (round(l, 6), round(b, 6))
+    for r in urows:
+        assert (r["level"], r["trend"]) == want[r["event_id"]]
