@@ -5921,6 +5921,29 @@ def q_aa_test(spark, sf):
     )
 
 
+def q_cluster_cohesion(spark, sf):
+    """Over-merge audit of the dedup components (dedup.cluster_cohesion):
+    per cluster-size band, observed pair edges / C(m,2) — 1.0 = clique,
+    low values on big clusters mean the 0.6 threshold is CHAINING
+    through hubs and the keeper choice is about to delete
+    non-duplicates. Same pairs/components as dedup_clusters; one extra
+    keyed rollup (every edge is intra-cluster by construction)."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+    return dedup.cluster_cohesion(docs, pairs)
+
+
+def q_dedup_review_sample(spark, sf):
+    """Stratified human-QA sample of near-dup pairs
+    (dedup.review_sample): 5 pairs per similarity band, selected by a
+    portable Knuth hash — reproducible run-over-run, engine-over-engine
+    (no rand(), no arbitrary head()). The audit step between
+    jaccard_threshold_sweep and the drop decision."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+    return dedup.review_sample(pairs, k=5)
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6301,6 +6324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_collisions": q_fingerprint_collisions,
         "aa_test": q_aa_test,
         "stream_holt_parity": q_stream_holt_parity,
+        "cluster_cohesion": q_cluster_cohesion,
+        "dedup_review_sample": q_dedup_review_sample,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -12629,6 +12654,67 @@ def oracle_sql() -> dict[str, str]:
                               / (CAST(n2 AS DOUBLE) - 1) / CAST(n2 AS DOUBLE)), 6))
                  < 1.959964 AS aa_pass
         FROM m
+    """
+    # cluster_cohesion: SPLICED from the dedup_clusters oracle (same
+    # shingle/pair/closure chain, so the two can never drift), with the
+    # cohesion rollup replacing the node->cluster tail.
+    _clu_chain = d["dedup_clusters"].rsplit("SELECT d.doc_id AS node", 1)[0]
+    d["cluster_cohesion"] = _clu_chain + """, clmap AS (
+          SELECT d.doc_id AS node,
+                 least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+          FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+          GROUP BY d.doc_id
+        ),
+        cm AS (
+          SELECT cluster, count(*) AS m FROM clmap
+          GROUP BY 1 HAVING count(*) >= 2
+        ),
+        ec AS (
+          SELECT c.cluster, count(*) AS e
+          FROM pairs p JOIN clmap c ON c.node = p.id_a GROUP BY 1
+        ),
+        coh AS (
+          SELECT cm.cluster, cm.m, coalesce(ec.e, 0) AS e,
+                 round(coalesce(ec.e, 0)
+                       / (CAST(cm.m AS DOUBLE) * (cm.m - 1) / 2), 6) AS cohesion
+          FROM cm LEFT JOIN ec USING (cluster)
+        )
+        SELECT CASE WHEN m = 2 THEN '2' WHEN m <= 4 THEN '3-4'
+                    ELSE '5+' END AS size_band,
+               count(*) AS n_clusters,
+               CAST(SUM(m) AS BIGINT) AS n_members,
+               round(CAST(SUM(CAST(cohesion AS DECIMAL(18,9))) AS DOUBLE)
+                     / count(*), 6) AS avg_cohesion,
+               min(cohesion) AS min_cohesion
+        FROM coh GROUP BY 1
+    """
+    # dedup_review_sample: the same common/sizes chain, pairs WITH the
+    # jaccard value, then the Knuth-hash stratified row_number cut.
+    _pair_head = d["dedup_clusters"].rsplit("pairs AS (", 1)[0]
+    d["dedup_review_sample"] = _pair_head + """pairs AS (
+          SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(c / (sa.n + sb.n - c), 6) >= 0.6
+        ),
+        branded AS (
+          SELECT id_a, id_b, jaccard,
+                 CASE WHEN jaccard >= 0.9 THEN '0.9+'
+                      WHEN jaccard >= 0.8 THEN '0.8-0.9'
+                      WHEN jaccard >= 0.7 THEN '0.7-0.8'
+                      ELSE '<0.7' END AS band,
+                 (id_a * 1000003 + id_b) % 1000000007 AS h
+          FROM pairs
+        ),
+        ranked AS (
+          SELECT band, id_a, id_b, jaccard,
+                 row_number() OVER (PARTITION BY band
+                                    ORDER BY h, id_a, id_b) AS rk
+          FROM branded
+        )
+        SELECT band, CAST(rk AS INT) AS rk, id_a, id_b, jaccard
+        FROM ranked WHERE rk <= 5
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

@@ -267,6 +267,8 @@ HEADLINE = [
     "fingerprint_collisions",
     "aa_test",
     "stream_holt_parity",
+    "cluster_cohesion",
+    "dedup_review_sample",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -1739,3 +1739,100 @@ def fingerprint_collisions(
         "colliding_pairs",
         F.round(expected, 6).alias("expected_random_collisions"),
     )
+
+
+def cluster_cohesion(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cohesion audit of the connected-component dedup clusters — the
+    over-merge detector LSH/threshold dedup needs before dropping
+    documents: components are built by CHAINING pairs, so A–B–C merges
+    even when A and C are unrelated (cohesion = observed pair edges /
+    C(m,2) possible; 1.0 = clique, low values on big clusters = the
+    threshold is chaining through hubs and the keeper choice is about
+    to delete non-duplicates).
+
+    Per cluster-size band ('2', '3-4', '5+'): cluster count, member
+    count, mean cohesion (DECIMAL-summed 6-dp terms) and the worst
+    cohesion. One components run (dup_clusters) + one edge rollup —
+    every pair edge is intra-cluster by construction, so the edge count
+    per cluster is a single keyed aggregate, no pair re-verification."""
+    # pairs feed BOTH the components run and the edge rollup — the lazy
+    # checkpoint keeps the pair generation (the expensive stage) at ONE
+    # execution
+    pairs = pairs.localCheckpoint(eager=False)
+    clusters = dup_clusters(docs, pairs, id_col)
+    # the |docs|-row label table feeds sizes AND the edge rollup
+    clusters = clusters.localCheckpoint(eager=False)
+    cm = (
+        clusters.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") >= 2)
+    )
+    ec = (
+        pairs.join(
+            clusters.withColumnRenamed("node", "id_a"), "id_a"
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    coh = cm.join(ec, "cluster", "left").select(
+        "cluster",
+        "m",
+        F.coalesce("e", F.lit(0)).alias("e"),
+        F.round(
+            F.coalesce("e", F.lit(0))
+            / (F.col("m").cast("double") * (F.col("m") - 1) / 2),
+            6,
+        ).alias("cohesion"),
+    )
+    band = (
+        F.when(F.col("m") == 2, "2")
+        .when(F.col("m") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    return coh.groupBy(band.alias("size_band")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("m").alias("n_members"),
+        F.round(
+            F.sum(F.col("cohesion").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cohesion"),
+        F.min("cohesion").alias("min_cohesion"),
+    )
+
+
+def review_sample(
+    pairs: DataFrame,
+    k: int = 5,
+    sim_col: str = "jaccard",
+) -> DataFrame:
+    """Deterministic stratified audit sample of near-dup pairs — the
+    human-QA step between jaccard_threshold_sweep (which threshold?)
+    and the drop decision: k pairs per similarity band, selected by a
+    portable integer hash so the sample is reproducible run-over-run
+    and engine-over-engine (no rand(), no arbitrary head()).
+
+    hash = (id_a·1000003 + id_b) mod 1000000007 — Knuth multiplicative,
+    plain int64 arithmetic on both engines; row_number per band over
+    (hash, id_a, id_b). The window partitions by the literal band so
+    each partition is one stratum; the sample is k·|bands| rows total."""
+    from pyspark.sql import Window as W
+
+    band = (
+        F.when(F.col(sim_col) >= 0.9, "0.9+")
+        .when(F.col(sim_col) >= 0.8, "0.8-0.9")
+        .when(F.col(sim_col) >= 0.7, "0.7-0.8")
+        .otherwise("<0.7")
+    )
+    h = (F.col("id_a") * 1000003 + F.col("id_b")) % 1000000007
+    w = W.partitionBy("band").orderBy("h", "id_a", "id_b")
+    return (
+        pairs.select("id_a", "id_b", F.col(sim_col), band.alias("band"), h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("band", "rk", "id_a", "id_b", sim_col)
+    )

@@ -985,3 +985,55 @@ def test_stream_holt_parity_matches_python_recursion(spark):
         want[e["event_id"]] = (round(l, 6), round(b, 6))
     for r in urows:
         assert (r["level"], r["trend"]) == want[r["event_id"]]
+
+
+# ------------------------------------------------ dedup QA ops
+
+def test_cluster_cohesion_chain_vs_clique(spark):
+    """A 3-clique (cohesion 1.0) and a 3-chain (2 edges / 3 possible =
+    0.666667) land in the same band with the right mean and min."""
+    from nnanalytics_spark.pipeline import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 7)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3),   # clique {1,2,3}
+         (4, 5), (5, 6)],          # chain {4,5,6}
+        ["id_a", "id_b"],
+    )
+    out = {r["size_band"]: r for r in dd.cluster_cohesion(docs, pairs).collect()}
+    b = out["3-4"]
+    assert b["n_clusters"] == 2 and b["n_members"] == 6
+    assert b["min_cohesion"] == round(2 / 3, 6)
+    # (1.0 + 0.666667)/2 = 0.8333335 → Spark/DuckDB round HALF-UP to
+    # 0.833334 (Python's round() banker's-rounds the other way)
+    assert b["avg_cohesion"] == 0.833334
+
+
+def test_review_sample_deterministic_and_stratified(spark):
+    """The sample is identical across runs, at most k per band, and
+    ranked by the portable Knuth hash."""
+    from nnanalytics_spark.pipeline import dedup as dd
+
+    rows = [(a, a + 100, 0.65 + (a % 30) * 0.01) for a in range(1, 60)]
+    pairs = spark.createDataFrame(rows, ["id_a", "id_b", "jaccard"])
+    s1 = sorted(tuple(r) for r in dd.review_sample(pairs, k=3).collect())
+    s2 = sorted(tuple(r) for r in dd.review_sample(pairs, k=3).collect())
+    assert s1 == s2 and len(s1) > 0
+    from collections import Counter
+
+    per_band = Counter(r[0] for r in s1)
+    assert all(v <= 3 for v in per_band.values())
+    assert set(per_band) <= {"<0.7", "0.7-0.8", "0.8-0.9", "0.9+"}
+    # rank-1 row per band is the hash argmin
+    for band in per_band:
+        band_rows = [(a, b) for bb, rk, a, b, j in s1 if bb == band]
+        expect = min(((a * 1000003 + b) % 1000000007, a, b) for a, b in
+                     ((r[0], r[1]) for r in rows
+                      if (band == "0.9+" and r[2] >= 0.9)
+                      or (band == "0.8-0.9" and 0.8 <= r[2] < 0.9)
+                      or (band == "0.7-0.8" and 0.7 <= r[2] < 0.8)
+                      or (band == "<0.7" and r[2] < 0.7)))
+        got1 = [(a, b) for bb, rk, a, b, j in s1 if bb == band and rk == 1][0]
+        assert got1 == (expect[1], expect[2])

@@ -95,6 +95,9 @@ WAIVERS: dict[str, set[str]] = {
     # mixture): 12 exchanges = the four stages' own shuffles chained —
     # exactly the composition this row exists to time as one plan
     "curation_pipeline": {"exchange_count"},
+    # pairs + iterative min-label components (dedup_clusters' own
+    # rounds) + the cohesion rollup — the composed-pipeline shape
+    "cluster_cohesion": {"exchange_count"},
 }
 
 
