@@ -5944,6 +5944,59 @@ def q_dedup_review_sample(spark, sf):
     return dedup.review_sample(pairs, k=5)
 
 
+def q_pii_density(spark, sf):
+    """Per-source PII density (text.pii_density_report): matches per
+    1 000 chars per category over the same deterministically salted
+    text as pii_scrub — the triage view that quarantines a leaking
+    FEED instead of scrubbing blind. One projection + one integer
+    rollup."""
+    d = _t(spark, sf, "documents")
+    salted = d.withColumn(
+        "t",
+        F.concat(
+            "text",
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567"),
+        ),
+    )
+    return text.pii_density_report(salted, "t")
+
+
+def q_weighted_quantiles(spark, sf):
+    """Char-weighted quality quantiles per source
+    (stats.weighted_quantile): the quality of the median BYTE the
+    model will train on, not the median document — many short clean
+    docs + a few huge dirty ones fool the doc-median, never the
+    byte-median. One keyed sort window + conditional-min per q."""
+    from nnanalytics_spark.pipeline import stats
+
+    d = _t(spark, sf, "documents")
+    scored = d.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "source",
+        text.quality_score(F.col("text")).alias("q"),
+        "n_chars",
+    )
+    return stats.weighted_quantile(scored, "q", "n_chars", "source")
+
+
+def q_sample_size_grid(spark, sf):
+    """Experiment planning table (stats.sample_size_grid): required
+    per-arm n for target relative lifts {1,2,5,10}% at α=0.05 / 80%
+    power — the inverse of mde_power, from the same per-user DECIMAL
+    moment pass and one broadcast grid join."""
+    from nnanalytics_spark.pipeline import stats
+
+    ev = _events(spark, sf).select(
+        "user_id",
+        "value",
+        F.when(F.col("user_id") % 2 == 0, "treatment")
+        .otherwise("control")
+        .alias("arm"),
+    )
+    return stats.sample_size_grid(ev, "value", "user_id", "arm")
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6326,6 +6379,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_holt_parity": q_stream_holt_parity,
         "cluster_cohesion": q_cluster_cohesion,
         "dedup_review_sample": q_dedup_review_sample,
+        "pii_density": q_pii_density,
+        "weighted_quantiles": q_weighted_quantiles,
+        "sample_size_grid": q_sample_size_grid,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -12715,6 +12771,129 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT band, CAST(rk AS INT) AS rk, id_a, id_b, jaccard
         FROM ranked WHERE rk <= 5
+    """
+    # pii_density: the pii_scrub salt + the same four RE2 patterns,
+    # rolled up per source with per-1k-char densities.
+    d["pii_density"] = r"""
+        WITH f AS (
+          SELECT source,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-123-4567' AS t
+          FROM documents
+        ),
+        c AS (
+          SELECT source, length(t) AS chars,
+                 len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                 len(regexp_extract_all(t, '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS n_phone,
+                 len(regexp_extract_all(t, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+                 len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ipv4
+          FROM f
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(chars) AS BIGINT) AS n_chars,
+               CAST(SUM(n_email) AS BIGINT) AS n_email,
+               CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+               CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+               CAST(SUM(n_ipv4) AS BIGINT) AS n_ipv4,
+               round(CAST(SUM(n_email) AS BIGINT) * 1000.0
+                     / CAST(SUM(chars) AS BIGINT), 6) AS email_per_1k,
+               round(CAST(SUM(n_phone) AS BIGINT) * 1000.0
+                     / CAST(SUM(chars) AS BIGINT), 6) AS phone_per_1k,
+               round(CAST(SUM(n_ssn) AS BIGINT) * 1000.0
+                     / CAST(SUM(chars) AS BIGINT), 6) AS ssn_per_1k,
+               round(CAST(SUM(n_ipv4) AS BIGINT) * 1000.0
+                     / CAST(SUM(chars) AS BIGINT), 6) AS ipv4_per_1k
+        FROM c GROUP BY source
+    """
+    # weighted_quantiles: the quality replay, char weights, cumulative
+    # ROWS window and the conditional-min boundary pick per q.
+    d["weighted_quantiles"] = """
+        WITH f AS (
+          SELECT doc_id, source, text, n_chars,
+                 regexp_split_to_array(trim(text), '\\s+') AS toks,
+                 len(regexp_extract_all(text, '[^\\w\\s]'))
+                   / GREATEST(length(text), 1) AS praw
+          FROM documents WHERE length(trim(text)) > 0
+        ),
+        g AS (
+          SELECT doc_id, source, n_chars, toks, praw,
+                 len(list_filter(list_transform(toks, t -> lower(t)),
+                     t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+                                'for','on','with','as','at','by','from','that','this')))
+                   / GREATEST(len(toks), 1) AS sraw,
+                 list_reduce(list_prepend(0, [length(t) for t in toks]), (a,b) -> a + b)
+                   / GREATEST(len(toks), 1) AS mwl,
+                 LEAST(length(text) / 200.0, 1.0) AS length_ok
+          FROM f
+        ),
+        q AS (
+          SELECT source, n_chars AS w,
+                 round((length_ok + (1.0 - LEAST(praw * 5.0, 1.0))
+                        + LEAST(sraw * 4.0, 1.0)
+                        + CASE WHEN mwl >= 3 AND mwl <= 10 THEN 1.0 ELSE 0.5 END) / 4.0, 6)
+                   AS v
+          FROM g
+        ),
+        c AS (
+          SELECT source, v,
+                 SUM(w) OVER (PARTITION BY source ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cw,
+                 SUM(w) OVER (PARTITION BY source) AS W
+          FROM q
+        )
+        SELECT source, CAST(max(W) AS BIGINT) AS w_total,
+               min(CASE WHEN cw >= 0.5 * W THEN v END) AS wq50,
+               min(CASE WHEN cw >= 0.9 * W THEN v END) AS wq90
+        FROM c GROUP BY source
+    """
+    # sample_size_grid: mde_power's moment CTEs into the inverse-power
+    # formula over the literal relative-effect grid.
+    d["sample_size_grid"] = """
+        WITH ev AS (
+          SELECT user_id, value,
+                 CASE WHEN user_id % 2 = 0 THEN 'treatment'
+                      ELSE 'control' END AS arm
+          FROM events
+        ),
+        pu AS (
+          SELECT user_id, arm,
+                 CAST(SUM(CAST(round(value, 9) AS DECIMAL(18,9)))
+                      AS DECIMAL(18,9)) AS v
+          FROM ev GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT
+            CAST(SUM(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nc,
+            CAST(SUM(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT)
+              AS nt,
+            SUM(CASE WHEN arm = 'control' THEN v
+                     ELSE CAST(0 AS DECIMAL(18,9)) END) AS sc,
+            SUM(CASE WHEN arm = 'treatment' THEN v
+                     ELSE CAST(0 AS DECIMAL(18,9)) END) AS st,
+            SUM(CASE WHEN arm = 'control' THEN CAST(v * v AS DECIMAL(38,18))
+                     ELSE CAST(0 AS DECIMAL(38,18)) END) AS scc,
+            SUM(CASE WHEN arm = 'treatment' THEN CAST(v * v AS DECIMAL(38,18))
+                     ELSE CAST(0 AS DECIMAL(38,18)) END) AS stt
+          FROM pu
+        ),
+        grid AS (
+          SELECT unnest(CAST([0.01, 0.02, 0.05, 0.1] AS DOUBLE[])) AS rel_effect
+        )
+        SELECT rel_effect,
+               round(rel_effect * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)), 6)
+                 AS delta_abs,
+               CAST(ceil((1.959964 + 0.841621) * (1.959964 + 0.841621)
+                         * ((CAST(scc AS DOUBLE)
+                             - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))
+                            / (CAST(nc AS DOUBLE) - 1)
+                            + (CAST(stt AS DOUBLE)
+                               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / CAST(nt AS DOUBLE))
+                              / (CAST(nt AS DOUBLE) - 1))
+                         / ((rel_effect * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))
+                            * (rel_effect * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))))
+                    AS BIGINT) AS n_per_arm
+        FROM grid, m
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

@@ -269,6 +269,9 @@ HEADLINE = [
     "stream_holt_parity",
     "cluster_cohesion",
     "dedup_review_sample",
+    "pii_density",
+    "weighted_quantiles",
+    "sample_size_grid",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -2187,3 +2187,110 @@ def aa_test(
         F.round(z, 6).alias("z_stat"),
         (F.abs(F.round(z, 6)) < z_bound).alias("aa_pass"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    qs: tuple = (0.5, 0.9),
+) -> DataFrame:
+    """Grouped WEIGHTED quantiles — the primitive Spark does not ship:
+    the smallest value v such that Σ weight(rows ≤ v) ≥ q·W. The
+    curation read this exists for: a char-weighted median quality is
+    the quality of the median BYTE the model will train on, not the
+    median document — a corpus of many short clean docs and a few huge
+    dirty ones has a high doc-median and a low byte-median, and only
+    the second one predicts the training mix.
+
+    One (group)-keyed sort window for the cumulative weight, then a
+    conditional-min aggregate per q — no explode, no per-q pass.
+    Integer weights stay exact; ties in value pick the same v under
+    any within-tie order (the boundary row's VALUE is what's selected,
+    and tied rows share it)."""
+    from pyspark.sql import Window as W
+
+    wc = (
+        W.partitionBy(group_col)
+        .orderBy("_v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy(group_col)
+    staged = df.select(
+        group_col,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).select(
+        group_col,
+        "_v",
+        F.sum("_w").over(wc).alias("_cw"),
+        F.sum("_w").over(wtot).alias("_W"),
+    )
+    aggs = [F.max("_W").alias("w_total")]
+    for q in qs:
+        aggs.append(
+            F.min(
+                F.when(F.col("_cw") >= F.lit(float(q)) * F.col("_W"), F.col("_v"))
+            ).alias(f"wq{int(round(q * 100)):02d}")
+        )
+    return staged.groupBy(group_col).agg(*aggs)
+
+
+def sample_size_grid(
+    df: DataFrame,
+    value_col: str,
+    unit_col: str,
+    arm_col: str,
+    rel_effects: tuple = (0.01, 0.02, 0.05, 0.1),
+    control: str = "control",
+    treatment: str = "treatment",
+    z_alpha: float = 1.959964,
+    z_power: float = 0.841621,
+) -> DataFrame:
+    """Required sample size per arm for a target RELATIVE lift — the
+    inverse of mde_power, and the planning table a platform pins to an
+    experiment brief: n = ⌈(z_{α/2}+z_β)²·(s²_c+s²_t)/δ²⌉ with
+    δ = rel·x̄_c, across a literal grid of candidate effects. Same
+    per-unit DECIMAL moment pass as mde_power; the grid join runs on
+    one broadcast row."""
+    dec = "decimal(18,9)"
+    per_unit = df.groupBy(unit_col, arm_col).agg(
+        F.sum(F.round(F.col(value_col), 9).cast(dec)).cast(dec).alias("_v")
+    )
+    is_c = F.col(arm_col) == control
+    is_t = F.col(arm_col) == treatment
+    zero = F.lit(0).cast(dec)
+    zero2 = F.lit(0).cast("decimal(38,18)")
+    sq = (F.col("_v") * F.col("_v")).cast("decimal(38,18)")
+    m = per_unit.agg(
+        F.sum(F.when(is_c, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(is_c, F.col("_v")).otherwise(zero)).alias("sc"),
+        F.sum(F.when(is_t, F.col("_v")).otherwise(zero)).alias("st"),
+        F.sum(F.when(is_c, sq).otherwise(zero2)).alias("scc"),
+        F.sum(F.when(is_t, sq).otherwise(zero2)).alias("stt"),
+    )
+    grid = df.sparkSession.range(0, len(rel_effects)).select(
+        F.element_at(
+            F.array(*[F.lit(float(r)) for r in rel_effects]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("rel_effect")
+    )
+    nc, nt = F.col("nc").cast("double"), F.col("nt").cast("double")
+    sc, st = F.col("sc").cast("double"), F.col("st").cast("double")
+    scc, stt = F.col("scc").cast("double"), F.col("stt").cast("double")
+    var_c = (scc - sc * sc / nc) / (nc - 1)
+    var_t = (stt - st * st / nt) / (nt - 1)
+    delta = F.col("rel_effect") * (sc / nc)
+    n_req = F.ceil(
+        (F.lit(z_alpha) + F.lit(z_power))
+        * (F.lit(z_alpha) + F.lit(z_power))
+        * (var_c + var_t)
+        / (delta * delta)
+    )
+    return grid.crossJoin(F.broadcast(m)).select(
+        "rel_effect",
+        F.round(delta, 6).alias("delta_abs"),
+        n_req.cast("long").alias("n_per_arm"),
+    )

@@ -1306,3 +1306,34 @@ def code_detection_report(
             6,
         ).alias("avg_score"),
     )
+
+
+def pii_density_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source PII density — matches per 1 000 characters for each
+    category — the triage view over scrub_pii's per-doc counts: which
+    SOURCE is leaking emails/phones/SSNs/IPs, and at what rate, so a
+    curation run can quarantine a feed instead of scrubbing blind. One
+    projection + one grouped DECIMAL-free integer rollup (counts and
+    chars are exact longs; only the final per-1k ratios are doubles)."""
+    col = F.col(text_col)
+    counts = pii_counts(col)
+    base = docs.select(
+        "source",
+        F.length(col).alias("_chars"),
+        *[cnt.alias(f"_n_{k}") for k, cnt in counts.items()],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_chars").alias("n_chars"),
+    ]
+    for k in counts:
+        aggs.append(F.sum(f"_n_{k}").alias(f"n_{k}"))
+    out = base.groupBy("source").agg(*aggs)
+    for k in counts:
+        out = out.withColumn(
+            f"{k}_per_1k",
+            F.round(
+                F.col(f"n_{k}") * 1000.0 / F.col("n_chars"), 6
+            ),
+        )
+    return out

@@ -1037,3 +1037,60 @@ def test_review_sample_deterministic_and_stratified(spark):
                       or (band == "<0.7" and r[2] < 0.7)))
         got1 = [(a, b) for bb, rk, a, b, j in s1 if bb == band and rk == 1][0]
         assert got1 == (expect[1], expect[2])
+
+
+# -------------------------------- PII density / weighted q / sample size
+
+def test_weighted_quantile_byte_vs_doc_median(spark):
+    """Many small high-quality docs and one huge low-quality doc: the
+    (unweighted) doc median is high but the char-weighted median is the
+    big doc's value — the exact failure mode this operator exposes."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [("s", 0.9, 10)] * 9 + [("s", 0.2, 1000)]
+    df = spark.createDataFrame(rows, ["source", "q", "n_chars"])
+    r = stats.weighted_quantile(df, "q", "n_chars", "source").collect()[0]
+    assert r["w_total"] == 1090
+    assert r["wq50"] == 0.2  # median byte lives in the big dirty doc
+    assert r["wq90"] == 0.2
+
+
+def test_weighted_quantile_uniform_weights_match_rank(spark):
+    """With unit weights the weighted quantile is the order statistic
+    at ceil(q*n)."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [("s", float(v), 1) for v in range(1, 11)]
+    df = spark.createDataFrame(rows, ["source", "q", "w"])
+    r = stats.weighted_quantile(df, "q", "w", "source").collect()[0]
+    assert r["wq50"] == 5.0 and r["wq90"] == 9.0
+
+
+def test_sample_size_grid_inverts_mde(spark):
+    """At the MDE the required n equals the observed n (up to ceil):
+    feeding mde_rel back through the grid returns n within one unit of
+    the actual arm size."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [(i, "control" if i % 2 else "treatment", float(1 + (i * 7) % 13))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["user_id", "arm", "value"])
+    mde = stats.mde_power(df, "value", "user_id", "arm").collect()[0]
+    grid = stats.sample_size_grid(
+        df, "value", "user_id", "arm", rel_effects=(mde["mde_rel"],)
+    ).collect()[0]
+    # n_c = n_t = 100; formula uses (s2c + s2t) vs MDE's s2c/nc + s2t/nt
+    assert abs(grid["n_per_arm"] - 100) <= 1
+
+
+def test_pii_density_report_counts(spark):
+    """One email + one IP in 1000 chars → 1.0 per 1k each."""
+    from nnanalytics_spark.pipeline import text as t
+
+    body = ("x" * 978) + " a@b.com 1.2.3.4"  # 978 + 17 chars... pad below
+    body = body.ljust(1000, "y")
+    df = spark.createDataFrame([(1, body, "s")], ["doc_id", "text", "source"])
+    r = t.pii_density_report(df).collect()[0]
+    assert r["n_chars"] == 1000
+    assert r["n_email"] == 1 and r["n_ipv4"] == 1
+    assert r["email_per_1k"] == 1.0 and r["ipv4_per_1k"] == 1.0
