@@ -5997,6 +5997,37 @@ def q_sample_size_grid(spark, sf):
     return stats.sample_size_grid(ev, "value", "user_id", "arm")
 
 
+def q_mann_kendall(spark, sf):
+    """Mann–Kendall trend test over daily counts per type
+    (stats.mann_kendall): tie-corrected S/Var(S)/z with continuity
+    correction — the significance companion to theil_sen_trend's
+    robust slope, assumption-free. Exact integers on the bounded day
+    grid; one corpus pass."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.mann_kendall(_events(spark, sf))
+
+
+def q_runs_test(spark, sf):
+    """Wald–Wolfowitz runs test on daily counts vs the group median
+    (stats.runs_test): the distribution-free "is this sequence even
+    random?" gate for iid-based control limits, beside autocorrelation.
+    One daily aggregate + a keyed lag over the day grid."""
+    from nnanalytics_spark.pipeline import stats
+
+    return stats.runs_test(_events(spark, sf))
+
+
+def q_dedup_rate_by_length(spark, sf):
+    """Exact-duplicate share per length decile
+    (dedup.dedup_rate_by_length): the "are we only deduping short
+    docs?" QA — dup concentration in one band means band-aware
+    thresholds, and deleting mostly LONG docs destroys
+    disproportionate token mass. Cutpoint deciles (lorenz bucketing,
+    no global sort) over the exact_dedup normalized key."""
+    return dedup.dedup_rate_by_length(_t(spark, sf, "documents"))
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6382,6 +6413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_density": q_pii_density,
         "weighted_quantiles": q_weighted_quantiles,
         "sample_size_grid": q_sample_size_grid,
+        "mann_kendall": q_mann_kendall,
+        "runs_test": q_runs_test,
+        "dedup_rate_by_length": q_dedup_rate_by_length,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -12894,6 +12928,133 @@ def oracle_sql() -> dict[str, str]:
                             * (rel_effect * (CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)))))
                     AS BIGINT) AS n_per_arm
         FROM grid, m
+    """
+    # mann_kendall: exact S over the day-grid pair join, tie-corrected
+    # variance, continuity-corrected z.
+    d["mann_kendall"] = """
+        WITH daily AS (
+          SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        s AS (
+          SELECT l.g,
+                 CAST(SUM(CAST(sign(r.c - l.c) AS BIGINT)) AS BIGINT) AS s
+          FROM daily l JOIN daily r ON r.g = l.g AND l.day < r.day
+          GROUP BY 1
+        ),
+        ties AS (
+          SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS corr
+          FROM (SELECT g, c, count(*) AS t FROM daily GROUP BY 1, 2)
+          GROUP BY g
+        ),
+        n AS (SELECT g, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1)
+        SELECT n.g AS event_type, n.n_days, s.s AS s_stat,
+               round(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - corr
+                          AS DOUBLE) / 18, 6) AS var_s,
+               round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                          / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - corr
+                                      AS DOUBLE) / 18)
+                          WHEN s.s < 0 THEN (s.s + 1)
+                          / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - corr
+                                      AS DOUBLE) / 18)
+                          ELSE 0.0 END, 6) AS z,
+               CASE WHEN round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                          / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - corr
+                                      AS DOUBLE) / 18)
+                          WHEN s.s < 0 THEN (s.s + 1)
+                          / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - corr
+                                      AS DOUBLE) / 18)
+                          ELSE 0.0 END, 6) >= 1.959964 THEN 'increasing'
+                    WHEN round(CASE WHEN s.s > 0 THEN (s.s - 1)
+                          / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - corr
+                                      AS DOUBLE) / 18)
+                          WHEN s.s < 0 THEN (s.s + 1)
+                          / sqrt(CAST(n_days * (n_days - 1) * (2 * n_days + 5) - corr
+                                      AS DOUBLE) / 18)
+                          ELSE 0.0 END, 6) <= -1.959964 THEN 'decreasing'
+                    ELSE 'none' END AS trend
+        FROM n JOIN s USING (g) JOIN ties USING (g)
+    """
+    # runs_test: median split (> median is the documented tie rule),
+    # lag-based run count, closed-form mu/sigma/z.
+    d["runs_test"] = """
+        WITH daily AS (
+          SELECT event_type AS g, epoch_ms(ts) // 86400000 AS day,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        med AS (SELECT g, quantile_cont(c, 0.5) AS med FROM daily GROUP BY 1),
+        signed AS (
+          SELECT d.g, d.day, CAST(d.c > m.med AS INT) AS sgn
+          FROM daily d JOIN med m USING (g)
+        ),
+        runs AS (
+          SELECT g, sgn,
+                 CASE WHEN lag(sgn) OVER (PARTITION BY g ORDER BY day) IS NULL
+                        OR lag(sgn) OVER (PARTITION BY g ORDER BY day) <> sgn
+                      THEN 1 ELSE 0 END AS chg
+          FROM signed
+        ),
+        agg AS (
+          SELECT g, CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(sgn) AS BIGINT) AS n_above,
+                 CAST(SUM(1 - sgn) AS BIGINT) AS n_below,
+                 CAST(SUM(chg) AS BIGINT) AS runs
+          FROM runs GROUP BY g
+        )
+        SELECT g AS event_type, n_days, n_above, n_below, runs,
+               round((runs - (2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                              / CAST(n_days AS DOUBLE) + 1))
+                     / sqrt(2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                            * (2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                               - CAST(n_days AS DOUBLE))
+                            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                               * (CAST(n_days AS DOUBLE) - 1))), 6) AS z,
+               abs(round((runs - (2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                              / CAST(n_days AS DOUBLE) + 1))
+                     / sqrt(2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                            * (2 * CAST(n_above AS DOUBLE) * CAST(n_below AS DOUBLE)
+                               - CAST(n_days AS DOUBLE))
+                            / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)
+                               * (CAST(n_days AS DOUBLE) - 1))), 6)) < 1.959964
+                 AS random
+        FROM agg
+    """
+    # dedup_rate_by_length: exact_dedup's normalized key + lorenz
+    # cutpoint deciles (greater-than bucketing, no global sort).
+    d["dedup_rate_by_length"] = r"""
+        WITH keyed AS (
+          SELECT doc_id AS id, n_chars AS len,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k
+          FROM documents
+        ),
+        flagged AS (
+          SELECT id, len,
+                 CAST(min(id) OVER (PARTITION BY k) <> id AS BIGINT) AS is_dup
+          FROM keyed
+        ),
+        cuts AS (
+          SELECT quantile_cont(n_chars, 0.1) AS c1, quantile_cont(n_chars, 0.2) AS c2,
+                 quantile_cont(n_chars, 0.3) AS c3, quantile_cont(n_chars, 0.4) AS c4,
+                 quantile_cont(n_chars, 0.5) AS c5, quantile_cont(n_chars, 0.6) AS c6,
+                 quantile_cont(n_chars, 0.7) AS c7, quantile_cont(n_chars, 0.8) AS c8,
+                 quantile_cont(n_chars, 0.9) AS c9
+          FROM documents
+        )
+        SELECT 1 + CAST(len > c1 AS INT) + CAST(len > c2 AS INT)
+                 + CAST(len > c3 AS INT) + CAST(len > c4 AS INT)
+                 + CAST(len > c5 AS INT) + CAST(len > c6 AS INT)
+                 + CAST(len > c7 AS INT) + CAST(len > c8 AS INT)
+                 + CAST(len > c9 AS INT) AS decile,
+               count(*) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dupes,
+               round(CAST(SUM(is_dup) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+                 AS dup_rate,
+               round(CAST(SUM(CAST(len AS DECIMAL(38,0))) AS DOUBLE) / count(*), 6)
+                 AS avg_len
+        FROM flagged, cuts
+        GROUP BY 1
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

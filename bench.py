@@ -272,6 +272,9 @@ HEADLINE = [
     "pii_density",
     "weighted_quantiles",
     "sample_size_grid",
+    "mann_kendall",
+    "runs_test",
+    "dedup_rate_by_length",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -1836,3 +1836,61 @@ def review_sample(
         .filter(F.col("rk") <= k)
         .select("band", "rk", "id_a", "id_b", sim_col)
     )
+
+
+def dedup_rate_by_length(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Dedup-rate-by-length QA: exact-duplicate share per document-
+    length decile — the "are we only deduping short docs?" readout. A
+    corpus whose duplicates concentrate in one length band (boilerplate
+    stubs, mirrored long articles) needs band-aware thresholds, and a
+    pipeline that silently deletes mostly LONG documents is destroying
+    disproportionate token mass; this is the one-glance check.
+
+    Deciles come from exact interpolated length CUTPOINTS (one
+    aggregate, broadcast back — the lorenz_deciles greater-than
+    bucketing, NOT a global ntile sort), duplicates from the same
+    normalized-text key as exact_dedup with min-id keepers."""
+    from pyspark.sql import Window as W
+
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(length_col).alias("len"),
+        normalized(F.col(text)).alias("k"),
+    )
+    w = W.partitionBy("k")
+    flagged = keyed.select(
+        "id",
+        "len",
+        (F.min("id").over(w) != F.col("id")).cast("long").alias("is_dup"),
+    )
+    cuts = df.agg(
+        *[
+            F.percentile(F.col(length_col), F.lit(i / 10.0)).alias(f"c{i}")
+            for i in range(1, 10)
+        ]
+    )
+    decile = F.lit(1)
+    for i in range(1, 10):
+        decile = decile + (F.col("len") > F.col(f"c{i}")).cast("int")
+    return (
+        flagged.crossJoin(F.broadcast(cuts))
+        .select(decile.alias("decile"), "len", "is_dup")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_dup").alias("n_dupes"),
+            F.round(F.sum("is_dup") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "dup_rate"
+            ),
+            F.round(
+                F.sum(F.col("len").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_len"),
+        )
+    )

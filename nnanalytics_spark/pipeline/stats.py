@@ -2294,3 +2294,137 @@ def sample_size_grid(
         F.round(delta, 6).alias("delta_abs"),
         n_req.cast("long").alias("n_per_arm"),
     )
+
+
+def mann_kendall(
+    events: DataFrame,
+    group: str = "event_type",
+    ts_col: str = "ts_ms",
+    z_bound: float = 1.959964,
+) -> DataFrame:
+    """Mann–Kendall nonparametric trend test over daily counts per
+    group — the significance companion to theil_sen_trend (Theil–Sen
+    gives the robust slope, MK says whether a monotone trend is THERE
+    at all, with no normality assumption):
+
+        S = Σ_{i<j} sign(x_j − x_i),
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18   (tie-corrected)
+        z = (S∓1)/√Var  (continuity-corrected toward 0)
+
+    Everything is exact integer arithmetic on the bounded day grid
+    (one daily-count aggregate is the only corpus pass; the pair
+    enumeration is |days|² per group — the ks_test bounded-grid
+    contract); only z is a double."""
+    daily = (
+        events.select(
+            F.col(group).alias("g"), F.expr(f"{ts_col} div 86400000").alias("day")
+        )
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # the day grid feeds pairs (twice), tie groups, and n
+    daily = daily.localCheckpoint(eager=False)
+    lhs = daily.select("g", F.col("day").alias("d1"), F.col("c").alias("x1"))
+    rhs = daily.select("g", F.col("day").alias("d2"), F.col("c").alias("x2"))
+    s = (
+        lhs.join(rhs, "g")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("g")
+        .agg(F.sum(F.signum(F.col("x2") - F.col("x1")).cast("long")).alias("s"))
+    )
+    ties = (
+        daily.groupBy("g", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("_ng"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("corr"),
+        )
+    )
+    n = daily.groupBy("g").agg(F.count(F.lit(1)).alias("n_days"))
+    joined = n.join(s, "g").join(ties.select("g", "corr"), "g")
+    nn = F.col("n_days")
+    var_s = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("corr")).cast("double") / 18
+    )
+    z = F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(var_s)).when(
+        F.col("s") < 0, (F.col("s") + 1) / F.sqrt(var_s)
+    ).otherwise(F.lit(0.0))
+    return joined.select(
+        F.col("g").alias(group),
+        "n_days",
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z"),
+        F.when(F.round(z, 6) >= z_bound, "increasing")
+        .when(F.round(z, 6) <= -z_bound, "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    )
+
+
+def runs_test(
+    events: DataFrame,
+    group: str = "event_type",
+    ts_col: str = "ts_ms",
+    z_bound: float = 1.959964,
+) -> DataFrame:
+    """Wald–Wolfowitz runs test on daily counts vs their group median —
+    the distribution-free serial-dependence check beside
+    autocorrelation (ACF measures HOW values co-move; the runs test
+    asks the yes/no question "is this sequence even random?", which is
+    what gates using iid-based control limits at all). Sign = count >
+    interpolated median (the >-vs-≤ split is the documented tie rule);
+    R = 1 + sign changes in day order;
+    μ = 2n₁n₂/n + 1, σ² = 2n₁n₂(2n₁n₂−n)/(n²(n−1)), z = (R−μ)/σ.
+
+    One daily aggregate, a per-group median, and a keyed lag over the
+    bounded day grid — counts exact, z the only double."""
+    from pyspark.sql import Window as W
+
+    daily = (
+        events.select(
+            F.col(group).alias("g"), F.expr(f"{ts_col} div 86400000").alias("day")
+        )
+        .groupBy("g", "day")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    daily = daily.localCheckpoint(eager=False)
+    med = daily.groupBy("g").agg(F.percentile("c", F.lit(0.5)).alias("med"))
+    signed = daily.join(F.broadcast(med), "g").select(
+        "g", "day", (F.col("c") > F.col("med")).cast("int").alias("sgn")
+    )
+    w = W.partitionBy("g").orderBy("day")
+    runs = signed.select(
+        "g",
+        "sgn",
+        F.when(
+            F.lag("sgn").over(w).isNull()
+            | (F.lag("sgn").over(w) != F.col("sgn")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    agg = runs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("sgn").alias("n_above"),
+        F.sum(1 - F.col("sgn")).alias("n_below"),
+        F.sum("chg").alias("runs"),
+    )
+    n1, n2 = F.col("n_above").cast("double"), F.col("n_below").cast("double")
+    nn = F.col("n_days").cast("double")
+    mu = 2 * n1 * n2 / nn + 1
+    var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
+    z = (F.col("runs") - mu) / F.sqrt(var)
+    return agg.select(
+        F.col("g").alias(group),
+        "n_days",
+        "n_above",
+        "n_below",
+        "runs",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) < z_bound).alias("random"),
+    )

@@ -1094,3 +1094,59 @@ def test_pii_density_report_counts(spark):
     assert r["n_chars"] == 1000
     assert r["n_email"] == 1 and r["n_ipv4"] == 1
     assert r["email_per_1k"] == 1.0 and r["ipv4_per_1k"] == 1.0
+
+
+# -------------------------------- MK trend / runs test / length QA
+
+def test_mann_kendall_monotone_and_flat(spark):
+    """Strictly increasing daily counts give S = C(n,2), z > 1.96,
+    'increasing'; a constant series gives S = 0, z = 0, 'none' (all
+    ties → corr kills the variance... n=8 constant has var 0; use the
+    z=0 branch via S=0 with mixed ties instead)."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = []
+    for day in range(10):
+        rows += [("up", day * 86400000 + i) for i in range(day + 1)]
+    # palindromic 2,3,3,2: the up-pairs and down-pairs cancel exactly
+    for day, c in enumerate([2, 3, 3, 2]):
+        rows += [("flat", day * 86400000 + i) for i in range(c)]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ms"])
+    out = {r["event_type"]: r for r in stats.mann_kendall(df).collect()}
+    up = out["up"]
+    assert up["s_stat"] == 45 and up["trend"] == "increasing"  # C(10,2)
+    flat = out["flat"]
+    assert flat["s_stat"] == 0 and flat["z"] == 0.0 and flat["trend"] == "none"
+
+
+def test_runs_test_alternating_vs_blocked(spark):
+    """Perfectly alternating series has the MAX number of runs (z > 0,
+    non-random at this n is borderline — assert sign), while a fully
+    blocked series [low...low, high...high] has 2 runs and z < 0."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = []
+    for day, c in enumerate([1, 5] * 6):
+        rows += [("alt", day * 86400000 + i) for i in range(c)]
+    for day, c in enumerate([1] * 6 + [5] * 6):
+        rows += [("blk", day * 86400000 + i) for i in range(c)]
+    df = spark.createDataFrame(rows, ["event_type", "ts_ms"])
+    out = {r["event_type"]: r for r in stats.runs_test(df).collect()}
+    assert out["alt"]["runs"] == 12 and out["alt"]["z"] > 0
+    assert out["blk"]["runs"] == 2 and out["blk"]["z"] < 0
+    assert not out["blk"]["random"]
+
+
+def test_dedup_rate_by_length_flags_short_dupes(spark):
+    """Duplicates planted only among the shortest docs surface in the
+    low deciles; long docs report dup_rate 0."""
+    from nnanalytics_spark.pipeline import dedup as dd
+
+    rows = [(i, "short text", 10) for i in range(20)]          # all dupes of id 0
+    rows += [(100 + i, f"long unique text {i} " * 20, 400 + i) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "n_chars"])
+    out = dd.dedup_rate_by_length(df).collect()
+    lo = [r for r in out if r["avg_len"] < 100]
+    hi = [r for r in out if r["avg_len"] >= 100]
+    assert sum(r["n_dupes"] for r in lo) == 19  # keeper is id 0
+    assert all(r["n_dupes"] == 0 for r in hi)
