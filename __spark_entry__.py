@@ -6028,6 +6028,27 @@ def q_dedup_rate_by_length(spark, sf):
     return dedup.dedup_rate_by_length(_t(spark, sf, "documents"))
 
 
+def q_lsh_plan(spark, sf):
+    """MinHash-LSH configuration planner (dedup.lsh_plan): each (b, r)
+    split of a 128-perm budget scored on THIS corpus's observed pair
+    similarity profile — expected recall on pairs ≥ 0.7 and expected
+    candidate noise below, plus the textbook s50 crossover. The tuning
+    step between the threshold sweep and minhash_lsh_pairs' knob; one
+    bounded pair table × a literal grid."""
+    d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    pairs = dedup.prefix_filter_pairs(d, threshold=0.5)
+    return dedup.lsh_plan(pairs)
+
+
+def q_token_dedup_savings(spark, sf):
+    """Token mass saved by exact dedup per source
+    (dedup.token_dedup_savings): turns "we dropped 12% of docs" into
+    the budget number — how many TOKENS survive; cross-source dups
+    charge the dropped source (the feed-redundancy signal). One
+    normalized-key window + one integer rollup."""
+    return dedup.token_dedup_savings(_t(spark, sf, "documents"))
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6416,6 +6437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_kendall": q_mann_kendall,
         "runs_test": q_runs_test,
         "dedup_rate_by_length": q_dedup_rate_by_length,
+        "lsh_plan": q_lsh_plan,
+        "token_dedup_savings": q_token_dedup_savings,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -13260,6 +13283,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(jaccard >= 0.8 AS INT)) AS BIGINT) AS ge_80,
                CAST(SUM(CAST(jaccard >= 0.9 AS INT)) AS BIGINT) AS ge_90
         FROM pairs
+    """
+    # lsh_plan: SPLICED from the jaccard_threshold_sweep pair chain
+    # (same subset, same scored pairs), crossed with the literal (b,r)
+    # grid and the S-curve arithmetic.
+    _sweep_chain = d["jaccard_threshold_sweep"].split(
+        "        SELECT CAST(SUM"
+    )[0]
+    d["lsh_plan"] = _sweep_chain + """, grid AS (
+          SELECT * FROM (VALUES (64, 2), (32, 4), (16, 8), (8, 16)) t(b, r)
+        ),
+        terms AS (
+          SELECT b, r, jaccard,
+                 CAST(round(1.0 - pow(1.0 - pow(jaccard, CAST(r AS DOUBLE)),
+                                      CAST(b AS DOUBLE)), 9)
+                      AS DECIMAL(28,9)) AS p
+          FROM pairs CROSS JOIN grid
+        )
+        SELECT b, r,
+               round(pow(1.0 - pow(0.5, 1.0 / b), 1.0 / r), 6) AS s50,
+               CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_above,
+               CAST(SUM(CASE WHEN jaccard < 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_below,
+               CASE WHEN SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(SUM(CASE WHEN jaccard >= 0.7 THEN p
+                                        ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+                          / SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END), 6)
+               END AS expected_recall,
+               CASE WHEN SUM(CASE WHEN jaccard < 0.7 THEN 1 ELSE 0 END) > 0
+                    THEN round(CAST(SUM(CASE WHEN jaccard < 0.7 THEN p
+                                        ELSE CAST(0 AS DECIMAL(28,9)) END) AS DOUBLE)
+                          / SUM(CASE WHEN jaccard < 0.7 THEN 1 ELSE 0 END), 6)
+               END AS expected_noise
+        FROM terms GROUP BY b, r
+    """
+    # token_dedup_savings: exact_dedup's normalized key, min-id keeper
+    # window, per-source token-mass rollup.
+    d["token_dedup_savings"] = r"""
+        WITH keyed AS (
+          SELECT doc_id AS id, source,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS k,
+                 CASE WHEN length(trim(text)) = 0 THEN 0
+                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                   AS ntok
+          FROM documents
+        ),
+        flagged AS (
+          SELECT source, ntok,
+                 CAST(min(id) OVER (PARTITION BY k) = id AS BIGINT) AS keep
+          FROM keyed
+        )
+        SELECT source, count(*) AS n_docs,
+               CAST(SUM(keep) AS BIGINT) AS n_kept,
+               CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+               CAST(SUM(ntok * keep) AS BIGINT) AS tokens_kept,
+               round(1.0 - CAST(SUM(ntok * keep) AS BIGINT)
+                     / CAST(CAST(SUM(ntok) AS BIGINT) AS DOUBLE), 6)
+                 AS token_savings
+        FROM flagged GROUP BY source
     """
     # calibration_bins: same probe classifier, same quantized bin means.
     _stop_sql = ", ".join(f"'{s}'" for s in _CAL_STOPWORDS)

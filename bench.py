@@ -275,6 +275,8 @@ HEADLINE = [
     "mann_kendall",
     "runs_test",
     "dedup_rate_by_length",
+    "lsh_plan",
+    "token_dedup_savings",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

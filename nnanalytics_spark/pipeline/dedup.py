@@ -1894,3 +1894,103 @@ def dedup_rate_by_length(
             ).alias("avg_len"),
         )
     )
+
+
+def lsh_plan(
+    pairs: DataFrame,
+    j_col: str = "jaccard",
+    target: float = 0.7,
+    configs: tuple = ((64, 2), (32, 4), (16, 8), (8, 16)),
+) -> DataFrame:
+    """MinHash-LSH configuration planner — the missing step between
+    "we want near-dups at Jaccard ≥ τ" and minhash_lsh_pairs' (bands,
+    rows) knob, scored on THIS corpus's observed similarity profile
+    instead of the textbook S-curve alone: for each (b, r) split of
+    the permutation budget, P(candidate | s) = 1 − (1 − sʳ)ᵇ, and the
+    report is that curve averaged over the real pair distribution —
+    expected recall on pairs ≥ τ, expected noise on pairs < τ, plus
+    the config's s50 crossover (1 − 0.5^(1/b))^(1/r).
+
+    Input is a bounded scored pair table (the jaccard_threshold_sweep
+    subset); the config grid is literal, so the whole plan is one
+    cross of a tiny grid with a bounded table — P terms quantize to
+    9-dp DECIMAL so the averages are order-free."""
+    grid = pairs.sparkSession.createDataFrame(
+        [(b, r) for b, r in configs], "b int, r int"
+    )
+    p_cand = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col(j_col), F.col("r").cast("double")),
+        F.col("b").cast("double"),
+    )
+    term = F.round(p_cand, 9).cast("decimal(28,9)")
+    above = F.col(j_col) >= F.lit(target)
+    zero = F.lit(0).cast("decimal(28,9)")
+    scored = pairs.crossJoin(F.broadcast(grid)).groupBy("b", "r").agg(
+        F.sum(above.cast("long")).alias("n_above"),
+        F.sum((~above).cast("long")).alias("n_below"),
+        F.sum(F.when(above, term).otherwise(zero)).alias("_ra"),
+        F.sum(F.when(~above, term).otherwise(zero)).alias("_rb"),
+    )
+    s50 = F.pow(
+        F.lit(1.0) - F.pow(F.lit(0.5), F.lit(1.0) / F.col("b")),
+        F.lit(1.0) / F.col("r"),
+    )
+    return scored.select(
+        "b",
+        "r",
+        F.round(s50, 6).alias("s50"),
+        "n_above",
+        "n_below",
+        F.when(
+            F.col("n_above") > 0,
+            F.round(F.col("_ra").cast("double") / F.col("n_above"), 6),
+        ).alias("expected_recall"),
+        F.when(
+            F.col("n_below") > 0,
+            F.round(F.col("_rb").cast("double") / F.col("n_below"), 6),
+        ).alias("expected_noise"),
+    )
+
+
+def token_dedup_savings(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token mass saved by exact dedup, per source — the readout that
+    turns "we dropped 12% of DOCS" into the number that matters for a
+    training budget: how many TOKENS the survivor set keeps. Duplicate
+    groups keep the min-id doc (exact_dedup's rule), and a cross-source
+    duplicate charges the savings to the source whose copy was dropped
+    — documented, since that is exactly the feed-redundancy signal a
+    mixture owner needs.
+
+    One normalized-key window + one grouped integer rollup; token
+    counts are exact longs."""
+    from nnanalytics_spark.pipeline.text import tokens
+    from pyspark.sql import Window as W
+
+    keyed = docs.select(
+        F.col(id_col).alias("id"),
+        "source",
+        normalized(F.col(text)).alias("k"),
+        F.size(tokens(F.col(text))).cast("long").alias("ntok"),
+    )
+    w = W.partitionBy("k")
+    flagged = keyed.select(
+        "source",
+        "ntok",
+        (F.min("id").over(w) == F.col("id")).cast("long").alias("keep"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.sum("ntok").alias("tokens_total"),
+        F.sum(F.col("ntok") * F.col("keep")).alias("tokens_kept"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("ntok") * F.col("keep"))
+            / F.sum("ntok").cast("double"),
+            6,
+        ).alias("token_savings"),
+    )

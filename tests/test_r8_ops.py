@@ -1150,3 +1150,37 @@ def test_dedup_rate_by_length_flags_short_dupes(spark):
     hi = [r for r in out if r["avg_len"] >= 100]
     assert sum(r["n_dupes"] for r in lo) == 19  # keeper is id 0
     assert all(r["n_dupes"] == 0 for r in hi)
+
+
+# --------------------------------------- LSH planner / token savings
+
+def test_lsh_plan_scurve_closed_form(spark):
+    """A single pair at jaccard exactly 0.8 with (b=16, r=8): expected
+    recall is the literal S-curve value 1 − (1 − 0.8⁸)¹⁶, and s50
+    matches the closed form; more bands ⇒ lower s50 (looser)."""
+    from nnanalytics_spark.pipeline import dedup as dd
+
+    pairs = spark.createDataFrame([(1, 2, 0.8)], ["id_a", "id_b", "jaccard"])
+    out = {(r["b"], r["r"]): r for r in dd.lsh_plan(pairs).collect()}
+    want = round(round(1.0 - (1.0 - 0.8**8.0) ** 16.0, 9), 6)
+    assert out[(16, 8)]["expected_recall"] == want
+    assert out[(16, 8)]["s50"] == round((1 - 0.5 ** (1 / 16)) ** (1 / 8), 6)
+    s50s = [out[(b, r)]["s50"] for b, r in ((64, 2), (32, 4), (16, 8), (8, 16))]
+    assert s50s == sorted(s50s)  # fewer rows per band -> lower crossover
+
+
+def test_token_dedup_savings_cross_source_charge(spark):
+    """A duplicate of srcA's doc living in srcB charges the savings to
+    srcB (the dropped copy's source); unique docs save nothing."""
+    from nnanalytics_spark.pipeline import dedup as dd
+
+    rows = [
+        (1, "the same text", "A"),
+        (2, "the same text", "B"),   # dropped: min id is 1
+        (3, "unique words here", "B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r["source"]: r for r in dd.token_dedup_savings(df).collect()}
+    assert out["A"]["token_savings"] == 0.0 and out["A"]["n_kept"] == 1
+    assert out["B"]["n_kept"] == 1 and out["B"]["tokens_kept"] == 3
+    assert out["B"]["token_savings"] == 0.5  # 3 of 6 tokens dropped
