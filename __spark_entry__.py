@@ -6049,6 +6049,34 @@ def q_token_dedup_savings(spark, sf):
     return dedup.token_dedup_savings(_t(spark, sf, "documents"))
 
 
+def q_lang_confusion(spark, sf):
+    """Language-ID confusion matrix against the corpus's ground-truth
+    lang labels (stats.confusion_matrix over text.lang_id): which
+    languages the n-gram-marker classifier confuses, with
+    row-normalized shares — the full breakdown cohens_kappa's single
+    agreement number hides. One scan + one grouped count; the window
+    runs on the |langs|² cell table."""
+    from nnanalytics_spark.pipeline import stats
+
+    d = _t(spark, sf, "documents")
+    pred = d.select(
+        F.col("lang").alias("true_lang"), text.lang_id(F.col("text")).alias("pl")
+    )
+    return stats.confusion_matrix(pred, "true_lang", "pl")
+
+
+def q_dp_release(spark, sf):
+    """ε-DP per-source count release with composition accounting
+    (privacy.dp_release — Dwork et al. 2006): Laplace(1/ε) noise from
+    the seeded Knuth-hash inverse CDF (engine-replayable; production
+    swaps in a CSPRNG and keeps every other line), plus the kε basic
+    and advanced-composition budget columns. The data-sharing exit
+    ramp after k-anonymity / l-diversity; true counts never leave."""
+    from nnanalytics_spark.pipeline import privacy
+
+    return privacy.dp_release(_t(spark, sf, "documents"))
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6439,6 +6467,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_rate_by_length": q_dedup_rate_by_length,
         "lsh_plan": q_lsh_plan,
         "token_dedup_savings": q_token_dedup_savings,
+        "lang_confusion": q_lang_confusion,
+        "dp_release": q_dp_release,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -13078,6 +13108,63 @@ def oracle_sql() -> dict[str, str]:
                  AS avg_len
         FROM flagged, cuts
         GROUP BY 1
+    """
+    # lang_confusion: SPLICED from text_langid's marker-score chain
+    # (head + the CASE segment verbatim), joined back to the lang
+    # labels for the row-normalized confusion cells.
+    _lid = d["text_langid"]
+    _lid_head = _lid.split("            SELECT CASE", 1)[0]
+    _lid_case = _lid.split("SELECT CASE", 1)[1].split("END AS pred_lang", 1)[0]
+    d["lang_confusion"] = (
+        _lid_head
+        + """, pred AS (
+              SELECT doc_id, CASE"""
+        + _lid_case
+        + """END AS pl FROM scores
+            )
+            SELECT d.lang AS true_label, p.pl AS pred_label,
+                   count(*) AS n,
+                   round(CAST(count(*) AS DOUBLE)
+                         / CAST(SUM(count(*)) OVER (PARTITION BY d.lang)
+                                AS DOUBLE), 6) AS share_of_true
+            FROM pred p JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+    """
+    )
+    # dp_release: fingerprint-seeded Knuth uniform through the Laplace
+    # inverse CDF; composition literals injected from the same Python
+    # arithmetic the Spark side uses.
+    _eps_adv = round(
+        1.0 * _math.sqrt(2 * 10 * _math.log(1 / 1e-6))
+        + 10 * 1.0 * (_math.exp(1.0) - 1),
+        6,
+    )
+    d["dp_release"] = rf"""
+        WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        fp AS (
+          SELECT source, n,
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(
+                       string_split_regex(
+                         lower(regexp_replace(source, '\s+', ' ', 'g')), ''),
+                       ch -> CAST(ascii(ch) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 2147483647) AS f
+          FROM c
+        ),
+        u AS (
+          SELECT source, n,
+                 ((f + 42) * 2654435761) % 1000000007 / 1000000007 AS u
+          FROM fp
+        )
+        SELECT source,
+               round(n + -1.0 * sign(u - 0.5)
+                     * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS released_count,
+               CAST(1.0 AS DOUBLE) AS epsilon,
+               CAST(10 AS INT) AS k_queries,
+               CAST(10.0 AS DOUBLE) AS eps_basic,
+               CAST({_eps_adv!r} AS DOUBLE) AS eps_advanced
+        FROM u
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

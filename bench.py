@@ -277,6 +277,8 @@ HEADLINE = [
     "dedup_rate_by_length",
     "lsh_plan",
     "token_dedup_savings",
+    "lang_confusion",
+    "dp_release",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

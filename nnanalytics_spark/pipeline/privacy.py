@@ -141,3 +141,59 @@ def l_diversity_violations(
         )
         .filter(F.col("l_distinct") < l_threshold)
     )
+
+
+def dp_release(
+    df: DataFrame,
+    group_col: str = "source",
+    epsilon: float = 1.0,
+    k_queries: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """ε-differentially-private count release (Laplace mechanism,
+    Dwork et al. 2006) with the composition budget table — the
+    data-sharing exit ramp after the k-anonymity / l-diversity audits:
+    per group, count + Laplace(1/ε) noise, and the round's total
+    privacy spend under basic (kε) and advanced
+    (ε·√(2k·ln(1/δ)) + kε(e^ε−1), δ=1e−6) composition for k such
+    releases.
+
+    rand()-free and engine-replayable (the bootstrap_ci recipe): the
+    per-group uniform is the Knuth multiplicative hash of the group
+    name's polynomial fingerprint, pushed through the Laplace inverse
+    CDF −b·sign(u−½)·ln(1−2|u−½|). Deterministic noise makes the
+    release HASH-CHECKABLE; a production deployment swaps the hash for
+    a CSPRNG and keeps every other line (the noise SHAPE, sensitivity
+    1 for counts, and the accounting are what this operator pins).
+    True counts never appear in the output."""
+    import math
+
+    from nnanalytics_spark.pipeline.text import fingerprint
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    u = (
+        F.pmod(
+            (fingerprint(F.col(group_col)) + F.lit(seed)) * F.lit(2654435761),
+            F.lit(1_000_000_007),
+        )
+        / F.lit(1_000_000_007)
+    )
+    b = 1.0 / epsilon  # sensitivity 1 for a count query
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-b)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    delta = 1e-6
+    eps_adv = epsilon * math.sqrt(2 * k_queries * math.log(1 / delta)) + (
+        k_queries * epsilon * (math.exp(epsilon) - 1)
+    )
+    return counts.select(
+        group_col,
+        F.round(F.col("_n") + noise, 6).alias("released_count"),
+        F.lit(float(epsilon)).alias("epsilon"),
+        F.lit(k_queries).alias("k_queries"),
+        F.lit(float(k_queries * epsilon)).alias("eps_basic"),
+        F.lit(round(eps_adv, 6)).alias("eps_advanced"),
+    )

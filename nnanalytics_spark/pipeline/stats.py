@@ -2428,3 +2428,28 @@ def runs_test(
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) < z_bound).alias("random"),
     )
+
+
+def confusion_matrix(
+    df: DataFrame,
+    true_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Confusion matrix with row-normalized shares — the generic
+    labeled-eval primitive (cohens_kappa reports agreement as ONE
+    number; this is the full breakdown that says WHICH classes
+    confuse): per (true, pred) cell the count and its share of the
+    true class. One grouped count + a window over the |classes|² cell
+    table."""
+    from pyspark.sql import Window as W
+
+    cells = df.groupBy(
+        F.col(true_col).alias("true_label"), F.col(pred_col).alias("pred_label")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(W.partitionBy("true_label"))
+    return cells.select(
+        "true_label",
+        "pred_label",
+        "n",
+        F.round(F.col("n") / tot, 6).alias("share_of_true"),
+    )

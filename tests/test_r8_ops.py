@@ -1184,3 +1184,46 @@ def test_token_dedup_savings_cross_source_charge(spark):
     assert out["A"]["token_savings"] == 0.0 and out["A"]["n_kept"] == 1
     assert out["B"]["n_kept"] == 1 and out["B"]["tokens_kept"] == 3
     assert out["B"]["token_savings"] == 0.5  # 3 of 6 tokens dropped
+
+
+# ------------------------------------------- confusion / DP release
+
+def test_confusion_matrix_shares(spark):
+    """Two true classes, one systematic confusion: shares normalize per
+    TRUE row (0.75/0.25 and 1.0)."""
+    from nnanalytics_spark.pipeline import stats
+
+    rows = [("a", "a")] * 3 + [("a", "b")] + [("b", "b")] * 2
+    df = spark.createDataFrame(rows, ["t", "p"])
+    out = {(r["true_label"], r["pred_label"]): r
+           for r in stats.confusion_matrix(df, "t", "p").collect()}
+    assert out[("a", "a")]["share_of_true"] == 0.75
+    assert out[("a", "b")]["share_of_true"] == 0.25
+    assert out[("b", "b")]["share_of_true"] == 1.0
+
+
+def test_dp_release_noise_shape_and_privacy(spark):
+    """True counts never appear verbatim (noise is continuous), the
+    noise is deterministic run-over-run, mean |noise| is in the
+    Laplace(1) ballpark, and the budget columns carry the closed
+    forms."""
+    import math
+
+    from nnanalytics_spark.pipeline import privacy
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 10}") for i in range(1000)], ["doc_id", "source"]
+    )
+    r1 = {r["source"]: r for r in privacy.dp_release(df).collect()}
+    r2 = {r["source"]: r for r in privacy.dp_release(df).collect()}
+    assert r1.keys() == r2.keys()
+    noises = []
+    for s, r in r1.items():
+        assert r["released_count"] == r2[s]["released_count"]  # deterministic
+        noises.append(abs(r["released_count"] - 100))
+        assert r["eps_basic"] == 10.0 and r["k_queries"] == 10
+        assert r["eps_advanced"] == round(
+            math.sqrt(20 * math.log(1e6)) + 10 * (math.e - 1), 6
+        )
+    assert 0.05 < sum(noises) / len(noises) < 5.0  # Laplace(1) ballpark
+    assert any(n > 0 for n in noises)
