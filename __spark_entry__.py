@@ -6077,6 +6077,32 @@ def q_dp_release(spark, sf):
     return privacy.dp_release(_t(spark, sf, "documents"))
 
 
+def q_minhash_bbit(spark, sf):
+    """b-bit MinHash storage audit (dedup.minhash_bbit_audit — Li &
+    König WWW'10): keeping 2 of 64 bits per permutation cuts signature
+    storage 32× — the difference between an in-memory signature table
+    and not, at 100 TB — and this row MEASURES the accuracy price on
+    real verified pairs: per similarity band, MAE of the full-value vs
+    the bias-corrected 2-bit estimate against exact shingle Jaccard.
+    Portable signatures (SQL-replayable); one zip_with fold per pair."""
+    docs = _t(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=100
+    ).select("id_a", "id_b", "jaccard")
+    return dedup.minhash_bbit_audit(docs, pairs)
+
+
+def q_freshness_half_life(spark, sf):
+    """Engagement half-life (behavior.freshness_half_life): exponential
+    decay fit of daily event counts vs age — time_decay APPLIES a
+    chosen λ, this measures the corpus's OWN λ (half-life = ln2/−slope)
+    — the number that prices recency weighting for a mixture. One
+    daily aggregate + DECIMAL moments on the bounded age grid."""
+    from nnanalytics_spark.pipeline import behavior
+
+    return behavior.freshness_half_life(_events(spark, sf))
+
+
 def q_rake_keywords(spark, sf):
     """RAKE keyphrase extraction (lexical.rake_keywords — Rose et al.
     2010): top-20 stopword-delimited phrases by degree/frequency word
@@ -6469,6 +6495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dedup_savings": q_token_dedup_savings,
         "lang_confusion": q_lang_confusion,
         "dp_release": q_dp_release,
+        "minhash_bbit": q_minhash_bbit,
+        "freshness_half_life": q_freshness_half_life,
         "text_fingerprint": q_text_fingerprint,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -13165,6 +13193,122 @@ def oracle_sql() -> dict[str, str]:
                CAST(10.0 AS DOUBLE) AS eps_basic,
                CAST({_eps_adv!r} AS DOUBLE) AS eps_advanced
         FROM u
+    """
+    # minhash_bbit: ONE chain serves both sides — the minhash-oracle
+    # shingle/signature recipe (same 64 linear permutations) AND the
+    # exact-jaccard pair set at 0.5/df100; match counts are generated
+    # 64-term sums, estimates and MAE mirror the Spark arithmetic.
+    _bb_mins = ",\n                 ".join(
+        f"min(({2 * i + 1} * h0 + {i * i + i + 41}) % {_mh_mod}) AS h{i}"
+        for i in range(64)
+    )
+    _bb_full = " + ".join(f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(64))
+    _bb_bbit = " + ".join(
+        f"CAST(a.h{i} % 4 = b.h{i} % 4 AS INT)" for i in range(64)
+    )
+    d["minhash_bbit"] = rf"""
+        WITH t AS (
+          SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+          FROM documents
+        ),
+        tk AS (SELECT doc_id, string_split(norm, ' ') AS w FROM t),
+        sh AS (
+          SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+          FROM tk, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        dfc AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+        rare AS (
+          SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s) WHERE dfc.df <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c JOIN sh a ON a.doc_id = c.id_a
+          JOIN sh b ON b.doc_id = c.id_b AND a.s = b.s
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT id_a, id_b, round(c / (sa.n + sb.n - c), 6) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(c / (sa.n + sb.n - c), 6) >= 0.5
+        ),
+        hh AS (
+          SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split_regex(s, ''),
+                     ch -> CAST(ascii(ch) AS BIGINT))),
+                   (x, y) -> (x * 31 + y) % {_mh_mod}) AS h0
+          FROM sh
+        ),
+        sig AS (
+          SELECT doc_id,
+                 {_bb_mins}
+          FROM hh GROUP BY doc_id
+        ),
+        mm AS (
+          SELECT p.jaccard, ({_bb_full}) AS nm, ({_bb_bbit}) AS nb
+          FROM pairs p
+          JOIN sig a ON a.doc_id = p.id_a
+          JOIN sig b ON b.doc_id = p.id_b
+        ),
+        sc AS (
+          SELECT CASE WHEN jaccard >= 0.9 THEN '0.9+'
+                      WHEN jaccard >= 0.7 THEN '0.7-0.9'
+                      ELSE '0.5-0.7' END AS band,
+                 CAST(round(abs(CAST(nm AS DOUBLE) / 64 - jaccard), 9)
+                      AS DECIMAL(28,9)) AS ef,
+                 CAST(round(abs((CAST(nb AS DOUBLE) / 64 - 0.25) / 0.75
+                                - jaccard), 9) AS DECIMAL(28,9)) AS eb
+          FROM mm
+        )
+        SELECT band, count(*) AS n_pairs,
+               round(CAST(SUM(ef) AS DOUBLE) / count(*), 6) AS mae_full,
+               round(CAST(SUM(eb) AS DOUBLE) / count(*), 6) AS mae_2bit
+        FROM sc GROUP BY band
+    """
+    # freshness_half_life: daily counts on the age grid, 9-dp ln, exact
+    # DECIMAL OLS moments, ln2/(-slope) when decaying.
+    d["freshness_half_life"] = f"""
+        WITH mx AS (SELECT max(epoch_ms(ts) // 86400000) AS mxd FROM events),
+        daily AS (
+          SELECT epoch_ms(ts) // 86400000 AS d, count(*) AS c
+          FROM events GROUP BY 1
+        ),
+        aged AS (
+          SELECT (mxd - d) AS age,
+                 CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+          FROM daily, mx
+        ),
+        m AS (
+          SELECT count(*) AS n,
+                 SUM(CAST(age AS DECIMAL(38,0))) AS sx,
+                 SUM(y) AS sy,
+                 SUM(CAST(age * y AS DECIMAL(38,9))) AS sxy,
+                 SUM(CAST(CAST(age AS DECIMAL(38,0)) * age AS DECIMAL(38,0)))
+                   AS sxx
+          FROM aged
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS slope,
+               round(CAST(sy AS DOUBLE) / n
+                     - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                       * (CAST(sx AS DOUBLE) / n), 6) AS intercept,
+               CASE WHEN round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) < 0
+                    THEN round(CAST({_math.log(2)!r} AS DOUBLE)
+                          / -((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))), 6)
+               END AS half_life_days
+        FROM m
     """
     # interval_overlap: brute-force per-user non-equi join — equality
     # with Spark's banded plan proves the band-ownership dedup exact.

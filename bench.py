@@ -279,6 +279,8 @@ HEADLINE = [
     "token_dedup_savings",
     "lang_confusion",
     "dp_release",
+    "minhash_bbit",
+    "freshness_half_life",
     "skyline_frontier",
     "ndcg_eval",
     "entity_resolution",

@@ -1280,3 +1280,62 @@ def entropy_rate(
         F.round(F.col("_rate").cast("double"), 6).alias("h_nats"),
     )
     return states.unionByName(total)
+
+
+def freshness_half_life(
+    events: DataFrame,
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Engagement half-life from an exponential decay fit — the number
+    that prices DATA FRESHNESS for a training mixture (time_decay
+    applies a chosen λ; this measures the corpus's OWN λ): regress
+    ln(daily event count) on age-in-days, slope < 0 ⇒ half-life =
+    ln 2 / (−slope) days; a 10-day half-life and a 300-day one demand
+    very different recency weighting.
+
+    One daily-count aggregate (the corpus pass), a broadcast max-ts
+    scalar, then exact DECIMAL moments of 9-dp-quantized ln(counts)
+    over the bounded age grid — the trend_by_group discipline. Returns
+    one row: n_days, slope, intercept, half_life_days (NULL when the
+    series doesn't decay)."""
+    import math
+
+    mx = events.agg(F.max(F.expr(f"{ts_col} div 86400000")).alias("_mx"))
+    daily = (
+        events.select(F.expr(f"{ts_col} div 86400000").alias("_d"))
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    aged = daily.crossJoin(F.broadcast(mx)).select(
+        (F.col("_mx") - F.col("_d")).alias("age"),
+        F.round(F.log(F.col("c").cast("double")), 9)
+        .cast("decimal(18,9)")
+        .alias("y"),
+    )
+    m = aged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("age").cast("decimal(38,0)")).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(
+            (F.col("age") * F.col("y")).cast("decimal(38,9)")
+        ).alias("sxy"),
+        F.sum(
+            (F.col("age").cast("decimal(38,0)") * F.col("age")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * (sx / n)
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.when(
+            F.round(slope, 6) < 0,
+            F.round(F.lit(math.log(2)) / -slope, 6),
+        ).alias("half_life_days"),
+    )

@@ -1994,3 +1994,72 @@ def token_dedup_savings(
             6,
         ).alias("token_savings"),
     )
+
+
+def minhash_bbit_audit(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 64,
+    b_bits: int = 2,
+) -> DataFrame:
+    """b-bit MinHash storage audit (Li & König, WWW 2010): keeping only
+    the low b bits of each of k permutation minima cuts signature
+    storage 64/b-fold — at 100 TB that is the difference between a
+    signature table that fits executor memory and one that doesn't —
+    at the price of accidental collisions, corrected by
+    ŝ = (p̂ − 2⁻ᵇ)/(1 − 2⁻ᵇ). This operator MEASURES that price on
+    real pairs: per similarity band, the mean absolute error of the
+    full-value estimate vs the b-bit corrected estimate against exact
+    shingle Jaccard.
+
+    Signatures come from the portable minhash path (SQL-replayable);
+    the comparison joins the bounded verified pair table, and both
+    match counts are one zip_with fold per pair — signatures never
+    shuffle beyond the two broadcast-ish id joins."""
+    sigs = minhash_signatures(docs, k=k, portable=True)
+    mod = 1 << b_bits
+    r = 1.0 / mod
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("_sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("_sb"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    nm = F.size(
+        F.filter(
+            F.zip_with(F.col("_sa"), F.col("_sb"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    nb = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("_sa"), F.col("_sb"), lambda x, y: (x % mod) == (y % mod)
+            ),
+            lambda t: t,
+        )
+    )
+    est_full = F.col("_nm").cast("double") / F.lit(k)
+    est_bbit = (F.col("_nb").cast("double") / F.lit(k) - F.lit(r)) / F.lit(1.0 - r)
+    band = (
+        F.when(F.col("jaccard") >= 0.9, "0.9+")
+        .when(F.col("jaccard") >= 0.7, "0.7-0.9")
+        .otherwise("0.5-0.7")
+    )
+    scored = joined.select(
+        "jaccard", nm.alias("_nm"), nb.alias("_nb")
+    ).select(
+        band.alias("band"),
+        F.round(F.abs(est_full - F.col("jaccard")), 9)
+        .cast("decimal(28,9)")
+        .alias("_ef"),
+        F.round(F.abs(est_bbit - F.col("jaccard")), 9)
+        .cast("decimal(28,9)")
+        .alias("_eb"),
+    )
+    return scored.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum("_ef").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mae_full"),
+        F.round(
+            F.sum("_eb").cast("double") / F.count(F.lit(1)), 6
+        ).alias(f"mae_{b_bits}bit"),
+    )

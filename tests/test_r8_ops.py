@@ -1227,3 +1227,74 @@ def test_dp_release_noise_shape_and_privacy(spark):
         )
     assert 0.05 < sum(noises) / len(noises) < 5.0  # Laplace(1) ballpark
     assert any(n > 0 for n in noises)
+
+
+# ------------------------------------- b-bit minhash / half-life
+
+def test_minhash_bbit_identical_docs_zero_error(spark):
+    """Identical texts: full and 2-bit estimates are both exactly 1 at
+    jaccard 1.0 — MAE 0 in the 0.9+ band."""
+    from nnanalytics_spark.pipeline import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2, 1.0)], ["id_a", "id_b", "jaccard"])
+    r = dd.minhash_bbit_audit(docs, pairs).collect()[0]
+    assert r["band"] == "0.9+" and r["n_pairs"] == 1
+    assert r["mae_full"] == 0.0 and r["mae_2bit"] == 0.0
+
+
+def test_minhash_bbit_correction_recenters(spark):
+    """Disjoint texts (true jaccard 0): the raw 2-bit collision rate
+    sits near 1/4 by chance, and the (p−r)/(1−r) correction pulls the
+    estimate back toward 0 — corrected error strictly below the
+    uncorrected collision fraction."""
+    from pyspark.sql import functions as F
+
+    from nnanalytics_spark.pipeline import dedup as dd
+
+    # words long enough that the polynomial hash lands near the 2^53
+    # prime — tiny h0 values keep (2i+1)h0+c below the modulus, which
+    # degenerates every linear permutation to the same argmin (a
+    # portable-path-only artifact; the xxhash64 production path mixes
+    # regardless)
+    wa = " ".join(f"alphaword{i:04d}x" for i in range(12))
+    wb = " ".join(f"betawordy{i:04d}z" for i in range(12))
+    docs = spark.createDataFrame([(1, wa), (2, wb)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2, 0.0)], ["id_a", "id_b", "jaccard"])
+    sigs = dd.minhash_signatures(docs, k=64, portable=True)
+    a, b = [r["signature"] for r in sigs.orderBy("id").collect()]
+    raw_2bit = sum(1 for x, y in zip(a, b) if x % 4 == y % 4) / 64
+    r = dd.minhash_bbit_audit(docs, pairs).collect()[0]
+    assert r["band"] == "0.5-0.7"  # bands floor at the audit's 0.5 cut
+    assert r["mae_2bit"] == round(round(abs((raw_2bit - 0.25) / 0.75), 9), 6)
+    assert r["mae_2bit"] < raw_2bit
+
+
+def test_freshness_half_life_synthetic_decay(spark):
+    """Counts halving every 2 days: slope = −ln2/2 (exact in the 9-dp
+    pinned regression) and half-life = 2 days; a flat series reports
+    NULL."""
+    import math
+
+    from nnanalytics_spark.pipeline import behavior
+
+    rows = []
+    # day 0 oldest..day 3 newest with counts 8,8? build: age = max-day
+    for day, c in enumerate([2, 4, 8, 16]):  # newest day has 16: decays with age
+        rows += [(day * 86400000 + i) for i in range(c)]
+    df = spark.createDataFrame([(t,) for t in rows], ["ts_ms"])
+    r = behavior.freshness_half_life(df).collect()[0]
+    assert r["n_days"] == 4
+    # ln(count) vs age: ages 3,2,1,0 -> ln2,2ln2,3ln2,4ln2: slope -ln2
+    assert abs(r["slope"] - round(-math.log(2), 6)) < 2e-6
+    assert abs(r["half_life_days"] - 1.0) < 1e-4
+
+    flat = spark.createDataFrame(
+        [(d * 86400000 + i,) for d in range(4) for i in range(5)], ["ts_ms"]
+    )
+    rf_ = behavior.freshness_half_life(flat).collect()[0]
+    assert rf_["slope"] == 0.0 and rf_["half_life_days"] is None

@@ -98,6 +98,9 @@ WAIVERS: dict[str, set[str]] = {
     # pairs + iterative min-label components (dedup_clusters' own
     # rounds) + the cohesion rollup — the composed-pipeline shape
     "cluster_cohesion": {"exchange_count"},
+    # verified-pair generation + the 64-permutation signature build +
+    # two id joins — the dup_matrix composed-pipeline shape
+    "minhash_bbit": {"exchange_count"},
 }
 
 
