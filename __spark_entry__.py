@@ -6382,17 +6382,81 @@ def q_entity_resolution(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # Ordering contract: the driver's CORRECTNESS gate checks the first
-    # 50 entries only. r8 window = the 2 never-driver-checked entries
-    # (calibration_bins, jaccard_threshold_sweep — rotation debt goes
-    # to ZERO this round; VERDICT r7 task #1) + the 48 rows whose
-    # driver-green certificate is oldest (all 41 rows last checked in
-    # r1, plus the 7 oldest r2 rows) for re-certification at HEAD.
-    # Every entry below the gate line holds recorded driver-green
-    # credit and is re-verified at HEAD on every pytest run by
+    # 50 entries only. r9 window = the 46 r8-net-new entries that have
+    # never collected a driver-green row (rotation debt goes back to
+    # ZERO this round; VERDICT r8 task #1) + the 4 rows whose
+    # driver-green certificate is strictly oldest (dump_inode,
+    # having_indexed, histogram2_nested, nna_sql_histogram — last
+    # driver-checked in r2, displaced from the r8 window). Net-new
+    # registry growth is FROZEN this round (VERDICT r8 task #1), so
+    # the r10 window is pure re-certification, starting with the
+    # next-oldest rows queued directly below the gate line. Every
+    # entry below the gate line holds recorded driver-green credit and
+    # is re-verified at HEAD on every pytest run by
     # tests/test_oracle_battery.py (row count + schema + value hash +
     # dtype parity at sf0.01).
     return {
-    # --- r8 WINDOW (first 50 = the driver correctness gate) ---
+    # --- r9 WINDOW (first 50 = the driver correctness gate) ---
+        "linkage_decisions": q_linkage_decisions,
+        "corpus_version_diff": q_corpus_version_diff,
+        "curation_pipeline": q_curation_pipeline,
+        "classifier_auc": q_classifier_auc,
+        "t_closeness": q_t_closeness,
+        "interval_overlap": q_interval_overlap,
+        "bootstrap_ci": q_bootstrap_ci,
+        "cuped": q_cuped,
+        "conformal_threshold": q_conformal_threshold,
+        "jackknife_ratio": q_jackknife_ratio,
+        "rake_keywords": q_rake_keywords,
+        "capture_recapture": q_capture_recapture,
+        "source_ablation": q_source_ablation,
+        "mde_power": q_mde_power,
+        "msprt_always_valid": q_msprt_always_valid,
+        "bh_fdr": q_bh_fdr,
+        "isotonic_calibration": q_isotonic_calibration,
+        "good_turing": q_good_turing,
+        "tail_index": q_tail_index,
+        "simpsons_check": q_simpsons_check,
+        "negbinom_fit": q_negbinom_fit,
+        "entropy_rate": q_entropy_rate,
+        "quantile_treatment": q_quantile_treatment,
+        "covariate_balance": q_covariate_balance,
+        "gains_curve": q_gains_curve,
+        "autocorrelation": q_autocorrelation,
+        "code_detection": q_code_detection,
+        "holt_forecast": q_holt_forecast,
+        "shingle_df_sweep": q_shingle_df_sweep,
+        "fingerprint_collisions": q_fingerprint_collisions,
+        "aa_test": q_aa_test,
+        "stream_holt_parity": q_stream_holt_parity,
+        "cluster_cohesion": q_cluster_cohesion,
+        "dedup_review_sample": q_dedup_review_sample,
+        "pii_density": q_pii_density,
+        "weighted_quantiles": q_weighted_quantiles,
+        "sample_size_grid": q_sample_size_grid,
+        "mann_kendall": q_mann_kendall,
+        "runs_test": q_runs_test,
+        "dedup_rate_by_length": q_dedup_rate_by_length,
+        "lsh_plan": q_lsh_plan,
+        "token_dedup_savings": q_token_dedup_savings,
+        "lang_confusion": q_lang_confusion,
+        "dp_release": q_dp_release,
+        "minhash_bbit": q_minhash_bbit,
+        "freshness_half_life": q_freshness_half_life,
+        "dump_inode": q_dump_inode,
+        "having_indexed": q_having_indexed,
+        "histogram2_nested": q_histogram2_nested,
+        "nna_sql_histogram": q_nna_sql_histogram,
+    # --- end of the 50-row gate window ---
+    # Front of the r10 re-cert queue (next-oldest certificates: the
+    # remaining rows displaced from the r8 window, then the 3
+    # battery-guarded text rows displaced in r8):
+        "corpus_curation": q_corpus_curation,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
+        "text_fingerprint": q_text_fingerprint,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+    # r8 gate window rows (driver-green r8):
         "calibration_bins": q_calibration_bins,
         "jaccard_threshold_sweep": q_jaccard_threshold_sweep,
         "relative_time_filter": q_relative_time_filter,
@@ -6440,66 +6504,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
-    # VERDICT r7 tasks #2/#4 require the reshaped scale-safe linkage /
-    # agreement gate queries to collect a driver-green row at HEAD, so
-    # 3 of the 48 re-cert slots go to them (the 3 displaced rows —
-    # text_fingerprint, text_langid, text_quality — stay battery-
-    # guarded and rotate back next round):
         "record_linkage": q_record_linkage,
         "link_negatives": q_link_negatives,
         "dedup_method_agreement": q_dedup_method_agreement,
-    # --- end of the 50-row gate window ---
-    # Net-new this round (growth resumed at zero rotation debt);
-    # first in line for the r9 window:
-        "linkage_decisions": q_linkage_decisions,
-        "corpus_version_diff": q_corpus_version_diff,
-        "curation_pipeline": q_curation_pipeline,
-        "classifier_auc": q_classifier_auc,
-        "t_closeness": q_t_closeness,
-        "interval_overlap": q_interval_overlap,
-        "bootstrap_ci": q_bootstrap_ci,
-        "cuped": q_cuped,
-        "conformal_threshold": q_conformal_threshold,
-        "jackknife_ratio": q_jackknife_ratio,
-        "rake_keywords": q_rake_keywords,
-        "capture_recapture": q_capture_recapture,
-        "source_ablation": q_source_ablation,
-        "mde_power": q_mde_power,
-        "msprt_always_valid": q_msprt_always_valid,
-        "bh_fdr": q_bh_fdr,
-        "isotonic_calibration": q_isotonic_calibration,
-        "good_turing": q_good_turing,
-        "tail_index": q_tail_index,
-        "simpsons_check": q_simpsons_check,
-        "negbinom_fit": q_negbinom_fit,
-        "entropy_rate": q_entropy_rate,
-        "quantile_treatment": q_quantile_treatment,
-        "covariate_balance": q_covariate_balance,
-        "gains_curve": q_gains_curve,
-        "autocorrelation": q_autocorrelation,
-        "code_detection": q_code_detection,
-        "holt_forecast": q_holt_forecast,
-        "shingle_df_sweep": q_shingle_df_sweep,
-        "fingerprint_collisions": q_fingerprint_collisions,
-        "aa_test": q_aa_test,
-        "stream_holt_parity": q_stream_holt_parity,
-        "cluster_cohesion": q_cluster_cohesion,
-        "dedup_review_sample": q_dedup_review_sample,
-        "pii_density": q_pii_density,
-        "weighted_quantiles": q_weighted_quantiles,
-        "sample_size_grid": q_sample_size_grid,
-        "mann_kendall": q_mann_kendall,
-        "runs_test": q_runs_test,
-        "dedup_rate_by_length": q_dedup_rate_by_length,
-        "lsh_plan": q_lsh_plan,
-        "token_dedup_savings": q_token_dedup_savings,
-        "lang_confusion": q_lang_confusion,
-        "dp_release": q_dp_release,
-        "minhash_bbit": q_minhash_bbit,
-        "freshness_half_life": q_freshness_half_life,
-        "text_fingerprint": q_text_fingerprint,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
         "hard_negatives": q_hard_negatives,
         "embedding_dim_stats": q_embedding_dim_stats,
         "embedding_anisotropy": q_embedding_anisotropy,
@@ -6720,15 +6727,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggestions_per_user": q_suggestions_per_user,
         "file_age_histogram": q_file_age_histogram,
         "top_directories": q_top_directories,
-        "embedding_dup_clusters": q_embedding_dup_clusters,
         "window_range_frame": q_window_range_frame,
-        "nna_sql_histogram": q_nna_sql_histogram,
-        "having_indexed": q_having_indexed,
-        "histogram2_nested": q_histogram2_nested,
-        "dump_inode": q_dump_inode,
         "stratified_sample": q_stratified_sample,
         "shard_histogram": q_shard_histogram,
-        "corpus_curation": q_corpus_curation,
         "text_tokens": q_text_tokens,
         "multimodal_feature_hist": q_multimodal_feature_hist,
         "minhash_recall": q_minhash_recall,
