@@ -6034,9 +6034,20 @@ def q_lsh_plan(spark, sf):
     similarity profile — expected recall on pairs ≥ 0.7 and expected
     candidate noise below, plus the textbook s50 crossover. The tuning
     step between the threshold sweep and minhash_lsh_pairs' knob; one
-    bounded pair table × a literal grid."""
+    bounded pair table × a literal grid.
+
+    Profile source (r9, VERDICT r8 task #2): the df-capped unigram
+    jaccard pair stream (ngram_jaccard_pairs n=1, max_df=100) instead
+    of prefix_filter_pairs(0.5) — at threshold 0.5 the PPJoin prefixes
+    cover half of each doc, so hot tokens enter candidate generation
+    and the profile build dominated the bench row (8.2 s at sf0.1,
+    2.02x under the 10x-key-depth skew probe). The planner needs a
+    similarity PROFILE, not a lossless candidate stream: the df cap
+    drops only pairs whose shared tokens are ALL hot (not near-dups at
+    any realistic threshold), and tests/test_r9_ops.py pins that the
+    (b, r) ranking is unchanged vs the old profile source."""
     d = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
-    pairs = dedup.prefix_filter_pairs(d, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs(d, n=1, threshold=0.5, max_shingle_df=100)
     return dedup.lsh_plan(pairs)
 
 
@@ -13516,13 +13527,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(jaccard >= 0.9 AS INT)) AS BIGINT) AS ge_90
         FROM pairs
     """
-    # lsh_plan: SPLICED from the jaccard_threshold_sweep pair chain
-    # (same subset, same scored pairs), crossed with the literal (b,r)
-    # grid and the S-curve arithmetic.
-    _sweep_chain = d["jaccard_threshold_sweep"].split(
-        "        SELECT CAST(SUM"
-    )[0]
-    d["lsh_plan"] = _sweep_chain + """, grid AS (
+    # lsh_plan: replays the df-capped unigram jaccard profile source
+    # (ngram_jaccard_pairs n=1, max_shingle_df=100 — lowercased \\S+
+    # tokens, distinct; candidates generated from df<=100 tokens only;
+    # common counted over ALL tokens so survivor jaccard is exact),
+    # crossed with the literal (b,r) grid and the S-curve arithmetic.
+    d["lsh_plan"] = r"""
+        WITH sub AS (
+          SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        ),
+        tk AS (
+          SELECT doc_id,
+                 unnest(list_distinct(regexp_split_to_array(
+                     lower(trim(text)), '\s+'))) AS tok
+          FROM sub WHERE length(trim(text)) > 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS ns FROM tk GROUP BY doc_id),
+        dfc AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok),
+        rare AS (
+          SELECT tk.doc_id, tk.tok FROM tk
+          JOIN dfc USING (tok) WHERE dfc.df <= 100
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM rare a JOIN rare b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        ),
+        common AS (
+          SELECT c.id_a, c.id_b, count(*) AS c
+          FROM cand c
+          JOIN tk a ON a.doc_id = c.id_a
+          JOIN tk b ON b.doc_id = c.id_b AND a.tok = b.tok
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT round(c / (sa.ns + sb.ns - c), 6) AS jaccard
+          FROM common
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(c / (sa.ns + sb.ns - c), 6) >= 0.5
+        )""" + """, grid AS (
           SELECT * FROM (VALUES (64, 2), (32, 4), (16, 8), (8, 16)) t(b, r)
         ),
         terms AS (
