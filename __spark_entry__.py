@@ -5022,8 +5022,10 @@ def q_link_negatives(spark, sf):
     fixed stride) instead of knn_graph's exact n² kernel, which the
     sf1 probe measured at 12.5x wall for 10x rows. Cell-local
     approximate neighbors are the standard contrastive-mining
-    contract; the oracle replays centroid pinning, round-6 argmax
-    assignment, and the within-cell ranking exactly."""
+    contract; the oracle replays centroid pinning, round-6 top-2
+    multi-probe assignment (cell_knn's r9 nprobe=2 default — 100%
+    edge recall vs exact kNN at sf0.01, vs 44.7% single-probe), and
+    the within-cell ranking exactly."""
     return similarity.link_negatives(
         _t(spark, sf, "embeddings"), k_pos=3, k_neg=3, method="cell", stride=200
     )
@@ -11423,20 +11425,26 @@ def oracle_sql() -> dict[str, str]:
           FROM nrm WHERE vec_id % 200 = 0
         ),
         asg AS (
+          -- top-2 cells per vector: cell_knn's nprobe=2 multi-probe
+          -- default (r9 — nprobe=1 measured 44.7% edge recall at
+          -- sf0.01, below the 95% bar)
           SELECT vec_id, cell FROM (
             SELECT a.vec_id, c.cell,
                    row_number() OVER (PARTITION BY a.vec_id ORDER BY
                      round(list_reduce(list_prepend(0.0,
                        [a.e[i] * c.ce[i] for i in range(1, len(a.e) + 1)]),
                        (x, y) -> x + y) / (a.m * c.cm), 6) DESC, c.cell ASC) AS rk
-            FROM nrm a CROSS JOIN cents c) WHERE rk = 1
+            FROM nrm a CROSS JOIN cents c) WHERE rk <= 2
         ),
         av AS (
           SELECT n.vec_id, n.e, n.m, s.cell
           FROM nrm n JOIN asg s ON n.vec_id = s.vec_id
         ),
         p AS (
-          SELECT a.vec_id AS anchor, b.vec_id AS other,
+          -- DISTINCT: a pair sharing both probed cells surfaces twice
+          -- with the identical round-6 score; the engine dedupes
+          -- candidates before the rank window
+          SELECT DISTINCT a.vec_id AS anchor, b.vec_id AS other,
                  round(list_reduce(list_prepend(0.0,
                          [a.e[i] * b.e[i] for i in range(1, len(a.e) + 1)]),
                          (x, y) -> x + y) / (a.m * b.m), 6) AS cos_sim

@@ -70,9 +70,9 @@ def test_cell_knn_single_cell_equals_exact_knn(spark):
 
 
 def test_cell_knn_neighbors_are_cell_local(spark):
-    """Every (id, nbr) edge joins two vectors assigned to the same
-    pinned cell, and ranks are 1..k dense per id in (cos desc, nbr asc)
-    order."""
+    """Every (id, nbr) edge joins two vectors sharing at least one of
+    their nprobe=2 probed cells, and ranks are 1..k dense per id in
+    (cos desc, nbr asc) order."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     out = similarity.cell_knn(emb, k=3, stride=200).collect()
     cents = (
@@ -81,16 +81,15 @@ def test_cell_knn_neighbors_are_cell_local(spark):
         .orderBy("vec_id")
         .collect()
     )
-    cell = {
-        r["id"]: r["cell"]
-        for r in similarity.assign_cells_rounded(
-            emb, [r["v"] for r in cents]
-        ).collect()
-    }
+    cells: dict[int, set] = {}
+    for r in similarity.assign_cells_rounded(
+        emb, [r["v"] for r in cents], nprobe=2
+    ).collect():
+        cells.setdefault(r["id"], set()).add(r["cell"])
     assert len(cents) == 3  # 500 ids, stride 200 -> centroids 0/200/400
     by_id: dict[int, list] = {}
     for r in out:
-        assert cell[r["vec_id"]] == cell[r["nbr"]]
+        assert cells[r["vec_id"]] & cells[r["nbr"]]
         by_id.setdefault(r["vec_id"], []).append(r)
     for rows in by_id.values():
         rows.sort(key=lambda r: r["rank"])

@@ -67,3 +67,99 @@ def test_lsh_plan_df_cap_drops_only_all_hot_pairs(spark):
     assert set(new) <= set(old)
     for k, v in new.items():
         assert v == pytest.approx(old[k], abs=1e-6)
+
+
+# ------------------------------------- stride-centroid cost model
+
+def test_capped_stride_bounds_centroid_count_at_synthetic_1e6():
+    """VERDICT r8 task #3: at fixed stride the pinned-centroid count is
+    n/stride — O(n²/stride) assignment FLOPs in the limit. The cap
+    keeps the count <= max_centroids for ANY n (dense 0..n-1 ids pin
+    floor((n-1)/eff)+1 centroids), while below the crossover the
+    stride rule is untouched."""
+    stride, m = 200, 4096
+    for n in (1, 1_000, 200 * 4096, 200 * 4096 + 1, 10**6, 10**8, 5 * 10**7):
+        eff = similarity._capped_stride(n, stride, m)
+        pinned = (n - 1) // eff + 1
+        assert pinned <= m, (n, eff, pinned)
+        if n <= stride * m:
+            assert eff == stride
+        else:
+            assert eff > stride
+    # n = 5x10^7 (the audit's 100 TB doc-count example): 250k centroids
+    # uncapped, <= 4096 capped
+    assert (5 * 10**7 - 1) // similarity._capped_stride(5 * 10**7, 200, 4096) + 1 <= 4096
+    # max_centroids <= 0 disables the cap (explicit opt-out)
+    assert similarity._capped_stride(10**8, 200, 0) == 200
+
+
+def test_cell_knn_centroid_cap_binds_and_results_stay_valid(spark):
+    """Forcing the cap below n/stride (max_centroids=2 on 500 ids)
+    widens the stride so only 2 centroids pin; deeper cells are
+    absorbed by the blocked kernel, output ranks stay 1..k dense, and
+    every score is a true round-6 cosine (spot-checked against the
+    uncapped run: shared edges carry identical scores)."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assert len(similarity._pinned_centroids(emb, "vec_id", "embedding", 200, 2)) <= 2
+    capped = similarity.cell_knn(emb, k=3, stride=200, max_centroids=2).collect()
+    by_id: dict[int, list] = {}
+    for r in capped:
+        by_id.setdefault(r["vec_id"], []).append(r)
+    for rows in by_id.values():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    uncapped = {
+        (r["vec_id"], r["nbr"]): r["cos_sim"]
+        for r in similarity.cell_knn(emb, k=3, stride=200).collect()
+    }
+    shared = [
+        r for r in capped if (r["vec_id"], r["nbr"]) in uncapped
+    ]
+    assert shared  # the two cell layouts overlap on many true edges
+    for r in shared:
+        assert r["cos_sim"] == pytest.approx(
+            uncapped[(r["vec_id"], r["nbr"])], abs=1e-6
+        )
+
+
+def test_bounded_pairs_above_capped_scores_stay_exact(spark):
+    """bounded_pairs_above's exactness contract (emitted => truly above
+    threshold, scores exact) holds when the centroid cap binds: with
+    max_centroids=2 and nprobe=2 every vector probes both cells, so
+    the pair set equals the exact brute-force set."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in similarity.bounded_pairs_above(
+            emb, 0.4, max_centroids=2
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in similarity.all_pairs_above_blocked(emb, 0.4).collect()
+    )
+    assert got == want
+
+
+# --------------------------------------------- cell_knn multi-probe
+
+def test_cell_knn_nprobe2_recall_vs_exact_knn(spark):
+    """VERDICT r8 task #7: measured edge recall of cell_knn against
+    exact knn_graph at sf0.01 (500 vectors, 3 pinned cells). nprobe=1
+    missed cross-cell neighbors badly (44.7% measured) — below the 95%
+    bar, so nprobe=2 is the default; pin both sides of that decision."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    exact = {
+        (r["vec_id"], r["nbr"]) for r in similarity.knn_graph(emb, k=5).collect()
+    }
+    single = {
+        (r["vec_id"], r["nbr"])
+        for r in similarity.cell_knn(emb, k=5, nprobe=1).collect()
+    }
+    double = {
+        (r["vec_id"], r["nbr"])
+        for r in similarity.cell_knn(emb, k=5).collect()  # default nprobe=2
+    }
+    assert len(single & exact) / len(exact) < 0.95  # why 1 is NOT the default
+    assert len(double & exact) / len(exact) >= 0.95
+
