@@ -6079,15 +6079,19 @@ def q_lang_confusion(spark, sf):
 
 
 def q_dp_release(spark, sf):
-    """ε-DP per-source count release with composition accounting
-    (privacy.dp_release — Dwork et al. 2006): Laplace(1/ε) noise from
-    the seeded Knuth-hash inverse CDF (engine-replayable; production
-    swaps in a CSPRNG and keeps every other line), plus the kε basic
-    and advanced-composition budget columns. The data-sharing exit
-    ramp after k-anonymity / l-diversity; true counts never leave."""
+    """SHAPE of an ε-DP per-source count release with composition
+    accounting (privacy.dp_release — Dwork et al. 2006): Laplace(1/ε)
+    noise from the seeded Knuth-hash inverse CDF plus the kε basic and
+    advanced-composition budget columns. The deterministic noise is
+    what makes the row hash-checkable — and also INVERTIBLE, so this
+    is a mechanism-shape parity pin, NOT a private release (the
+    required unsafe_deterministic_noise flag and the docstring say so;
+    production swaps in a CSPRNG and keeps every other line)."""
     from nnanalytics_spark.pipeline import privacy
 
-    return privacy.dp_release(_t(spark, sf, "documents"))
+    return privacy.dp_release(
+        _t(spark, sf, "documents"), unsafe_deterministic_noise=True
+    )
 
 
 def q_minhash_bbit(spark, sf):
@@ -12753,11 +12757,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         grid AS (SELECT unnest([25, 50, 100, 200]) AS cap),
         kept AS (
+          -- LEFT join + coalesce: a cap keeping zero shingles still
+          -- reports (mirrors the engine's r9 left-join fix)
           SELECT cap,
-                 CAST(SUM(n_sh) AS BIGINT) AS n_kept,
-                 SUM(CAST(CAST(df * (df - 1) / 2 AS BIGINT) AS DECIMAL(38,0))
-                     * n_sh) AS pairs
-          FROM grid JOIN hist ON hist.df <= grid.cap
+                 CAST(coalesce(SUM(n_sh), 0) AS BIGINT) AS n_kept,
+                 coalesce(SUM(CAST(CAST(df * (df - 1) / 2 AS BIGINT)
+                                   AS DECIMAL(38,0)) * n_sh),
+                          CAST(0 AS DECIMAL(38,0))) AS pairs
+          FROM grid LEFT JOIN hist ON hist.df <= grid.cap
           GROUP BY cap
         )
         SELECT CAST(cap AS INT) AS cap, n_kept,

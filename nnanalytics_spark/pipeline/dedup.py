@@ -1645,10 +1645,13 @@ def shingle_df_sweep(
 
     Plan: one shingle explode + (shingle) count (the same single
     shuffle the pair generator pays for its index), collapsed to the
-    tiny df-frequency histogram, then a literal |caps|-row grid join.
-    Pair terms are BIGINT (exact to df ≈ 3·10⁹ — beyond that the
-    shingle is stop-worded by ANY sane cap) summed into DECIMAL(38,0),
-    order-free."""
+    tiny df-frequency histogram, then a literal |caps|-row grid LEFT
+    join (a cap that keeps zero shingles reports n_kept=0, never
+    disappears). Pair terms are BIGINT (exact to df ≈ 3·10⁹ — beyond
+    that the shingle is stop-worded by ANY sane cap; note Spark wraps
+    silently past that boundary where a SQL oracle raises — don't read
+    the uncapped total on a corpus whose hottest shingle is hotter
+    than 3e9 docs) summed into DECIMAL(38,0), order-free."""
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text), n)).alias("s")
     )
@@ -1669,9 +1672,13 @@ def shingle_df_sweep(
             "cap"
         )
     )
-    kept = grid.join(hist, hist["df"] <= grid["cap"]).groupBy("cap").agg(
-        F.sum("n_sh").alias("n_kept"),
-        F.sum(pair_term).alias("_pairs"),
+    # LEFT join + coalesce-to-0: a cap below the minimum shingle df
+    # keeps zero shingles and must still appear in the sweep (as
+    # n_kept=0 / candidate_pairs=0 / pair_reduction=1), not silently
+    # vanish from the report
+    kept = grid.join(hist, hist["df"] <= grid["cap"], "left").groupBy("cap").agg(
+        F.coalesce(F.sum("n_sh"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.sum(pair_term), F.lit(0).cast("decimal(38,0)")).alias("_pairs"),
     )
     return (
         kept.crossJoin(F.broadcast(tot))

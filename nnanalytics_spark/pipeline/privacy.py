@@ -149,24 +149,38 @@ def dp_release(
     epsilon: float = 1.0,
     k_queries: int = 10,
     seed: int = 42,
+    unsafe_deterministic_noise: bool = False,
 ) -> DataFrame:
-    """ε-differentially-private count release (Laplace mechanism,
-    Dwork et al. 2006) with the composition budget table — the
-    data-sharing exit ramp after the k-anonymity / l-diversity audits:
-    per group, count + Laplace(1/ε) noise, and the round's total
-    privacy spend under basic (kε) and advanced
-    (ε·√(2k·ln(1/δ)) + kε(e^ε−1), δ=1e−6) composition for k such
-    releases.
+    """SHAPE of an ε-DP count release (Laplace mechanism, Dwork et al.
+    2006) with the composition budget table — the data-sharing exit
+    ramp after the k-anonymity / l-diversity audits: per group,
+    count + Laplace(1/ε) noise, and the round's total privacy spend
+    under basic (kε) and advanced (ε·√(2k·ln(1/δ)) + kε(e^ε−1),
+    δ=1e−6) composition for k such releases.
 
-    rand()-free and engine-replayable (the bootstrap_ci recipe): the
-    per-group uniform is the Knuth multiplicative hash of the group
-    name's polynomial fingerprint, pushed through the Laplace inverse
-    CDF −b·sign(u−½)·ln(1−2|u−½|). Deterministic noise makes the
-    release HASH-CHECKABLE; a production deployment swaps the hash for
-    a CSPRNG and keeps every other line (the noise SHAPE, sensitivity
-    1 for counts, and the accounting are what this operator pins).
-    True counts never appear in the output."""
+    **This is NOT a private release.** The noise is a deterministic
+    function of (group name, seed) — the Knuth multiplicative hash of
+    the group's polynomial fingerprint through the Laplace inverse CDF
+    −b·sign(u−½)·ln(1−2|u−½|) — so anyone who knows the seed (it
+    defaults) recomputes the noise and subtracts it; the true counts
+    are recoverable from the output and the ε/eps_basic/eps_advanced
+    columns describe the BUDGET the mechanism WOULD spend, not a
+    guarantee this output carries. Determinism is deliberate: it makes
+    the release hash-checkable by the engine-parity oracle, which is
+    this operator's job — pinning the noise shape, the sensitivity-1
+    scale, and the composition accounting. A production deployment
+    swaps the hash for a CSPRNG draw per release and keeps every other
+    line. Callers must acknowledge the trade by passing
+    ``unsafe_deterministic_noise=True``; the default raises."""
     import math
+
+    if not unsafe_deterministic_noise:
+        raise ValueError(
+            "dp_release's noise is deterministic (invertible) and provides "
+            "no actual privacy; it pins the mechanism SHAPE for engine "
+            "parity. Pass unsafe_deterministic_noise=True to acknowledge, "
+            "or wire a CSPRNG for a real release."
+        )
 
     from nnanalytics_spark.pipeline.text import fingerprint
 

@@ -1356,7 +1356,12 @@ def mde_power(
     pass over the per-unit table → ONE output row: n/mean/sd per arm,
     mde_abs, mde_rel (relative to the control mean). Sample (n−1)
     variances. Scales as a map-side-combined two-level aggregate; no
-    window, no join."""
+    window, no join.
+
+    Degenerate arms are diagnosable, not Infinity: an arm with <2
+    randomization units has no sample variance → sd/mde columns are
+    NULL; a zero control mean → mde_rel NULL (mde_abs still reports).
+    NULL means "insufficient units (or zero base) for this readout"."""
     dec = "decimal(18,9)"
     per_unit = df.groupBy(unit_col, arm_col).agg(
         F.sum(F.round(F.col(value_col), 9).cast(dec)).cast(dec).alias("_v")
@@ -1381,18 +1386,19 @@ def mde_power(
     nc, nt = F.col("nc").cast("double"), F.col("nt").cast("double")
     sc, st = F.col("sc").cast("double"), F.col("st").cast("double")
     scc, stt = F.col("scc").cast("double"), F.col("stt").cast("double")
-    var_c = (scc - sc * sc / nc) / (nc - 1)
-    var_t = (stt - st * st / nt) / (nt - 1)
+    var_c = F.when(F.col("nc") >= 2, (scc - sc * sc / nc) / (nc - 1))
+    var_t = F.when(F.col("nt") >= 2, (stt - st * st / nt) / (nt - 1))
+    mean_c = F.when(F.col("nc") >= 1, sc / nc)
     se = F.sqrt(var_c / nc + var_t / nt)
     mde = F.lit(z_alpha + z_power) * se
     return m.select(
         F.col("nc").alias("n_control"),
         F.col("nt").alias("n_treatment"),
-        F.round(sc / nc, 6).alias("mean_control"),
+        F.round(mean_c, 6).alias("mean_control"),
         F.round(F.sqrt(var_c), 6).alias("sd_control"),
         F.round(F.sqrt(var_t), 6).alias("sd_treatment"),
         F.round(mde, 6).alias("mde_abs"),
-        F.round(mde / (sc / nc), 6).alias("mde_rel"),
+        F.round(F.when(mean_c != 0, mde / mean_c), 6).alias("mde_rel"),
     )
 
 
@@ -1641,7 +1647,15 @@ def hill_tail_index(
     DESC + limit — no global sort materialization), then the log fold
     on the bounded k-row table with 9-dp DECIMAL term sums (order-free)
     and a broadcast total-key count. Ties at the boundary break by key
-    so both engines pick the identical top set."""
+    so both engines pick the identical top set.
+
+    Degenerate input (<= k keys): the rank-(k+1) threshold row does not
+    exist, so the estimator is undefined — the output is then a single
+    row with NULL hill_alpha / alpha_se / tail_threshold (and k = the
+    rows actually present) rather than an empty DataFrame; NULL means
+    "not enough keys for this k", diagnosable instead of vanishing
+    (the threshold rides a 1-row conditional aggregate, never an empty
+    cross join)."""
     top = (
         df.select(F.col(value_col).alias("x"), F.col(key_col).alias("_k"))
         .orderBy(F.col("x").desc(), F.col("_k").asc())
@@ -1653,7 +1667,10 @@ def hill_tail_index(
 
     rnk = F.row_number().over(W.orderBy(F.col("x").desc(), F.col("_k").asc()))
     ranked = top.select("x", rnk.alias("rk"))
-    thr = ranked.filter(F.col("rk") == k + 1).select(F.col("x").alias("xk1"))
+    # exactly ONE row always: xk1 is NULL when the k+1-th key is absent
+    thr = ranked.agg(
+        F.min(F.when(F.col("rk") == k + 1, F.col("x"))).alias("xk1")
+    )
     terms = (
         ranked.filter(F.col("rk") <= k)
         .crossJoin(F.broadcast(thr))
@@ -1919,15 +1936,20 @@ def covariate_balance(
     nc, nt = F.col("nc").cast("double"), F.col("nt").cast("double")
     sc, st = F.col("sc").cast("double"), F.col("st").cast("double")
     scc, stt = F.col("scc").cast("double"), F.col("stt").cast("double")
-    var_c = (scc - sc * sc / nc) / (nc - 1)
-    var_t = (stt - st * st / nt) / (nt - 1)
-    smd = (st / nt - sc / nc) / F.sqrt((var_t + var_c) / 2)
+    # <2 units in an arm: no sample variance -> NULL smd/balanced
+    # (diagnosable, never Infinity/NaN)
+    var_c = F.when(F.col("nc") >= 2, (scc - sc * sc / nc) / (nc - 1))
+    var_t = F.when(F.col("nt") >= 2, (stt - st * st / nt) / (nt - 1))
+    pooled = (var_t + var_c) / 2
+    smd = F.when(
+        pooled > 0, (st / nt - sc / nc) / F.sqrt(pooled)
+    )
     return m.select(
         F.col("cov").alias("covariate"),
         F.col("nc").alias("n_control"),
         F.col("nt").alias("n_treatment"),
-        F.round(sc / nc, 6).alias("mean_control"),
-        F.round(st / nt, 6).alias("mean_treatment"),
+        F.round(F.when(F.col("nc") >= 1, sc / nc), 6).alias("mean_control"),
+        F.round(F.when(F.col("nt") >= 1, st / nt), 6).alias("mean_treatment"),
         F.round(smd, 6).alias("smd"),
         (F.abs(F.round(smd, 6)) < threshold).alias("balanced"),
     )
@@ -2176,14 +2198,17 @@ def aa_test(
     n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
     s1, s2 = F.col("s1").cast("double"), F.col("s2").cast("double")
     ss1, ss2 = F.col("ss1").cast("double"), F.col("ss2").cast("double")
-    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1)
-    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1)
-    z = (s1 / n1 - s2 / n2) / F.sqrt(v1 / n1 + v2 / n2)
+    # <2 units on a side: no variance -> NULL z_stat/aa_pass (an A/A
+    # over a degenerate split is undiagnosable, and should SAY so)
+    v1 = F.when(F.col("n1") >= 2, (ss1 - s1 * s1 / n1) / (n1 - 1))
+    v2 = F.when(F.col("n2") >= 2, (ss2 - s2 * s2 / n2) / (n2 - 1))
+    pooled_se = F.sqrt(v1 / n1 + v2 / n2)
+    z = F.when(pooled_se > 0, (s1 / n1 - s2 / n2) / pooled_se)
     return m.select(
         F.col("n1").alias("n_a1"),
         F.col("n2").alias("n_a2"),
-        F.round(s1 / n1, 6).alias("mean_a1"),
-        F.round(s2 / n2, 6).alias("mean_a2"),
+        F.round(F.when(F.col("n1") >= 1, s1 / n1), 6).alias("mean_a1"),
+        F.round(F.when(F.col("n2") >= 1, s2 / n2), 6).alias("mean_a2"),
         F.round(z, 6).alias("z_stat"),
         (F.abs(F.round(z, 6)) < z_bound).alias("aa_pass"),
     )
@@ -2206,9 +2231,17 @@ def weighted_quantile(
 
     One (group)-keyed sort window for the cumulative weight, then a
     conditional-min aggregate per q — no explode, no per-q pass.
-    Integer weights stay exact; ties in value pick the same v under
-    any within-tie order (the boundary row's VALUE is what's selected,
-    and tied rows share it)."""
+    Ties in value pick the same v under any within-tie order (the
+    boundary row's VALUE is what's selected, and tied rows share it).
+
+    Weight contract: weights accumulate as exact integers (order-free
+    sums, engine-reproducible boundaries). A fractional weight column
+    (score mass, token fractions) is NOT silently truncated — it
+    quantizes via round(w·10⁶) fixed-point, which preserves quantile
+    boundaries to a part in 10⁶ of the weight mass and keeps the
+    cumulative sums exact longs; pass integer weights for bit-exact
+    semantics (the row count / token count / byte count cases this
+    was built for)."""
     from pyspark.sql import Window as W
 
     wc = (
@@ -2217,17 +2250,25 @@ def weighted_quantile(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wtot = W.partitionBy(group_col)
+    # fixed-point quantization: exact for integer weights (w*1e6 is
+    # integral), a 1e-6-relative grid for fractional ones — never the
+    # silent floor a bare cast('long') applies
     staged = df.select(
         group_col,
         F.col(value_col).alias("_v"),
-        F.col(weight_col).cast("long").alias("_w"),
+        F.round(F.col(weight_col).cast("double") * 1_000_000)
+        .cast("long")
+        .alias("_w"),
     ).select(
         group_col,
         "_v",
         F.sum("_w").over(wc).alias("_cw"),
         F.sum("_w").over(wtot).alias("_W"),
     )
-    aggs = [F.max("_W").alias("w_total")]
+    # w_total reports in the CALLER's weight units (undo the 1e6
+    # fixed-point scale — exact for integer weights); the boundary
+    # test cw >= q*W is scale-invariant, so quantiles are unaffected
+    aggs = [(F.max("_W") / F.lit(1_000_000)).cast("long").alias("w_total")]
     for q in qs:
         aggs.append(
             F.min(
@@ -2280,14 +2321,19 @@ def sample_size_grid(
     nc, nt = F.col("nc").cast("double"), F.col("nt").cast("double")
     sc, st = F.col("sc").cast("double"), F.col("st").cast("double")
     scc, stt = F.col("scc").cast("double"), F.col("stt").cast("double")
-    var_c = (scc - sc * sc / nc) / (nc - 1)
-    var_t = (stt - st * st / nt) / (nt - 1)
-    delta = F.col("rel_effect") * (sc / nc)
-    n_req = F.ceil(
-        (F.lit(z_alpha) + F.lit(z_power))
-        * (F.lit(z_alpha) + F.lit(z_power))
-        * (var_c + var_t)
-        / (delta * delta)
+    # mde_power's degenerate-arm guards: <2 units -> NULL variance;
+    # zero control mean -> zero delta -> NULL n_per_arm (not Infinity)
+    var_c = F.when(F.col("nc") >= 2, (scc - sc * sc / nc) / (nc - 1))
+    var_t = F.when(F.col("nt") >= 2, (stt - st * st / nt) / (nt - 1))
+    delta = F.when(F.col("nc") >= 1, F.col("rel_effect") * (sc / nc))
+    n_req = F.when(
+        delta != 0,
+        F.ceil(
+            (F.lit(z_alpha) + F.lit(z_power))
+            * (F.lit(z_alpha) + F.lit(z_power))
+            * (var_c + var_t)
+            / (delta * delta)
+        ),
     )
     return grid.crossJoin(F.broadcast(m)).select(
         "rel_effect",

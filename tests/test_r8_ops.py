@@ -682,12 +682,19 @@ def test_hill_tail_index_closed_form(spark):
 
 
 def test_hill_tail_index_needs_k_plus_one_keys(spark):
-    """Fewer than k+1 distinct keys → empty result (no tail to fit),
-    never a wrong number."""
+    """Fewer than k+1 distinct keys → one row with NULL hill_alpha
+    (the r9 ADVICE fix: diagnosable, never a wrong number and never a
+    silently-vanishing result)."""
     from nnanalytics_spark.pipeline import stats
 
-    df = spark.createDataFrame([("a", 5), ("b", 3)], ["tok", "cnt"])
-    assert stats.hill_tail_index(df, "cnt", "tok", k=100).count() == 0
+    rows = stats.hill_tail_index(
+        spark.createDataFrame([("a", 5), ("b", 3)], ["tok", "cnt"]),
+        "cnt",
+        "tok",
+        k=100,
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["hill_alpha"] is None and rows[0]["n_keys"] == 2
 
 
 def test_stratified_association_simpsons_reversal(spark):
@@ -1202,10 +1209,10 @@ def test_confusion_matrix_shares(spark):
 
 
 def test_dp_release_noise_shape_and_privacy(spark):
-    """True counts never appear verbatim (noise is continuous), the
-    noise is deterministic run-over-run, mean |noise| is in the
-    Laplace(1) ballpark, and the budget columns carry the closed
-    forms."""
+    """The noise is deterministic run-over-run (hence invertible — the
+    r9 flag makes callers acknowledge that), mean |noise| is in the
+    Laplace(1) ballpark, the budget columns carry the closed forms,
+    and calling without the acknowledgement raises."""
     import math
 
     from nnanalytics_spark.pipeline import privacy
@@ -1213,8 +1220,16 @@ def test_dp_release_noise_shape_and_privacy(spark):
     df = spark.createDataFrame(
         [(i, f"src{i % 10}") for i in range(1000)], ["doc_id", "source"]
     )
-    r1 = {r["source"]: r for r in privacy.dp_release(df).collect()}
-    r2 = {r["source"]: r for r in privacy.dp_release(df).collect()}
+    with pytest.raises(ValueError, match="deterministic"):
+        privacy.dp_release(df)
+    r1 = {
+        r["source"]: r
+        for r in privacy.dp_release(df, unsafe_deterministic_noise=True).collect()
+    }
+    r2 = {
+        r["source"]: r
+        for r in privacy.dp_release(df, unsafe_deterministic_noise=True).collect()
+    }
     assert r1.keys() == r2.keys()
     noises = []
     for s, r in r1.items():

@@ -163,3 +163,109 @@ def test_cell_knn_nprobe2_recall_vs_exact_knn(spark):
     assert len(single & exact) / len(exact) < 0.95  # why 1 is NOT the default
     assert len(double & exact) / len(exact) >= 0.95
 
+
+# --------------------------------------------- ADVICE edge guards
+
+def test_hill_tail_index_with_too_few_keys_emits_null_row(spark):
+    """ADVICE r8: with <= k keys the rank-(k+1) threshold is absent;
+    the estimator must report a diagnosable NULL row, not vanish."""
+    from nnanalytics_spark.pipeline import stats
+
+    df = spark.createDataFrame(
+        [(f"k{i}", 10 - i) for i in range(5)], ["key", "freq"]
+    )
+    rows = stats.hill_tail_index(df, "freq", "key", k=100).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_keys"] == 5 and r["k"] == 5
+    assert r["hill_alpha"] is None and r["alpha_se"] is None
+    assert r["tail_threshold"] is None
+    # sanity: with enough keys the estimator still computes
+    ok = stats.hill_tail_index(df, "freq", "key", k=3).collect()[0]
+    assert ok["hill_alpha"] is not None and ok["k"] == 3
+
+
+def test_shingle_df_sweep_reports_zero_keeping_caps(spark):
+    """ADVICE r8: a cap below the minimum shingle df keeps zero
+    shingles and must still appear (n_kept=0, candidate_pairs=0,
+    pair_reduction=1), not silently drop out of the sweep."""
+    # every shingle appears in all 5 docs -> df=5 for all; cap=1 keeps 0
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    out = {r["cap"]: r for r in dedup.shingle_df_sweep(docs, caps=(1, 5)).collect()}
+    assert set(out) == {1, 5}
+    assert out[1]["n_kept"] == 0
+    assert out[1]["candidate_pairs"] == 0
+    assert out[1]["pair_reduction"] == pytest.approx(1.0)
+    assert out[5]["n_kept"] > 0
+
+
+def test_mde_power_degenerate_arms_yield_nulls_not_infinity(spark):
+    """ADVICE r8: an arm with <2 randomization units has no sample
+    variance — sd/mde columns are NULL (diagnosable), never
+    NaN/Infinity; a zero control mean nulls only mde_rel."""
+    from nnanalytics_spark.pipeline import stats
+
+    one_unit = spark.createDataFrame(
+        [(1, "control", 5.0), (2, "treatment", 4.0), (3, "treatment", 6.0)],
+        ["uid", "arm", "v"],
+    )
+    r = stats.mde_power(one_unit, "v", "uid", "arm").collect()[0]
+    assert r["n_control"] == 1
+    assert r["sd_control"] is None and r["mde_abs"] is None
+    assert r["mde_rel"] is None
+
+    zero_mean = spark.createDataFrame(
+        [(1, "control", 1.0), (2, "control", -1.0),
+         (3, "treatment", 4.0), (4, "treatment", 6.0)],
+        ["uid", "arm", "v"],
+    )
+    r = stats.mde_power(zero_mean, "v", "uid", "arm").collect()[0]
+    assert r["mean_control"] == 0.0
+    assert r["mde_abs"] is not None  # absolute MDE still reports
+    assert r["mde_rel"] is None  # relative-to-zero is undefined
+
+    grid = stats.sample_size_grid(zero_mean, "v", "uid", "arm").collect()
+    assert all(g["n_per_arm"] is None for g in grid)  # delta = 0
+
+
+def test_aa_test_single_unit_side_yields_null_verdict(spark):
+    """ADVICE r8 (same moment pattern): one unit on a split side ->
+    NULL z_stat / aa_pass instead of a NaN verdict."""
+    from nnanalytics_spark.pipeline import stats
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 4.0), (4, 6.0)], ["uid", "v"]
+    )
+    r = stats.aa_test(df, "v", "uid", F.col("uid") % 2 == 0).collect()[0]
+    assert min(r["n_a1"], r["n_a2"]) == 1
+    assert r["z_stat"] is None and r["aa_pass"] is None
+
+
+def test_weighted_quantile_fractional_weights_not_truncated(spark):
+    """ADVICE r8: double weights quantize via round(w*1e6) fixed-point
+    instead of a silent floor-to-long (which zeroed sub-1 weights and
+    returned wrong quantiles); integer weights stay exact and w_total
+    reports in caller units."""
+    from nnanalytics_spark.pipeline import stats
+
+    frac = spark.createDataFrame(
+        [("g", 1.0, 0.4), ("g", 2.0, 0.4), ("g", 3.0, 9.2)],
+        ["grp", "v", "w"],
+    )
+    r = stats.weighted_quantile(frac, "v", "w", "grp", qs=(0.5,)).collect()[0]
+    # 92% of the mass sits on v=3: the weighted median is 3 (the old
+    # cast('long') floored 0.4->0 and 9.2->9, which happened to agree
+    # on the median but reported w_total=9 instead of 10)
+    assert r["wq50"] == 3.0
+    assert r["w_total"] == 10  # round(10.0) in caller units
+
+    ints = spark.createDataFrame(
+        [("g", float(v), w) for v, w in [(1, 1), (2, 1), (3, 2)]],
+        ["grp", "v", "w"],
+    )
+    r = stats.weighted_quantile(ints, "v", "w", "grp", qs=(0.5, 0.9)).collect()[0]
+    assert r["w_total"] == 4 and r["wq50"] == 2.0 and r["wq90"] == 3.0
+
