@@ -399,12 +399,49 @@ def main() -> None:
     total = sum(timings.values())
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
+    # Round-over-round integrity (VERDICT r8 #6): compare THIS run's
+    # common-subset total against the PREVIOUS ROUND's committed
+    # snapshot (BENCH_FULL_r{N}.json — written once per round at close,
+    # never overwritten by intra-round passes), so a pass-vs-pass
+    # "0.93x" can never paper over a round-over-round 1.2x. Only
+    # meaningful at the same sf; cross-host drift still applies and is
+    # the reader's job to adjudicate — but the DENOMINATOR is now
+    # always the prior round, by construction.
+    here = os.path.dirname(os.path.abspath(__file__))
+    vs_prev = None
+    snaps = sorted(
+        (
+            int(f.rsplit("_r", 1)[1].split(".")[0]),
+            os.path.join(here, f),
+        )
+        for f in os.listdir(here)
+        if f.startswith("BENCH_FULL_r") and f.endswith(".json")
+    )
+    if snaps:
+        prev_round, prev_path = snaps[-1]
+        try:
+            with open(prev_path) as fh:
+                prev = json.load(fh)
+            if prev.get("sf") == sf_val:
+                common = sorted(set(timings) & set(prev.get("queries", {})))
+                cur_c = sum(timings[q] for q in common)
+                prev_c = sum(prev["queries"][q] for q in common)
+                if prev_c > 0 and common:
+                    vs_prev = {
+                        "prev_round": prev_round,
+                        "n_common": len(common),
+                        "cur_common_sec": round(cur_c, 3),
+                        "prev_common_sec": round(prev_c, 3),
+                        "ratio": round(cur_c / prev_c, 3),
+                    }
+        except Exception:
+            pass  # a malformed snapshot must not sink the bench run
+
     # Full per-query detail goes to a file: the driver that records the
     # printed line keeps only a ~2000-char tail of stdout, and BENCH_r04
     # was lost (parsed: null) because the single JSON line with ~125
     # queries overran that buffer mid-line. The printed line is budgeted
     # to always fit; BENCH_FULL.json carries every query at 3 decimals.
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_FULL.json"), "w") as fh:
         json.dump(
             {
@@ -412,6 +449,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "runs": runs,
+                "common_subset_vs_prev_round": vs_prev,
                 "queries": timings,
                 "sf": sf_val,
             },
@@ -420,19 +458,23 @@ def main() -> None:
         )
 
     def render(qdict: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {k: round(v, 2) for k, v in qdict.items()},
-                "nq": len(timings),
-                "runs": runs,
-                "full": "BENCH_FULL.json",
-                "sf": sf_val,
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": "headline_queries_total_runtime",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in qdict.items()},
+            "nq": len(timings),
+            "runs": runs,
+            "full": "BENCH_FULL.json",
+            "sf": sf_val,
+        }
+        if vs_prev is not None:
+            payload["vs_prev_round"] = {
+                "r": vs_prev["prev_round"],
+                "ratio": vs_prev["ratio"],
+                "n": vs_prev["n_common"],
+            }
+        return json.dumps(payload, separators=(",", ":"))
 
     # Greedy fill, most expensive first: the costly queries carry the
     # perf signal; sub-0.3 s entries are interchangeable noise-floor.
