@@ -474,6 +474,46 @@ def minhash_signatures(
     return mins.select("id", F.array(*[f"h{i}" for i in range(k)]).alias("signature"))
 
 
+def banded_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-doc LSH band-bucket keys — (id, band, bucket), one row per
+    band: the signature split into ``bands`` slices of r=k/bands mins,
+    each slice collapsed to the bucket key the pair join shuffles on.
+    This table IS the persistable LSH index: a resumable run stores it
+    per corpus version and recomputes rows only for delta docs (see
+    pipeline/incremental.py) — the bucket key is a pure function of
+    the doc's text, so retained docs' rows never go stale. Portable
+    mode buckets on the joined slice VALUE string (exact slice
+    equality; SQL-reproducible), native on hash(slice)."""
+    rows = k // bands
+    sigs = minhash_signatures(df, text, id_col, k, ngram, portable=portable)
+
+    def bucket_of(b: int):
+        sl = F.slice(F.col("signature"), b * rows + 1, rows)
+        if portable:
+            return F.concat_ws("_", sl.cast("array<string>"))
+        return F.hash(sl)
+
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text: str = "text",
@@ -493,26 +533,7 @@ def minhash_lsh_pairs(
     equality (strictly more precise than a 32-bit hash — no spurious
     hash-collision candidates), and an external SQL engine rebuilds the
     identical key."""
-    rows = k // bands
-    sigs = minhash_signatures(df, text, id_col, k, ngram, portable=portable)
-
-    def bucket_of(b: int):
-        sl = F.slice(F.col("signature"), b * rows + 1, rows)
-        if portable:
-            return F.concat_ws("_", sl.cast("array<string>"))
-        return F.hash(sl)
-
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), bucket_of(b).alias("bucket"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.bucket")
+    banded = banded_signatures(df, text, id_col, k, bands, ngram, portable=portable)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
