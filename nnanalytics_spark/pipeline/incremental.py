@@ -23,10 +23,11 @@ some lost docs, most are untouched. Recomputing everything re-scans
    cold full run at test scale.
 
 Reference parity note: the reference refreshes its in-memory namespace
-by tailing edit logs into the last loaded FSImage
-(NameNodeLoaderDefault / the /refresh endpoint) rather than re-reading
-the image — this module is the same incremental-over-snapshot
-discipline applied to the pipeline's derived artifacts.
+by tailing edit logs into the last loaded FSImage rather than
+re-reading the image (NameNodeLoader.java:326-388 starts the
+EditLogTailer after the image load) — this module is the same
+incremental-over-snapshot discipline applied to the pipeline's derived
+artifacts (signatures, bucket indexes, pair sets).
 
 Scale shape: everything here is manifest-sized (one row per partition)
 or delta-proportional (band rows for delta docs; the persisted index
