@@ -2234,14 +2234,17 @@ def weighted_quantile(
     Ties in value pick the same v under any within-tie order (the
     boundary row's VALUE is what's selected, and tied rows share it).
 
-    Weight contract: weights accumulate as exact integers (order-free
-    sums, engine-reproducible boundaries). A fractional weight column
-    (score mass, token fractions) is NOT silently truncated — it
-    quantizes via round(w·10⁶) fixed-point, which preserves quantile
-    boundaries to a part in 10⁶ of the weight mass and keeps the
-    cumulative sums exact longs; pass integer weights for bit-exact
-    semantics (the row count / token count / byte count cases this
-    was built for)."""
+    Weight contract: weights accumulate as exact DECIMAL(24,6)
+    (order-free sums, engine-reproducible boundaries, ~1e28 of
+    cumulative headroom — a long would overflow a 100 TB char-mass
+    group; a double would shift boundaries past 2⁵³). A fractional
+    weight column (score mass, token fractions) is NOT silently
+    truncated — it quantizes to 6 dp, preserving quantile boundaries
+    to a part in 10⁶ of the weight mass; integer weights (the row /
+    token / byte count cases this was built for) are bit-exact, and
+    the boundary test q·W stays in decimal arithmetic so no float
+    rounding can flip it. w_total reports in caller units (floor for
+    fractional weights)."""
     from pyspark.sql import Window as W
 
     wc = (
@@ -2250,14 +2253,11 @@ def weighted_quantile(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     wtot = W.partitionBy(group_col)
-    # fixed-point quantization: exact for integer weights (w*1e6 is
-    # integral), a 1e-6-relative grid for fractional ones — never the
-    # silent floor a bare cast('long') applies
     staged = df.select(
         group_col,
         F.col(value_col).alias("_v"),
-        F.round(F.col(weight_col).cast("double") * 1_000_000)
-        .cast("long")
+        F.round(F.col(weight_col).cast("double"), 6)
+        .cast("decimal(24,6)")
         .alias("_w"),
     ).select(
         group_col,
@@ -2265,14 +2265,12 @@ def weighted_quantile(
         F.sum("_w").over(wc).alias("_cw"),
         F.sum("_w").over(wtot).alias("_W"),
     )
-    # w_total reports in the CALLER's weight units (undo the 1e6
-    # fixed-point scale — exact for integer weights); the boundary
-    # test cw >= q*W is scale-invariant, so quantiles are unaffected
-    aggs = [(F.max("_W") / F.lit(1_000_000)).cast("long").alias("w_total")]
+    aggs = [F.max("_W").cast("long").alias("w_total")]
     for q in qs:
+        qdec = F.lit(f"{q:.6f}").cast("decimal(8,6)")
         aggs.append(
             F.min(
-                F.when(F.col("_cw") >= F.lit(float(q)) * F.col("_W"), F.col("_v"))
+                F.when(F.col("_cw") >= qdec * F.col("_W"), F.col("_v"))
             ).alias(f"wq{int(round(q * 100)):02d}")
         )
     return staged.groupBy(group_col).agg(*aggs)
