@@ -55,27 +55,42 @@ def partition_manifest(
     partition_col: str,
     text: str = "text",
     id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """Per-partition content manifest: (partition, n_docs, content_fp).
 
-    content_fp is the SUM of per-doc xxhash64(id, text) values in
+    content_fp is the SUM of per-doc hash(id, text) values in
     DECIMAL(38,0) — commutative and associative, so the fingerprint is
     identical under any scan order, any partitioning, any engine that
-    reproduces xxhash64 (two manifests are comparable by equality, the
+    reproduces the hash (two manifests are comparable by equality, the
     whole point). A changed/added/removed DOC changes the partition's
-    sum with probability 1 − 2⁻⁶⁴; colliding EDITS (a doc edited so its
-    new hash restores the old sum) need a second doc edited in the same
-    partition to conspire — the standard content-checksum trade.
+    sum with probability 1 − 2⁻⁶⁴ (native mode); colliding EDITS (a doc
+    edited so its new hash restores the old sum) need a second doc
+    edited in the same partition to conspire — the standard
+    content-checksum trade.
+
+    ``portable=True`` swaps xxhash64(id, text) for the SQL-replayable
+    per-doc term fingerprint(text)·(id+1) — the same 31-bit polynomial
+    rolling hash the fingerprint_collisions audit prices (weaker
+    collision margin than 64-bit, fine for a parity-checkable
+    manifest; production keeps the native mode). This is the
+    correctness-gate mode, like minhash_signatures' portable flag.
 
     One map-side hash + one grouped sum: manifest cost is a single scan
     of (id, text) with map-side combine; output is one row per
     partition — kilobytes at 100 TB."""
+    if portable:
+        from nnanalytics_spark.pipeline.text import fingerprint
+
+        h = (
+            fingerprint(F.col(text)) * (F.col(id_col).cast("long") + 1)
+        ).cast("decimal(38,0)")
+    else:
+        h = F.xxhash64(F.col(id_col), F.col(text)).cast("decimal(38,0)")
     return (
         df.select(
             F.col(partition_col).alias("partition"),
-            F.xxhash64(F.col(id_col), F.col(text))
-            .cast("decimal(38,0)")
-            .alias("_h"),
+            h.alias("_h"),
         )
         .groupBy("partition")
         .agg(

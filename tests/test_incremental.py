@@ -36,6 +36,27 @@ def test_partition_manifest_is_order_free(spark, docs):
     assert a == b and len(a) > 1
 
 
+def test_partition_manifest_portable_mode(spark, docs):
+    """portable=True (the future oracle mode): order-free too, and the
+    diff classifies identically to native mode on the same delta."""
+    pm = lambda d: incremental.partition_manifest(d, "source", portable=True)
+    a = {r["partition"]: r["content_fp"] for r in pm(docs.repartition(5)).collect()}
+    b = {r["partition"]: r["content_fp"] for r in pm(docs.repartition(2)).collect()}
+    assert a == b
+    old = docs.filter(F.col("source") != "src0")
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("source") == "src2", F.concat(F.col("text"), F.lit(" EDIT")))
+        .otherwise(F.col("text")),
+    )
+    st = {
+        r["partition"]: r["status"]
+        for r in incremental.stale_partitions(pm(old), pm(new)).collect()
+    }
+    assert st["src0"] == "added" and st["src2"] == "changed"
+    assert st["src1"] == "unchanged"
+
+
 def test_stale_partitions_classifies_all_four_states(spark, docs):
     """added / removed / changed / unchanged, with doc-count deltas."""
     old = docs.filter(F.col("source") != "src0")  # src0 missing -> added
