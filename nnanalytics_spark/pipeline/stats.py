@@ -1140,9 +1140,12 @@ def jackknife_ratio_ci(
         F.sum("_y").alias("sy"),
         F.sum("_x").alias("sx"),
     )
+    # a replicate whose leave-one-out denominator is 0 is UNDEFINED
+    # (that unit holds the whole metric's denominator) — NULL, never an
+    # ANSI divide error mid-aggregate
+    den = (F.col("sx") - F.col("_x")).cast("double")
     ri = F.round(
-        (F.col("sy") - F.col("_y")).cast("double")
-        / (F.col("sx") - F.col("_x")).cast("double"),
+        F.when(den != 0, (F.col("sy") - F.col("_y")).cast("double") / den),
         9,
     )
     reps = per_unit.crossJoin(F.broadcast(tot)).select(
@@ -1150,12 +1153,19 @@ def jackknife_ratio_ci(
     )
     m = reps.agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_r").isNull(), 1).otherwise(0)).alias("n_undef"),
         F.sum("_r").alias("sr"),
         F.sum((F.col("_r") * F.col("_r")).cast("decimal(38,18)")).alias("srr"),
     )
     n = F.col("n").cast("double")
     sr, srr = F.col("sr").cast("double"), F.col("srr").cast("double")
-    var_jk = (n - 1) / n * (srr - sr * sr / n)
+    # <2 units (no spread to measure) or any undefined replicate (the
+    # estimator's variance is not a number) — NULL se/ci, diagnosable;
+    # the same insufficient-units contract as mde_power
+    var_jk = F.when(
+        (F.col("n") >= 2) & (F.col("n_undef") == 0),
+        (n - 1) / n * (srr - sr * sr / n),
+    )
     se = F.sqrt(var_jk)
     ratio = tot.select(
         (F.col("sy").cast("double") / F.col("sx").cast("double")).alias("_ratio")
@@ -1214,14 +1224,21 @@ def cuped_adjustment(
     var_x = sxx / n - (sx / n) * (sx / n)
     var_y = syy / n - (sy / n) * (sy / n)
     cov = sxy / n - (sx / n) * (sy / n)
-    theta = cov / var_x
-    var_adj = var_y - cov * cov / var_x  # = var_y(1 − ρ²), closed form
+    # constant covariate (var_x = 0): θ is undefined — NULL θ and
+    # adjusted columns rather than Infinity; constant metric
+    # (var_y = 0): nothing to reduce — NULL reduction ratio
+    theta = F.when(var_x > 0, cov / var_x)
+    var_adj = F.when(
+        var_x > 0, var_y - cov * cov / var_x
+    )  # = var_y(1 − ρ²), closed form
     return m.select(
         F.col("n").alias("n_units"),
         F.round(theta, 6).alias("theta"),
         F.round(var_y, 6).alias("var_y"),
         F.round(var_adj, 6).alias("var_adjusted"),
-        F.round(F.lit(1) - var_adj / var_y, 6).alias("variance_reduction"),
+        F.round(
+            F.when(var_y > 0, F.lit(1) - var_adj / var_y), 6
+        ).alias("variance_reduction"),
     )
 
 

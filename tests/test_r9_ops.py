@@ -244,6 +244,27 @@ def test_aa_test_single_unit_side_yields_null_verdict(spark):
     assert r["z_stat"] is None and r["aa_pass"] is None
 
 
+def test_jackknife_and_cuped_degenerate_inputs_yield_nulls(spark):
+    """Proactive sweep of the same moment pattern beyond the four
+    review-named functions: a 1-unit jackknife has no spread (NULL
+    se/ci, ratio still reports); a constant CUPED covariate leaves θ
+    undefined (NULL θ/adjusted, var_y still reports)."""
+    from nnanalytics_spark.pipeline import stats
+
+    one = spark.createDataFrame([(1, 10.0, 5.0)], ["uid", "y", "x"])
+    r = stats.jackknife_ratio_ci(one, "y", "x", "uid").collect()[0]
+    assert r["n_units"] == 1 and r["ratio"] == 2.0
+    assert r["jk_se"] is None and r["ci_lo"] is None and r["ci_hi"] is None
+
+    const_x = spark.createDataFrame(
+        [(1, 4.0, 7.0), (2, 5.0, 7.0), (3, 6.0, 7.0)], ["uid", "y", "x"]
+    )
+    r = stats.cuped_adjustment(const_x, "y", "x", "uid").collect()[0]
+    assert r["theta"] is None and r["var_adjusted"] is None
+    assert r["variance_reduction"] is None
+    assert r["var_y"] is not None and r["var_y"] > 0
+
+
 def test_weighted_quantile_fractional_weights_not_truncated(spark):
     """ADVICE r8: double weights quantize via round(w*1e6) fixed-point
     instead of a silent floor-to-long (which zeroed sub-1 weights and
