@@ -1559,6 +1559,79 @@ def lsh_recall_eval(
     )
 
 
+def anchored_topk(
+    df: DataFrame,
+    max_anchors: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT k nearest neighbors over the FULL corpus for a bounded,
+    deterministic anchor set (the ``max_anchors`` lowest ids) — the
+    fixed-eval-budget kernel: an evaluation probe's cost should be
+    anchors·n, not n², and exactness per anchor is preserved (unlike
+    cell_knn, which bounds cost by restricting the SEARCH space).
+
+    Plan: the anchor matrix broadcasts (bounded by construction:
+    max_anchors·d doubles), the corpus streams through ONE
+    Arrow-batched matmul pass emitting each anchor's local top-k per
+    batch (≤ batches·anchors·k candidate rows — no vector ever
+    shuffles), and a global per-anchor row_number window applies the
+    same (cos desc, nbr asc) round-6 tie-break as knn_graph, so local
+    == global top-k. Self-pairs are masked in-kernel (leave-one-out).
+    Returns (id_col, rank, nbr, cos_sim) — knn_graph's schema, for any
+    consumer to swap in."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.window import Window as W
+
+    rows = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(max_anchors)
+        .collect()
+    )
+    a_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    a_mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+    sc = df.sparkSession.sparkContext
+    b_anchors = sc.broadcast((a_ids, a_mat, a_norm))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, mat, norm = b_anchors.value
+        take = k
+        for pdf in batches:
+            b_ids = pdf["id"].to_numpy()
+            b_mat = np.array(list(pdf["v"]), dtype=np.float64)
+            b_norm = np.sqrt((b_mat * b_mat).sum(axis=1))
+            sims = np.round((mat @ b_mat.T) / np.outer(norm, b_norm), 6)
+            out_id, out_nbr, out_sim = [], [], []
+            for i in range(len(ids)):
+                row = sims[i].copy()
+                row[b_ids == ids[i]] = -np.inf  # leave-one-out
+                order = np.lexsort((b_ids, -row))[:take]
+                keep = order[np.isfinite(row[order])]
+                out_id.extend([ids[i]] * len(keep))
+                out_nbr.extend(b_ids[keep])
+                out_sim.extend(row[keep])
+            yield pd.DataFrame(
+                {"id": out_id, "nbr": out_nbr, "cos_sim": out_sim}
+            ).astype({"id": "int64", "nbr": "int64", "cos_sim": "float64"})
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cands = src.mapInPandas(kernel, "id long, nbr long, cos_sim double")
+    w = W.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("id").alias(id_col), "rank", "nbr", "cos_sim")
+    )
+
+
 def knn_label_eval(
     df: DataFrame,
     k: int = 5,
@@ -1566,6 +1639,7 @@ def knn_label_eval(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rows_per_block: int = 8192,
+    max_anchors: int | None = None,
 ) -> DataFrame:
     """Leave-one-out k-NN label agreement — the standard probe for "do
     these embeddings actually encode the labels": each vector is
@@ -1574,14 +1648,28 @@ def knn_label_eval(
     label = its region of embedding space is entangled — the signal that
     drives cluster-aware resampling or re-embedding.
 
-    Plan: the k-NN graph comes from the blocked exact kernel (knn_graph
-    — shuffle ≤ n·B·k candidate rows, never n²); votes are one
-    (id, neighbor-label) aggregate; the winning label is ONE max_by over
-    (votes, −label) — count-desc with ascending-label tie-break, no
-    window sort. The label join is broadcast-sized (per-id true labels
-    ride the graph rows)."""
+    ``max_anchors`` bounds the EVAL BUDGET (the r9 scale fix — the
+    unbounded probe rode knn_graph's n² kernel and measured 20.4x wall
+    at 10x rows): the lowest-id ``max_anchors`` vectors are classified
+    against their exact nearest neighbors in the FULL corpus
+    (anchored_topk — anchors·n FLOPs, one corpus scan, nothing
+    quadratic), which is how an eval runs at 100 TB anyway: a fixed
+    holdout judged exactly, not every row judging every row. When the
+    corpus is smaller than the budget the report is identical to the
+    unbounded one (the sf0.01 oracle corpus is — the gate row is
+    unchanged). None keeps the full n² probe for gold evaluation.
+
+    Plan: graph from anchored_topk (bounded) or knn_graph's blocked
+    exact kernel (shuffle ≤ n·B·k candidate rows, never n² rows); votes
+    are one (id, neighbor-label) aggregate; the winning label is ONE
+    max_by over (votes, −label) — count-desc with ascending-label
+    tie-break, no window sort. The label join is broadcast-sized
+    (per-id true labels ride the graph rows)."""
     labels = df.select(F.col(id_col).alias("nbr"), F.col(label_col).alias("nbr_label"))
-    g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col, rows_per_block=rows_per_block)
+    if max_anchors is not None:
+        g = anchored_topk(df, max_anchors, k=k, id_col=id_col, vec_col=vec_col)
+    else:
+        g = knn_graph(df, k=k, id_col=id_col, vec_col=vec_col, rows_per_block=rows_per_block)
     votes = (
         g.join(labels, "nbr")
         .groupBy(F.col(id_col), "nbr_label")

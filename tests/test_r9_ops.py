@@ -164,6 +164,44 @@ def test_cell_knn_nprobe2_recall_vs_exact_knn(spark):
     assert len(double & exact) / len(exact) >= 0.95
 
 
+# ------------------------------------------------- anchored_topk
+
+def test_anchored_topk_equals_exact_knn_on_anchors(spark):
+    """The fixed-eval-budget kernel is EXACT: for the anchor set it
+    returns precisely knn_graph's edges (same ids, ranks, round-6
+    scores, same tie-break), and it never emits a non-anchor id."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    budget = 40
+    got = sorted(
+        tuple(r) for r in similarity.anchored_topk(emb, budget, k=3).collect()
+    )
+    anchor_ids = {
+        r["vec_id"]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(budget).collect()
+    }
+    want = sorted(
+        tuple(r)
+        for r in similarity.knn_graph(emb, k=3).collect()
+        if r["vec_id"] in anchor_ids
+    )
+    assert got == want and len(got) == budget * 3
+
+
+def test_knn_label_eval_budget_not_binding_equals_unbounded(spark):
+    """When the corpus is smaller than the anchor budget the bounded
+    report IS the unbounded one — the property that keeps the sf0.01
+    gate row unchanged under the r9 reshape."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    bounded = sorted(
+        tuple(r)
+        for r in similarity.knn_label_eval(emb, k=5, max_anchors=10**6).collect()
+    )
+    unbounded = sorted(
+        tuple(r) for r in similarity.knn_label_eval(emb, k=5).collect()
+    )
+    assert bounded == unbounded
+
+
 # --------------------------------------------- ADVICE edge guards
 
 def test_hill_tail_index_with_too_few_keys_emits_null_row(spark):
