@@ -1003,9 +1003,20 @@ def q_simhash_pairs_multiblock(spark, sf):
     semantics dial — any blocks >= max_hamming+1 satisfies pigeonhole,
     so the 6x(10,10,10,10,10,14)-bit run must emit the identical pair
     set the 4x16 quadrant run (and the oracle's brute-force join) emits,
-    including pairs whose flipped bits straddle the remainder block."""
+    including pairs whose flipped bits straddle the remainder block.
+
+    Fixed 5k-doc exhibit budget (r9 full-sweep finding: 76.7x wall at
+    10x rows — 10-bit fields have <=1024 distinct values, so bucket
+    depth grows with the corpus and the candidate join is ~n²/2¹⁰ BY
+    CONSTRUCTION; that cost cliff is exactly what
+    simhash_block_diagnostic exists to price BEFORE a run, and the
+    parity property this row pins is scale-invariant, so a bounded
+    exhibit proves it just as well). Not binding at sf0.01 (500 docs,
+    the oracle corpus — unchanged) nor at sf0.1 (exactly 5k docs — the
+    bench row is unchanged too); at sf1+ the exhibit stays constant
+    work."""
     i = F.col("doc_id")
-    sigs = _t(spark, sf, "documents").select(
+    sigs = _t(spark, sf, "documents").filter(i < 5000).select(
         i.alias("id"),
         (
             F.expr("doc_id div 10") * F.lit(_SIMHASH_GROUP_MULT)
@@ -1033,8 +1044,15 @@ def q_ann_topk(spark, sf):
 
 
 def q_ann_lsh_pairs(spark, sf):
-    """LSH-bucketed ANN pairs (deterministic hyperplanes; rows-only)."""
-    return similarity.lsh_bucketed_pairs(_t(spark, sf, "embeddings"), threshold=0.3, bits=8)
+    """LSH-bucketed ANN pairs (deterministic hyperplanes). bits=None =
+    the _auto_lsh_bits width rule (r9: fixed bits=8 left bucket depth
+    ∝ n and the within-bucket join quadratic — 16.2x wall at 10x rows;
+    auto width keeps depth ~2). At the gate scales the rule resolves
+    to exactly the old bits=8 (and shorter widths are LCG-prefixes of
+    longer ones), so the oracle is unchanged."""
+    return similarity.lsh_bucketed_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.3, bits=None
+    )
 
 
 # keyed by sf dir (the standard index) or ("pinned", sf) for the

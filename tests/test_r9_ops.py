@@ -202,6 +202,44 @@ def test_knn_label_eval_budget_not_binding_equals_unbounded(spark):
     assert bounded == unbounded
 
 
+# -------------------------------------------- LSH width auto-rule
+
+def test_auto_lsh_bits_rule_and_prefix_property():
+    """bits = max(8, ceil(log2(n/2))) keeps expected bucket depth ~2;
+    the gate scales resolve to the historical 8, and _hyperplanes'
+    LCG stream makes shorter widths a strict prefix of longer ones."""
+    assert similarity._auto_lsh_bits(500) == 8
+    assert similarity._auto_lsh_bits(1) == 8  # degenerate floor
+    assert similarity._auto_lsh_bits(5_000) == 12
+    assert similarity._auto_lsh_bits(50_000) == 15
+    assert similarity._auto_lsh_bits(5 * 10**7) == 25  # depth stays ~2
+    p12 = similarity._hyperplanes(8, 12)
+    assert similarity._hyperplanes(8, 8) == p12[:8]
+
+
+def test_lsh_bucketed_pairs_auto_equals_explicit_at_gate_scale(spark):
+    """bits=None on the 500-vector gate corpus is bit-identical to the
+    historical bits=8 run (the property that keeps the ann_lsh_pairs
+    oracle unchanged), and a second table only ADDS candidate pairs
+    (recall dial), never changes a score."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    auto = sorted(
+        tuple(r) for r in similarity.lsh_bucketed_pairs(emb, 0.3, bits=None).collect()
+    )
+    explicit = sorted(
+        tuple(r) for r in similarity.lsh_bucketed_pairs(emb, 0.3, bits=8).collect()
+    )
+    assert auto == explicit and len(auto) > 0
+    two = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.lsh_bucketed_pairs(emb, 0.3, bits=8, tables=2).collect()
+    }
+    one = {(a, b): s for a, b, s in explicit}
+    assert set(one) <= set(two)
+    for k, v in one.items():
+        assert two[k] == pytest.approx(v, abs=1e-6)
+
+
 # --------------------------------------------- ADVICE edge guards
 
 def test_hill_tail_index_with_too_few_keys_emits_null_row(spark):
