@@ -199,7 +199,11 @@ def incremental_lsh_pairs(
 
     ``removed_ids`` (one column ``id``): docs dropped since the index
     was persisted; their stale rows are anti-joined out before any
-    pair is formed.
+    pair is formed. A CHANGED doc (same id, new text) is remove +
+    re-add: list its id in ``removed_ids`` AND ship the new version in
+    ``delta_docs`` — otherwise its stale index rows keep pairing on
+    the OLD text's buckets (pinned by
+    tests/test_incremental.py::test_resumable_with_changed_docs).
 
     Plan: (1) prune the persisted index to delta-touched buckets with
     a broadcast semi-join on the delta's distinct (band, bucket) keys

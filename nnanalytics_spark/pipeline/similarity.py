@@ -745,6 +745,18 @@ def assign_cells_rounded(
     import numpy as np
     import pandas as pd
 
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if len(centroids) == 0:
+        # empty corpus → empty centroid list: an empty assignment with
+        # the contract schema, not a 0-d numpy crash in the kernel
+        return (
+            src.withColumn("cell", F.lit(0).cast("int"))
+            .select("id", "cell", "v")
+            .filter(F.lit(False))
+        )
+
     b_cent = df.sparkSession.sparkContext.broadcast(np.asarray(centroids, dtype=np.float64))
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -774,7 +786,6 @@ def assign_cells_rounded(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
     return src.mapInPandas(assign, "id long, cell int, v array<double>")
 
 
@@ -1335,16 +1346,33 @@ def _pinned_centroids(
     df: DataFrame, id_col: str, vec_col: str, stride: int, max_centroids: int
 ) -> list:
     """Pinned stride-centroid vectors under the _capped_stride rule,
-    ordered by id (cell index = rank in this list)."""
+    ordered by id (cell index = rank in this list).
+
+    Pinning rule: ids congruent to the corpus' MINIMUM id modulo the
+    effective stride (pmod, so negative ids behave like Python's %).
+    For dense 0-based ids (min id = 0) this is exactly the textbook
+    ``id % eff == 0`` rule — gate and oracle results are unchanged —
+    but it never pins ZERO centroids on a sparse or offset id space
+    (post-filter doc_ids, snowflake ids: the min id always qualifies),
+    where the plain modulo rule handed assign_cells_rounded an empty
+    centroid matrix and crashed. The pinned set is additionally capped
+    at ``max_centroids`` rows by a deterministic id-ordered limit, so
+    an adversarial id distribution (every id sharing the residue)
+    bounds the driver collect instead of pulling n vectors."""
     n = df.count()
     eff = _capped_stride(n, stride, max_centroids)
-    return [
-        r["v"]
-        for r in df.filter(F.col(id_col) % eff == 0)
+    mn = df.agg(F.min(F.col(id_col)).alias("m")).collect()
+    if not mn or mn[0]["m"] is None:
+        return []
+    residue = int(mn[0]["m"]) % eff
+    pinned = (
+        df.filter(F.pmod(F.col(id_col), F.lit(eff)) == residue)
         .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
-        .collect()
-    ]
+    )
+    if max_centroids > 0:
+        pinned = pinned.limit(max_centroids)
+    return [r["v"] for r in pinned.collect()]
 
 
 def cell_knn(

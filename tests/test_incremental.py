@@ -166,3 +166,59 @@ def test_incremental_pairs_all_touch_delta(spark, docs):
         assert r["id_a"] < r["id_b"]
         assert r["id_a"] in delta_ids or r["id_b"] in delta_ids
         assert r["id_a"] not in removed_ids and r["id_b"] not in removed_ids
+
+
+def test_resumable_with_changed_docs(spark, docs):
+    """A CHANGED doc (same id, new text) rides the documented
+    remove + re-add contract: its id in removed_ids AND its new
+    version in delta_docs — the result equals a cold run on the edited
+    corpus (its stale index rows never pair on the old text's
+    buckets)."""
+    edit = F.col("doc_id") % 15 == 4
+    new = docs.withColumn(
+        "text",
+        F.when(edit, F.concat(F.col("text"), F.lit(" v2 edit"))).otherwise(
+            F.col("text")
+        ),
+    )
+    delta = new.filter(edit)
+    removed = docs.filter(edit).select(F.col("doc_id").alias("id"))
+    kw = dict(k=32, bands=8)
+    old_pairs = dedup.minhash_lsh_pairs(docs, **kw)
+    index = dedup.banded_signatures(docs, **kw)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in incremental.resumable_lsh_pairs(
+            old_pairs, delta, index, removed_ids=removed, **kw
+        ).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(new, **kw).collect()
+    )
+    assert got == want
+    assert len(want) > 0
+
+
+def test_resumable_removal_only_empty_delta(spark, docs):
+    """A pure-removal delta (EMPTY delta_docs): the resumable set is
+    exactly the old pairs minus removed-touching ones; the incremental
+    join over an empty delta contributes nothing and nothing crashes
+    on the empty broadcast side."""
+    removed = docs.filter(F.col("doc_id") % 5 == 2).select(
+        F.col("doc_id").alias("id")
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 2)
+    delta = docs.filter(F.lit(False))
+    kw = dict(k=32, bands=8)
+    old_pairs = dedup.minhash_lsh_pairs(docs, **kw)
+    index = dedup.banded_signatures(docs, **kw)
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in incremental.resumable_lsh_pairs(
+            old_pairs, delta, index, removed_ids=removed, **kw
+        ).collect()
+    )
+    want = sorted(
+        (r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(new, **kw).collect()
+    )
+    assert got == want

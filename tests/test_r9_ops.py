@@ -366,3 +366,73 @@ def test_weighted_quantile_fractional_weights_not_truncated(spark):
     r = stats.weighted_quantile(ints, "v", "w", "grp", qs=(0.5, 0.9)).collect()[0]
     assert r["w_total"] == 4 and r["wq50"] == 2.0 and r["wq90"] == 3.0
 
+
+
+# ----------------------- sparse / offset id robustness (r9 follow-up)
+
+def test_pinned_centroids_dense_ids_match_textbook_rule(spark):
+    """On dense 0-based ids the min-residue pinning rule degenerates to
+    the textbook id % eff == 0 rule — gate and oracle results are
+    unchanged by the sparse-id fix."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    eff = similarity._capped_stride(n, 50, 4096)
+    want = [
+        r["v"]
+        for r in emb.filter(F.col("vec_id") % eff == 0)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    got = similarity._pinned_centroids(emb, "vec_id", "embedding", 50, 4096)
+    assert len(got) >= 2 and got == want
+
+
+def test_cell_knn_sparse_offset_ids_no_crash(spark):
+    """Sparse, offset ids (no id divisible by the stride): the plain
+    modulo rule pinned ZERO centroids and crashed assignment on an
+    empty matrix; the min-residue rule pins the min id's residue class
+    and the graph comes back valid."""
+    rows = [
+        (10_000_001 + 2 * i, [float((i * 7 + j) % 5) + 0.1 for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cell_knn(df, k=3, stride=200).collect()
+    ids = {r[0] for r in rows}
+    assert out
+    for r in out:
+        assert r["vec_id"] in ids and r["nbr"] in ids and r["vec_id"] != r["nbr"]
+        assert 1 <= r["rank"] <= 3
+
+
+def test_bounded_pairs_above_sparse_ids_scores_exact(spark):
+    """bounded_pairs_above on a sparse-id corpus: runs (no empty
+    centroid matrix), every emitted pair is ordered and scored with
+    the exact round-6 cosine (candidates are a subset of the exact
+    pair set by contract; scores never differ)."""
+    rows = [
+        (7_000_003 + 5 * i, [1.0 + 0.01 * ((i * 13 + j) % 7) for j in range(8)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in similarity.all_pairs_above(df, 0.999).collect()
+    }
+    got = similarity.bounded_pairs_above(df, 0.999, stride=37).collect()
+    assert got and exact
+    for r in got:
+        assert r["id_a"] < r["id_b"]
+        assert (r["id_a"], r["id_b"]) in exact
+        assert r["cos_sim"] == exact[(r["id_a"], r["id_b"])]
+
+
+def test_cell_knn_empty_corpus_returns_empty(spark):
+    """Empty corpus: zero pinned centroids must yield an empty graph
+    with the contract schema, not a numpy shape error in the
+    assignment kernel."""
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.cell_knn(df, k=3)
+    assert out.columns == ["vec_id", "rank", "nbr", "cos_sim"]
+    assert out.collect() == []
