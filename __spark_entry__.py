@@ -117,6 +117,17 @@ def _dsum(col: str, alias: str) -> F.Column:
     return F.sum(F.col(col).cast(_DEC)).cast("double").alias(alias)
 
 
+def _qvec(emb: DataFrame, vec_id: int) -> list[float]:
+    """Query vector by id, with a [0.0] fallback when the corpus is
+    empty/degenerate (no such row). The fallback literal only ever
+    evaluates per-row, so on the empty corpus every downstream plan
+    (brute-force top-k, IVF probe, fusion, rerank) yields an EMPTY
+    frame with its normal schema instead of a driver-side None
+    subscript — the degenerate-partition contract."""
+    r = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    return [0.0] if r is None else [float(x) for x in r[0]]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: TPC-H-Q1-shaped pricing summary over sf0.001 lineitem —
     filter → two-level group → shared-scan multi-aggregate (the reference's
@@ -766,6 +777,12 @@ def q_kmeans_refine(spark, sf):
         .orderBy("vec_id")
         .collect()
     )
+    if not rows:
+        # empty corpus: no seed centroids, empty refinement report with
+        # the gate-scale schema (embeddings are 64-d by contract)
+        return spark.createDataFrame(
+            [], "cell int, n_members bigint, " + ", ".join(f"c{j} double" for j in range(64))
+        )
     centroids = np.array([r["v"] for r in rows], dtype=np.float64)
     return similarity.kmeans_refine(emb, centroids)
 
@@ -1037,9 +1054,8 @@ def q_embedding_dup_pairs(spark, sf):
 def q_ann_topk(spark, sf):
     """Brute-force cosine top-10 against the vec_id=0 vector."""
     emb = _t(spark, sf, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.brute_force_topk(
-        emb.filter(F.col("vec_id") != 0), [float(x) for x in qvec], k=10
+        emb.filter(F.col("vec_id") != 0), _qvec(emb, 0), k=10
     )
 
 
@@ -1083,18 +1099,19 @@ def q_ann_ivf_topk(spark, sf):
     probe ranking, and the pruned top-k closed-form, so the partial
     probe itself is hash-verified (was rows-only when the cells came
     from sampled float k-means no other engine could reproduce)."""
+    emb = _t(spark, sf, "embeddings")
+    if emb.filter(F.col("vec_id") != 0).head() is None:
+        # nothing left to index once the query vector is held out
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
     if ("pinned", sf) not in _IVF_INDEX:
         import tempfile
 
-        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
         path = tempfile.mkdtemp(prefix="nna_ivfp_")
         _IVF_INDEX[("pinned", sf)] = similarity.ivf_build_pinned(
-            emb, path, centroid_ids=list(range(1, 9))
+            emb.filter(F.col("vec_id") != 0), path, centroid_ids=list(range(1, 9))
         )
-    emb = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     return similarity.ivf_search_rounded(
-        spark, _IVF_INDEX[("pinned", sf)], qvec, k=10, nprobe=4
+        spark, _IVF_INDEX[("pinned", sf)], _qvec(emb, 0), k=10, nprobe=4
     )
 
 
@@ -1105,8 +1122,12 @@ def q_ann_ivf_full(spark, sf):
     recomputes that exactly in SQL, so this row hash-verifies the whole
     build -> partitioned-write -> probe -> score path end to end."""
     emb = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
-    return similarity.ivf_search(spark, _ivf_index(spark, sf), qvec, k=10, nprobe=16)
+    if emb.filter(F.col("vec_id") != 0).head() is None:
+        # nothing left to index once the query vector is held out
+        return spark.createDataFrame([], "vec_id long, cos_sim double")
+    return similarity.ivf_search(
+        spark, _ivf_index(spark, sf), _qvec(emb, 0), k=10, nprobe=16
+    )
 
 
 def q_cube_agg(spark, sf):
@@ -2289,6 +2310,11 @@ def q_watermark_window_parity(spark, sf):
     win_ms = 300_000  # never tie the watermark (hash-stable boundary)
     ev = _events(spark, sf).select("event_id", "ts_ms", "event_type")
     max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    if max_ts is None:
+        # empty event log: no windows can close — typed empty parity
+        from nnanalytics_spark.core.smalldf import local_df
+
+        return local_df(spark, [], "win long, event_type string, cnt long")
     seg_dir = tempfile.mkdtemp(prefix="nna_wm_seg_")
     segments = [
         ev,
@@ -2425,6 +2451,11 @@ def q_stream_locf_parity(spark, sf):
         )
     )
     max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    if max_ts is None:
+        # empty event log: no segments, no stream — typed empty parity
+        return spark.createDataFrame(
+            [], "event_id long, user_id long, value double, value_filled double"
+        )
     seg_dir = tempfile.mkdtemp(prefix="nna_locf_seg_")
     schema = "user_id long, event_id long, ts_ms long, value double"
 
@@ -2509,6 +2540,11 @@ def q_stream_ewma_parity(spark, sf):
         .select("user_id", "event_id", "ts_ms", "value")
     )
     max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    if max_ts is None:
+        # empty event log: no segments, no stream — typed empty parity
+        return spark.createDataFrame(
+            [], "user_id long, event_id long, value double, ewma double, is_anomaly int"
+        )
     seg_dir = tempfile.mkdtemp(prefix="nna_ewma_seg_")
     schema = "user_id long, event_id long, ts_ms long, value double"
 
@@ -2591,6 +2627,11 @@ def q_stream_holt_parity(spark, sf):
         .select("user_id", "event_id", "ts_ms", "value")
     )
     max_ts = ev.agg(F.max("ts_ms")).collect()[0][0]
+    if max_ts is None:
+        # empty event log: no segments, no stream — typed empty parity
+        return spark.createDataFrame(
+            [], "user_id long, event_id long, value double, level double, trend double"
+        )
     seg_dir = tempfile.mkdtemp(prefix="nna_holt_seg_")
     schema = "user_id long, event_id long, ts_ms long, value double"
 
@@ -2769,8 +2810,10 @@ def q_save_namespace_roundtrip(spark, sf):
     from nnanalytics_spark.sources import layout
 
     out_dir = tempfile.mkdtemp(prefix="nna_namespace_")
-    layout.write_inode_table(_inodes(spark, sf), out_dir, path_partitions=8)
-    back = layout.read_inode_table(spark, out_dir)
+    ino = _inodes(spark, sf)
+    layout.write_inode_table(ino, out_dir, path_partitions=8)
+    # explicit read schema: an empty-write sink has no files to infer from
+    back = layout.read_inode_table(spark, out_dir, schema=ino.schema)
     return (
         back.groupBy("type")
         .agg(
@@ -3154,9 +3197,18 @@ def q_zone_map_prune(spark, sf):
 
     out_dir = tempfile.mkdtemp(prefix="nna_zonemap_")
     ev = _events(spark, sf).select("event_id", "ts_us", "value")
+    mn, mx = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    if mn is None:
+        # empty event log: nothing to shard, nothing to prune — the
+        # same one-row aggregate shape with honest zero/false literals
+        return ev.limit(0).agg(
+            F.lit(0).alias("n_files_total"),
+            F.lit(False).alias("pruned"),
+            F.count(F.lit(1)).alias("rows_in_range"),
+            _dsum("value", "sum_value"),
+        )
     layout.range_shard_write(ev, out_dir, "ts_us", num_shards=16)
     zmap = layout.zone_map(spark, out_dir, "ts_us")
-    mn, mx = ev.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
     lo = mn + (mx - mn) * 2 // 5
     hi = mn + (mx - mn) // 2
     files = layout.prune_files(spark, zmap, lo, hi)
@@ -4719,7 +4771,8 @@ def q_partition_prune(spark, sf):
     base = tempfile.mkdtemp(prefix="nna_part_")
     ev = _events(spark, sf).select("event_id", "event_type", "value")
     layout.write_partitioned(ev, base, "event_type")
-    pruned = layout.read_partition_pruned(spark, base, event_type="click")
+    # explicit read schema: an empty-write sink has no files to infer from
+    pruned = layout.read_partition_pruned(spark, base, schema=ev.schema, event_type="click")
     # inputFiles() reports the relation BEFORE partition pruning, so the
     # honest signal is the physical scan: directory pruning shows up as
     # a PartitionFilters entry on the FileScan (a broken partitioned
@@ -4756,12 +4809,8 @@ def q_rrf_fusion(spark, sf):
     from nnanalytics_spark.pipeline import retrieval, similarity
 
     emb = _t(spark, sf, "embeddings")
-    vecs = {
-        i: [float(x) for x in emb.filter(F.col("vec_id") == i).head()[1]]
-        for i in (0, 1)
-    }
-    r0 = similarity.brute_force_topk(emb, vecs[0], k=50)
-    r1 = similarity.brute_force_topk(emb, vecs[1], k=50)
+    r0 = similarity.brute_force_topk(emb, _qvec(emb, 0), k=50)
+    r1 = similarity.brute_force_topk(emb, _qvec(emb, 1), k=50)
     return retrieval.rrf_fuse(
         [r0.withColumnRenamed("cos_sim", "score"), r1.withColumnRenamed("cos_sim", "score")],
         id_col="vec_id",
@@ -4779,9 +4828,8 @@ def q_mmr_rerank(spark, sf):
     from nnanalytics_spark.pipeline import retrieval, similarity
 
     emb = _t(spark, sf, "embeddings")
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()[1]]
     pool = (
-        similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), qvec, k=24)
+        similarity.brute_force_topk(emb.filter(F.col("vec_id") != 0), _qvec(emb, 0), k=24)
         .withColumnRenamed("cos_sim", "rel")
         .join(emb.select("vec_id", "embedding"), "vec_id")
     )

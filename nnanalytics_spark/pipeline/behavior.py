@@ -970,10 +970,17 @@ def rfm_scores(
         return (6 - s) if invert else s
 
     b = qs.head()
+
+    def bounds(name):
+        # empty input: percentile over zero users is NULL — any bounds
+        # keep the schema (base has no rows to score), zeros are cheap
+        v = b[name] if b is not None else None
+        return v if v is not None else [0, 0, 0, 0]
+
     out = (
-        base.withColumn("r_score", score("recency_days", b["q_recency_days"], invert=True))
-        .withColumn("f_score", score("frequency", b["q_frequency"]))
-        .withColumn("m_score", score("monetary_cents", b["q_monetary_cents"]))
+        base.withColumn("r_score", score("recency_days", bounds("q_recency_days"), invert=True))
+        .withColumn("f_score", score("frequency", bounds("q_frequency")))
+        .withColumn("m_score", score("monetary_cents", bounds("q_monetary_cents")))
         .withColumn(
             "segment",
             F.concat(
@@ -1095,10 +1102,11 @@ def diff_in_diff(
     agg = events.agg(*cells)
 
     def mean(label: str):
-        return (
-            F.col(f"s_{label}").cast("double")
-            / F.col(f"n_{label}")
-            / 100.0
+        # an empty cell (e.g. nothing pre-cutover) has no mean — NULL
+        # cell mean and NULL did, never an ANSI divide error
+        return F.when(
+            F.col(f"n_{label}") > 0,
+            F.col(f"s_{label}").cast("double") / F.col(f"n_{label}") / 100.0,
         )
 
     did = (mean("t_post") - mean("t_pre")) - (mean("c_post") - mean("c_pre"))
@@ -1328,8 +1336,10 @@ def freshness_half_life(
     n = F.col("n").cast("double")
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
-    intercept = sy / n - slope * (sx / n)
+    # a single observed day has zero age spread (n·sxx − sx² = 0): the
+    # regression is undefined — NULL slope/intercept/half-life
+    slope = F.when(n * sxx - sx * sx != 0, (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    intercept = F.when(F.col("n") >= 1, sy / n - slope * (sx / n))
     return m.select(
         F.col("n").alias("n_days"),
         F.round(slope, 6).alias("slope"),

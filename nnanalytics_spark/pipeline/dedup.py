@@ -1708,9 +1708,16 @@ def shingle_df_sweep(
             "n_kept",
             (F.col("_tot_sh") - F.col("n_kept")).alias("n_hot_dropped"),
             F.col("_pairs").cast("long").alias("candidate_pairs"),
+            # a corpus with zero uncapped candidate pairs (every shingle
+            # unique — e.g. a single doc) has nothing to reduce: NULL
+            # pair_reduction (diagnosable), never an ANSI divide error
             F.round(
-                F.lit(1.0)
-                - F.col("_pairs").cast("double") / F.col("_tot_pairs").cast("double"),
+                F.when(
+                    F.col("_tot_pairs") != 0,
+                    F.lit(1.0)
+                    - F.col("_pairs").cast("double")
+                    / F.col("_tot_pairs").cast("double"),
+                ),
                 6,
             ).alias("pair_reduction"),
         )

@@ -495,8 +495,12 @@ def source_ablation(
         F.sum("n_docs").alias("_n"), F.sum("_s").cast(dec).alias("_ss")
     )
     full_mean = F.col("_ss").cast("double") / F.col("_n")
-    loo = (F.col("_ss") - F.col("_s")).cast("double") / (
-        F.col("_n") - F.col("n_docs")
+    # a source that IS the whole corpus leaves nothing behind when
+    # removed: its leave-one-out mean is undefined — NULL loo/delta
+    # (diagnosable), never an ANSI divide error
+    loo = F.when(
+        F.col("_n") > F.col("n_docs"),
+        (F.col("_ss") - F.col("_s")).cast("double") / (F.col("_n") - F.col("n_docs")),
     )
     return (
         per.crossJoin(F.broadcast(tot))

@@ -102,6 +102,11 @@ def all_pairs_above(
         .orderBy("id")
         .collect()
     )
+    if not rows:
+        # empty corpus: empty pair set with the contract schema (the
+        # degenerate-input sweep class — a 0-row delta partition must
+        # yield 0 pairs, not a 0-d numpy crash on the driver)
+        return df.sparkSession.createDataFrame([], "id_a long, id_b long, cos_sim double")
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
@@ -486,6 +491,11 @@ def batch_topk(
         .orderBy("qid")
         .collect()
     )
+    if not qrows:
+        # no query vectors: empty result with the contract schema
+        return df.sparkSession.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["qv"] for r in qrows], dtype=np.float64)
     qnorms = np.sqrt((qmat * qmat).sum(axis=1))
@@ -944,6 +954,11 @@ def kmeans_refine(
     Means are SUM/COUNT of exact input doubles, so an oracle replays the
     iteration exactly (sum order differs only below round 6).
     """
+    if len(centroids) == 0:
+        raise ValueError(
+            "kmeans_refine needs >= 1 centroid (an empty corpus has no "
+            "sampled/pinned centroids to refine — guard at the caller)"
+        )
     dim = len(centroids[0])
     assigned = assign_cells_rounded(df, centroids, id_col, vec_col)
     return (
@@ -1020,6 +1035,8 @@ def pq_train(
     import numpy as np
 
     rows = df.select(F.col(vec_col).cast("array<double>")).limit(sample).collect()
+    if not rows:
+        return []  # empty corpus: no codebooks (pq_report maps [] to an empty report)
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     dim = mat.shape[1]
     if dim % m:
@@ -1066,6 +1083,9 @@ def pq_report(
     import pandas as pd
 
     m = len(codebooks)
+    if m == 0:
+        # empty codebooks (pq_train on an empty corpus): empty report
+        return df.sparkSession.createDataFrame([], "sub int, n bigint, improved boolean")
     sub_d = codebooks[0].shape[1]
     dim = m * sub_d
     src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
@@ -1075,6 +1095,8 @@ def pq_report(
         *[F.sum(F.element_at("v", j + 1)).alias(f"s{j}") for j in range(dim)],
     ).first()
     n_total = sums["n"]
+    if not n_total:
+        return df.sparkSession.createDataFrame([], "sub int, n bigint, improved boolean")
     means = np.array([sums[f"s{j}"] / n_total for j in range(dim)], dtype=np.float64)
     spark = df.sparkSession
     b_books = spark.sparkContext.broadcast([np.asarray(b, dtype=np.float64) for b in codebooks])
@@ -1661,6 +1683,11 @@ def anchored_topk(
         .limit(max_anchors)
         .collect()
     )
+    if not rows:
+        # empty corpus: no anchors, empty graph with the contract schema
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, rank int, nbr long, cos_sim double"
+        )
     a_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     a_mat = np.array([r["v"] for r in rows], dtype=np.float64)
     a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
@@ -1794,7 +1821,13 @@ def link_negatives(
     if method not in ("exact", "cell"):
         raise ValueError(f"method must be 'exact' or 'cell', got {method!r}")
     if n_ids is None:
-        n_ids = int(df.agg(F.max(id_col)).head()[0]) + 1
+        mx = df.agg(F.max(id_col)).head()[0]
+        if mx is None:
+            # empty corpus: no anchors, no pairs — contract schema out
+            return df.sparkSession.createDataFrame(
+                [], "anchor long, other long, label int"
+            )
+        n_ids = int(mx) + 1
     miner = (
         knn_graph(df, k=k_pos, id_col=id_col, vec_col=vec_col)
         if method == "exact"

@@ -206,7 +206,12 @@ def cohens_kappa(df: DataFrame, rater_a, rater_b) -> DataFrame:
         "b1",
         "n11",
         "n00",
-        F.expr("(1000000 * (num + 4 * den)) DIV den - 4000000").alias("kappa_micros"),
+        # den = 0 iff both raters are constant (chance agreement = 1):
+        # kappa is undefined — NULL, never an ANSI divide error
+        F.when(
+            F.col("den") != 0,
+            F.expr("(1000000 * (num + 4 * den)) DIV den - 4000000"),
+        ).alias("kappa_micros"),
     )
 
 
@@ -612,7 +617,12 @@ def mad_outliers(
         )
     )
     scored = df.join(mad, gcols) if gcols else df.crossJoin(F.broadcast(mad))
-    rz = F.lit(0.6745) * (F.col(value) - F.col("med")) / F.col("mad")
+    # MAD = 0 (>= half the group equals its median, e.g. a 1-row group):
+    # the modified z-score is undefined — NULL rz, 0 outliers, NULL max
+    rz = F.when(
+        F.col("mad") != 0,
+        F.lit(0.6745) * (F.col(value) - F.col("med")) / F.col("mad"),
+    )
     return (
         scored.groupBy(*gcols, "med", "mad")
         .agg(
@@ -675,7 +685,12 @@ def emd_1d(
         )
         .select(
             F.round(
-                F.abs(F.col("cum_a") / F.col("ta") - F.col("cum_b") / F.col("tb"))
+                # one side empty: EMD between a distribution and nothing
+                # is undefined — NULL terms, NULL emd (diagnosable)
+                F.when(
+                    (F.col("ta") > 0) & (F.col("tb") > 0),
+                    F.abs(F.col("cum_a") / F.col("ta") - F.col("cum_b") / F.col("tb")),
+                )
                 * F.col("gap")
                 * F.lit(bucket_width),
                 9,
@@ -878,13 +893,17 @@ def overdispersion(
     )
     n, sx, sxx = (F.col("n_days").cast("double"), F.col("sx").cast("double"), F.col("sxx").cast("double"))
     mean = sx / n
-    var = (n * sxx - sx * sx) / (n * (n - 1))
+    # a single observed day has no sample variance — NULL var/dispersion
+    # (the module's insufficient-units contract), never an ANSI error
+    var = F.when(
+        F.col("n_days") >= 2, (n * sxx - sx * sx) / (n * (n - 1))
+    )
     return m.select(
         F.col("g").alias(group),
         "n_days",
         F.round(mean, 6).alias("mean_daily"),
         F.round(var, 6).alias("var_daily"),
-        F.round(var / mean, 6).alias("dispersion"),
+        F.round(F.when(mean != 0, var / mean), 6).alias("dispersion"),
     )
 
 
@@ -1013,15 +1032,24 @@ def bootstrap_ci(
     )
     reps = weighted.groupBy("_rep").agg(
         F.round(
-            F.sum(F.col("_w") * F.col("_v")).cast("double")
-            / F.sum("_w"),
+            F.when(
+                F.sum("_w") > 0,
+                F.sum(F.col("_w") * F.col("_v")).cast("double") / F.sum("_w"),
+            ),
             9,
         ).alias("_mean")
     )
+    # a replicate whose every row drew weight 0 (P = e^-n, real only at
+    # tiny n) is an EMPTY resample: its mean is undefined, so it drops
+    # out of the percentile grid (NULL, never an ANSI divide error);
+    # the cut indices still count against `replicates`, so at tiny n
+    # the interval can come back empty rather than fabricated.
     # _rep tie-break: two replicate means equal to 9 dp must still rank
     # identically in any engine
     rk = F.row_number().over(W.orderBy("_mean", "_rep"))
-    ranked = reps.select("_mean", "_rep", rk.alias("_rk"))
+    ranked = (
+        reps.filter(F.col("_mean").isNotNull()).select("_mean", "_rep", rk.alias("_rk"))
+    )
     lo_i = max(1, math.ceil(lo_q * replicates))
     hi_i = max(1, math.ceil(hi_q * replicates))
     base = df.agg(
@@ -1287,9 +1315,14 @@ def classifier_auc(
     return contrib.agg(
         F.sum("np").alias("n_pos"),
         F.sum("nn").alias("n_neg"),
+        # a single-class input has no pos/neg pairs to rank: AUC is
+        # undefined — NULL, never an ANSI divide error
         F.round(
-            F.sum("num2").cast("double")
-            / (F.lit(2) * F.sum("np") * F.sum("nn")),
+            F.when(
+                (F.sum("np") > 0) & (F.sum("nn") > 0),
+                F.sum("num2").cast("double")
+                / (F.lit(2) * F.sum("np") * F.sum("nn")),
+            ),
             6,
         ).alias("auc"),
     )
@@ -1786,10 +1819,18 @@ def stratified_association(
             )
         ).alias("_den"),
     )
-    crude = F.col("a").cast("double") * F.col("d") / (
-        F.col("b").cast("double") * F.col("c")
+    # an empty off-diagonal (b or c = 0) leaves the pooled odds ratio
+    # undefined, and an all-one-cell corpus zeroes the CMH denominator:
+    # NULL ratios (diagnosable), never an ANSI divide error
+    crude = F.when(
+        (F.col("b") > 0) & (F.col("c") > 0),
+        F.col("a").cast("double") * F.col("d")
+        / (F.col("b").cast("double") * F.col("c")),
     )
-    cmh = F.col("_num").cast("double") / F.col("_den").cast("double")
+    cmh = F.when(
+        F.col("_den") != 0,
+        F.col("_num").cast("double") / F.col("_den").cast("double"),
+    )
     total = tot.select(
         F.lit("TOTAL").alias("stratum"),
         "a",
@@ -1838,7 +1879,9 @@ def negbinom_fit(
     n = F.col("n_days").cast("double")
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     mean = sx / n
-    var = (n * sxx - sx * sx) / (n * (n - 1))
+    # a single observed day has no sample variance — NULL var and NULL
+    # fit columns (the insufficient-units contract), never an ANSI error
+    var = F.when(F.col("n_days") >= 2, (n * sxx - sx * sx) / (n * (n - 1)))
     over = var > mean
     r = mean * mean / (var - mean)
     p = mean / var
@@ -2012,7 +2055,9 @@ def gains_curve(
         F.sum("pos").over(w).alias("_cp"),
     )
     share = F.col("_cn").cast("double") / F.col("_tn")
-    recall = F.col("_cp").cast("double") / F.col("_tp")
+    # zero positives in the corpus: recall/lift are undefined — NULL
+    # (diagnosable), never an ANSI divide error
+    recall = F.when(F.col("_tp") > 0, F.col("_cp").cast("double") / F.col("_tp"))
     return (
         cum.crossJoin(F.broadcast(tot))
         .select(
@@ -2478,8 +2523,14 @@ def runs_test(
     n1, n2 = F.col("n_above").cast("double"), F.col("n_below").cast("double")
     nn = F.col("n_days").cast("double")
     mu = 2 * n1 * n2 / nn + 1
-    var = 2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1))
-    z = (F.col("runs") - mu) / F.sqrt(var)
+    # one day, or every day on one side of the median: σ² = 0 and the
+    # z statistic is undefined — NULL z / NULL verdict, never an ANSI
+    # divide error
+    var = F.when(
+        (F.col("n_days") >= 2) & (F.col("n_above") > 0) & (F.col("n_below") > 0),
+        2 * n1 * n2 * (2 * n1 * n2 - nn) / (nn * nn * (nn - 1)),
+    )
+    z = F.when(var > 0, (F.col("runs") - mu) / F.sqrt(var))
     return agg.select(
         F.col("g").alias(group),
         "n_days",

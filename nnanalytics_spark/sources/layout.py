@@ -65,8 +65,13 @@ def write_inode_table(inodes: DataFrame, path: str, path_partitions: int = 32) -
     )
 
 
-def read_inode_table(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+def read_inode_table(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """``schema``: optional explicit read schema — the production
+    discipline for any partitioned sink: a sink written from an EMPTY
+    frame holds no data files, so schema inference fails exactly where
+    a contract read (the schema the writer was given) succeeds."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    return reader.parquet(path)
 
 
 def write_bucketed(
@@ -307,16 +312,19 @@ def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
 
 
 def read_partition_pruned(
-    spark: SparkSession, path: str, **equals: object
+    spark: SparkSession, path: str, schema=None, **equals: object
 ) -> DataFrame:
     """Read a partitioned layout with equality predicates on partition
     columns applied as a real pruned scan. Returns the filtered frame;
     `DataFrame.inputFiles()` on it lists only surviving partition
     directories' files, which is how callers (and the driver row)
-    verify pruning happened rather than trusting the filter."""
+    verify pruning happened rather than trusting the filter.
+    ``schema``: optional explicit read schema (see read_inode_table —
+    an empty-write sink has no files to infer from)."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    df = reader.parquet(path)
     for col, val in equals.items():
         df = df.filter(F.col(col) == F.lit(val))
     return df
