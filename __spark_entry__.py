@@ -772,7 +772,8 @@ def q_kmeans_refine(spark, sf):
 
     emb = _t(spark, sf, "embeddings")
     rows = (
-        emb.filter(F.col("vec_id") < 8)
+        # NULL-vector contract: an unembeddable seed row can't be a centroid
+        emb.filter((F.col("vec_id") < 8) & F.col("embedding").isNotNull())
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .orderBy("vec_id")
         .collect()
@@ -2374,7 +2375,14 @@ def q_watermark_window_parity(spark, sf):
     q_watermark_window_parity.last_dropped = dropped[0]
     from nnanalytics_spark.core.smalldf import local_df
 
-    return local_df(spark, sorted(rows), "win long, event_type string, cnt long")
+    # None-safe sort key: a NULL event_type must not TypeError against
+    # str (the collected order is cosmetic — the driver hash is
+    # order-insensitive)
+    return local_df(
+        spark,
+        sorted(rows, key=lambda r: (r[0], r[1] is not None, r[1] or "", r[2])),
+        "win long, event_type string, cnt long",
+    )
 
 
 def q_stream_static_join_parity(spark, sf):

@@ -273,7 +273,11 @@ def _media_table(docs, id_col, text_col, encode_batch, parallelism):
         for pdf in batches:
             yield encode_batch(pdf)
 
-    src = docs.select(F.col(id_col).alias("media_id"), F.col(text_col).alias("text"))
+    # NULL-text contract: a doc with no text yields no media payload
+    # (dropped here, before the encode kernel ever sees it)
+    src = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("media_id"), F.col(text_col).alias("text")
+    )
     if parallelism:
         src = src.repartition(parallelism)
     return src.mapInPandas(run, "media_id long, kind string, payload binary")

@@ -94,6 +94,9 @@ def all_pairs_above(
     import numpy as np
     import pandas as pd
 
+    # NULL-vector contract: a row with no embedding cannot participate
+    # in similarity — dropped here, at the operator entry
+    df = df.filter(F.col(vec_col).isNotNull())
     if broadcast_limit is None or df.count() > broadcast_limit:
         return all_pairs_above_blocked(df, threshold, id_col=id_col, vec_col=vec_col)
 
@@ -160,6 +163,9 @@ def all_pairs_above_blocked(
     import numpy as np
     import pandas as pd
 
+    # NULL-vector contract: a row with no embedding cannot participate
+    # in similarity — dropped here, at the operator entry
+    df = df.filter(F.col(vec_col).isNotNull())
     spark = df.sparkSession
     src = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -259,7 +265,12 @@ def kmeans_centroids(
     vectors, not all of them."""
     import numpy as np
 
-    rows = df.select(F.col(vec_col).cast("array<double>")).limit(sample).collect()
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())  # NULL-vector contract
+        .select(F.col(vec_col).cast("array<double>"))
+        .limit(sample)
+        .collect()
+    )
     mat = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(len(mat), size=min(nlist, len(mat)), replace=False)]
@@ -296,7 +307,10 @@ def ivf_assign(df: DataFrame, centroids, id_col: str = "vec_id", vec_col: str = 
             )
             yield pd.DataFrame({"id": pdf["id"], "cell": np.argmax(sims, axis=1), "v": pdf["v"]})
 
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    # NULL-vector contract: unembeddable rows can't be assigned a cell
+    src = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
     return src.mapInPandas(assign, "id long, cell int, v array<double>")
 
 
@@ -484,8 +498,11 @@ def batch_topk(
     import pandas as pd
     from pyspark.sql import Window as W
 
+    # NULL-vector contract: rows/queries with no embedding are dropped
+    df = df.filter(F.col(vec_col).isNotNull())
     qrows = (
-        queries.select(
+        queries.filter(F.col(query_vec).isNotNull())
+        .select(
             F.col(query_id).alias("qid"), F.col(query_vec).cast("array<double>").alias("qv")
         )
         .orderBy("qid")
@@ -755,7 +772,8 @@ def assign_cells_rounded(
     import numpy as np
     import pandas as pd
 
-    src = df.select(
+    # NULL-vector contract: unembeddable rows can't be assigned a cell
+    src = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     if len(centroids) == 0:
@@ -908,7 +926,11 @@ def semdedup(
 
     if centroid_ids is not None:
         rows = (
-            df.filter(F.col(id_col).isin([int(i) for i in centroid_ids]))
+            # NULL-vector contract: an unembeddable id can't seed a cell
+            df.filter(
+                F.col(id_col).isin([int(i) for i in centroid_ids])
+                & F.col(vec_col).isNotNull()
+            )
             .select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
             .orderBy("id")
             .collect()
@@ -1034,7 +1056,12 @@ def pq_train(
     """
     import numpy as np
 
-    rows = df.select(F.col(vec_col).cast("array<double>")).limit(sample).collect()
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())  # NULL-vector contract
+        .select(F.col(vec_col).cast("array<double>"))
+        .limit(sample)
+        .collect()
+    )
     if not rows:
         return []  # empty corpus: no codebooks (pq_report maps [] to an empty report)
     mat = np.array([r[0] for r in rows], dtype=np.float64)
@@ -1082,6 +1109,9 @@ def pq_report(
     import numpy as np
     import pandas as pd
 
+    # NULL-vector contract: a row with no embedding cannot participate
+    # in similarity — dropped here, at the operator entry
+    df = df.filter(F.col(vec_col).isNotNull())
     m = len(codebooks)
     if m == 0:
         # empty codebooks (pq_train on an empty corpus): empty report
@@ -1145,7 +1175,11 @@ def ivf_build_pinned(
     partitioned by cell (searches prune directories)."""
     spark = df.sparkSession
     seeds = (
-        df.filter(F.col(id_col).isin([int(i) for i in centroid_ids]))
+        # NULL-vector contract: an unembeddable id can't seed a cell
+        df.filter(
+            F.col(id_col).isin([int(i) for i in centroid_ids])
+            & F.col(vec_col).isNotNull()
+        )
         .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
         .collect()
@@ -1235,7 +1269,8 @@ def _blocked_local_topk(
         cols.insert(1, F.col(label_col).alias("lbl"))
     if cell_col is not None:
         cols.insert(0, F.col(cell_col).alias("cell"))
-    src = df.select(*cols)
+    # NULL-vector contract: unembeddable rows join no block
+    src = df.filter(F.col(vec_col).isNotNull()).select(*cols)
     n = src.count()
     n_blocks = max(1, math.ceil(n / rows_per_block))
     blocked = src.withColumn(
@@ -1381,6 +1416,7 @@ def _pinned_centroids(
     at ``max_centroids`` rows by a deterministic id-ordered limit, so
     an adversarial id distribution (every id sharing the residue)
     bounds the driver collect instead of pulling n vectors."""
+    df = df.filter(F.col(vec_col).isNotNull())  # NULL-vector contract
     n = df.count()
     eff = _capped_stride(n, stride, max_centroids)
     mn = df.agg(F.min(F.col(id_col)).alias("m")).collect()
@@ -1677,6 +1713,9 @@ def anchored_topk(
     import pandas as pd
     from pyspark.sql.window import Window as W
 
+    # NULL-vector contract: a row with no embedding cannot participate
+    # in similarity — dropped here, at the operator entry
+    df = df.filter(F.col(vec_col).isNotNull())
     rows = (
         df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(id_col)
@@ -1818,6 +1857,9 @@ def link_negatives(
     valid positive). Negatives are row-local arithmetic + one anti-join
     on (anchor, candidate) against the positive set — no shuffle
     carries vectors."""
+    # NULL-vector contract: a row with no embedding cannot participate
+    # in similarity — dropped here, at the operator entry
+    df = df.filter(F.col(vec_col).isNotNull())
     if method not in ("exact", "cell"):
         raise ValueError(f"method must be 'exact' or 'cell', got {method!r}")
     if n_ids is None:

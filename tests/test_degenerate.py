@@ -22,6 +22,11 @@ so the classes of bug stay fixed:
   follow the module's NULL-means-insufficient-units contract.
 - single-row IVF (2): nothing left to index after the query vector is
   held out.
+- NULL-injected crashes (24): NULL embeddings fed every vector kernel
+  an inhomogeneous numpy array (fixed by the NULL-vector contract —
+  unembeddable rows are dropped at each similarity-operator entry),
+  NULL text crashed the multimodal payload encoder, and a NULL
+  event_type TypeError'd a driver-side tuple sort.
 """
 
 from __future__ import annotations
@@ -59,6 +64,33 @@ EMPTY_CRASHERS = [
     "ann_batch_topk",
 ]
 
+NULL_CRASHERS = [
+    "capture_recapture",
+    "embedding_dup_clusters",
+    "multimodal_decode",
+    "link_negatives",
+    "dedup_method_agreement",
+    "hard_negatives",
+    "video_scene_change",
+    "ann_recall",
+    "knn_label_eval",
+    "multimodal_features",
+    "knn_graph",
+    "pq_report",
+    "ann_ivf_topk",
+    "audio_rms_features",
+    "video_decode",
+    "ann_ivf_full",
+    "watermark_window_parity",
+    "semdedup",
+    "kmeans_refine",
+    "all_pairs_blocked",
+    "image_resize_decode",
+    "embedding_dup_pairs",
+    "ann_batch_topk",
+    "multimodal_feature_hist",
+]
+
 ONE_ROW_CRASHERS = [
     "classifier_auc",
     "bootstrap_ci",
@@ -89,13 +121,34 @@ def _write_variant(dst: str, suffix: str) -> None:
         )
 
 
+def _write_nulls(dst: str) -> None:
+    from tools.make_degenerate import NULL_RULES
+
+    os.makedirs(dst, exist_ok=True)
+    for p in sorted(glob.glob(f"{SRC}/*.parquet")):
+        t = os.path.basename(p)
+        rules = NULL_RULES.get(t, {})
+        cols = [
+            r[0]
+            for r in duckdb.sql(f"DESCRIBE SELECT * FROM read_parquet('{p}')").fetchall()
+        ]
+        sel = ", ".join(
+            f"CASE WHEN {rules[c]} THEN NULL ELSE {c} END AS {c}" if c in rules else c
+            for c in cols
+        )
+        duckdb.sql(
+            f"COPY (SELECT {sel} FROM read_parquet('{p}')) TO '{dst}/{t}' (FORMAT parquet)"
+        )
+
+
 @pytest.fixture(scope="module")
 def degen_dirs(tmp_path_factory):
     base = tmp_path_factory.mktemp("degen")
-    empty, one = str(base / "sf_empty"), str(base / "sf_one")
+    empty, one, nulls = (str(base / d) for d in ("sf_empty", "sf_one", "sf_nulls"))
     _write_variant(empty, "WHERE 1=0")
     _write_variant(one, "LIMIT 1")
-    return {"empty": empty, "one": one}
+    _write_nulls(nulls)
+    return {"empty": empty, "one": one, "nulls": nulls}
 
 
 @pytest.fixture(scope="module")
@@ -117,3 +170,10 @@ def test_empty_corpus_does_not_crash(spark, degen_dirs, registry, name):
 def test_single_row_corpus_does_not_crash(spark, degen_dirs, registry, name):
     # must collect cleanly; NULL metrics are the documented contract
     registry[name](spark, degen_dirs["one"]).collect()
+
+
+@pytest.mark.parametrize("name", NULL_CRASHERS)
+def test_null_injected_corpus_does_not_crash(spark, degen_dirs, registry, name):
+    # must collect cleanly; non-participating rows (NULL text/embedding)
+    # are dropped per each operator's documented NULL contract
+    registry[name](spark, degen_dirs["nulls"]).collect()

@@ -1,18 +1,21 @@
-"""Degenerate-input sweep: run every registry query against EMPTY and
-SINGLE-ROW versions of the test tables.
+"""Degenerate-input sweep: run every registry query against EMPTY,
+SINGLE-ROW, and NULL-INJECTED versions of the test tables.
 
 At 100 TB the degenerate case is routine, not exotic: a daily delta can
 be empty, a filter chain can annihilate a partition, a tenant can have
-one document. An operator that crashes on zero rows (instead of
-returning an empty frame with its contract schema) kills the whole job
-at scale. This probe catalogs exactly that class — the sparse-id
-centroid crash fixed in r9 was one instance; this sweeps the remaining
-330 for siblings.
+one document, and a real corpus ALWAYS carries NULL text/embeddings
+the synthetic tables never exercise. An operator that crashes there
+(instead of returning an empty frame, NULL metrics, or dropping the
+non-participating rows per its documented contract) kills the whole
+job at scale. This probe catalogs exactly those classes — the
+sparse-id centroid crash fixed in r9 was one instance; this sweeps the
+remaining 330 for siblings.
 
 Usage:
-    python tools/make_degenerate.py            # writes /tmp/sf_empty, /tmp/sf_one
+    python tools/make_degenerate.py     # writes /tmp/sf_{empty,one,nulls}
     python tools/degenerate_probe.py empty     # sweep vs 0-row tables
     python tools/degenerate_probe.py one       # sweep vs 1-row tables
+    python tools/degenerate_probe.py nulls     # sweep vs NULL-injected tables
     python tools/degenerate_probe.py empty q1 q2 ...   # subset
 
 Output: one line per query — OK <rows>, or FAIL <exception head> — and
@@ -29,7 +32,7 @@ import traceback
 
 sys.path.insert(0, "/root/repo")
 
-DIRS = {"empty": "/tmp/sf_empty", "one": "/tmp/sf_one"}
+DIRS = {"empty": "/tmp/sf_empty", "one": "/tmp/sf_one", "nulls": "/tmp/sf_nulls"}
 
 
 def main() -> None:
