@@ -910,8 +910,12 @@ def q_minhash_recall(spark, sf):
     pins n_missed = 0 — a hash-checked recall gate for an operator whose
     signatures themselves are engine-specific."""
     docs = _t(spark, sf, "documents")
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100).select(
-        "id_a", "id_b"
+    # exact feeds the anti-join AND the n_exact count — checkpoint so
+    # the inverted-index pipeline runs once
+    exact = (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     cand = dedup.minhash_lsh_pairs(docs, k=32, bands=16)
     missed = exact.join(cand, ["id_a", "id_b"], "left_anti")
@@ -4308,8 +4312,13 @@ def q_dedup_method_agreement(spark, sf):
     tests/test_r8_ops.py pins bounded == exact at gate scale). Exact
     mode stays an opt-in via all_pairs_above."""
     docs = _t(spark, sf, "documents")
-    lex = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100).select(
-        "id_a", "id_b"
+    # lex feeds BOTH the semantic side's candidate set and the final
+    # agreement join — the lazy checkpoint runs the inverted-index pair
+    # pipeline once instead of twice (triangle_counts pattern)
+    lex = (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     sem = similarity.bounded_pairs_above(
         _t(spark, sf, "embeddings"), threshold=0.4, candidate_pairs=lex, stride=200
@@ -5652,8 +5661,12 @@ def q_capture_recapture(spark, sf):
     caveat documented (lexical vs embedding signals are as independent
     as this corpus offers)."""
     docs = _t(spark, sf, "documents")
-    lex = dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100).select(
-        "id_a", "id_b"
+    # lex feeds BOTH capture occasions' overlap join and the semantic
+    # candidate set — checkpoint so the pair pipeline runs once
+    lex = (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.6, max_shingle_df=100)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
     )
     sem = similarity.bounded_pairs_above(
         _t(spark, sf, "embeddings"), threshold=0.4, candidate_pairs=lex, stride=200
@@ -6348,6 +6361,10 @@ def q_winnow_pairs(spark, sf):
     fps = dedup.winnow_fingerprints(
         _t(spark, sf, "documents"), n=4, window=4, gram_hash=_poly_token_hash
     )
+    # winnow_shared_pairs self-joins fps, and the polynomial gram hash
+    # is a HOF lambda that defeats ReusedExchange canonicalization — cut
+    # the lineage so the fingerprint pipeline runs once, not twice
+    fps = fps.localCheckpoint(eager=False)
     return dedup.winnow_shared_pairs(fps).filter(F.col("shared_fps") >= 3)
 
 

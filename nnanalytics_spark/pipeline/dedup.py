@@ -534,6 +534,15 @@ def minhash_lsh_pairs(
     hash-collision candidates), and an external SQL engine rebuilds the
     identical key."""
     banded = banded_signatures(df, text, id_col, k, bands, ngram, portable=portable)
+    if portable:
+        # the self-join references the banded table twice; in portable
+        # mode the signature subtree carries HOF lambdas (the polynomial
+        # shingle hash), whose variable ids defeat plan canonicalization,
+        # so ReusedExchange can NOT collapse the two sides and the whole
+        # shingle+k-min pipeline would execute twice (the simhash
+        # materialize_sigs lesson). Native mode reuses the exchange and
+        # needs no cut.
+        banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -838,15 +847,26 @@ def dup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> Dat
     rounds; with no such chains observed it would add a second shuffle
     per round for nothing, so it is deliberately not implemented.
     """
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # symmetrize via ONE explode pass, not union(select, select): a union
+    # re-executes the whole pair-generation lineage once per branch on
+    # first materialization (callers hand us the raw near-dup pair plan —
+    # shingle index + self-join + aggregate — so that doubling is the
+    # single most expensive redundancy in every clustering consumer;
+    # the explode form generates the same rows in one pass).
+    #
     # every localCheckpoint here is LAZY (eager=False): the convergence
     # sum below is the round's single action, and it materializes AND
     # persists the new label table in the same job. Eager checkpoints
     # doubled every round's job count (materialize, then sum) — measured
     # ~2× one-shot wall on the bench corpus.
-    edges = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").localCheckpoint(eager=False)
     # propagate only over nodes that appear in an edge: isolated documents
     # (the overwhelming majority of a corpus) can never change label, so
     # they stay out of every round's shuffle and rejoin at the end. The
@@ -1488,14 +1508,22 @@ def prefix_filter_pairs(
     """
     from pyspark.sql import Window as W
 
+    # ns (per-doc distinct token count) is computed from the token ARRAY
+    # before the explode — it is a pure function of the doc, so paying a
+    # doc-partitioned window (a full exchange + WindowExec) for it was
+    # redundant; carrying it on the exploded postings is the same trick
+    # ngram_jaccard_pairs uses for |A|/|B|. That leaves two windows on
+    # two keys (dfreq on tk, rnk on id) instead of three on three.
+    # array_remove, not a filter() lambda: HOF lambda variable ids defeat
+    # plan canonicalization, which would break ReusedExchange on the
+    # prefix self-join below (the simhash materialize_sigs lesson)
+    arr = F.array_remove(F.array_distinct(F.split(F.trim(F.col(text)), r"\s+")), "")
     toks = (
-        df.select(F.col(id_col).alias("id"), F.col(text))
-        .select("id", F.explode(F.array_distinct(F.split(F.trim(text), r"\s+"))).alias("tok"))
-        .filter(F.length("tok") > 0)
-        .select("id", "tok", F.xxhash64("tok").alias("tk"))
+        df.select(F.col(id_col).alias("id"), arr.alias("_arr"))
+        .select("id", F.size("_arr").alias("ns"), F.explode("_arr").alias("tok"))
+        .select("id", "ns", "tok", F.xxhash64("tok").alias("tk"))
     )
-    sized = toks.withColumn("ns", F.count(F.lit(1)).over(W.partitionBy("id")))
-    ranked = sized.withColumn(
+    ranked = toks.withColumn(
         "dfreq", F.count(F.lit(1)).over(W.partitionBy("tk"))
     ).withColumn(
         "rnk",
@@ -2051,7 +2079,10 @@ def minhash_bbit_audit(
     the comparison joins the bounded verified pair table, and both
     match counts are one zip_with fold per pair — signatures never
     shuffle beyond the two broadcast-ish id joins."""
-    sigs = minhash_signatures(docs, k=k, portable=True)
+    # the signature table joins the pair list on BOTH sides (sa, sb) —
+    # without a lineage cut the whole portable-minhash pipeline (shingle
+    # explode + distinct-vocab hash + k-min aggregate) executes twice
+    sigs = minhash_signatures(docs, k=k, portable=True).localCheckpoint(eager=False)
     mod = 1 << b_bits
     r = 1.0 / mod
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("_sa"))

@@ -597,3 +597,33 @@ def test_gini_window_is_group_partitioned(spark):
     # the ranking window partitions by the group key — never a global sort
     assert "partitionBy" not in plan or "event_type" in plan
     assert "Window" in plan and "event_type" in plan, plan
+
+
+def test_pair_reuse_checkpoints_bound_exchange_counts(spark):
+    """r9-opt: twice-referenced pair/signature subtrees are lineage-cut
+    (lazy localCheckpoint), so the physical plans stay small — without
+    the cuts these plans carried 38-56 Exchanges (the ngram/minhash
+    pipelines inlined 2x). A regression here means a checkpoint was
+    dropped and an expensive subtree executes twice again."""
+    for fn, bound in (
+        (entry.q_dedup_method_agreement, 30),
+        (entry.q_capture_recapture, 30),
+        (entry.q_minhash_recall, 30),
+        (entry.q_minhash_bbit, 30),
+        (entry.q_minhash_lsh_pairs, 10),
+    ):
+        plan = plan_of(fn(spark, SF))
+        n = plan.count("Exchange")
+        assert n <= bound, f"{fn.__name__}: {n} exchanges (bound {bound})"
+
+
+def test_dup_clusters_symmetrizes_in_one_pass(spark):
+    """r9-opt: edge symmetrization uses one explode pass, not
+    union(select, select) — a union re-executes the caller's whole
+    pair-generation lineage once per branch on first materialization."""
+    import inspect
+
+    from nnanalytics_spark.pipeline import dedup as _d
+
+    src = inspect.getsource(_d.dup_clusters)
+    assert "explode" in src and ".union(" not in src
