@@ -37,6 +37,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _kernel_fanout(df: DataFrame) -> DataFrame:
+    """Ensure a COMPUTE-HEAVY Python-kernel source is at least
+    default-parallelism wide. A single-split input (one parquet file —
+    the local testdata shape, or one compacted shard of a partitioned
+    table) pins the whole Arrow kernel chain to ONE core: the r9-opt
+    profile measured all_pairs_above's broadcast scorer as a 3.2 s
+    single-task stage at sf0.1 on a 32-core host; with the fan-out it
+    reads 1.1 s vs 4.4 s paired-A/B. Applied ONLY where per-row kernel
+    work dominates (the O(n²) rectangle scorer): for cheap kernels
+    (cell assignment, batched top-k, PQ error) the same paired A/B
+    measured the extra exchange + 32 Arrow worker round-trips COSTING
+    0.3-0.8 s against kernels that finish in well under a second on one
+    core, so those sites deliberately stay narrow. Sources already at
+    least as wide as the target are returned untouched (at cluster
+    scale scans arrive wide and this is a no-op); the kernel fed by
+    this helper scores rows against a broadcast matrix, so output is
+    partitioning-invariant."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -135,7 +158,9 @@ def all_pairs_above(
                 }
             )
 
-    src = df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    src = _kernel_fanout(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v"))
+    )
     return src.mapInPandas(score, "id_a long, id_b long, cos_sim double")
 
 
@@ -342,9 +367,17 @@ def ivf_build(
         [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    ivf_assign(df, centroids, id_col, vec_col).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(f"{path}/assignments")
+    # cluster by cell before the partitioned write (guide-standard write
+    # layout): without this exchange a w-partition assignment writes a
+    # file into every cell directory it touches — up to w × nlist small
+    # files, which the partition-pruned search then pays to list and
+    # open — and a 1-partition assignment serializes the whole write
+    # into one task (measured as a 5.1 s single-task stage at sf0.1).
+    # One exchange on the 4-byte cell id parallelizes the write AND
+    # keeps one file per cell.
+    ivf_assign(df, centroids, id_col, vec_col).repartition("cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/assignments")
     return path
 
 
