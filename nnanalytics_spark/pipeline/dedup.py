@@ -761,7 +761,12 @@ def simhash_pairs_from_sigs(
     # polynomial token hash. Off by default: cheap (arithmetic)
     # signature sources don't repay the checkpoint job.
     if materialize_sigs:
-        sigs = sigs.localCheckpoint(eager=True)
+        # LAZY (the dup_clusters discipline): an eager checkpoint runs a
+        # dedicated materialization job before the pair join's own job;
+        # lazy persists the signature partitions inside the first action
+        # instead — one job fewer, both join sides still read the single
+        # persisted copy (r9-opt paired A/B: ~1.7 s at sf0.1)
+        sigs = sigs.localCheckpoint(eager=False)
     keyed = _simhash_block_keys(sigs, blocks, bits)
     a, b = keyed.alias("a"), keyed.alias("b")
     xor = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
