@@ -350,12 +350,17 @@ def _native_twins() -> dict:
 
 def _release_cached(spark) -> None:
     """Drop cached/localCheckpoint RDD blocks left by iterative queries so
-    one query's retained storage can't inflate the next one's GC time."""
+    one query's retained storage can't inflate the next one's GC time.
+
+    py4j exposes the Java map's values() as a Python ValuesView (it
+    implements the collections ABCs), so iterate it directly — the old
+    `.values().iterator()` raised AttributeError into the swallow-all
+    except and every checkpointed block silently survived the release,
+    accumulating across all ~520 timed runs of a full bench session."""
     spark.catalog.clearCache()
     try:
-        it = spark.sparkContext._jsc.getPersistentRDDs().values().iterator()
-        while it.hasNext():
-            it.next().unpersist(False)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
     except Exception:
         pass
 

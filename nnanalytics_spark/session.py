@@ -40,8 +40,16 @@ _DEFAULTS = {
     # count), G1's grow-GC-shrink cycling over a huge elastic heap turns
     # into recurring 30-90 s "fault storms" — 32 task threads RUNNABLE in
     # allocation paths, 32 cores of pure system time, near-zero progress.
-    # A fixed, modestly-sized heap is faulted in exactly once (absorbed by
-    # the untimed warmup) and never uncommitted, so the storms can't recur.
+    # A fixed heap is never uncommitted, so grow/shrink storms can't
+    # recur — but -Xms alone only SIZES the heap; Linux still faults
+    # pages lazily on first touch, and an age-probe session measured the
+    # heap high-water mark climbing for many minutes (1.7 -> 6.7 GB over
+    # 8 min of queries) with 5-20 s fault storms landing on whichever
+    # query was allocating when the hypervisor was slow to back fresh
+    # pages. -XX:+AlwaysPreTouch commits every heap page at JVM startup
+    # (parallelized by the GC threads; measured ~1-4 s extra startup on
+    # this host), so first-touch cost moves wholly into untimed session
+    # init and no timed query ever faults fresh heap.
     # Heap sizing: the full 59-query bench peaks under 6 GB of live heap
     # at sf0.1; 12 GB leaves headroom and stays cheap to fault in.
     # 2g since the headline surface passed ~200 distinct plans × 3
@@ -50,7 +58,7 @@ _DEFAULTS = {
     "spark.driver.extraJavaOptions": (
         "-XX:ReservedCodeCacheSize="
         + os.environ.get("SPARK_GRAFT_CODE_CACHE", "2g")
-        + " -XX:+UseCodeCacheFlushing -Xms"
+        + " -XX:+UseCodeCacheFlushing -XX:+AlwaysPreTouch -Xms"
         + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     ),
 }
