@@ -1022,14 +1022,24 @@ def bootstrap_ci(
     # replicate ids via explode(sequence) — stays inside whole-stage
     # codegen (a broadcast crossJoin plans a BroadcastNestedLoopJoin,
     # measured ~7x slower for the same 30M-row fan-out)
-    weighted = (
-        df.select(F.col(id_col), F.round(F.col(value_col), 9).cast(dec).alias("_v"))
-        .withColumn(
-            "_rep",
-            F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))),
-        )
-        .select("_rep", w.alias("_w"), "_v")
-    )
+    # fan the projected 2-column input out to default parallelism BEFORE
+    # the ×B explode: a single-split source (one parquet file locally, or
+    # one compacted shard of a partitioned table) otherwise pins the
+    # whole B·n weight computation to ONE core — profiled as a 4.7 s
+    # single-task stage out of a 5.9 s wall at sf0.1/B=100. The weights
+    # are a pure per-(id, rep) hash and the replicate aggregate is an
+    # order-free exact-decimal sum, so the result is partitioning-
+    # invariant; sources already at least as wide as the target pass
+    # through untouched (at cluster scale scans arrive wide and this is
+    # a no-op).
+    src = df.select(F.col(id_col), F.round(F.col(value_col), 9).cast(dec).alias("_v"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        src = src.repartition(target)
+    weighted = src.withColumn(
+        "_rep",
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))),
+    ).select("_rep", w.alias("_w"), "_v")
     reps = weighted.groupBy("_rep").agg(
         F.round(
             F.when(
@@ -1047,8 +1057,15 @@ def bootstrap_ci(
     # _rep tie-break: two replicate means equal to 9 dp must still rank
     # identically in any engine
     rk = F.row_number().over(W.orderBy("_mean", "_rep"))
+    # lazy-checkpoint the B-row replicate grid: it feeds BOTH percentile
+    # broadcasts (lo and hi), and each broadcast is its own job, so
+    # without the cut the whole B·n weight pipeline executed once per
+    # branch (the batch-1 twice-referenced-subtree discipline; ≤B rows
+    # persisted, released by the bench between queries)
     ranked = (
-        reps.filter(F.col("_mean").isNotNull()).select("_mean", "_rep", rk.alias("_rk"))
+        reps.filter(F.col("_mean").isNotNull())
+        .select("_mean", "_rep", rk.alias("_rk"))
+        .localCheckpoint(eager=False)
     )
     lo_i = max(1, math.ceil(lo_q * replicates))
     hi_i = max(1, math.ceil(hi_q * replicates))
@@ -1060,16 +1077,17 @@ def bootstrap_ci(
             6,
         ).alias("mean"),
     )
-    lo = ranked.filter(F.col("_rk") == lo_i).select(
-        F.round("_mean", 6).alias("ci_lo")
-    )
-    hi = ranked.filter(F.col("_rk") == hi_i).select(
-        F.round("_mean", 6).alias("ci_hi")
-    )
-    return (
-        base.crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
-        .withColumn("replicates", F.lit(replicates))
+    # BOTH percentile cuts in one conditional-min aggregate over the
+    # checkpointed grid (one broadcast job, not two). The not-null
+    # filter preserves the documented degenerate contract exactly: if
+    # either cut index is absent from the grid (tiny n), the old
+    # filter+crossJoin chain produced ZERO rows, and so does this.
+    cuts = ranked.agg(
+        F.round(F.min(F.when(F.col("_rk") == lo_i, F.col("_mean"))), 6).alias("ci_lo"),
+        F.round(F.min(F.when(F.col("_rk") == hi_i, F.col("_mean"))), 6).alias("ci_hi"),
+    ).filter(F.col("ci_lo").isNotNull() & F.col("ci_hi").isNotNull())
+    return base.crossJoin(F.broadcast(cuts)).withColumn(
+        "replicates", F.lit(replicates)
     )
 
 

@@ -627,3 +627,29 @@ def test_dup_clusters_symmetrizes_in_one_pass(spark):
 
     src = inspect.getsource(_d.dup_clusters)
     assert "explode" in src and ".union(" not in src
+
+
+def test_bootstrap_ci_fans_out_and_single_percentile_broadcast(spark):
+    """r9-opt: the B·n weight pipeline must not be pinned to a
+    single-split source (profiled as a 4.7 s single-task stage at
+    sf0.1), and the two percentile cuts ride ONE broadcast aggregate
+    over the checkpointed replicate grid, not one broadcast job each."""
+    df = entry.q_bootstrap_ci(spark, SF)
+    plan = plan_of(df)
+    # one broadcast for the cuts row (plus zero others): the old shape
+    # carried two BroadcastExchanges (lo and hi filters)
+    assert plan.count("BroadcastExchange") == 1, plan
+    # the replicate grid is lineage-cut (checkpointed RDD scan), so the
+    # B·n pipeline cannot re-execute per percentile branch
+    assert "ExistingRDD" in plan, plan
+    # the fan-out guard lives inside the checkpointed subtree, invisible
+    # in the final plan — pin it at source level
+    import inspect
+
+    from nnanalytics_spark.pipeline import stats as _s
+
+    src = inspect.getsource(_s.bootstrap_ci)
+    assert "repartition(target)" in src and "defaultParallelism" in src
+    # result row is pinned by the oracle battery; sanity: one row shape
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["replicates"] == 100
