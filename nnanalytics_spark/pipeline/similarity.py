@@ -1787,8 +1787,17 @@ def anchored_topk(
                 {"id": out_id, "nbr": out_nbr, "cos_sim": out_sim}
             ).astype({"id": "int64", "nbr": "int64", "cos_sim": "float64"})
 
-    src = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    # compute-heavy kernel (anchors·n matmul + per-anchor top-k loops;
+    # profiled as a 3.9 s single-task stage at sf0.1 with 1000 anchors
+    # when the source is one parquet split) — fan out like
+    # all_pairs_above. Partitioning-invariant: every batch emits its
+    # LOCAL top-k, which always contains the global top-k rows, and the
+    # global window applies the deterministic (cos desc, nbr asc)
+    # round-6 tie-break.
+    src = _kernel_fanout(
+        df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+        )
     )
     cands = src.mapInPandas(kernel, "id long, nbr long, cos_sim double")
     w = W.partitionBy("id").orderBy(F.col("cos_sim").desc(), F.col("nbr").asc())

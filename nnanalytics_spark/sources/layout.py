@@ -307,7 +307,18 @@ def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
     Complements bucketing (join co-location) and zone maps (file-level
     min/max skipping): partition on low-cardinality ingest-stable keys
     (date, source, event_type); high-cardinality keys belong in bucket
-    or sort order instead, or the file count explodes."""
+    or sort order instead, or the file count explodes.
+
+    Clusters by the partition columns before the write (the ivf_build
+    discipline): without the exchange a w-partition source writes up to
+    w files into every directory it touches (the small-files trap the
+    docstring warns about), and a 1-partition source serializes the
+    whole write into one task (profiled: backfill_plan's fixture write
+    was a 1.5 s single-task stage at sf0.1). One exchange on the
+    partition key parallelizes the write AND keeps one file per
+    directory; row content per directory is unchanged."""
+    if part_cols:
+        df = df.repartition(*part_cols)
     df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
 
 

@@ -653,3 +653,18 @@ def test_bootstrap_ci_fans_out_and_single_percentile_broadcast(spark):
     # result row is pinned by the oracle battery; sanity: one row shape
     rows = df.collect()
     assert len(rows) == 1 and rows[0]["replicates"] == 100
+
+
+def test_compute_heavy_kernels_fan_out(spark):
+    """r9-opt: the compute-heavy Arrow kernels (broadcast pair scorer,
+    anchored top-k) must not be pinned to a single-split source — the
+    fan-out repartition appears in the plan. Cheap kernels (cell assign,
+    batch top-k) deliberately stay narrow (measured: the exchange costs
+    more than it saves there)."""
+    plan = plan_of(entry.q_knn_label_eval(spark, SF))
+    assert "RoundRobinPartitioning" in plan, plan
+    plan = plan_of(entry.q_embedding_dup_pairs(spark, SF))
+    assert "RoundRobinPartitioning" in plan, plan
+    # counter-case: batch_topk stays narrow
+    plan = plan_of(entry.q_ann_batch_topk(spark, SF))
+    assert "RoundRobinPartitioning" not in plan, plan
