@@ -736,8 +736,18 @@ def q_count_min_bound(spark, sf):
     oracle rebuilds sketch, estimates and bound entirely in SQL."""
     docs = _t(spark, sf, "documents")
     width = 16  # vocab is small; a narrow sketch makes the row discriminative
-    sketch = text.count_min_table(docs, width=width, depth=4)
-    toks = docs.select(F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+    # ONE fanned-out tokenize pass, checkpointed, feeding sketch + exact
+    # + totals (r9-opt): the corpus tokenize previously ran once per
+    # consumer, each pinned to the single parquet split (profiled 2.05 s
+    # single-task). The text shuffle is ~600 KB; the token stream and
+    # every aggregate are order-free, so results are unchanged.
+    toks = (
+        docs.select("text")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.explode(text.tokens(F.lower(F.col("text")))).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+    sketch = text.count_min_table(toks=toks, width=width, depth=4)
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
     top = exact.orderBy(F.col("exact_cnt").desc(), F.col("tok")).limit(20)
     totals = toks.agg(F.count(F.lit(1)).alias("n_total"))
@@ -5316,7 +5326,13 @@ def q_ndcg_eval(spark, sf):
     from nnanalytics_spark.pipeline import retrieval
     from nnanalytics_spark.pipeline.text import tokens as _tokens
 
-    d = _t(spark, sf, "documents")
+    # fan the single-split scan out before the per-doc tf computation
+    # (profiled: 1.59 s single-task stage — the array-filter tf terms ×
+    # query pairs ran on one core; ~600 KB of text shuffles, and every
+    # downstream sum/rank is order-free/deterministically tie-broken)
+    d = _t(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = _tokens(F.col("text"))
 
     def tf(term):

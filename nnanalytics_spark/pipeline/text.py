@@ -571,11 +571,12 @@ CMS_BASES = (31, 37, 41, 43)
 
 
 def count_min_table(
-    df: DataFrame,
+    df: DataFrame | None = None,
     width: int = 64,
     depth: int = 4,
     text: str = "text",
     id_col: str = "doc_id",
+    toks: DataFrame | None = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) built AS a
     DataFrame: (d, bucket, cnt) with bucket = hash_d(token) % width, one
@@ -584,9 +585,16 @@ def count_min_table(
     build: one explode (each token emits its depth buckets from the same
     pass) and ONE keyed aggregate with map-side combine; no driver-side
     sketch object, and the result is joinable, persistable parquet.
+
+    ``toks``: optional pre-tokenized (tok) table — callers that also
+    need exact counts or totals over the SAME token stream pass the
+    shared (checkpointed) table instead of having the sketch re-run the
+    tokenize pass (r9-opt: count_min_bound ran the corpus tokenize
+    once per consumer, each pinned to the single parquet split).
     """
     bases = CMS_BASES[:depth]
-    toks = df.select(F.explode(tokens(F.lower(F.col(text)))).alias("tok"))
+    if toks is None:
+        toks = df.select(F.explode(tokens(F.lower(F.col(text)))).alias("tok"))
     emitted = toks.select(
         F.posexplode(
             F.array(*[(_poly_hash(F.col("tok"), b) % width) for b in bases])
