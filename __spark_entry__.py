@@ -920,6 +920,13 @@ def q_minhash_recall(spark, sf):
     pins n_missed = 0 — a hash-checked recall gate for an operator whose
     signatures themselves are engine-specific."""
     docs = _t(spark, sf, "documents")
+    # NOT shared with the LSH side via shingle_postings (cf.
+    # q_minhash_bbit): here the LSH signatures are NATIVE xxhash64 —
+    # cheap codegen whose banded self-join already rides one reused
+    # exchange — so an interleaved A/B measured the shared-postings
+    # variant exactly par (min-of-3 4.96 vs 4.97 s at sf0.1); the
+    # simpler two-pass lineage avoids materializing the corpus-sized
+    # postings table for nothing.
     # exact feeds the anti-join AND the n_exact count — checkpoint so
     # the inverted-index pipeline runs once
     exact = (
@@ -6213,10 +6220,14 @@ def q_minhash_bbit(spark, sf):
     the bias-corrected 2-bit estimate against exact shingle Jaccard.
     Portable signatures (SQL-replayable); one zip_with fold per pair."""
     docs = _t(spark, sf, "documents")
+    # the pair pipeline and the signature pipeline both start from the
+    # same corpus shingling — build the postings ONCE (lazy checkpoint;
+    # r9-opt: two corpus scans + two regex shingle passes -> one)
+    occ = dedup.shingle_postings(docs).localCheckpoint(eager=False)
     pairs = dedup.ngram_jaccard_pairs(
-        docs, threshold=0.5, max_shingle_df=100
+        docs, threshold=0.5, max_shingle_df=100, postings=occ
     ).select("id_a", "id_b", "jaccard")
-    return dedup.minhash_bbit_audit(docs, pairs)
+    return dedup.minhash_bbit_audit(docs, pairs, postings=occ)
 
 
 def q_freshness_half_life(spark, sf):

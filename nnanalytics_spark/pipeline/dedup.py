@@ -58,6 +58,32 @@ def shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
 
 
+def shingle_postings(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Exploded per-doc distinct shingle postings ``(id, ns, shingle)`` —
+    the shared front of every shingle consumer (``ns`` = the doc's
+    distinct-shingle count, carried on each posting so consumers never
+    need a size table). Queries that run TWO shingle pipelines over the
+    same corpus (exact-Jaccard pairs + minhash signatures, e.g. the
+    b-bit audit and the LSH recall gate) build this once, lazily
+    localCheckpoint it, and hand it to both via their ``postings=``
+    parameter — the corpus scan + regex shingle extraction (the
+    dominant map-side cost of every shingle pipeline; ReusedExchange
+    cannot collapse it across pipelines keyed differently) then runs
+    once instead of once per pipeline. Scale note: the checkpointed
+    postings table is corpus-sized (one row per doc-shingle), so at
+    100 TB this is a disk-backed materialization traded against a
+    second full scan + regex pass — the regex is the more expensive
+    side (measured here), and the checkpoint is dropped at first
+    action's end; callers who cannot afford the storage simply omit
+    ``postings=`` and keep the two-pass shape."""
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh")
+    )
+    return sh.select("id", F.size("sh").alias("ns"), F.explode("sh").alias("shingle"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text: str = "text",
@@ -65,6 +91,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted shingle index:
     explode shingles → self-join on shingle → count common shingles →
@@ -93,14 +120,14 @@ def ngram_jaccard_pairs(
     64 bits); and |A| / |B| ride the exploded postings as a carried
     column (functionally dependent on the id), so no size table, no
     extra scans, no enrichment joins — one self-join + one aggregate
-    is the whole plan."""
+    is the whole plan.
+
+    ``postings`` (optional): a pre-built ``shingle_postings`` table
+    (id, ns, shingle) — see that helper; results are identical."""
     from pyspark.sql import Window as W
 
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh")
-    ).select("id", F.size("sh").alias("ns"), F.explode("sh").alias("shingle")).select(
-        "id", "ns", F.xxhash64("shingle").alias("sg")
-    )
+    occ = postings if postings is not None else shingle_postings(df, text, id_col, n)
+    sh = occ.select("id", "ns", F.xxhash64("shingle").alias("sg"))
     if max_shingle_df is not None:
         # Document frequency rides the SAME exchange as the self-join:
         # shingles are per-doc distinct, so count(*) over a sg-partitioned
@@ -424,6 +451,7 @@ def _portable_perm(h0: Column, i: int) -> Column:
 def minhash_signatures(
     df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 64, ngram: int = 3,
     portable: bool = False,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per doc: permutation i is
     xxhash64(shingle, seed=i); signature[i] = min over shingles.
@@ -448,10 +476,18 @@ def minhash_signatures(
     once per DISTINCT shingle and joined back — shingle vocabularies
     are heavy-tailed, so the distinct table is far smaller than the
     postings and usually broadcasts (AQE decides; measured 2.4x
-    end-to-end on the gate corpus)."""
-    occ = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text), ngram)).alias("shingle"),
+    end-to-end on the gate corpus).
+
+    ``postings`` (optional): a pre-built ``shingle_postings`` table
+    (id, ns, shingle) shared with a sibling pipeline — the ``ns``
+    column is dropped here; results are identical."""
+    occ = (
+        postings.select("id", "shingle")
+        if postings is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(F.col(text), ngram)).alias("shingle"),
+        )
     )
     if portable:
         vocab = occ.select("shingle").distinct().select(
@@ -482,6 +518,7 @@ def banded_signatures(
     bands: int = 16,
     ngram: int = 3,
     portable: bool = False,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc LSH band-bucket keys — (id, band, bucket), one row per
     band: the signature split into ``bands`` slices of r=k/bands mins,
@@ -493,7 +530,9 @@ def banded_signatures(
     mode buckets on the joined slice VALUE string (exact slice
     equality; SQL-reproducible), native on hash(slice)."""
     rows = k // bands
-    sigs = minhash_signatures(df, text, id_col, k, ngram, portable=portable)
+    sigs = minhash_signatures(
+        df, text, id_col, k, ngram, portable=portable, postings=postings
+    )
 
     def bucket_of(b: int):
         sl = F.slice(F.col("signature"), b * rows + 1, rows)
@@ -522,6 +561,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     ngram: int = 3,
     portable: bool = False,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs: signature split into `bands` bands of
     r=k/bands rows; docs colliding on any band hash become candidates.
@@ -533,7 +573,9 @@ def minhash_lsh_pairs(
     equality (strictly more precise than a 32-bit hash — no spurious
     hash-collision candidates), and an external SQL engine rebuilds the
     identical key."""
-    banded = banded_signatures(df, text, id_col, k, bands, ngram, portable=portable)
+    banded = banded_signatures(
+        df, text, id_col, k, bands, ngram, portable=portable, postings=postings
+    )
     if portable:
         # the self-join references the banded table twice; in portable
         # mode the signature subtree carries HOF lambdas (the polynomial
@@ -2069,6 +2111,7 @@ def minhash_bbit_audit(
     pairs: DataFrame,
     k: int = 64,
     b_bits: int = 2,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """b-bit MinHash storage audit (Li & König, WWW 2010): keeping only
     the low b bits of each of k permutation minima cuts signature
@@ -2086,8 +2129,13 @@ def minhash_bbit_audit(
     shuffle beyond the two broadcast-ish id joins."""
     # the signature table joins the pair list on BOTH sides (sa, sb) —
     # without a lineage cut the whole portable-minhash pipeline (shingle
-    # explode + distinct-vocab hash + k-min aggregate) executes twice
-    sigs = minhash_signatures(docs, k=k, portable=True).localCheckpoint(eager=False)
+    # explode + distinct-vocab hash + k-min aggregate) executes twice.
+    # ``postings``: shared shingle_postings table (typically the one the
+    # caller's pair pipeline already checkpointed) — saves this
+    # pipeline's own corpus scan + regex shingle pass.
+    sigs = minhash_signatures(
+        docs, k=k, portable=True, postings=postings
+    ).localCheckpoint(eager=False)
     mod = 1 << b_bits
     r = 1.0 / mod
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("_sa"))

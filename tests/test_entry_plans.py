@@ -668,3 +668,33 @@ def test_compute_heavy_kernels_fan_out(spark):
     # counter-case: batch_topk stays narrow
     plan = plan_of(entry.q_ann_batch_topk(spark, SF))
     assert "RoundRobinPartitioning" not in plan, plan
+
+
+def test_shared_shingle_postings_identical_and_single_pass(spark):
+    """r9-opt: minhash_bbit / minhash_recall run a pair pipeline AND a
+    minhash-signature pipeline over the same corpus; both now consume
+    ONE lazily-checkpointed shingle_postings table instead of shingling
+    the corpus twice. Pin (a) bit-identical results vs the unshared
+    construction, and (b) that the entry queries actually share the
+    table (source-level: one shingle_postings call feeds both)."""
+    import inspect
+
+    from nnanalytics_spark.pipeline import dedup as _d
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    occ = _d.shingle_postings(docs).localCheckpoint(eager=False)
+    shared = _d.minhash_signatures(docs, k=8, portable=True, postings=occ)
+    plain = _d.minhash_signatures(docs, k=8, portable=True)
+    assert sorted(map(tuple, shared.collect())) == sorted(map(tuple, plain.collect()))
+    p_shared = _d.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_shingle_df=100, postings=occ
+    )
+    p_plain = _d.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=100)
+    assert sorted(map(tuple, p_shared.collect())) == sorted(
+        map(tuple, p_plain.collect())
+    )
+    src = inspect.getsource(entry.q_minhash_bbit)
+    assert "shingle_postings" in src and "postings=occ" in src
+    # counter-case: minhash_recall measured par with sharing (native-mode
+    # LSH shingling is cheap) and deliberately keeps the two-pass shape
+    assert "postings=occ" not in inspect.getsource(entry.q_minhash_recall)
