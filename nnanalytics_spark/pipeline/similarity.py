@@ -60,6 +60,34 @@ def _kernel_fanout(df: DataFrame) -> DataFrame:
     return df
 
 
+# Minimum rows per grouped Arrow-kernel task: the per-task cost of a
+# fresh Python worker + Arrow stream + numpy matrix setup was measured
+# (r9-opt batch 2) to dominate kernels whose groups hold only a few
+# hundred vectors, so small kernel inputs must stay NARROW even when the
+# session's AQE coalescing floor is lowered for compute-dense JVM stages
+# (r9-opt lowered it 1m -> 64k; that change alone re-fanned the ~1 MB
+# cell-kernel shuffle into ~17 single-storm-exposed tasks and made
+# link_negatives' tail 3x worse on the bench host).
+_MIN_KERNEL_TASK_ROWS = 4096
+
+
+def _pin_kernel_width(df: DataFrame, approx_rows: int, keys: list) -> DataFrame:
+    """Pin the applyInPandas kernel-input shuffle to an explicit width:
+    ceil(approx_rows / _MIN_KERNEL_TASK_ROWS) partitions, capped at the
+    session's configured shuffle width. A user-numbered repartition on
+    the GROUP KEYS satisfies the groupBy's clustered distribution (no
+    second exchange) and AQE neither coalesces nor re-splits it — the
+    kernel keeps its measured shape regardless of session AQE settings.
+    Scale behaviour: small inputs (gate corpora, small cells) run a
+    handful of well-filled tasks; large inputs hit the cap and keep
+    exactly the pre-pin width (shuffle.partitions, sized to the cluster
+    in production)."""
+    spark = df.sparkSession
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    width = max(1, min(cap, math.ceil(max(1, approx_rows) / _MIN_KERNEL_TASK_ROWS)))
+    return df.repartition(width, *keys)
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -914,6 +942,7 @@ def within_cell_pairs_above(
             s = np.concatenate([s, sims.T[kb2, ka2]])
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": s})
 
+    both = _pin_kernel_width(both, n * n_blocks, ["cell", "bl", "br"])
     return both.groupBy("cell", "bl", "br").applyInPandas(
         kernel, "id_a long, id_b long, cos_sim double"
     )
@@ -1367,6 +1396,7 @@ def _blocked_local_topk(
         return pd.DataFrame({"id": ia, "nbr": na, "cos_sim": sa})
 
     keys = ["cell", "bl", "br"] if cell_col is not None else ["bl", "br"]
+    both = _pin_kernel_width(both, n * n_blocks, keys)
     cands = both.groupBy(*keys).applyInPandas(
         kernel, "id long, nbr long, cos_sim double"
     )

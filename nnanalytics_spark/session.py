@@ -19,6 +19,27 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE's coalescing floor (default 1m) is sized for byte-bound work;
+    # this engine's hot intermediates (pair tables, candidate sets,
+    # posting joins) are COMPUTE-dense — a 1-3 MB shuffle of 8-byte-keyed
+    # pairs feeds sort-merge joins and array intersections worth seconds
+    # of CPU, and the 1m floor coalesces it onto 1-3 cores while the
+    # other 29 idle (r9-opt profile: jaccard_threshold_sweep spent 4.9 s
+    # of a 7.1 s wall in ONE coalesced task). 64k lets parallelismFirst
+    # actually reach the cluster's parallelism on those stages:
+    # interleaved min-of-4 A/B at sf0.1 measured 0.47-0.85x on 10 of 12
+    # compute-dense rows (jaccard_threshold_sweep 4.53->2.19 s,
+    # triangle_counts 4.67->2.51, prefix_filter_pairs 3.25->2.04,
+    # bootstrap_ci 2.02->1.53, sql_tpch_q5 1.63->1.21) and par on
+    # byte-bound rows. Grouped Arrow-kernel inputs, the one family
+    # measured to prefer narrowness, pin their own width explicitly
+    # (similarity._pin_kernel_width) so this floor cannot re-fan them.
+    # Env-tunable: at cluster scale a genuinely byte-bound deployment
+    # can restore 1m+; the floor only governs how far AQE may shrink
+    # below spark.sql.shuffle.partitions, never partition count upward.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": os.environ.get(
+        "SPARK_GRAFT_AQE_MIN_PARTITION", "64k"
+    ),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
