@@ -348,6 +348,45 @@ def _native_twins() -> dict:
     }
 
 
+def _host_probe() -> dict:
+    """Measure the two host pathologies that have corrupted bench rounds,
+    so every artifact is self-adjudicating (VERDICT r9 #1).
+
+    - ``alloc``: seconds to materialize a fresh ~100 MB buffer
+      (first-touch page faults). Healthy ~0.1-0.3 s; during the documented
+      fault storms on this host class, 4-35 s — and the cost serializes
+      across processes, so Arrow/numpy bench rows inflate 3-28x while
+      JVM-heap rows (AlwaysPreTouch) stay ~1x.
+    - ``cpu``: a fixed single-core pure-Python loop. Healthy ~0.5-1.0 s;
+      CPU steal inflates it roughly uniformly (storms barely move it,
+      which is exactly why both numbers are needed to tell the modes
+      apart).
+
+    A reader comparing two BENCH artifacts should treat absolute numbers
+    from a run whose ``alloc`` probe exceeds ~1 s as storm-priced.
+
+    The buffer is an anonymous ``mmap`` touched one byte per page: unlike
+    a heap allocation (whose pages glibc keeps and reuses within the
+    process, so a second probe would read healthy mid-storm), every call
+    faults fresh kernel pages and returns them on close.
+    """
+    import mmap
+
+    size = 100 * 1024 * 1024
+    t0 = time.perf_counter()
+    buf = mmap.mmap(-1, size)
+    for off in range(0, size, 4096):
+        buf[off] = 1
+    alloc = time.perf_counter() - t0
+    buf.close()
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i
+    cpu = time.perf_counter() - t0
+    return {"alloc": round(alloc, 2), "cpu": round(cpu, 2)}
+
+
 def _release_cached(spark) -> None:
     """Drop cached/localCheckpoint RDD blocks left by iterative queries so
     one query's retained storage can't inflate the next one's GC time.
@@ -368,6 +407,7 @@ def _release_cached(spark) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    probe_pre = _host_probe()
     spark = get_spark("bench")
 
     queries = {**entry_mod.queries(), **_native_twins()}
@@ -403,6 +443,13 @@ def main() -> None:
             _release_cached(spark)
     total = sum(timings.values())
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    probe_post = _host_probe()
+    probe = {
+        "alloc": probe_pre["alloc"],
+        "cpu": probe_pre["cpu"],
+        "alloc_end": probe_post["alloc"],
+        "cpu_end": probe_post["cpu"],
+    }
 
     # Round-over-round integrity (VERDICT r8 #6): compare THIS run's
     # common-subset total against the PREVIOUS ROUND's committed
@@ -454,6 +501,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "runs": runs,
+                "host_probe": probe,
                 "common_subset_vs_prev_round": vs_prev,
                 "queries": timings,
                 "sf": sf_val,
@@ -470,6 +518,7 @@ def main() -> None:
             "queries": {k: round(v, 2) for k, v in qdict.items()},
             "nq": len(timings),
             "runs": runs,
+            "probe": probe,
             "full": "BENCH_FULL.json",
             "sf": sf_val,
         }

@@ -81,7 +81,30 @@ def shingle_postings(
     sh = df.select(
         F.col(id_col).alias("id"), shingles(F.col(text), n).alias("sh")
     )
-    return sh.select("id", F.size("sh").alias("ns"), F.explode("sh").alias("shingle"))
+    # the shingle width rides the column metadata so consumers can
+    # verify a shared postings table was built with the n they expect
+    # (ADVICE r9: a mismatched table would yield wrong Jaccard /
+    # signatures with no error)
+    return sh.select(
+        "id",
+        F.size("sh").alias("ns"),
+        F.explode("sh").alias("shingle", metadata={"shingle_n": n}),
+    )
+
+
+def _check_postings_n(postings: DataFrame, n: int, caller: str) -> None:
+    """Raise if a shared ``shingle_postings`` table carries a shingle
+    width different from what the caller's own arguments would build.
+    Tables without the metadata (hand-built) pass unchecked — the
+    docstring contract still applies."""
+    meta = postings.schema["shingle"].metadata or {}
+    got = meta.get("shingle_n")
+    if got is not None and int(got) != n:
+        raise ValueError(
+            f"{caller}: postings= was built with n={got} but the call "
+            f"expects n={n}; build shingle_postings with identical "
+            "text/id_col/n arguments"
+        )
 
 
 def ngram_jaccard_pairs(
@@ -126,6 +149,8 @@ def ngram_jaccard_pairs(
     (id, ns, shingle) — see that helper; results are identical."""
     from pyspark.sql import Window as W
 
+    if postings is not None:
+        _check_postings_n(postings, n, "ngram_jaccard_pairs")
     occ = postings if postings is not None else shingle_postings(df, text, id_col, n)
     sh = occ.select("id", "ns", F.xxhash64("shingle").alias("sg"))
     if max_shingle_df is not None:
@@ -481,6 +506,8 @@ def minhash_signatures(
     ``postings`` (optional): a pre-built ``shingle_postings`` table
     (id, ns, shingle) shared with a sibling pipeline — the ``ns``
     column is dropped here; results are identical."""
+    if postings is not None:
+        _check_postings_n(postings, ngram, "minhash_signatures")
     occ = (
         postings.select("id", "shingle")
         if postings is not None

@@ -83,7 +83,13 @@ def _pin_kernel_width(df: DataFrame, approx_rows: int, keys: list) -> DataFrame:
     exactly the pre-pin width (shuffle.partitions, sized to the cluster
     in production)."""
     spark = df.sparkSession
-    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        # deployments that set the conf to a non-integer sentinel (e.g.
+        # "auto" under AQE auto-optimized shuffle) — fall back to the
+        # cluster's default parallelism as the width cap
+        cap = spark.sparkContext.defaultParallelism
     width = max(1, min(cap, math.ceil(max(1, approx_rows) / _MIN_KERNEL_TASK_ROWS)))
     return df.repartition(width, *keys)
 
@@ -273,6 +279,14 @@ def all_pairs_above_blocked(
             s = np.concatenate([s, sims.T[kb2, ka2]])
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cos_sim": s})
 
+    # pin the kernel-input shuffle width like the other grouped Arrow
+    # kernels (ADVICE r9): ``both`` holds ~n·(B+1) replicated rows, and
+    # without the pin the session's lowered AQE coalescing floor can
+    # re-fan this small compute-dense shuffle into many near-empty
+    # Arrow tasks (the link_negatives tail regression fixed in r9-opt
+    # batch 8). The user-numbered repartition on the group keys
+    # satisfies the groupBy's distribution, so no second exchange.
+    both = _pin_kernel_width(both, n * (n_blocks + 1), ["bl", "br"])
     return both.groupBy("bl", "br").applyInPandas(
         kernel, "id_a long, id_b long, cos_sim double"
     )
