@@ -84,11 +84,13 @@ def shingle_postings(
     # the shingle width rides the column metadata so consumers can
     # verify a shared postings table was built with the n they expect
     # (ADVICE r9: a mismatched table would yield wrong Jaccard /
-    # signatures with no error)
-    return sh.select(
-        "id",
-        F.size("sh").alias("ns"),
-        F.explode("sh").alias("shingle", metadata={"shingle_n": n}),
+    # signatures with no error). Metadata must be applied in a second
+    # projection — an alias directly on the generator drops it.
+    exploded = sh.select(
+        "id", F.size("sh").alias("ns"), F.explode("sh").alias("shingle")
+    )
+    return exploded.select(
+        "id", "ns", F.col("shingle").alias("shingle", metadata={"shingle_n": n})
     )
 
 

@@ -82,6 +82,40 @@ _DEFAULTS = {
         + " -XX:+UseCodeCacheFlushing -XX:+AlwaysPreTouch -Xms"
         + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     ),
+    # Python-worker allocator retention — the worker-side counterpart of
+    # the JVM's AlwaysPreTouch (r10-opt). Spark reuses Python workers
+    # across tasks (spark.python.worker.reuse=true default), but by
+    # default every large numpy/pandas buffer is mmap'd by glibc and
+    # munmap'd on free, so EVERY task re-faults fresh pages — on hosts
+    # where first-touch faults are slow and serialize across processes
+    # (this bench host: ~10 MB/s for hours at a stretch), Arrow-kernel
+    # rows inflate 10-28x while JVM-heap rows stay ~1x. Three env vars,
+    # applied to the worker daemon (spark.executorEnv.* reaches the
+    # pyspark daemon's environment, and forked workers inherit it):
+    #   MALLOC_TRIM_THRESHOLD_=-1   never trim the heap back to the OS
+    #   MALLOC_MMAP_THRESHOLD_=1g   serve large buffers from the arena
+    #                               instead of per-allocation mmap/munmap
+    #   ARROW_DEFAULT_MEMORY_POOL=system  route Arrow buffers through
+    #                               glibc (jemalloc purges dirty pages
+    #                               after decay, re-faulting per task)
+    # A reused worker then faults its high-water mark ONCE and keeps the
+    # pages. Measured (r10-opt, interleaved A/B at sf0.1, healthy
+    # window): 0.81-0.90x on Arrow-kernel rows (multimodal_decode 2.03
+    # -> 1.61 s, image_resize_decode 2.82 -> 2.46, knn_graph 2.11 ->
+    # 1.85, semdedup 1.88 -> 1.75 min-of-2x2); during fault storms the
+    # retained pages are the difference between ~1x and 10-28x. Cost:
+    # per-worker RSS stays at its high-water mark (bounded by the
+    # largest kernel batch, ~100-300 MB here); env-tunable for
+    # memory-tight deployments.
+    "spark.executorEnv.MALLOC_TRIM_THRESHOLD_": os.environ.get(
+        "SPARK_GRAFT_WORKER_MALLOC_TRIM", "-1"
+    ),
+    "spark.executorEnv.MALLOC_MMAP_THRESHOLD_": os.environ.get(
+        "SPARK_GRAFT_WORKER_MMAP_THRESHOLD", "1073741824"
+    ),
+    "spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL": os.environ.get(
+        "SPARK_GRAFT_WORKER_ARROW_POOL", "system"
+    ),
 }
 
 
