@@ -94,6 +94,25 @@ def _pin_kernel_width(df: DataFrame, approx_rows: int, keys: list) -> DataFrame:
     return df.repartition(width, *keys)
 
 
+def _block_pairs(spark, n_blocks: int) -> DataFrame:
+    """The unordered block-pair table (bl <= br) for the blocked
+    kernels, built JVM-SIDE from ``range``: a ``createDataFrame(list)``
+    here is a Python-RDD-backed relation, so every broadcast of it pays
+    a Python worker round-trip inside an otherwise JVM-only plan —
+    measured ~0.45 s steady-state (4.5 s on a cold worker) vs ~0.27 s
+    for this formulation, once per blocked-kernel query (r10-opt). One
+    arithmetic ``range`` (no join) keeps the broadcast subtree a single
+    JVM relation."""
+    return (
+        spark.range(n_blocks * n_blocks)
+        .select(
+            (F.col("id") / n_blocks).cast("int").alias("bl"),
+            (F.col("id") % n_blocks).cast("int").alias("br"),
+        )
+        .filter(F.col("bl") <= F.col("br"))
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -234,9 +253,7 @@ def all_pairs_above_blocked(
     blocked = src.withColumn(
         "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
-    bp = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
-    )
+    bp = _block_pairs(spark, n_blocks)
     left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
         "bl", "br", F.lit(0).alias("side"), "id", "v"
     )
@@ -893,7 +910,10 @@ def assign_cells_rounded(
 
 
 def within_cell_pairs_above(
-    assigned: DataFrame, threshold: float, rows_per_block: int = 8192
+    assigned: DataFrame,
+    threshold: float,
+    rows_per_block: int = 8192,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with round(cosine, 6) >= threshold that
     share a cell, via the same block-decomposed BLAS kernel as
@@ -904,19 +924,24 @@ def within_cell_pairs_above(
     rows_per_block-sized blocks that fit executor memory.
 
     Input: (id long, cell int, v array<double>) from assign_cells_rounded.
+
+    ``n_hint``: an upper bound on |assigned|, supplied by callers that
+    already know it (bounded_pairs_above / cell_knn count the corpus for
+    centroid pinning anyway) — without it the sizing ``count()`` here
+    RE-EXECUTES the upstream assignment kernel as a dedicated job just
+    to pick a block count (r10-opt; the emitted pair set is invariant to
+    n_blocks, an over-estimate only splits blocks finer).
     """
     import numpy as np
     import pandas as pd
 
     spark = assigned.sparkSession
-    n = assigned.count()
+    n = n_hint if n_hint is not None else assigned.count()
     n_blocks = max(1, math.ceil(n / rows_per_block))
     blocked = assigned.withColumn(
         "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
-    bp = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
-    )
+    bp = _block_pairs(spark, n_blocks)
     left = blocked.join(F.broadcast(bp), F.col("block") == F.col("bl")).select(
         "cell", "bl", "br", F.lit(0).alias("side"), "id", "v"
     )
@@ -1317,6 +1342,7 @@ def _blocked_local_topk(
     label_col: str | None,
     cell_col: str | None = None,
     dedupe_candidates: bool = False,
+    n_hint: int | None = None,
 ) -> DataFrame:
     """Shared kernel for knn_graph / hard_negatives / cell_knn:
     block-decomposed exact cosine with per-row LOCAL top-k inside each
@@ -1347,14 +1373,15 @@ def _blocked_local_topk(
         cols.insert(0, F.col(cell_col).alias("cell"))
     # NULL-vector contract: unembeddable rows join no block
     src = df.filter(F.col(vec_col).isNotNull()).select(*cols)
-    n = src.count()
+    # n_hint (an upper bound from a caller that already counted the
+    # corpus) skips a sizing count() that would re-execute an upstream
+    # assignment kernel; results are invariant to n_blocks (r10-opt)
+    n = n_hint if n_hint is not None else src.count()
     n_blocks = max(1, math.ceil(n / rows_per_block))
     blocked = src.withColumn(
         "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
     )
-    bp = spark.createDataFrame(
-        [(a, b) for a in range(n_blocks) for b in range(a, n_blocks)], "bl int, br int"
-    )
+    bp = _block_pairs(spark, n_blocks)
     carry = ["id", "lbl", "v"] if label_col is not None else ["id", "v"]
     if cell_col is not None:
         carry = ["cell"] + carry
@@ -1492,14 +1519,22 @@ def _pinned_centroids(
     centroid matrix and crashed. The pinned set is additionally capped
     at ``max_centroids`` rows by a deterministic id-ordered limit, so
     an adversarial id distribution (every id sharing the residue)
-    bounds the driver collect instead of pulling n vectors."""
+    bounds the driver collect instead of pulling n vectors.
+
+    Returns ``(vectors, n)`` — the corpus count rides along so callers
+    can size downstream block decompositions without a second count job
+    (r10-opt: count and min fused into ONE aggregate job; this helper
+    previously ran three driver jobs, and within_cell_pairs_above's own
+    sizing count re-executed the assignment kernel on top)."""
     df = df.filter(F.col(vec_col).isNotNull())  # NULL-vector contract
-    n = df.count()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"), F.min(F.col(id_col)).alias("m")
+    ).collect()[0]
+    n = int(stats["n"])
     eff = _capped_stride(n, stride, max_centroids)
-    mn = df.agg(F.min(F.col(id_col)).alias("m")).collect()
-    if not mn or mn[0]["m"] is None:
-        return []
-    residue = int(mn[0]["m"]) % eff
+    if stats["m"] is None:
+        return [], n
+    residue = int(stats["m"]) % eff
     pinned = (
         df.filter(F.pmod(F.col(id_col), F.lit(eff)) == residue)
         .select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
@@ -1507,7 +1542,7 @@ def _pinned_centroids(
     )
     if max_centroids > 0:
         pinned = pinned.limit(max_centroids)
-    return [r["v"] for r in pinned.collect()]
+    return [r["v"] for r in pinned.collect()], n
 
 
 def cell_knn(
@@ -1543,7 +1578,7 @@ def cell_knn(
     end to end (pinned centroids, round-6 argmax, round-6
     local==global top-k tie-break), so an oracle can replay assignment
     and ranking exactly."""
-    cents = _pinned_centroids(df, id_col, vec_col, stride, max_centroids)
+    cents, n = _pinned_centroids(df, id_col, vec_col, stride, max_centroids)
     assigned = assign_cells_rounded(df, cents, id_col, vec_col, nprobe=nprobe)
     return _blocked_local_topk(
         assigned,
@@ -1554,6 +1589,9 @@ def cell_knn(
         None,
         cell_col="cell",
         dedupe_candidates=nprobe > 1,
+        # |assigned| <= n * nprobe; the hint saves a sizing count that
+        # would re-run the assignment kernel (r10-opt)
+        n_hint=n * max(1, min(nprobe, len(cents) or 1)),
     ).withColumnRenamed("id", id_col)
 
 
@@ -1596,10 +1634,15 @@ def bounded_pairs_above(
     always share a top-2 cell there) — tests/test_r8_ops.py pins
     bounded == exact at gate scale and the sf1 probe prices the
     linear-cost claim."""
-    cents = _pinned_centroids(df, id_col, vec_col, stride, max_centroids)
+    cents, n = _pinned_centroids(df, id_col, vec_col, stride, max_centroids)
     assigned = assign_cells_rounded(df, cents, id_col, vec_col, nprobe=nprobe)
     cell_pairs = within_cell_pairs_above(
-        assigned, threshold, rows_per_block=rows_per_block
+        assigned,
+        threshold,
+        rows_per_block=rows_per_block,
+        # |assigned| <= n * nprobe (r10-opt: skip the sizing count that
+        # re-executed the assignment kernel as a dedicated job)
+        n_hint=n * max(1, min(nprobe, len(cents) or 1)),
     ).select("id_a", "id_b", "cos_sim")
     if candidate_pairs is None:
         return cell_pairs.distinct()
