@@ -103,6 +103,19 @@ def test_shared_postings_n_mismatch_raises(spark):
     ]
 
 
+def test_no_data_microbatches_disabled_by_default(spark):
+    """r10-opt: the engine's streaming operators advance watermarks with
+    data (sentinel segments), so the trailing no-data micro-batch only
+    fires sentinel-key timeouts that every harness filters out — one
+    state stage + commit cycle per streaming query for nothing. Verified
+    row-identical on all 8 streaming parity queries at sf0.01 and sf0.1;
+    env-tunable for pipelines that need quiescent-stream timeouts."""
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == "false"
+    )
+
+
 def test_bench_host_probe_shape():
     """VERDICT r9 #1: every bench artifact carries a host-health probe so
     storm-priced runs are detectable from the artifact alone."""
