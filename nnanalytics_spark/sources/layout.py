@@ -297,7 +297,13 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *part_cols: str,
+    salt_tasks: int = 1,
+    max_records_per_file: int | None = None,
+) -> None:
     """Hive-style directory-partitioned parquet write (.../col=value/).
 
     Directory partitioning is the coarsest and cheapest pruning lever at
@@ -316,10 +322,42 @@ def write_partitioned(df: DataFrame, path: str, *part_cols: str) -> None:
     whole write into one task (profiled: backfill_plan's fixture write
     was a 1.5 s single-task stage at sf0.1). One exchange on the
     partition key parallelizes the write AND keeps one file per
-    directory; row content per directory is unchanged."""
+    directory; row content per directory is unchanged.
+
+    Hot-partition guards (VERDICT r9 #8, guide §2.5/§6): clustering by
+    the partition value alone makes ONE task the serial writer of a hot
+    value (one date, one source) and emits one giant file there.
+    ``salt_tasks`` > 1 appends a deterministic row-content salt
+    (pmod(xxhash64(all columns), salt_tasks) — never rand(), which
+    duplicates rows under task retry, SPARK-38388) to the clustering
+    key, spreading each partition value over up to that many writer
+    tasks/files. ``max_records_per_file`` additionally bounds rows per
+    output file (maps to Spark's maxRecordsPerFile). Defaults preserve
+    the one-file-per-directory layout for the un-skewed case."""
+    from pyspark.sql import functions as F
+
+    writer_df = df
     if part_cols:
-        df = df.repartition(*part_cols)
-    df.write.mode("overwrite").partitionBy(*part_cols).parquet(path)
+        if salt_tasks > 1:
+            salt = F.pmod(
+                F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(int(salt_tasks))
+            )
+            # user-NUMBERED repartition: AQE coalescing would otherwise
+            # merge the salted shuffle right back onto one writer task
+            spark = df.sparkSession
+            try:
+                width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            except (ValueError, TypeError):
+                width = spark.sparkContext.defaultParallelism
+            writer_df = df.repartition(
+                width, *([F.col(c) for c in part_cols] + [salt])
+            )
+        else:
+            writer_df = df.repartition(*part_cols)
+    writer = writer_df.write.mode("overwrite")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+    writer.partitionBy(*part_cols).parquet(path)
 
 
 def read_partition_pruned(
