@@ -166,6 +166,24 @@ def ngram_jaccard_pairs(
         # persist + separate-df-count + anti-join formulation, and no
         # executor-memory pressure from a persisted postings table.)
         shw = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("sg")))
+        # materialize the windowed postings ONCE (lazy localCheckpoint):
+        # the table feeds FOUR consumers (both self-join sides and both
+        # hot-list builds), and each otherwise re-evaluates the
+        # sort+window over the full postings — AQE's stage cache shares
+        # the shuffle map outputs but not the window above them
+        # (profiled: two ~0.6 s single-task window re-evals per
+        # consumer query). Same-session A/B min-of-3 at sf0.1: 1.25 ->
+        # 0.60 s for the pair pipeline, results identical. Scale note:
+        # the checkpoint stores one corpus-sized postings pass (the
+        # shingle_postings tradeoff, already documented there) against
+        # 2-3 repeated sort+window passes over the same rows. Skipped
+        # when the caller supplied an already-checkpointed postings
+        # table (minhash_bbit's shared-front path): re-evaluating the
+        # window over a cheap ExistingRDD scan costs less than storing
+        # the postings a SECOND time (measured 1.06x worse stacked,
+        # min-of-5 same-session).
+        if postings is None:
+            shw = shw.localCheckpoint(eager=False)
         rare = shw.filter(F.col("df") <= max_shingle_df).drop("df")
         hot = shw.filter(F.col("df") > max_shingle_df)
         a, b = rare.alias("a"), rare.alias("b")
@@ -184,23 +202,28 @@ def ngram_jaccard_pairs(
         hot_lists = hot.groupBy("id").agg(F.collect_list("sg").alias("hot_sg"))
         # the hot-list joins key on doc id (bounded pair set vs one tiny
         # array per doc-with-hot-shingles); left to AQE — broadcastable
-        # when small, plain shuffle-hash at corpus scale
+        # when small, plain shuffle-hash at corpus scale. BOTH joins keep
+        # the IDENTICAL hot_lists subtree (rename via subquery alias, not
+        # a projection below the join): a select that renames under each
+        # broadcast made the two BroadcastExchange subtrees canonically
+        # different, so the window+sort+collect_list pipeline was planned
+        # and EXECUTED twice — profiled as two ~0.6 s single-task stages
+        # in every max_shingle_df consumer (r10-opt); identical subtrees
+        # collapse through AQE's stage cache into one build.
         empty = F.array().cast("array<bigint>")
+        ha, hb = hot_lists.alias("ha"), hot_lists.alias("hb")
         withhot = (
-            pairs.join(
-                hot_lists.select(F.col("id").alias("id_a"), F.col("hot_sg").alias("hot_a")),
-                "id_a",
-                "left",
-            )
-            .join(
-                hot_lists.select(F.col("id").alias("id_b"), F.col("hot_sg").alias("hot_b")),
-                "id_b",
-                "left",
-            )
+            pairs.join(ha, F.col("id_a") == F.col("ha.id"), "left")
+            .join(hb, F.col("id_b") == F.col("hb.id"), "left")
             .withColumn(
                 "n_common",
                 F.col("c_rare")
-                + F.size(F.array_intersect(F.coalesce("hot_a", empty), F.coalesce("hot_b", empty))),
+                + F.size(
+                    F.array_intersect(
+                        F.coalesce(F.col("ha.hot_sg"), empty),
+                        F.coalesce(F.col("hb.hot_sg"), empty),
+                    )
+                ),
             )
         )
         return (
