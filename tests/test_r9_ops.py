@@ -100,7 +100,7 @@ def test_cell_knn_centroid_cap_binds_and_results_stay_valid(spark):
     every score is a true round-6 cosine (spot-checked against the
     uncapped run: shared edges carry identical scores)."""
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
-    assert len(similarity._pinned_centroids(emb, "vec_id", "embedding", 200, 2)) <= 2
+    assert len(similarity._pinned_centroids(emb, "vec_id", "embedding", 200, 2)[0]) <= 2
     capped = similarity.cell_knn(emb, k=3, stride=200, max_centroids=2).collect()
     by_id: dict[int, list] = {}
     for r in capped:
@@ -384,7 +384,10 @@ def test_pinned_centroids_dense_ids_match_textbook_rule(spark):
         .orderBy("vec_id")
         .collect()
     ]
-    got = similarity._pinned_centroids(emb, "vec_id", "embedding", 50, 4096)
+    # r10: _pinned_centroids returns (vectors, n) — the corpus count rides
+    # along so callers skip a second sizing job
+    got, got_n = similarity._pinned_centroids(emb, "vec_id", "embedding", 50, 4096)
+    assert got_n == n
     assert len(got) >= 2 and got == want
 
 
